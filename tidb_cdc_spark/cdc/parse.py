@@ -1,0 +1,199 @@
+"""Maxwell envelope → typed rows, as pure Catalyst expressions.
+
+This is the Spark-native replacement for the reference's per-event
+reflection pipeline (``ConsumeClaim`` → ``MaxwellUnmarshal``,
+``/root/reference/cdc_manager.go:203-303`` and
+``cdc_utils.go:31-124``). Everything here is built-in expressions —
+``from_json`` / ``try_cast`` / map functions — so the whole parse
+stage runs inside whole-stage codegen on executors: no Python in the
+hot path, no shuffle (the stage is embarrassingly parallel over
+Kafka partitions / file splits).
+
+Deliberate divergences from the reference (SURVEY §7.5):
+- full before-image reconstruction (the reference ships partial —
+  its merge code is commented out, cdc_manager.go:263-274);
+- malformed JSON goes to a dead-letter column instead of panicking
+  the consumer (cdc_manager.go:164);
+- proper handling of JSON true/false booleans, smallint, fractional
+  timestamps (reference gaps, cdc_utils.go:98-105).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.cdc.schema import ENVELOPE_SCHEMA, CDCType
+from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
+
+#: Fixed zone the reference parses wall-clock timestamps in
+#: ("BJ" = UTC+8, /root/reference/tag.go:47-55).
+SOURCE_TIMEZONE = "Asia/Shanghai"
+
+_INT_RE = r"^-?\d+$"
+
+
+def parse_envelope(
+    df: DataFrame,
+    value_col: str = "value",
+    drop_malformed: bool = False,
+) -> DataFrame:
+    """Phase-1 parse: raw Kafka/file bytes → envelope columns.
+
+    Output: ``database, table, type, ts, data, old, _corrupt``.
+    Null messages (Kafka tombstones) are dropped, matching
+    cdc_manager.go:209-211. Malformed JSON yields a non-null
+    ``_corrupt`` column (dead-letter) instead of the reference's
+    panic at cdc_manager.go:164.
+    """
+    raw = F.col(value_col).cast("string")
+    parsed = F.from_json(raw, ENVELOPE_SCHEMA)
+    out = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_env", parsed)
+        .withColumn(
+            "_corrupt",
+            F.when(parsed.isNull() | parsed["type"].isNull(), raw),
+        )
+        .select(
+            F.col("_env.database").alias("database"),
+            F.col("_env.table").alias("table"),
+            F.col("_env.type").alias("type"),
+            F.col("_env.ts").alias("ts"),
+            F.col("_env.data").alias("data"),
+            F.col("_env.old").alias("old"),
+            "_corrupt",
+            *[c for c in df.columns if c not in (value_col,)],
+        )
+    )
+    if drop_malformed:
+        out = out.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    return out
+
+
+def with_images(df: DataFrame) -> DataFrame:
+    """Materialize raw before/after string-map images per op type.
+
+    Semantics table (cdc_manager.go:219-261):
+      insert: after = data,                  before = null
+      update: after = data,                  before = data ⊕ old
+      delete: after = null,                  before = data (full deleted row)
+
+    ``data ⊕ old`` is the full-before-image overlay the reference
+    intended but never shipped (commented DeserializeMaxwell,
+    cdc_manager.go:263-274): for every key of ``data``, take ``old``'s
+    value iff the key is PRESENT in ``old`` (Maxwell's ``old`` holds
+    changed columns only), else ``data``'s. Done on the string-map
+    phase where key-absence is detectable — ``map_contains_key``
+    distinguishes "column unchanged" from "old value was NULL".
+
+    Note the reference binds delete's row image to its ``after``
+    variable (cdc_manager.go:249-256) and hands it to
+    ``Delete(before)``; semantically it is the before-image, which is
+    where we put it.
+    """
+    data = F.col("data")
+    old = F.col("old")
+    overlay = F.map_zip_with(
+        data,
+        F.map_filter(old, lambda k, _: F.map_contains_key(data, k)),
+        lambda k, d, o: F.when(F.map_contains_key(old, k), o).otherwise(d),
+    )
+    return (
+        df.withColumn(
+            "after_raw",
+            F.when(F.col("type").isin(CDCType.INSERT, CDCType.UPDATE), data),
+        )
+        .withColumn(
+            "before_raw",
+            F.when(F.col("type") == CDCType.UPDATE, overlay).when(
+                F.col("type") == CDCType.DELETE, data
+            ),
+        )
+        # drop-empty guard, cdc_manager.go:258-261
+        .filter(F.col("after_raw").isNotNull() | F.col("before_raw").isNotNull())
+    )
+
+
+def cast_value(value: Column, col: ColumnSpec) -> Column:
+    """Lenient per-field decode: the §1.2 coercion matrix as a single
+    expression. Failed coercions yield NULL (the Spark analogue of
+    the reference's recover-and-skip, cdc_utils.go:50-54)."""
+    dtype = col.dtype.lower()
+    if dtype == "timestamp":
+        # numeric → epoch MILLISECONDS (cdc_utils.go:77); string →
+        # "yyyy-MM-dd HH:mm:ss[.SSS]" wall-clock in fixed UTC+8
+        # (tag.go:47-55). We keep millisecond precision (the
+        # reference truncates to seconds — documented divergence).
+        as_long = value.try_cast("long")
+        epoch = F.timestamp_millis(as_long) if col.epoch_ms else F.timestamp_seconds(as_long)
+        wall = F.to_utc_timestamp(
+            F.try_to_timestamp(value, F.lit("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS]")),
+            SOURCE_TIMEZONE,
+        )
+        return F.when(value.rlike(_INT_RE), epoch).otherwise(wall)
+    if dtype == "date":
+        return value.try_cast("date")
+    if dtype == "boolean" or col.bool01:
+        # float64 == 1 → true (cdc_utils.go:98-101); plus native
+        # true/false strings the reference panics on (divergence fix).
+        num = value.try_cast("double")
+        return F.when(num.isNotNull(), num == 1).otherwise(value.try_cast("boolean"))
+    if dtype.startswith(("array<", "map<", "struct<")):
+        return F.from_json(value, col.dtype)
+    if dtype == "binary":
+        return value.try_cast("binary")
+    if dtype in ("int", "bigint", "smallint", "tinyint"):
+        # JSON numbers may arrive fractional; the reference does a
+        # truncating float64→int cast (cdc_utils.go:104-105).
+        return value.try_cast("double").try_cast(dtype)
+    return value.try_cast(col.dtype)
+
+
+def project_table(df: DataFrame, spec: TableSpec, image_col: str) -> Column:
+    """Typed projection of one raw string-map image into a struct —
+    the MaxwellUnmarshal equivalent (cdc_utils.go:31-47), compiled
+    once from the spec into pure expressions."""
+    img = F.col(image_col)
+    fields = [
+        cast_value(img.getItem(c.source), c).alias(c.target)
+        for c in spec.resolved_columns()
+    ]
+    return F.when(img.isNotNull(), F.struct(*fields))
+
+
+def parse_cdc(
+    df: DataFrame,
+    spec: TableSpec,
+    value_col: str = "value",
+    seq_col: Column | None = None,
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """End-to-end: raw messages → typed change rows for one table.
+
+    Output schema:
+      ``op string, ts long, _seq long, before struct<...>, after struct<...>``
+
+    ``_seq`` is the within-source ordering tiebreak (Kafka offset /
+    file row position): TiCDC only guarantees per-dispatch-key order
+    within a partition (deals_changefeed.toml:28-31), so downstream
+    conflation orders by (ts, _seq).
+
+    Scale: stateless, shuffle-free, fully codegen'd; parallelism =
+    source partitions. At 100 TB of backlog this stage scales
+    linearly with executors.
+    """
+    env = parse_envelope(df, value_col=value_col, drop_malformed=drop_malformed)
+    env = env.filter(
+        (F.col("database") == spec.database) & (F.col("table") == spec.table)
+    )
+    env = with_images(env)
+    if seq_col is None:
+        seq_col = F.monotonically_increasing_id()
+    return env.select(
+        F.col("type").alias("op"),
+        F.col("ts"),
+        seq_col.alias("_seq"),
+        project_table(env, spec, "before_raw").alias("before"),
+        project_table(env, spec, "after_raw").alias("after"),
+    )

@@ -1,0 +1,83 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+same config block is what we would ship to a 1000-executor cluster —
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow enabled for the few pandas-UDF paths, and a shuffle-partition
+count that AQE coalesces down when partitions are small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tidb_cdc_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    AQE is the load-bearing setting: at 100 TB the static
+    ``shuffle.partitions`` can never be right for every stage, so we
+    set a generous upper bound and let AQE coalesce post-shuffle
+    partitions and split skewed ones at runtime.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- adaptive execution: runtime re-planning ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan sizing: keep input splits ~128 MB so executor
+        # memory holds a partition comfortably at any SF ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast: dims (region/nation/supplier/part at test SF)
+        # must broadcast; 64 MB threshold covers TPC-H dims well past
+        # sf100 for region/nation and lets AQE convert at runtime ---
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        # --- Arrow for pandas-UDF paths (similarity / multimodal) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- session timezone: the reference parses timestamps in
+        # fixed UTC+8 ("BJ", /root/reference/tag.go:47-55); keep UTC
+        # for analytics and convert explicitly in the CDC layer ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the testdata parquet tables as a dict of DataFrames.
+
+    Reads are column-pruned and filter-pushed automatically by the
+    Parquet datasource; callers should select/filter early so the
+    pruning reaches the scan.
+    """
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
