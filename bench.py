@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}``.
+
+Each query is fully materialized via a cheap count-style action
+(``df.count()`` after the query's own sort/limit), which forces the
+whole plan without driver-side collection overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from tidb_cdc_spark import get_spark
+    from tidb_cdc_spark.queries import QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing so per-query timings measure the
+    # query, not session bootstrap
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    names = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "topk_orders_per_customer",
+        "rollup_revenue",
+        "events_hourly",
+        "events_sessions",
+        "events_asof_purchase_click",
+        "cdc_parse_typed",
+        "cdc_apply_latest",
+        "dedup_exact_docs",
+        "text_token_stats",
+        "text_lang_id",
+        "knn_bruteforce_cosine",
+        "knn_lsh_cosine",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,309 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+North-star operators (BASELINE.json). All signature computation is
+native expressions (xxhash64 / transform / aggregate) — no Python in
+the row path. The pair-generation stage is always an equi-join on a
+bucket key (band signature / simhash chunk), never a cross join:
+that is the property that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions.text import fingerprint, shingles, tokens
+from tidb_cdc_spark.functions.similarity import as_double, cosine
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate
+    group (after whitespace/case normalization).
+
+    Plan: hash-groupBy on a 64-bit fingerprint — shuffle bytes are
+    ~16 B/row regardless of document size, the scalable shape for
+    100 TB of multi-KB docs (vs. grouping by the full text).
+    """
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .drop("_fp")
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 5) -> Column:
+    """MinHash signature as a single Column (array<long>):
+    h_i = min over shingles of xxhash64(seed_i, shingle_hash).
+
+    The shingle set is hashed to longs ONCE, then each family hashes
+    longs (cheap) instead of re-hashing multi-byte strings — but note
+    higher-order functions are interpreted (CodegenFallback), so for
+    bulk pair-finding prefer ``minhash_signatures_df`` (explode +
+    codegen hash-aggregate), which is what ``minhash_lsh_pairs``
+    uses. This Column form is for small/streaming projections."""
+    hs = F.transform(shingles(text, k=shingle_k), lambda s: F.xxhash64(s))
+
+    def family(i: int):
+        # closure (not a default arg) — extra lambda params trip
+        # PySpark's higher-order-function arity detection
+        return F.array_min(F.transform(hs, lambda h: F.xxhash64(F.lit(i), h)))
+
+    return F.array(*[family(i) for i in range(num_hashes)])
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>) via the scalable shape: hash shingles to
+    longs, explode, and compute all ``num_hashes`` mins in ONE
+    codegen'd hash aggregate (partial map-side combine → shuffle
+    carries one row per doc). This is the 100 TB path — higher-order
+    array lambdas are interpreted in Spark, so bulk signature
+    computation belongs in the vectorized aggregate instead."""
+    sh = F.array_distinct(
+        F.transform(shingles(F.col(text_col), k=shingle_k), lambda s: F.xxhash64(s))
+    )
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_h"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = exploded.groupBy("_id").agg(*aggs)
+    return per_doc.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands``
+    rows; docs sharing any band hash become a candidate pair.
+    Plan: explode to (band_id, band_hash) → self-equi-join on the
+    band key (a shuffle join on a 16-byte key) → distinct pairs.
+    Estimated Jaccard from signature agreement is attached; filter
+    on it to trade precision/recall.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("_sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bhash"),
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"), "_band", "_bhash"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"), "_band", "_bhash"
+    )
+    pairs = (
+        left.join(right, ["_band", "_bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(len(range(num_hashes))))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash(text: Column, shingle_k: int = 3) -> Column:
+    """64-bit SimHash: bit j of the result is the sign of
+    Σ_shingles (±1 depending on bit j of xxhash64(shingle)).
+
+    Computed without explode: per-bit weighted sums via
+    transform+aggregate over the shingle array, then bits packed
+    into a bigint. Near-dup docs differ in few bits (Hamming)."""
+    sh = shingles(text, k=shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_sum(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(j) for j in range(64)]
+    return _pack_bits(bit_sums)
+
+
+def _pack_bits(bit_sums: list[Column]) -> Column:
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(
+            s > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))
+        ).otherwise(0)
+    return out
+
+
+def simhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, simhash long) via explode + one codegen'd hash aggregate
+    (64 conditional sums) — the bulk/scale path; the Column-level
+    ``simhash`` recomputes the shingle set per bit in interpreted
+    lambdas and is only for small projections."""
+    sh = F.transform(shingles(F.col(text_col), k=shingle_k), lambda s: F.xxhash64(s))
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    per_doc = exploded.groupBy("_id").agg(*sums)
+    return per_doc.select(
+        "_id", _pack_bits([F.col(f"_b{j}") for j in range(64)]).alias("_sh")
+    )
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))).otherwise(0)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole bucketing: split the 64-bit hash into ``n_chunks``
+    16-bit chunks; any pair within distance ``max_hamming < n_chunks``
+    agrees on ≥1 chunk → equi-join per chunk, then exact Hamming
+    filter via bit_count(xor). No cross join at any scale.
+    """
+    sig = simhash_signatures_df(df, id_col, text_col)
+    chunked = sig.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_chunk", "_ckey"),
+    )
+    l = chunked.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_chunk", "_ckey")
+    r = chunked.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "_chunk", "_ckey")
+    hamming = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+    return (
+        l.join(r, ["_chunk", "_ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for candidate pairs.
+
+    Plan: explode distinct shingle hashes → self-join on shingle
+    (inverted index) → count common shingles per pair → Jaccard =
+    common / (|A| + |B| − common). The self-join explodes on hot
+    shingles, so at 100 TB this runs AFTER a candidate filter
+    (MinHash bands) or with frequent-shingle pruning; here it is the
+    exact verifier for the fuzzy methods.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
+    )
+    sized = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
+    l = sized.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_g")
+    r = sized.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_g")
+    common = (
+        l.join(r, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    jac = F.col("_common").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold, LSH-bucketed.
+
+    Same hyperplane bucketing as ``knn_lsh``: candidates share a
+    signature bucket; exact cosine verifies. Shuffle ∝ collisions.
+    """
+    from tidb_cdc_spark.functions.similarity import lsh_signature
+
+    d = df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+    sig = d.withColumn("_sig", lsh_signature(F.col("_v"), dim, n_planes))
+    l = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_sig")
+    r = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_sig")
+    return (
+        l.join(r, "_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= min_cosine)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,58 @@
+"""Window-based composite operators: top-k per group, sessionize.
+
+No reference counterpart (SURVEY §2.1). Both are single-shuffle
+window plans — the minimal data movement for their semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via ``row_number``.
+
+    Scale: one shuffle on the group key; Spark's window TopK
+    optimization (rank filter pushdown, SPARK-37099) prunes per
+    partition before the full sort materializes, so this holds at
+    100 TB as long as k is small.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum plan: one shuffle on the key, two
+    window passes over the same partitioning (Spark reuses the sort).
+    The batch analogue of Structured Streaming's ``session_window``
+    (the streaming variant lives in ``streaming/``).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )

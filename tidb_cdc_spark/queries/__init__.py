@@ -1,0 +1,26 @@
+"""Declared query surface: every entry is (Spark DataFrame builder,
+DuckDB oracle SQL) — the correctness gate for SURVEY §2 coverage.
+
+Conventions (all load-bearing for the cross-engine value-hash):
+- every computed column aliased identically in Spark and SQL;
+- money arithmetic in explicitly-cast tight decimals, aggregated
+  exactly, cast to double only at the end (see functions/numeric.py);
+- double-producing divisions performed on identical doubles in both
+  engines (exact-sum cast to double, THEN divide);
+- ties in any top-k broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tidb_cdc_spark.queries import batch, cdcq, llm
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+for mod in (batch, cdcq, llm):
+    QUERIES.update(mod.QUERIES)
+    ORACLE.update(mod.ORACLE)

@@ -1,0 +1,238 @@
+"""LLM-data-pipeline query surface (north-star ops, BASELINE.json):
+dedup, text analysis, language ID, fingerprinting, similarity
+search. SQL-expressible ones carry DuckDB oracles; the LSH-bucketed
+variants are declared without oracles (driver records rows-only) and
+are exact-verified against their brute-force twins in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import dedup as D
+from tidb_cdc_spark.functions import similarity as S
+from tidb_cdc_spark.functions import text as T
+
+_STOP_EN = T.STOPWORDS["en"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------ exact dedup
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint; hash-groupBy on a
+    64-bit key (16 B/row shuffle regardless of doc size)."""
+    return D.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------- text stats
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics — pure codegen scan."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).alias("n_alpha"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+       length(text) AS n_chars_obs,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS n_unique_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------- quality rollup per lang
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality profile per labeled language: doc counts, token
+    sums (exact), mean stopword ratio (decimal-stabilized)."""
+    d = _docs(spark, sf_dir)
+    sw_ratio = T.stopword_ratio(F.col("text"), "en").cast("decimal(12,6)")
+    return (
+        d.select("lang", T.token_count(F.col("text")).alias("nt"), sw_ratio.alias("swr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            (F.sum("swr").cast("double") / F.count(F.lit(1))).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt,
+         CAST(
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x IN ({", ".join("'" + w + "'" for w in _STOP_EN)})))::DOUBLE
+           / GREATEST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 1)::DOUBLE
+         AS DECIMAL(12,6)) AS swr
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(nt) AS total_tokens,
+       CAST(SUM(swr) AS DOUBLE) / COUNT(*) AS avg_stopword_ratio
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+# ------------------------------------------------------ language id
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-vote language ID per document."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang")).orderBy(
+        "doc_id"
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join("'" + w + "'" for w in T.STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" x -> x IN ({words})))"
+    )
+
+
+_LANG_ID_SQL = f"""
+WITH hits AS (
+  SELECT doc_id,
+         {_lang_hits_sql("en")} AS h_en,
+         {_lang_hits_sql("es")} AS h_es,
+         {_lang_hits_sql("de")} AS h_de,
+         {_lang_hits_sql("fr")} AS h_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+            WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
+            WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) THEN 'es'
+            WHEN h_de = GREATEST(h_en, h_es, h_de, h_fr) THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM hits ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------- fingerprints
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-checkable document fingerprint (md5 of the
+    normalized text; the engine's native path uses xxhash64)."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
+
+
+_FP_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------- similarity
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 5.
+    Broadcast the queries; corpus scan stays unshuffled."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    out = S.knn_bruteforce(q, e, k=5)
+    return out.orderBy("query_id", "rank")
+
+
+_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(qv, cv)
+           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS score
+  FROM q, c WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------- LSH / fuzzy (no SQL oracle — rows-only;
+# exact-verified against brute force in tests/)
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH (the 100 TB path)."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return S.knn_lsh(q, e, k=5, dim=64).orderBy("query_id", "rank")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate near-dup pairs on documents."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 near-dup pairs on documents."""
+    return D.simhash_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.8 pairs (inverted-index join)."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.95, LSH-bucketed)."""
+    return D.embedding_near_dup_pairs(_embs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "text_token_stats": text_token_stats,
+    "text_quality_by_lang": text_quality_by_lang,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint_md5": text_fingerprint_md5,
+    "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "knn_lsh_cosine": knn_lsh_cosine,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "dedup_exact_docs": _DEDUP_EXACT_SQL,
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_quality_by_lang": _QUALITY_SQL,
+    "text_lang_id": _LANG_ID_SQL,
+    "text_fingerprint_md5": _FP_SQL,
+    "knn_bruteforce_cosine": _KNN_SQL,
+}

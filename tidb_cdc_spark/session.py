@@ -54,11 +54,29 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # testdata's events.parquet stores TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert (see
+        # read_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata table, normalizing nanosecond-timestamp
+    columns (read as long via ``nanosAsLong``) back to timestamps
+    with microsecond truncation — matching engines that read ns
+    parquet natively. Integer division keeps full int64 precision."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
@@ -80,4 +98,4 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "documents",
         "embeddings",
     ]
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {n: read_table(spark, sf_dir, n) for n in names}
