@@ -1,0 +1,104 @@
+"""Apply-semantics tests (FIXTURES F3): final state = ops in order,
+idempotence under replay, last-write-wins tie-breaks — the contract
+the reference never tests (SURVEY §5)."""
+
+import json
+import random
+
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.cdc import parse_cdc
+from tidb_cdc_spark.cdc.apply import apply_changes, snapshot_from_ops
+from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
+
+SPEC = TableSpec(
+    database="d",
+    table="t",
+    columns=(
+        ColumnSpec("K", "string", column="k", pk=True),
+        ColumnSpec("V", "int"),
+    ),
+)
+
+
+def _msg(op, k, v, ts):
+    m = {"database": "d", "table": "t", "type": op, "ts": ts,
+         "data": {"k": k, "v": v}}
+    if op == "update":
+        m["old"] = {"v": v - 1}
+    return json.dumps(m)
+
+
+def _parse(spark, msgs):
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    # file-order seq: zip with index so ties on ts resolve by arrival
+    df = df.withColumn("_file_seq", F.monotonically_increasing_id())
+    return parse_cdc(df, SPEC, seq_col=F.col("_file_seq"))
+
+
+def _state(snapshot):
+    return {r.k: r.v for r in snapshot.collect()}
+
+
+class TestApply:
+    def test_insert_update_delete_lifecycle(self, spark):
+        ops = [
+            _msg("insert", "a", 1, 10),
+            _msg("update", "a", 2, 20),
+            _msg("update", "a", 3, 30),
+            _msg("delete", "a", 3, 40),
+            _msg("insert", "b", 9, 15),
+        ]
+        snap = snapshot_from_ops(_parse(spark, ops), SPEC)
+        assert _state(snap) == {"b": 9}
+
+    def test_reinsert_after_delete(self, spark):
+        ops = [
+            _msg("insert", "a", 1, 10),
+            _msg("delete", "a", 1, 20),
+            _msg("insert", "a", 5, 30),
+        ]
+        assert _state(snapshot_from_ops(_parse(spark, ops), SPEC)) == {"a": 5}
+
+    def test_same_ts_resolved_by_seq(self, spark):
+        # two updates with identical ts: Kafka/file order wins
+        ops = [
+            _msg("insert", "a", 1, 10),
+            _msg("update", "a", 2, 50),
+            _msg("update", "a", 3, 50),
+        ]
+        assert _state(snapshot_from_ops(_parse(spark, ops), SPEC)) == {"a": 3}
+
+    def test_replayed_duplicate_is_idempotent(self, spark):
+        ops = [_msg("insert", "a", 1, 10), _msg("update", "a", 2, 20)]
+        once = _state(snapshot_from_ops(_parse(spark, ops), SPEC))
+        twice = _state(snapshot_from_ops(_parse(spark, ops + ops), SPEC))
+        assert once == twice == {"a": 2}
+
+    def test_incremental_merge_equals_full_rebuild(self, spark):
+        batch1 = [_msg("insert", "a", 1, 10), _msg("insert", "b", 2, 11)]
+        batch2 = [_msg("update", "a", 5, 20), _msg("delete", "b", 2, 21),
+                  _msg("insert", "c", 7, 22)]
+        base = snapshot_from_ops(_parse(spark, batch1), SPEC)
+        merged = apply_changes(base, _parse(spark, batch2), SPEC)
+        rebuilt = snapshot_from_ops(_parse(spark, batch1 + batch2), SPEC)
+        assert _state(merged) == _state(rebuilt) == {"a": 5, "c": 7}
+
+    def test_random_op_sequences_last_write_wins(self, spark):
+        # property-ish test (FIXTURES F3): final state = sequential
+        # dict interpretation of the op log
+        rng = random.Random(42)
+        keys = [f"k{i}" for i in range(8)]
+        msgs, expected, ts = [], {}, 0
+        for _ in range(200):
+            ts += 1
+            k = rng.choice(keys)
+            op = rng.choice(["insert", "update", "delete"])
+            v = rng.randrange(1000) + 1
+            msgs.append(_msg(op, k, v, ts))
+            if op == "delete":
+                expected.pop(k, None)
+            else:
+                expected[k] = v
+        got = _state(snapshot_from_ops(_parse(spark, msgs), SPEC))
+        assert got == expected

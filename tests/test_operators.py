@@ -1,0 +1,94 @@
+"""Unit tests of the composite relational operators against naive
+reference implementations computed in Python."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.operators import asof_join, range_join, sessionize, topk_per_group
+
+
+def ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+class TestAsofJoin:
+    def _data(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts(10), "p1"), (1, ts(30), "p2"), (2, ts(5), "p3"), (3, ts(1), "p4")],
+            "uid int, pts timestamp, pid string",
+        )
+        right = spark.createDataFrame(
+            [(1, ts(9), "c1"), (1, ts(10), "c2"), (1, ts(25), "c3"), (2, ts(6), "c4")],
+            "uid int, cts timestamp, cid string",
+        )
+        return left, right
+
+    def test_latest_at_or_before(self, spark):
+        left, right = self._data(spark)
+        out = asof_join(left, right, on=["uid"], left_ts="pts", right_ts="cts",
+                        right_value_cols=["cid"])
+        got = {r.pid: r.cid for r in out.collect()}
+        # p1@10: c2@10 matches (<=); p2@30: c3@25; p3@5: nothing ≤5; p4: no rows
+        assert got == {"p1": "c2", "p2": "c3", "p3": None, "p4": None}
+
+    def test_strict_excludes_equal_ts(self, spark):
+        left, right = self._data(spark)
+        out = asof_join(left, right, on=["uid"], left_ts="pts", right_ts="cts",
+                        right_value_cols=["cid"], strict=True)
+        got = {r.pid: r.cid for r in out.collect()}
+        assert got["p1"] == "c1"  # c2@10 excluded under strict <
+
+    def test_matches_naive_quadratic(self, spark):
+        import random
+
+        rng = random.Random(7)
+        lrows = [(rng.randrange(5), ts(rng.randrange(59)), f"p{i}") for i in range(80)]
+        rrows = [(rng.randrange(5), ts(rng.randrange(59)), f"c{i}") for i in range(80)]
+        left = spark.createDataFrame(lrows, "uid int, pts timestamp, pid string")
+        right = spark.createDataFrame(rrows, "uid int, cts timestamp, cid string")
+        out = asof_join(left, right, on=["uid"], left_ts="pts", right_ts="cts",
+                        right_value_cols=["cts"])
+        got = {r.pid: r[-1] for r in out.collect()}
+        for uid, pts_, pid in lrows:
+            cands = [c for (u, c, _) in rrows if u == uid and c <= pts_]
+            want = max(cands) if cands else None
+            assert got[pid] == want, pid
+
+
+class TestRangeJoin:
+    def test_points_in_intervals(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 5, "a"), (1, 15, "b"), (2, 5, "c")], "k int, t int, name string"
+        )
+        iv = spark.createDataFrame(
+            [(1, 0, 10, "w1"), (1, 10, 20, "w2"), (2, 6, 9, "w3")],
+            "k int, lo int, hi int, wname string",
+        )
+        out = range_join(pts, iv, on=["k"], left_ts="t", right_lo="lo", right_hi="hi")
+        got = {(r.name, r.wname) for r in out.collect()}
+        assert got == {("a", "w1"), ("b", "w2")}
+
+
+class TestTopK:
+    def test_topk_with_ties(self, spark):
+        df = spark.createDataFrame(
+            [("g1", 10, 1), ("g1", 10, 2), ("g1", 5, 3), ("g2", 1, 4)],
+            "g string, score int, id int",
+        )
+        out = topk_per_group(df, ["g"], [F.col("score").desc(), F.col("id")], 2)
+        got = {(r.g, r.id, r.rk) for r in out.collect()}
+        assert got == {("g1", 1, 1), ("g1", 2, 2), ("g2", 4, 1)}
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        df = spark.createDataFrame(
+            [(1, ts(0), 1), (1, ts(10), 2), (1, ts(50), 3), (2, ts(0), 4)],
+            "uid int, t timestamp, eid int",
+        )
+        out = sessionize(df, ["uid"], "t", gap_seconds=1200, tiebreak_cols=["eid"])
+        got = {r.eid: r.session_id for r in out.collect()}
+        assert got[1] == 1 and got[2] == 1  # 10-min gap < 20-min threshold
+        assert got[3] == 2  # 40-min gap → new session
+        assert got[4] == 1

@@ -1,0 +1,249 @@
+"""End-to-end streaming tests: file-source micro-batches through the
+Connector → sinks, with checkpointed incremental progress — the
+SURVEY §5 strategy item (2)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
+from tidb_cdc_spark.sources import KafkaSourceConfig, maxwell_file_stream
+from tidb_cdc_spark.streaming import (
+    Connector,
+    ConnectorConfig,
+    HandlerSink,
+    JdbcMergeSink,
+    MemorySink,
+    ParquetSnapshotSink,
+)
+
+SPEC = TableSpec(
+    database="d",
+    table="t",
+    columns=(
+        ColumnSpec("K", "string", column="k", pk=True),
+        ColumnSpec("V", "int"),
+    ),
+)
+
+
+def _msg(op, k, v, ts, old=None):
+    m = {"database": "d", "table": "t", "type": op, "ts": ts, "data": {"k": k, "v": v}}
+    if op == "update":
+        m["old"] = old if old is not None else {"v": v - 1}
+    return json.dumps(m)
+
+
+def _write_batch(dirpath, name, msgs):
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(msgs))
+    os.replace(tmp, os.path.join(dirpath, name))
+
+
+def _connector(tmp_path, sinks, source):
+    conn = Connector(
+        ConnectorConfig(server_name="srv", checkpoint_root=str(tmp_path / "ckpt"))
+    )
+    conn.register(SPEC, sinks, source=source)
+    return conn
+
+
+class TestConnectorFileStream:
+    def test_snapshot_sink_applies_ops(self, spark, tmp_path):
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [
+            _msg("insert", "a", 1, 10),
+            _msg("insert", "b", 2, 11),
+            _msg("update", "a", 5, 12),
+            _msg("delete", "b", 2, 13),
+        ])
+        sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+        conn = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+        snap = sink.read_current(spark)
+        assert {(r.k, r.v) for r in snap.collect()} == {("a", 5)}
+
+    def test_incremental_batches_with_checkpoint(self, spark, tmp_path):
+        events_dir = tmp_path / "in"
+        sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+        _write_batch(events_dir, "b1.jsonl", [_msg("insert", "a", 1, 10)])
+        conn = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+        assert {(r.k, r.v) for r in sink.read_current(spark).collect()} == {("a", 1)}
+
+        # second run with the same checkpoint: only the NEW file is
+        # consumed (offset tracking parity with MarkMessage)
+        _write_batch(events_dir, "b2.jsonl", [
+            _msg("update", "a", 7, 20), _msg("insert", "c", 3, 21)])
+        conn2 = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn2.start(spark, available_now=True)
+        conn2.await_termination()
+        assert {(r.k, r.v) for r in sink.read_current(spark).collect()} == {
+            ("a", 7), ("c", 3)}
+
+    def test_handler_sink_fanout(self, spark, tmp_path):
+        # ConsumerHandler parity: Create/Update/Delete callbacks
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [
+            _msg("insert", "a", 1, 10),
+            _msg("update", "a", 2, 11),
+            _msg("delete", "a", 2, 12),
+        ])
+        seen = {"create": [], "update": [], "delete": []}
+        handler = HandlerSink(
+            on_create=lambda df: seen["create"].extend((r.k, r.v) for r in df.collect()),
+            on_update=lambda b, a: seen["update"].extend(
+                (rb.v, ra.v) for rb, ra in zip(b.collect(), a.collect())
+            ),
+            on_delete=lambda df: seen["delete"].extend((r.k, r.v) for r in df.collect()),
+        )
+        mem = MemorySink()
+        conn = _connector(
+            tmp_path, [handler, mem], maxwell_file_stream(spark, str(events_dir))
+        )
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+        assert seen["create"] == [("a", 1)]
+        assert seen["update"] == [(1, 2)]  # before-image v=1 (old merge), after v=2
+        assert seen["delete"] == [("a", 2)]
+        assert len(mem.batches) >= 1  # every sink saw every batch (fan-out)
+
+    def test_duplicate_registration_raises(self, spark, tmp_path):
+        conn = Connector(
+            ConnectorConfig(server_name="srv", checkpoint_root=str(tmp_path / "c"))
+        )
+        conn.register(SPEC, [MemorySink()])
+        with pytest.raises(ValueError, match="duplicate"):
+            conn.register(SPEC, [MemorySink()])
+
+    def test_registration_requires_pk(self, spark, tmp_path):
+        nopk = TableSpec("d", "t2", (ColumnSpec("A", "int"),))
+        conn = Connector(
+            ConnectorConfig(server_name="srv", checkpoint_root=str(tmp_path / "c"))
+        )
+        with pytest.raises(ValueError, match="primary key"):
+            conn.register(nopk, [MemorySink()])
+
+
+class TestKafkaConfig:
+    def test_defaults_and_topic(self):
+        cfg = KafkaSourceConfig(brokers=["b:9092"], topic="srv.d.t")
+        opts = cfg.options()
+        assert opts["subscribe"] == "srv.d.t"
+        assert opts["startingOffsets"] == "earliest"  # reference default: Oldest
+
+    def test_sasl_wired(self):
+        # divergence #4: reference declares but never reads SASL
+        # fields (config.go:24-26)
+        cfg = KafkaSourceConfig(
+            brokers=["b:9092"], topic="t", sasl_enabled=True,
+            sasl_user="u", sasl_password="p",
+        )
+        opts = cfg.options()
+        assert "ScramLoginModule" in opts["kafka.sasl.jaas.config"]
+        assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+    def test_sasl_validation(self):
+        with pytest.raises(ValueError, match="SASL"):
+            KafkaSourceConfig(brokers=["b"], topic="t", sasl_enabled=True)
+
+    def test_invalid_offsets_rejected(self):
+        with pytest.raises(ValueError, match="starting_offsets"):
+            KafkaSourceConfig(brokers=["b"], topic="t", starting_offsets="oldest")
+
+
+class TestJdbcMergeSql:
+    def test_merge_statement_shape(self):
+        sink = JdbcMergeSink(url="jdbc:x", table="tgt")
+        sql = sink.merge_sql(SPEC, "stage")
+        assert "MERGE INTO tgt t USING stage s ON t.k = s.k" in sql
+        assert "WHEN MATCHED AND s._op = 'delete' THEN DELETE" in sql
+        assert "UPDATE SET v = s.v" in sql
+        assert "INSERT (k, v) VALUES (s.k, s.v)" in sql
+
+
+class TestStreamingWindows:
+    def _stream(self, spark, tmp_path):
+        # memory-format sink over a file stream of event rows
+        import datetime
+
+        rows = [
+            {"ts": "2024-01-01 00:05:00", "event_type": "click", "user_id": 1, "value": 1.0},
+            {"ts": "2024-01-01 00:15:00", "event_type": "click", "user_id": 1, "value": 2.0},
+            {"ts": "2024-01-01 01:05:00", "event_type": "view", "user_id": 2, "value": 3.0},
+            {"ts": "2024-01-01 00:20:00", "event_type": "click", "user_id": 1, "value": 1.0},
+        ]
+        d = tmp_path / "ev"
+        os.makedirs(d, exist_ok=True)
+        with open(d / "1.jsonl", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        raw = (
+            spark.readStream.format("json")
+            .schema("ts timestamp, event_type string, user_id long, value double")
+            .load(str(d))
+        )
+        return raw
+
+    def test_windowed_counts_stream(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming.windows import windowed_counts
+
+        out = windowed_counts(self._stream(spark, tmp_path))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            (r.window.start.hour, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("select * from win_counts").collect()
+        }
+        assert rows[(0, "click")] == (3, 4.0)
+        assert rows[(1, "view")] == (1, 3.0)
+
+    def test_session_counts_stream(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming.windows import session_counts
+
+        out = session_counts(self._stream(spark, tmp_path), gap="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("select * from sess_counts").collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r.n_events)
+        # user 1: 00:05+00:15+00:20 chain into one session (10-min gaps)
+        assert sorted(by_user[1]) == [3]
+        assert by_user[2] == [1]
+
+    def test_streaming_dedup(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming.windows import streaming_dedup
+
+        out = streaming_dedup(self._stream(spark, tmp_path), keys=["user_id", "value"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("select * from dedup_stream").collect()
+        # (1, 1.0) appears twice in input → once out
+        assert len(rows) == 3

@@ -189,7 +189,14 @@ def parse_cdc(
     )
     env = with_images(env)
     if seq_col is None:
-        seq_col = F.monotonically_increasing_id()
+        # batch: synthesize arrival order; streaming: a real ordering
+        # column (Kafka offset) should be passed in — file streams
+        # fall back to ts-only ordering within a micro-batch
+        seq_col = (
+            F.lit(0).cast("long")
+            if df.isStreaming
+            else F.monotonically_increasing_id()
+        )
     return env.select(
         F.col("type").alias("op"),
         F.col("ts"),

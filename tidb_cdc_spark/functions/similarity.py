@@ -104,17 +104,23 @@ def knn_lsh(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int = 10,
     n_tables: int = 4,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: OR of ``n_tables`` hash tables, each an
     ``n_planes``-bit hyperplane signature; candidates = bucket
     collisions (equi-join on the signature), then exact cosine rank.
 
+    ``multiprobe`` also probes every 1-bit-flip bucket of each QUERY
+    signature (n_planes+1 probes per query per table) — the standard
+    trick that buys large recall without more tables; the corpus side
+    stays single-bucket, so corpus-side state is unchanged.
+
     Scale: replaces the O(|Q|·|C|) cross join with ``n_tables``
     equi-joins whose build side is the bucketed query set — shuffle
     is proportional to collisions, not to the corpus. This is the
-    100 TB path; recall tunes with (n_planes, n_tables).
+    100 TB path; recall tunes with (n_planes, n_tables, multiprobe).
     """
     qd = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
@@ -126,6 +132,21 @@ def knn_lsh(
     for t in range(n_tables):
         off = t * n_planes
         qs = qd.withColumn("_sig", lsh_signature(F.col("_qv"), dim, n_planes, off))
+        if multiprobe:
+            flips = F.array(
+                F.col("_sig"),
+                *[
+                    F.concat(
+                        F.substring("_sig", 1, p),
+                        F.when(
+                            F.substring("_sig", p + 1, 1) == "1", F.lit("0")
+                        ).otherwise(F.lit("1")),
+                        F.substring("_sig", p + 2, n_planes - p - 1),
+                    )
+                    for p in range(n_planes)
+                ],
+            )
+            qs = qs.withColumn("_sig", F.explode(flips))
         cs = cd.withColumn("_sig", lsh_signature(F.col("_cv"), dim, n_planes, off))
         pair = cs.join(F.broadcast(qs), "_sig").filter(
             F.col("query_id") != F.col("neighbor_id")

@@ -96,7 +96,7 @@ def fingerprint(text: Column, normalize: bool = True) -> Column:
     whitespace-normalized, lower-cased text. The exact-dedup key —
     grouping on a long beats grouping on multi-KB strings by an
     order of magnitude in shuffle bytes at 100 TB."""
-    t = F.lower(F.regexp_replace(text, r"\s+", " ")) if normalize else text
+    t = F.trim(F.lower(F.regexp_replace(text, r"\s+", " "))) if normalize else text
     return F.xxhash64(t)
 
 

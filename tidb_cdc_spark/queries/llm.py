@@ -35,7 +35,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_EXACT_SQL = """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM documents
-GROUP BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))
 ORDER BY doc_id
 """
 
@@ -141,12 +141,12 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-checkable document fingerprint (md5 of the
     normalized text; the engine's native path uses xxhash64)."""
     d = _docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    norm = F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return d.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
 
 
 _FP_SQL = """
-SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
 FROM documents ORDER BY doc_id
 """
 

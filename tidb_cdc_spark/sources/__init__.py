@@ -1,0 +1,14 @@
+"""Source builders: Kafka (the reference's only source) and files
+(JSON-lines of Maxwell events for tests/replay; Parquet for batch).
+"""
+
+from tidb_cdc_spark.sources.kafka import KafkaSourceConfig, kafka_stream, kafka_batch
+from tidb_cdc_spark.sources.files import maxwell_file_batch, maxwell_file_stream
+
+__all__ = [
+    "KafkaSourceConfig",
+    "kafka_stream",
+    "kafka_batch",
+    "maxwell_file_batch",
+    "maxwell_file_stream",
+]

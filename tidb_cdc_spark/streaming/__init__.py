@@ -1,0 +1,22 @@
+"""Streaming runtime: multi-table Connector registry, merge sinks,
+and watermarked window operators.
+"""
+
+from tidb_cdc_spark.streaming.sinks import (
+    HandlerSink,
+    JdbcMergeSink,
+    MemorySink,
+    ParquetSnapshotSink,
+    Sink,
+)
+from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
+
+__all__ = [
+    "Connector",
+    "ConnectorConfig",
+    "Sink",
+    "ParquetSnapshotSink",
+    "JdbcMergeSink",
+    "HandlerSink",
+    "MemorySink",
+]
