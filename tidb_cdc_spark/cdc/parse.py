@@ -48,12 +48,15 @@ def parse_envelope(
     """
     raw = F.col(value_col).cast("string")
     parsed = F.from_json(raw, ENVELOPE_SCHEMA)
+    env = F.col("_env")
     out = (
         df.filter(F.col(value_col).isNotNull())
         .withColumn("_env", parsed)
+        # reference _env (not the from_json expr) so the JSON parse
+        # runs once per row even without subexpression elimination
         .withColumn(
             "_corrupt",
-            F.when(parsed.isNull() | parsed["type"].isNull(), raw),
+            F.when(env.isNull() | env["type"].isNull(), raw),
         )
         .select(
             F.col("_env.database").alias("database"),

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -97,6 +99,44 @@ def lsh_signature(
     return F.concat(*bits)
 
 
+def _plane_matrix(dim: int, n_total: int):
+    return np.array(
+        [_hyperplane(dim, p) for p in range(n_total)], dtype="float64"
+    ).T  # (dim, n_total)
+
+
+def _tagged_signatures_udf(dim: int, n_planes: int, n_tables: int, multiprobe: bool):
+    """Arrow-batched signature computation: one numpy matmul per
+    batch produces all tables' bits at once; output per vector is the
+    list of "table|signature" bucket tags (plus 1-bit-flip probe tags
+    when ``multiprobe``). This keeps the hyperplane constants OUT of
+    the Catalyst plan (40 planes × 64 dims as literals made planning
+    itself the bottleneck) and replaces interpreted per-plane
+    aggregates with vectorized BLAS."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _plane_matrix(dim, n_planes * n_tables)
+
+    @pandas_udf("array<string>")
+    def tags(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (n, dim)
+        bits = (M @ planes) >= 0  # (n, n_tables*n_planes)
+        out = []
+        for row in bits:
+            row_tags = []
+            for t in range(n_tables):
+                sig = "".join("1" if b else "0" for b in row[t * n_planes : (t + 1) * n_planes])
+                row_tags.append(f"{t}|{sig}")
+                if multiprobe:
+                    for p in range(n_planes):
+                        flipped = sig[:p] + ("0" if sig[p] == "1" else "1") + sig[p + 1 :]
+                        row_tags.append(f"{t}|{flipped}")
+            out.append(row_tags)
+        return pd.Series(out)
+
+    return tags
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -110,48 +150,30 @@ def knn_lsh(
 ) -> DataFrame:
     """Approximate top-k: OR of ``n_tables`` hash tables, each an
     ``n_planes``-bit hyperplane signature; candidates = bucket
-    collisions (equi-join on the signature), then exact cosine rank.
+    collisions (ONE equi-join on the "table|signature" tag), then
+    exact cosine rank.
 
     ``multiprobe`` also probes every 1-bit-flip bucket of each QUERY
-    signature (n_planes+1 probes per query per table) — the standard
-    trick that buys large recall without more tables; the corpus side
-    stays single-bucket, so corpus-side state is unchanged.
+    signature — the standard trick that buys recall without more
+    corpus-side state.
 
-    Scale: replaces the O(|Q|·|C|) cross join with ``n_tables``
-    equi-joins whose build side is the bucketed query set — shuffle
-    is proportional to collisions, not to the corpus. This is the
-    100 TB path; recall tunes with (n_planes, n_tables, multiprobe).
+    Scale: replaces the O(|Q|·|C|) cross join with one equi-join
+    whose build side is the (broadcast) tagged query set — shuffle ∝
+    collisions, not corpus size; signature computation is a
+    vectorized Arrow batch per partition. Recall tunes with
+    (n_planes, n_tables, multiprobe).
     """
+    qtags = _tagged_signatures_udf(dim, n_planes, n_tables, multiprobe)
+    ctags = _tagged_signatures_udf(dim, n_planes, n_tables, multiprobe=False)
     qd = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_tag", F.explode(qtags(F.col("_qv"))))
     cd = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_tag", F.explode(ctags(F.col("_cv"))))
+    cands = cd.join(F.broadcast(qd), "_tag").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    cands = None
-    for t in range(n_tables):
-        off = t * n_planes
-        qs = qd.withColumn("_sig", lsh_signature(F.col("_qv"), dim, n_planes, off))
-        if multiprobe:
-            flips = F.array(
-                F.col("_sig"),
-                *[
-                    F.concat(
-                        F.substring("_sig", 1, p),
-                        F.when(
-                            F.substring("_sig", p + 1, 1) == "1", F.lit("0")
-                        ).otherwise(F.lit("1")),
-                        F.substring("_sig", p + 2, n_planes - p - 1),
-                    )
-                    for p in range(n_planes)
-                ],
-            )
-            qs = qs.withColumn("_sig", F.explode(flips))
-        cs = cd.withColumn("_sig", lsh_signature(F.col("_cv"), dim, n_planes, off))
-        pair = cs.join(F.broadcast(qs), "_sig").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        cands = pair if cands is None else cands.unionByName(pair)
     scored = (
         cands.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))

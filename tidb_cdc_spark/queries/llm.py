@@ -17,12 +17,21 @@ from tidb_cdc_spark.functions import text as T
 _STOP_EN = T.STOPWORDS["en"]
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """The testdata tables are single small parquet files → 1 input
+    split → 1-core execution locally. Fan out before the CPU-heavy
+    per-row work (hashing/signatures); the tiny shuffle is repaid
+    32×. At 100 TB the source has thousands of splits and the same
+    repartition is either a no-op cost-wise or a deliberate skew fix."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ------------------------------------------------------ exact dedup
