@@ -5,11 +5,16 @@ user code, SURVEY §5): the final table equals the ops applied in
 (ts, seq) order per primary key. Implemented as two classic
 Spark patterns:
 
-1. **Conflation** — latest row per PK via ``row_number`` window.
-   One shuffle on PK. At 100 TB this is the minimal possible data
-   movement for the semantics; PK skew is handled by AQE skew-join /
-   the window's hash partitioning (PKs are near-unique so skew is
-   structurally bounded).
+1. **Conflation** — latest row per PK via ``max_by`` hash
+   aggregation keyed on ``(ts, seq)``. Chosen over the classic
+   ``row_number`` window because a hash aggregate gets MAP-SIDE
+   partial aggregation: each input partition reduces to one row per
+   locally-seen PK before the shuffle, so shuffled bytes ≈ distinct
+   PKs touched, not total change volume — the difference between
+   shuffling 100 TB of backlog and shuffling the table's keyspace.
+   A window would shuffle + sort every change row. Hot-key skew
+   (one PK updated millions of times) is absorbed map-side for the
+   same reason.
 2. **Merge** — anti-join the base snapshot against touched PKs, then
    union the surviving upserts. One shuffle join on PK; with the
    base table bucketed/partitioned by PK hash this becomes a
@@ -18,7 +23,7 @@ Spark patterns:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tidb_cdc_spark.cdc.schema import CDCType
@@ -32,8 +37,9 @@ def conflate_latest(
     ts_col: str = "ts",
     seq_col: str = "_seq",
 ) -> DataFrame:
-    """Latest change per PK: row_number over (pk) ordered by
-    (ts desc, seq desc), keep rank 1.
+    """Latest change per PK: ``max_by(row, (ts, seq))`` — equivalent
+    to rank-1 of a window ordered by (ts desc, seq desc), but as a
+    hash aggregate with map-side combine (see module docstring).
 
     PK columns are read from the image struct: ``after`` for
     insert/update, ``before`` for delete (delete carries the full
@@ -50,14 +56,14 @@ def conflate_latest(
             ]
         ),
     )
-    w = Window.partitionBy("_pk").orderBy(
-        F.col(ts_col).desc(), F.col(seq_col).desc()
+    payload = [c for c in keyed.columns if c != "_pk"]
+    # struct comparison is lexicographic → (ts, seq) ordering
+    top = keyed.groupBy("_pk").agg(
+        F.max_by(
+            F.struct(*payload), F.struct(F.col(ts_col), F.col(seq_col))
+        ).alias("_top")
     )
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return top.select(*[F.col(f"_top.{c}").alias(c) for c in payload], "_pk")
 
 
 def apply_changes(

@@ -165,6 +165,42 @@ def project_table(df: DataFrame, spec: TableSpec, image_col: str) -> Column:
     return F.when(img.isNotNull(), F.struct(*fields))
 
 
+def typed_envelope_schema(spec: TableSpec):
+    """Single-phase envelope schema for ONE table: ``data`` is a
+    struct of the spec's source columns (all string — coercion stays
+    in ``cast_value``), ``old`` stays ``map<string,string>`` because
+    the before-image overlay needs key-PRESENCE detection
+    (Maxwell's ``old`` holds changed columns only, and ``old`` maps
+    are small — a linear map probe per spec column is cheap there).
+
+    Why: parsing ``data`` as a map makes every per-column ``getItem``
+    an O(columns) linear scan of the Tungsten map — O(columns²) work
+    per row. Struct field access is O(1), and the whole projection
+    stays in whole-stage codegen with ONE ``from_json`` per row.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    data_struct = StructType(
+        [StructField(c.source, StringType()) for c in spec.resolved_columns()]
+    )
+    return StructType(
+        [
+            StructField("database", StringType()),
+            StructField("table", StringType()),
+            StructField("type", StringType()),
+            StructField("ts", LongType()),
+            StructField("data", data_struct),
+            StructField("old", MapType(StringType(), StringType())),
+        ]
+    )
+
+
 def parse_cdc(
     df: DataFrame,
     spec: TableSpec,
@@ -182,28 +218,98 @@ def parse_cdc(
     within a partition (deals_changefeed.toml:28-31), so downstream
     conflation orders by (ts, _seq).
 
+    Single-phase fast path: one ``from_json`` with a per-table typed
+    envelope (see ``typed_envelope_schema``), then pure struct-field
+    casts. The generic two-phase path (``parse_envelope`` →
+    ``with_images`` → ``project_table``) remains for multi-table
+    routing and dead-letter inspection.
+
     Scale: stateless, shuffle-free, fully codegen'd; parallelism =
     source partitions. At 100 TB of backlog this stage scales
     linearly with executors.
     """
-    env = parse_envelope(df, value_col=value_col, drop_malformed=drop_malformed)
-    env = env.filter(
-        (F.col("database") == spec.database) & (F.col("table") == spec.table)
+    raw = F.col(value_col).cast("string")
+    env = F.from_json(raw, typed_envelope_schema(spec))
+    # _mono (monotonically_increasing_id) is non-deterministic, which
+    # blocks predicate pushdown through this projection — guaranteeing
+    # the JSON parse runs exactly once per row instead of being
+    # re-substituted into every downstream filter condition. It also
+    # serves as the default arrival-order _seq for batch sources.
+    # Streaming disallows monotonically_increasing_id; there the
+    # caller should pass the Kafka offset as seq_col (file streams
+    # fall back to ts-only ordering within a micro-batch).
+    mono = (
+        F.lit(0).cast("long") if df.isStreaming else F.monotonically_increasing_id()
     )
-    env = with_images(env)
-    if seq_col is None:
-        # batch: synthesize arrival order; streaming: a real ordering
-        # column (Kafka offset) should be passed in — file streams
-        # fall back to ts-only ordering within a micro-batch
-        seq_col = (
-            F.lit(0).cast("long")
-            if df.isStreaming
-            else F.monotonically_increasing_id()
+    passthrough = [c for c in df.columns if c != value_col]
+    # NOTE: no explicit tombstone filter on value_col here — a null
+    # Kafka value parses to a null envelope, which the malformed
+    # filter below already drops (same outcome as cdc_manager.go:
+    # 209-211). An explicit isnotnull(value) would be pushed below
+    # this projection and re-evaluate the value expression (fatal
+    # when value is computed, e.g. the bench's synthesized to_json).
+    parsed = (
+        df.select(env.alias("_env"), mono.alias("_mono"), *passthrough)
+        .filter(
+            F.col("_env").isNotNull()
+            & F.col("_env.type").isNotNull()  # malformed → dropped (dead-letter
+            # surface is parse_envelope; the reference panics, cdc_manager.go:164)
+            & (F.col("_env.database") == spec.database)
+            & (F.col("_env.table") == spec.table)
         )
-    return env.select(
-        F.col("type").alias("op"),
-        F.col("ts"),
-        seq_col.alias("_seq"),
-        project_table(env, spec, "before_raw").alias("before"),
-        project_table(env, spec, "after_raw").alias("after"),
+        .select(
+            F.col("_env.type").alias("type"),
+            F.col("_env.ts").alias("ts"),
+            F.col("_env.data").alias("data"),
+            F.col("_env.old").alias("old"),
+            "_mono",
+            *passthrough,
+        )
+        # seq_col may reference envelope fields (e.g. data.event_id)
+        # or passthrough columns, so it is evaluated after extraction
+        .withColumn("_seq", seq_col if seq_col is not None else F.col("_mono"))
+    )
+    cols = spec.resolved_columns()
+    data, old = F.col("data"), F.col("old")
+    after_struct = F.struct(
+        *[cast_value(data[c.source], c).alias(c.target) for c in cols]
+    )
+    # full before-image = data ⊕ old (changed columns only) — the
+    # overlay the reference intended but never shipped
+    # (cdc_manager.go:263-274); key-presence probed on the old MAP so
+    # "column unchanged" ≠ "old value was NULL".
+    before_update = F.struct(
+        *[
+            cast_value(
+                F.when(F.map_contains_key(old, c.source), old[c.source]).otherwise(
+                    data[c.source]
+                ),
+                c,
+            ).alias(c.target)
+            for c in cols
+        ]
+    )
+    has_data = data.isNotNull()
+    after = F.when(
+        F.col("type").isin(CDCType.INSERT, CDCType.UPDATE) & has_data, after_struct
+    )
+    before = F.when(
+        (F.col("type") == CDCType.UPDATE) & has_data, before_update
+    ).when((F.col("type") == CDCType.DELETE) & has_data, after_struct)
+    return (
+        # drop-empty guard, cdc_manager.go:258-261. Expressed on the
+        # RAW fields (not after/before isNotNull) so predicate
+        # pushdown doesn't clone the full projection CASE trees into
+        # the filter — equivalent because after/before are non-null
+        # exactly when (type known) AND (data present).
+        parsed.filter(
+            F.col("type").isin(*CDCType.ALL) & has_data
+        ).select(
+            F.col("type").alias("op"),
+            F.col("ts"),
+            F.col("_seq"),
+            before.alias("before"),
+            after.alias("after"),
+            *passthrough,
+        )
     )

@@ -79,6 +79,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def fan_out(df, spark: SparkSession, partitions: int | None = None):
+    """Round-robin repartition to restore scan parallelism.
+
+    The local testdata parquet files each hold ONE row group, so a
+    scan yields a single input split and every downstream narrow
+    stage runs on one core. A production source never looks like
+    this (a Kafka topic has N partitions; a 100 TB table has ~10⁵
+    files/row-groups), so this is a bench-environment correction,
+    not a scale crutch: use it ONLY in front of CPU-heavy per-row
+    pipelines (JSON parse, hashing, pandas UDFs) where the one-time
+    shuffle of the raw rows is trivially repaid. Scan-light
+    aggregations should NOT fan out — the shuffle would cost more
+    than the single-split scan.
+    """
+    n = partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the testdata parquet tables as a dict of DataFrames.
 
