@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,9 +27,21 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + file listing so per-query timings measure the
-    # query, not session bootstrap
+    # warm the JVM + file listing + Python-UDF worker fleet so
+    # per-query timings measure the query, not session bootstrap
+    # (forking 32 workers that each import pandas costs ~5 s once;
+    # production executors keep workers warm across jobs)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 3200, 1, 32).select(_warm(F.col("id")).alias("v")).agg(
+        F.sum("v")
+    ).collect()
 
     names = [
         "q1_pricing_summary",

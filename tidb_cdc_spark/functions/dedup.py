@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tidb_cdc_spark.functions.text import fingerprint, shingles, tokens
+from tidb_cdc_spark.functions.text import (
+    fingerprint,
+    shingle_hash_rows,
+    shingles,
+    tokens,
+)
 from tidb_cdc_spark.functions.similarity import as_double, cosine
 
 
@@ -65,16 +70,16 @@ def minhash_signatures_df(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, sig array<long>) via the scalable shape: hash shingles to
-    longs, explode, and compute all ``num_hashes`` mins in ONE
-    codegen'd hash aggregate (partial map-side combine → shuffle
-    carries one row per doc). This is the 100 TB path — higher-order
-    array lambdas are interpreted in Spark, so bulk signature
-    computation belongs in the vectorized aggregate instead."""
-    sh = F.array_distinct(
-        F.transform(shingles(F.col(text_col), k=shingle_k), lambda s: F.xxhash64(s))
+    """(id, sig array<long>) via the scalable shape: rolled shingle
+    hashes (``shingle_hash_rows`` — codegen, no interpreted array
+    lambdas) feeding ONE codegen'd hash aggregate computing all
+    ``num_hashes`` mins (partial map-side combine → shuffle carries
+    one row per doc). No distinct pass is needed: ``min`` is
+    insensitive to multiset duplicates, so MinHash over the raw
+    shingle stream equals MinHash over the shingle SET."""
+    exploded = shingle_hash_rows(
+        df, id_col, text_col, k=shingle_k, hash_alias="_h"
     )
-    exploded = df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_h"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
         for i in range(num_hashes)
@@ -170,34 +175,49 @@ def _pack_bits(bit_sums: list[Column]) -> Column:
     return out
 
 
+#: 4 × 16-bit SIMD-in-a-register lanes: bits j, j+16, j+32, j+48 of a
+#: hash extracted into independent 16-bit counters of one long.
+_LANE_MASK = 0x0001000100010001
+
+
 def simhash_signatures_df(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, simhash long) via explode + one codegen'd hash aggregate
-    (64 conditional sums) — the bulk/scale path; the Column-level
-    ``simhash`` recomputes the shingle set per bit in interpreted
-    lambdas and is only for small projections."""
-    sh = F.transform(shingles(F.col(text_col), k=shingle_k), lambda s: F.xxhash64(s))
-    exploded = df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_h"))
+    """(id, simhash long) via explode + one codegen'd hash aggregate —
+    the bulk/scale path; the Column-level ``simhash`` recomputes the
+    shingle set per bit in interpreted lambdas and is only for small
+    projections.
+
+    The 64 per-bit ±1 sums are packed 4-to-a-long (16-bit lanes, see
+    ``_LANE_MASK``): aggregate 16 lane-sums + 1 count instead of 64
+    conditional sums — 4× less aggregation work per row. Per-bit ones
+    count c is recovered from lane m of sum j as
+    ``(_s{j} >> 16m) & 0xFFFF``; bit set iff 2c > n (majority),
+    identical to sign(Σ±1). Lane math is exact while every doc has
+    < 32768 shingles (token shingles ⇒ docs < 32 Ki tokens — far
+    above any sane document; chunk longer docs upstream).
+    """
+    exploded = shingle_hash_rows(
+        df, id_col, text_col, k=shingle_k, hash_alias="_h"
+    )
     sums = [
         F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"_b{j}")
-        for j in range(64)
-    ]
+            F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(_LANE_MASK))
+        ).alias(f"_s{j}")
+        for j in range(16)
+    ] + [F.count(F.lit(1)).alias("_n")]
     per_doc = exploded.groupBy("_id").agg(*sums)
-    return per_doc.select(
-        "_id", _pack_bits([F.col(f"_b{j}") for j in range(64)]).alias("_sh")
-    )
-    out = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))).otherwise(0)
-    return out
+    ones = {
+        j + 16 * m: F.shiftright(F.col(f"_s{j}"), 16 * m).bitwiseAND(F.lit(0xFFFF))
+        for j in range(16)
+        for m in range(4)
+    }
+    # feed _pack_bits the majority margin 2c - n (>0 ⟺ bit set)
+    bit_sums = [2 * ones[j] - F.col("_n") for j in range(64)]
+    return per_doc.select("_id", _pack_bits(bit_sums).alias("_sh"))
 
 
 def simhash_pairs(
@@ -256,13 +276,14 @@ def ngram_jaccard_pairs(
     (MinHash bands) or with frequent-shingle pruning; here it is the
     exact verifier for the fuzzy methods.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
-        ).alias("_sh"),
+    from pyspark.sql import Window
+
+    dist = shingle_hash_rows(df, id_col, text_col, k=shingle_k).dropDuplicates(
+        ["_id", "_g"]
     )
-    sized = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
+    sized = dist.select(
+        "_id", F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"), "_g"
+    )
     l = sized.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_g")
     r = sized.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_g")
     common = (

@@ -100,9 +100,67 @@ def fingerprint(text: Column, normalize: bool = True) -> Column:
     return F.xxhash64(t)
 
 
+def shingle_hash_rows(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    id_alias: str = "_id",
+    hash_alias: str = "_g",
+):
+    """(id, shingle_hash) ROWS — the bulk/scale path for shingle sets.
+
+    Semantically equivalent to exploding ``xxhash64`` over
+    ``shingles(text, k)`` (modulo the hash function: this rolls k
+    consecutive token hashes instead of hashing the joined string —
+    set identity is preserved, which is all Jaccard/MinHash/SimHash
+    care about), but built ONLY from codegen-friendly operators:
+    ``posexplode(split(...))`` → per-token ``xxhash64`` → window
+    ``lead`` chain. The array-lambda route (``transform`` +
+    ``slice`` + ``concat_ws``) is CodegenFallback — interpreted,
+    ~30 µs/row — and was the dominant cost of every fuzzy-dedup
+    operator before this path existed.
+
+    Shingle semantics match ``shingles``: n ≥ k tokens → n−k+1
+    shingles; 0 < n < k → ONE shingle of all n tokens (trailing
+    ``lead`` nulls are skipped by ``xxhash64``, which folds null
+    inputs as no-ops). Divergence: an all-whitespace/empty document
+    yields NO row here (the old path hashed the empty string).
+
+    Scale: one hash-shuffle on the id (none at all if the input is
+    already partitioned by it), then explode/window/aggregate all
+    pipeline within the partition. Window state is one row — no
+    spill risk regardless of document count per partition.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
+    ).filter(F.col("_t") != "")
+    w = Window.partitionBy(id_alias).orderBy("_pos")
+    h0 = F.xxhash64(F.col("_t"))
+    leads = [F.lead(h0, j).over(w) for j in range(1, k)]
+    rolled = tok.select(
+        id_alias,
+        F.xxhash64(h0, *leads).alias(hash_alias),
+        # keep: full shingles (last lead present) + the single
+        # all-tokens shingle of short docs (first row, n < k)
+        (
+            (leads[-1].isNotNull() if leads else F.lit(True))
+            | (F.row_number().over(w) == 1)
+        ).alias("_keep"),
+    )
+    return rolled.filter(F.col("_keep")).drop("_keep")
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Array of k-token shingles (n-grams of the whitespace tokens) —
-    the unit set for Jaccard/MinHash near-dup detection."""
+    the unit set for Jaccard/MinHash near-dup detection.
+
+    Column form for small projections/tests; bulk pipelines should
+    use ``shingle_hash_rows`` (codegen; this form's array lambdas
+    are interpreted)."""
     toks = tokens(F.lower(text))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))

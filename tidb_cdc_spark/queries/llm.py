@@ -27,11 +27,23 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    """Fanned out BY doc_id: the shingle pipeline's window/groupBy
+    cluster on the id, so hash-partitioning here means the whole
+    explode→lead→aggregate chain runs with zero further shuffles."""
+    from tidb_cdc_spark.session import fan_out_by
+
+    return fan_out_by(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark, "doc_id"
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    """Embeddings are tiny at test SF (thousands of rows) — cap the
+    fan-out so the Arrow-batched UDF stages don't orchestrate 32
+    near-empty Python round-trips; at real scale the source has
+    enough splits that this repartition is moot."""
+    n = min(8, spark.sparkContext.defaultParallelism)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(n)
 
 
 # ------------------------------------------------------ exact dedup

@@ -97,6 +97,16 @@ def fan_out(df, spark: SparkSession, partitions: int | None = None):
     return df.repartition(n)
 
 
+def fan_out_by(df, spark: SparkSession, *cols, partitions: int | None = None):
+    """Hash-partition fan-out: like ``fan_out`` but clustered on
+    ``cols``, so a downstream window/groupBy on the same key reuses
+    the distribution instead of inserting a second exchange."""
+    from pyspark.sql import functions as F
+
+    n = partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the testdata parquet tables as a dict of DataFrames.
 
