@@ -48,6 +48,15 @@ def main() -> None:
         "q3_shipping_priority",
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q18_large_volume_customers",
+        "q19_discounted_revenue",
+        "q20_promo_part_suppliers",
         "topk_orders_per_customer",
         "rollup_revenue",
         "events_hourly",

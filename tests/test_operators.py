@@ -92,3 +92,49 @@ class TestSessionize:
         assert got[1] == 1 and got[2] == 1  # 10-min gap < 20-min threshold
         assert got[3] == 2  # 40-min gap → new session
         assert got[4] == 1
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_zero_exchanges(self, spark):
+        from tidb_cdc_spark.operators.bucketing import colocated_join, write_bucketed
+        from tidb_cdc_spark.plans.inspect import num_exchanges
+        from tidb_cdc_spark.session import read_table
+
+        sf = "/root/testdata/sf0.001"
+        li = read_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        orders = read_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        try:
+            joined = colocated_join(
+                spark, "b_lineitem", "b_orders", [("l_orderkey", "o_orderkey")]
+            )
+            # the whole point: both scans are bucket-partitioned on the
+            # join key, so EnsureRequirements inserts NO shuffle
+            assert num_exchanges(joined) == 0, joined._jdf.queryExecution().toString()
+            expect = li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            ).count()
+            assert joined.count() == expect
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+class TestSketches:
+    def test_approx_within_tolerance_of_exact(self, spark):
+        from tidb_cdc_spark.queries.batch3 import sketch_approx, sketch_percentiles
+
+        sf = "/root/testdata/sf0.01"
+        exact = {r.o_orderstatus: r for r in sketch_percentiles(spark, sf).collect()}
+        approx = {r.o_orderstatus: r for r in sketch_approx(spark, sf).collect()}
+        assert exact.keys() == approx.keys()
+        for k, e in exact.items():
+            a = approx[k]
+            assert abs(a.n_cust_approx - e.n_cust) / e.n_cust < 0.05
+            assert abs(a.p50_approx - e.p50) / e.p50 < 0.02
+            assert abs(a.p90_approx - e.p90) / e.p90 < 0.02

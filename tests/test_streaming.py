@@ -247,3 +247,75 @@ class TestStreamingWindows:
         rows = spark.sql("select * from dedup_stream").collect()
         # (1, 1.0) appears twice in input → once out
         assert len(rows) == 3
+
+
+class TestStatefulOperators:
+    def _two_batch_stream(self, spark, tmp_path):
+        """File stream fed one file per trigger → two micro-batches,
+        so cross-batch state is genuinely exercised."""
+        d = tmp_path / "sev"
+        os.makedirs(d, exist_ok=True)
+        b1 = [
+            {"user_id": 1, "ts": 10, "value": 1.0, "payload": "a"},
+            {"user_id": 1, "ts": 20, "value": 2.0, "payload": "b"},
+            {"user_id": 2, "ts": 5, "value": 10.0, "payload": "x"},
+        ]
+        b2 = [
+            {"user_id": 1, "ts": 30, "value": 4.0, "payload": "c"},
+            {"user_id": 2, "ts": 1, "value": 100.0, "payload": "stale"},
+        ]
+        with open(d / "1.jsonl", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in b1))
+        with open(d / "2.jsonl", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in b2))
+        return (
+            spark.readStream.format("json")
+            .schema("user_id long, ts long, value double, payload string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+
+    def test_running_totals_accumulate_across_batches(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming.stateful import running_totals
+
+        out = running_totals(self._two_batch_stream(spark, tmp_path))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("run_tot")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_rt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # update mode: last emitted row per key carries lifetime totals
+        rows = spark.sql(
+            "select * from run_tot order by n_events"
+        ).collect()
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+                latest[r.user_id] = (r.n_events, r.total)
+        assert latest[1] == (3, 7.0)
+        assert latest[2] == (2, 110.0)
+
+    def test_stateful_latest_ignores_stale_and_keeps_max_ts(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming.stateful import stateful_latest
+
+        out = stateful_latest(self._two_batch_stream(spark, tmp_path), "user_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("st_latest")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_sl"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("select * from st_latest").collect()
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.ts > latest[r.user_id][0]:
+                latest[r.user_id] = (r.ts, r.payload)
+        assert latest[1] == (30, "c")  # batch-2 newer event wins
+        assert latest[2] == (5, "x")  # batch-2 stale event ignored

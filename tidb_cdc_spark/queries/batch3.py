@@ -468,7 +468,61 @@ ORDER BY s_suppkey
 """
 
 
+# ------------------------------------------------- sketches / stats
+def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistics per order status: interpolated
+    percentiles (bit-identical convention to DuckDB's quantile_cont:
+    rank = p·(n−1), linear interpolation) + exact distinct counts.
+    The exact twin of ``sketch_approx`` — at 100 TB you run THAT one;
+    this is the accuracy oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SKETCH_PCT_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99,
+       COUNT(DISTINCT o_custkey) AS n_cust,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def sketch_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based statistics — the 100 TB path: HyperLogLog++
+    distinct counts (fixed-size sketch, mergeable map-side) and
+    KLL/GK approximate percentiles (bounded-memory, single pass).
+    No SQL oracle (sketch results are estimate-valued by design);
+    tests/ bound the relative error against ``sketch_percentiles``."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
+    "sketch_percentiles": sketch_percentiles,
+    "sketch_approx": sketch_approx,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_type_profit": q9_product_type_profit,
@@ -481,6 +535,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sketch_percentiles": _SKETCH_PCT_SQL,
     "q7_volume_shipping": _Q7_SQL,
     "q8_market_share": _Q8_SQL,
     "q9_product_type_profit": _Q9_SQL,

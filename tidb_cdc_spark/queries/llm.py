@@ -231,8 +231,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.95, LSH-bucketed)."""
-    return D.embedding_near_dup_pairs(_embs(spark, sf_dir)).orderBy("id_a", "id_b")
+    """Embedding near-dup pairs (cosine ≥ 0.95, LSH-bucketed).
+
+    The synthetic embeddings are mutually near-orthogonal (max
+    pairwise cosine ≈ 0.51), so the operator is demonstrated on
+    planted duplicates: scaled copies (id + 1e6) of the first 50
+    vectors. Scaling preserves cosine exactly AND the hyperplane
+    signature (sign of every dot product unchanged), so the expected
+    result is deterministically the 50 planted pairs — an in-query
+    self-check of both bucketing recall and the verify threshold."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias(
+            "embedding"
+        ),
+    )
+    return D.embedding_near_dup_pairs(e.unionByName(planted)).orderBy(
+        "id_a", "id_b"
+    )
 
 
 QUERIES = {

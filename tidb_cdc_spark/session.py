@@ -52,6 +52,9 @@ def get_spark(
         # fixed UTC+8 ("BJ", /root/reference/tag.go:47-55); keep UTC
         # for analytics and convert explicitly in the CDC layer ---
         .config("spark.sql.session.timeZone", "UTC")
+        # catalog warehouse for bucketed tables (operators/bucketing):
+        # kept out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # testdata's events.parquet stores TIMESTAMP(NANOS) which the
