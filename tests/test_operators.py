@@ -138,3 +138,45 @@ class TestSketches:
             assert abs(a.n_cust_approx - e.n_cust) / e.n_cust < 0.05
             assert abs(a.p50_approx - e.p50) / e.p50 < 0.02
             assert abs(a.p90_approx - e.p90) / e.p90 < 0.02
+
+
+class TestSkewSalting:
+    def test_salted_sum_equals_plain_sum(self, spark):
+        from tidb_cdc_spark.operators.skew import salted_sum
+        from tidb_cdc_spark.session import read_table
+
+        li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+        plain = {
+            r.l_returnflag: (r.q, r.n)
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity").alias("q"),
+                F.sum(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        salted = {
+            r.l_returnflag: (r.q, r.n)
+            for r in salted_sum(
+                li.withColumn("_one", F.lit(1)),
+                ["l_returnflag"],
+                {"l_quantity": "q", "_one": "n"},
+                n_salts=16,
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_salted_join_equals_plain_join(self, spark):
+        from tidb_cdc_spark.operators.skew import salted_join
+
+        # hot key: 10k rows of key=1 on the big side
+        big = spark.range(0, 10000).select(
+            F.when(F.col("id") < 9000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.createDataFrame(
+            [(1, "hot"), (9500, "cold")], "k long, label string"
+        )
+        got = salted_join(big, small, on="k", n_salts=8)
+        assert got.count() == big.join(small, "k").count()
+        assert got.filter(F.col("label") == "hot").count() == 9000
