@@ -108,7 +108,13 @@ def minhash_lsh_pairs(
     on it to trade precision/recall.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
+    # materialize signatures before the self-join: both join branches
+    # descend from this subplan, and Spark does not reuse common
+    # subplans — without the checkpoint the whole shingle+signature
+    # pipeline executes (and codegen-compiles) once PER SIDE
+    sig = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "_id",
         "_sig",
@@ -167,11 +173,14 @@ def simhash(text: Column, shingle_k: int = 3) -> Column:
 
 
 def _pack_bits(bit_sums: list[Column]) -> Column:
+    """Pack sign bits into one long: bit j set iff bit_sums[j] > 0.
+    ``shiftleft(bool, j)`` keeps each term a 3-node expression (the
+    earlier CASE-with-big-literal form made the 64-term tree heavy
+    enough that codegen compile dominated cold runs); j=63 wraps to
+    Long.MIN_VALUE, which is exactly the sign bit."""
     out = F.lit(0).cast("long")
     for j, s in enumerate(bit_sums):
-        out = out + F.when(
-            s > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))
-        ).otherwise(0)
+        out = out + F.shiftleft((s > 0).cast("long"), j)
     return out
 
 
@@ -234,7 +243,8 @@ def simhash_pairs(
     agrees on ≥1 chunk → equi-join per chunk, then exact Hamming
     filter via bit_count(xor). No cross join at any scale.
     """
-    sig = simhash_signatures_df(df, id_col, text_col)
+    # materialized once — see minhash_lsh_pairs comment
+    sig = simhash_signatures_df(df, id_col, text_col).localCheckpoint(eager=False)
     chunked = sig.select(
         "_id",
         "_sh",
@@ -283,7 +293,7 @@ def ngram_jaccard_pairs(
     )
     sized = dist.select(
         "_id", F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"), "_g"
-    )
+    ).localCheckpoint(eager=False)  # reused by both join sides
     l = sized.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_g")
     r = sized.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_g")
     common = (
@@ -318,7 +328,10 @@ def embedding_near_dup_pairs(
     from tidb_cdc_spark.functions.similarity import lsh_signature
 
     d = df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
-    sig = d.withColumn("_sig", lsh_signature(F.col("_v"), dim, n_planes))
+    # materialized once — see minhash_lsh_pairs comment
+    sig = d.withColumn(
+        "_sig", lsh_signature(F.col("_v"), dim, n_planes)
+    ).localCheckpoint(eager=False)
     l = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_sig")
     r = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_sig")
     return (
