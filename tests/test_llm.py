@@ -202,3 +202,25 @@ class TestMultimodal:
         by_id = {r.media_id: r["count"] for r in got}
         # video ids are 2, 5, 8 with durations 3000/6000/9000ms
         assert by_id[2] == 3 and by_id[5] == 6 and by_id[8] == 9
+
+
+class TestIvf:
+    def test_ivf_knn_high_recall_on_clustered_data(self, spark):
+        import random
+
+        from tidb_cdc_spark.functions import similarity as S2
+
+        rng = random.Random(29)
+        rows = []
+        for c in range(10):
+            base = [rng.gauss(0, 1) for _ in range(32)]
+            for i in range(12):
+                rows.append((c * 100 + i, [b + rng.gauss(0, 0.05) for b in base]))
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = embs.filter(F.col("vec_id") % 100 == 0)
+        bf = S2.knn_bruteforce(q, embs, k=5)
+        ivf = S2.knn_ivf(q, embs, k=5, n_cells=10, n_probe=3)
+        bf_set = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+        ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+        recall = len(bf_set & ivf_set) / len(bf_set)
+        assert recall >= 0.9, f"IVF recall {recall} too low on clustered data"

@@ -137,6 +137,75 @@ def _tagged_signatures_udf(dim: int, n_planes: int, n_tables: int, multiprobe: b
     return tags
 
 
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization —
+    the other standard ANN scale path next to ``knn_lsh``.
+
+    Train: k-means (MLlib, fixed seed) partitions the corpus into
+    ``n_cells`` Voronoi cells; each corpus vector is assigned to its
+    nearest centroid — an inverted index cell.
+    Search: each query probes its ``n_probe`` nearest centroids; the
+    candidate set is an equi-join on cell id; exact cosine re-ranks.
+
+    Scale: corpus assignment is one MLlib transform (a scan);
+    candidates ∝ |corpus| × n_probe / n_cells per query instead of
+    |corpus|. At 100 TB you'd train on a sample (KMeans already
+    does), persist assignments partitioned BY cell, and the probe
+    join prunes whole partitions. Recall tunes with n_probe/n_cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_fv", array_to_vector(F.col("_cv")))
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_fv").fit(c)
+    centers = np.stack([np.asarray(ctr) for ctr in km.clusterCenters()])  # (K, dim)
+
+    cd = km.transform(c).select(
+        "neighbor_id", "_cv", F.col(km.getPredictionCol()).alias("_cell")
+    )
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (n, dim)
+        # squared L2 to each centroid: ||q||² − 2q·c + ||c||²
+        d2 = (
+            (M * M).sum(1, keepdims=True)
+            - 2.0 * (M @ centers.T)
+            + (centers * centers).sum(1)
+        )
+        order = np.argsort(d2, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
+    cands = cd.join(F.broadcast(qd), "_cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.withColumn(
+        "score", cosine(F.col("_qv"), F.col("_cv"))
+    ).select("query_id", "neighbor_id", "score")
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -213,6 +213,14 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(q, e, k=5, dim=64).orderBy("query_id", "rank")
 
 
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF coarse quantization (k-means cells +
+    n_probe search) — the partition-pruning ANN scale path."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return S.knn_ivf(q, e, k=5).orderBy("query_id", "rank")
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate near-dup pairs on documents."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
@@ -260,6 +268,7 @@ QUERIES = {
     "text_fingerprint_md5": text_fingerprint_md5,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "knn_lsh_cosine": knn_lsh_cosine,
+    "knn_ivf_cosine": knn_ivf_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
