@@ -89,16 +89,31 @@ ORDER BY doc_id
 # ------------------------------------------- quality rollup per lang
 def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality profile per labeled language: doc counts, token
-    sums (exact), mean stopword ratio (decimal-stabilized)."""
+    sums (exact), mean stopword ratio.
+
+    Cross-engine stability: the per-doc ratio is kept INTEGRAL —
+    ``(hits * 1e6) div tokens`` as BIGINT (integer division is
+    bit-identical in every engine), summed exactly, with ONE final
+    double division. Round-tripping each ratio through double →
+    decimal(12,6) (the r1 approach) diverged between Spark (half-up)
+    and DuckDB (half-even) at the 6th decimal."""
     d = _docs(spark, sf_dir)
-    sw_ratio = T.stopword_ratio(F.col("text"), "en").cast("decimal(12,6)")
+    toks = T.tokens(F.lower(F.col("text")))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_STOP_EN)))
+    scored = d.select(
+        "lang",
+        T.token_count(F.col("text")).alias("nt"),
+        hits.alias("hits"),
+    ).withColumn("swr_u", F.expr("(hits * 1000000L) div greatest(nt, 1)"))
     return (
-        d.select("lang", T.token_count(F.col("text")).alias("nt"), sw_ratio.alias("swr"))
-        .groupBy("lang")
+        scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nt").alias("total_tokens"),
-            (F.sum("swr").cast("double") / F.count(F.lit(1))).alias("avg_stopword_ratio"),
+            (
+                F.sum("swr_u").cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double"))
+            ).alias("avg_stopword_ratio"),
         )
         .orderBy("lang")
     )
@@ -108,15 +123,13 @@ _QUALITY_SQL = f"""
 WITH scored AS (
   SELECT lang,
          len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt,
-         CAST(
-           len(list_filter(string_split_regex(lower(text), '\\s+'),
-               x -> x IN ({", ".join("'" + w + "'" for w in _STOP_EN)})))::DOUBLE
-           / GREATEST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 1)::DOUBLE
-         AS DECIMAL(12,6)) AS swr
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ({", ".join("'" + w + "'" for w in _STOP_EN)}))) AS hits
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs, SUM(nt) AS total_tokens,
-       CAST(SUM(swr) AS DOUBLE) / COUNT(*) AS avg_stopword_ratio
+       CAST(SUM((hits * 1000000) // GREATEST(nt, 1)) AS DOUBLE)
+         / (1000000.0 * COUNT(*)) AS avg_stopword_ratio
 FROM scored GROUP BY lang ORDER BY lang
 """
 

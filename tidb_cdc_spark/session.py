@@ -76,6 +76,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # The conf must hold on the *caller's* session, not just the one
+    # get_spark() builds: external harnesses pass their own session, and
+    # without this the vectorized reader rejects events.parquet
+    # (INT64 TIMESTAMP(NANOS)) with PARQUET_TYPE_ILLEGAL. The conf is
+    # runtime-settable, so pin it at the read site.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf manager; get_spark() sessions already set it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
