@@ -71,6 +71,47 @@ class TestNgramJaccard:
         # J = 20 / (22 + 22 - 20) = 20/24
         assert pairs[(0, 3)] == pytest.approx(20 / 24, abs=0.01)
 
+    def test_default_pruning_changes_nothing_on_normal_docs(self, spark, docs):
+        """The default max_doc_freq cap only bites on viral shingles;
+        on ordinary data results must be identical to unpruned."""
+        pruned = {(r.id_a, r.id_b, r.jaccard)
+                  for r in D.ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
+        bare = {(r.id_a, r.id_b, r.jaccard)
+                for r in D.ngram_jaccard_pairs(
+                    docs, min_jaccard=0.5, max_doc_freq=None).collect()}
+        assert pruned == bare
+
+    def test_hot_shingle_pruned_below_cap(self, spark):
+        """30 docs share ONE boilerplate shingle (df=30) with unique
+        tails: with a cap below 30 the hot shingle is dropped and no
+        pair survives — the quadratic-join guard at 100 TB."""
+        rows = [
+            (i, f"common boiler plate shingle text unique{i} a{i} b{i} c{i} d{i}")
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        bare = D.ngram_jaccard_pairs(df, min_jaccard=0.01, max_doc_freq=None)
+        assert bare.count() == 30 * 29 // 2  # every pair shares the hot shingle
+        pruned = D.ngram_jaccard_pairs(df, min_jaccard=0.01, max_doc_freq=10)
+        assert pruned.count() == 0
+
+
+class TestShingleEdgeCases:
+    def test_empty_docs_emit_sentinel_and_pair(self, spark):
+        rows = [(0, ""), (1, "   "), (2, "real content here five tokens")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ids = {r._id for r in T.shingle_hash_rows(df).collect()}
+        assert ids == {0, 1, 2}  # empty docs present via sentinel row
+        pairs = {(r.id_a, r.id_b)
+                 for r in D.ngram_jaccard_pairs(df, min_jaccard=0.99).collect()}
+        assert (0, 1) in pairs  # two empty docs are duplicates
+
+    def test_simhash_guard_rejects_lane_overflow(self, spark):
+        big = " ".join(f"tok{i}" for i in range(33000))
+        df = spark.createDataFrame([(0, big)], "doc_id long, text string")
+        with pytest.raises(Exception, match="simhash lane overflow"):
+            D.simhash_signatures_df(df).collect()
+
 
 class TestSimilarity:
     def test_lsh_knn_high_recall_on_clustered_data(self, spark):

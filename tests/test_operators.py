@@ -3,6 +3,7 @@ reference implementations computed in Python."""
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from tidb_cdc_spark.operators import asof_join, range_join, sessionize, topk_per_group
@@ -180,3 +181,12 @@ class TestSkewSalting:
         got = salted_join(big, small, on="k", n_salts=8)
         assert got.count() == big.join(small, "k").count()
         assert got.filter(F.col("label") == "hot").count() == 9000
+
+    def test_salted_join_rejects_small_side_preserving_outer(self, spark):
+        from tidb_cdc_spark.operators.skew import salted_join
+
+        a = spark.createDataFrame([(1, "x")], "k long, v string")
+        b = spark.createDataFrame([(2, "y")], "k long, w string")
+        for how in ("right", "full", "full_outer", "right_outer"):
+            with pytest.raises(ValueError, match="salted_join"):
+                salted_join(a, b, on="k", how=how)

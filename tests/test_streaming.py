@@ -259,10 +259,12 @@ class TestStatefulOperators:
             {"user_id": 1, "ts": 10, "value": 1.0, "payload": "a"},
             {"user_id": 1, "ts": 20, "value": 2.0, "payload": "b"},
             {"user_id": 2, "ts": 5, "value": 10.0, "payload": "x"},
+            {"user_id": 3, "ts": 7, "value": 1.0, "payload": "orig"},
         ]
         b2 = [
             {"user_id": 1, "ts": 30, "value": 4.0, "payload": "c"},
             {"user_id": 2, "ts": 1, "value": 100.0, "payload": "stale"},
+            {"user_id": 3, "ts": 7, "value": 1.0, "payload": "replay"},
         ]
         with open(d / "1.jsonl", "w") as f:
             f.write("\n".join(json.dumps(r) for r in b1))
@@ -319,3 +321,6 @@ class TestStatefulOperators:
                 latest[r.user_id] = (r.ts, r.payload)
         assert latest[1] == (30, "c")  # batch-2 newer event wins
         assert latest[2] == (5, "x")  # batch-2 stale event ignored
+        # equal-ts replay in batch 2 must NOT displace the stored value
+        # (strict > — replay idempotency even for ties)
+        assert latest[3] == (7, "orig")

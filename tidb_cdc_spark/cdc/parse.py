@@ -206,9 +206,13 @@ def parse_cdc(
     spec: TableSpec,
     value_col: str = "value",
     seq_col: Column | None = None,
-    drop_malformed: bool = True,
 ) -> DataFrame:
     """End-to-end: raw messages → typed change rows for one table.
+
+    Malformed rows are always dropped here (the reference instead
+    panics the consumer, cdc_manager.go:164); callers that need the
+    dead-letter surface route through ``parse_envelope(...,
+    drop_malformed=False)`` and inspect the raw column.
 
     Output schema:
       ``op string, ts long, _seq long, before struct<...>, after struct<...>``
@@ -237,7 +241,12 @@ def parse_cdc(
     # serves as the default arrival-order _seq for batch sources.
     # Streaming disallows monotonically_increasing_id; there the
     # caller should pass the Kafka offset as seq_col (file streams
-    # fall back to ts-only ordering within a micro-batch).
+    # fall back to ts-only ordering within a micro-batch). NOTE: the
+    # streaming lit(0) is deterministic, so the exactly-once-parse
+    # barrier does not hold there — Catalyst may substitute the
+    # from_json into downstream filter conditions and re-evaluate it;
+    # harmless for real sources (the scan column is stored bytes) and
+    # a CPU cost only, never a correctness one (from_json is pure).
     mono = (
         F.lit(0).cast("long") if df.isStreaming else F.monotonically_increasing_id()
     )

@@ -21,6 +21,11 @@ from tidb_cdc_spark.functions.text import (
 )
 from tidb_cdc_spark.functions.similarity import as_double, cosine
 
+# Signature subplans feed BOTH sides of a self-join; materialize once
+# (fault-tolerantly — see session.MATERIALIZE_MODE) instead of
+# executing the shingle+signature pipeline per side.
+from tidb_cdc_spark.session import materialize as _materialize
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -103,21 +108,20 @@ def minhash_lsh_pairs(
     Signature split into ``bands`` bands of ``num_hashes/bands``
     rows; docs sharing any band hash become a candidate pair.
     Plan: explode to (band_id, band_hash) → self-equi-join on the
-    band key (a shuffle join on a 16-byte key) → distinct pairs.
-    Estimated Jaccard from signature agreement is attached; filter
-    on it to trade precision/recall.
+    band key carrying IDS ONLY (~24 B/row through the band shuffle —
+    the 64-long signature array would be ~0.5 KB/row/band) → distinct
+    pairs → signatures re-attached by two id-joins against the
+    materialized signature table for the Jaccard estimate. At 100 TB
+    the candidate set is orders of magnitude smaller than the banded
+    explosion, so the re-attach joins are cheap compared to what the
+    slim band shuffle saves.
     """
     rows = num_hashes // bands
-    # materialize signatures before the self-join: both join branches
-    # descend from this subplan, and Spark does not reuse common
-    # subplans — without the checkpoint the whole shingle+signature
-    # pipeline executes (and codegen-compiles) once PER SIDE
-    sig = minhash_signatures_df(
-        df, id_col, text_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=False)
+    sig = _materialize(
+        minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
+    )
     banded = sig.select(
         "_id",
-        "_sig",
         F.posexplode(
             F.array(
                 *[
@@ -127,16 +131,18 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bhash"),
     )
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"), "_band", "_bhash"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"), "_band", "_bhash"
-    )
-    pairs = (
+    left = banded.select(F.col("_id").alias("id_a"), "_band", "_bhash")
+    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bhash")
+    cand = (
         left.join(right, ["_band", "_bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a")), "id_a"
+    ).join(
+        sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b")), "id_b"
     )
     est = (
         F.size(
@@ -202,12 +208,24 @@ def simhash_signatures_df(
 
     The 64 per-bit ±1 sums are packed 4-to-a-long (16-bit lanes, see
     ``_LANE_MASK``): aggregate 16 lane-sums + 1 count instead of 64
-    conditional sums — 4× less aggregation work per row. Per-bit ones
-    count c is recovered from lane m of sum j as
-    ``(_s{j} >> 16m) & 0xFFFF``; bit set iff 2c > n (majority),
-    identical to sign(Σ±1). Lane math is exact while every doc has
-    < 32768 shingles (token shingles ⇒ docs < 32 Ki tokens — far
-    above any sane document; chunk longer docs upstream).
+    conditional sums — 4× less aggregation work per row. Bit j+16m is
+    set iff its ones count c (lane m of ``_s{j}``) satisfies 2c > n,
+    identical to sign(Σ±1).
+
+    The majority test is ALSO done SWAR: per lane,
+    ``c + (0x8000 − (⌊n/2⌋+1))`` leaves bit 15 of the lane set iff
+    c ≥ ⌊n/2⌋+1 ⟺ 2c > n (lane values stay in [0x4000, 0xFFFE], so no
+    cross-lane carry); mask the flag bits and shift into place. Only
+    the low 3 lanes ride SWAR — the top lane's flag would be bit 63,
+    and ANSI mode rejects the (intended, wrap-around) signed overflow
+    of getting there, so lane 3 is compared as a scalar. 16 ten-node
+    terms instead of the 64-term extract/compare/shift tree — cuts
+    the janino codegen compile that dominated cold runs.
+
+    Lane math is exact while every doc has < 32768 shingles (token
+    shingles ⇒ docs < 32 Ki tokens); enforced by a runtime
+    ``assert_true`` guard rather than a docstring promise — a doc at
+    the limit would silently corrupt neighboring lanes.
     """
     exploded = shingle_hash_rows(
         df, id_col, text_col, k=shingle_k, hash_alias="_h"
@@ -219,14 +237,28 @@ def simhash_signatures_df(
         for j in range(16)
     ] + [F.count(F.lit(1)).alias("_n")]
     per_doc = exploded.groupBy("_id").agg(*sums)
-    ones = {
-        j + 16 * m: F.shiftright(F.col(f"_s{j}"), 16 * m).bitwiseAND(F.lit(0xFFFF))
-        for j in range(16)
-        for m in range(4)
-    }
-    # feed _pack_bits the majority margin 2c - n (>0 ⟺ bit set)
-    bit_sums = [2 * ones[j] - F.col("_n") for j in range(64)]
-    return per_doc.select("_id", _pack_bits(bit_sums).alias("_sh"))
+    guard = F.assert_true(
+        F.col("_n") < F.lit(32768),
+        F.concat(
+            F.lit("simhash lane overflow: document "),
+            F.col("_id").cast("string"),
+            F.lit(" has >= 32768 shingles; chunk it upstream"),
+        ),
+    )
+    per_doc = per_doc.filter(guard.isNull())
+    low_mask = F.lit(0x0000FFFFFFFFFFFF)  # lanes 0-2
+    flag_mask_low = F.lit(0x0000800080008000)  # bit 15 of lanes 0-2
+    t = F.shiftright(F.col("_n"), 1) + 1  # majority threshold ⌊n/2⌋+1 ≤ 16384
+    adj_low = (F.lit(0x8000) - t) * F.lit(0x0000000100010001)
+    out = F.lit(0).cast("long")
+    for j in range(16):
+        s = F.col(f"_s{j}")
+        flags = (s.bitwiseAND(low_mask) + adj_low).bitwiseAND(flag_mask_low)
+        c3 = F.shiftright(s, 48)  # top-lane count; s ≥ 0 so plain shift
+        out = out.bitwiseOR(F.shiftrightunsigned(flags, 15 - j)).bitwiseOR(
+            F.shiftleft((c3 >= t).cast("long"), j + 48)
+        )
+    return per_doc.select("_id", out.alias("_sh"))
 
 
 def simhash_pairs(
@@ -243,8 +275,7 @@ def simhash_pairs(
     agrees on ≥1 chunk → equi-join per chunk, then exact Hamming
     filter via bit_count(xor). No cross join at any scale.
     """
-    # materialized once — see minhash_lsh_pairs comment
-    sig = simhash_signatures_df(df, id_col, text_col).localCheckpoint(eager=False)
+    sig = _materialize(simhash_signatures_df(df, id_col, text_col))
     chunked = sig.select(
         "_id",
         "_sh",
@@ -276,24 +307,42 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 5,
     min_jaccard: float = 0.8,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for candidate pairs.
 
-    Plan: explode distinct shingle hashes → self-join on shingle
-    (inverted index) → count common shingles per pair → Jaccard =
-    common / (|A| + |B| − common). The self-join explodes on hot
-    shingles, so at 100 TB this runs AFTER a candidate filter
-    (MinHash bands) or with frequent-shingle pruning; here it is the
-    exact verifier for the fuzzy methods.
+    Plan: explode distinct shingle hashes → frequent-shingle pruning →
+    self-join on shingle (inverted index) → count common shingles per
+    pair → Jaccard = common / (|A| + |B| − common).
+
+    ``max_doc_freq`` is the scale guard: a shingle appearing in more
+    than that many documents (viral boilerplate) is dropped BEFORE the
+    self-join — one such shingle in d docs would alone contribute
+    d·(d−1)/2 join rows, the quadratic blowup that kills an inverted-
+    index join at 100 TB. Set sizes ``_n`` are counted AFTER pruning,
+    so the Jaccard stays exact over the surviving (discriminative)
+    shingle sets; near-dup pairs share mostly rare shingles, so with a
+    generous cap results are unchanged on realistic corpora (pinned
+    exact on the testdata in tests). ``None`` disables pruning.
     """
     from pyspark.sql import Window
 
     dist = shingle_hash_rows(df, id_col, text_col, k=shingle_k).dropDuplicates(
         ["_id", "_g"]
     )
-    sized = dist.select(
-        "_id", F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"), "_g"
-    ).localCheckpoint(eager=False)  # reused by both join sides
+    if max_doc_freq is not None:
+        dist = (
+            dist.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+            )
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sized = _materialize(
+        dist.select(
+            "_id", F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"), "_g"
+        )
+    )
     l = sized.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_g")
     r = sized.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_g")
     common = (
@@ -328,10 +377,7 @@ def embedding_near_dup_pairs(
     from tidb_cdc_spark.functions.similarity import lsh_signature
 
     d = df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
-    # materialized once — see minhash_lsh_pairs comment
-    sig = d.withColumn(
-        "_sig", lsh_signature(F.col("_v"), dim, n_planes)
-    ).localCheckpoint(eager=False)
+    sig = _materialize(d.withColumn("_sig", lsh_signature(F.col("_v"), dim, n_planes)))
     l = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_sig")
     r = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_sig")
     return (

@@ -124,8 +124,11 @@ def shingle_hash_rows(
     Shingle semantics match ``shingles``: n ≥ k tokens → n−k+1
     shingles; 0 < n < k → ONE shingle of all n tokens (trailing
     ``lead`` nulls are skipped by ``xxhash64``, which folds null
-    inputs as no-ops). Divergence: an all-whitespace/empty document
-    yields NO row here (the old path hashed the empty string).
+    inputs as no-ops). An all-whitespace/empty document emits ONE
+    sentinel row (hash of the empty string, matching ``shingles``'s
+    single empty shingle) so two empty documents still land in the
+    same minhash/simhash/Jaccard buckets and pair as duplicates;
+    null-text documents yield no row.
 
     Scale: one hash-shuffle on the id (none at all if the input is
     already partitioned by it), then explode/window/aggregate all
@@ -151,7 +154,11 @@ def shingle_hash_rows(
             | (F.row_number().over(w) == 1)
         ).alias("_keep"),
     )
-    return rolled.filter(F.col("_keep")).drop("_keep")
+    empty = df.filter(F.trim(F.col(text_col)) == "").select(
+        F.col(id_col).alias(id_alias),
+        F.xxhash64(F.lit("")).alias(hash_alias),
+    )
+    return rolled.filter(F.col("_keep")).drop("_keep").unionByName(empty)
 
 
 def shingles(text: Column, k: int = 5) -> Column:

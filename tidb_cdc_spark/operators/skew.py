@@ -77,7 +77,18 @@ def salted_join(
     memory (AQE splits partitions, not keys... it can split a single
     key's partition too, but only for sort-merge joins — salting
     also covers shuffled hash joins and precedes the shuffle).
+
+    Only big-side-preserving join types are accepted: under right/
+    full outer, an unmatched small-side row survives once PER SALT
+    REPLICA (n_salts duplicate output rows) — salt the other way
+    around for those.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the replicated small "
+            f"side would emit unmatched rows n_salts times; use one of {sorted(allowed)}"
+        )
     big_salted = big.withColumn(
         "_salt", (F.rand(seed=11) * n_salts).cast("int")
     )

@@ -66,14 +66,17 @@ def _envelopes(spark: SparkSession, sf_dir: str, with_ops: bool) -> DataFrame:
             )
         ).alias("value")
     )
-    # lazy localCheckpoint = "this is a source, not a computation":
-    # truncates lineage so the engine's routing/malformed filters
-    # (deterministic projections of `value`) cannot be pushed below
-    # the synthesis and re-evaluate to_json on the unsplit scan. A
-    # real Kafka topic is exactly this — materialized bytes. The
-    # checkpoint itself runs inside the timed query (32-way, after
-    # fan_out), so the bench still pays the synthesis cost once.
-    return env.localCheckpoint(eager=False)
+    # materialize = "this is a source, not a computation": consumers
+    # read the materialized bytes, so the engine's routing/malformed
+    # filters (deterministic projections of `value`) cannot be pushed
+    # below the synthesis and re-evaluate to_json on the unsplit scan.
+    # A real Kafka topic is exactly this — materialized bytes. The
+    # materialization runs inside the timed query (32-way, after
+    # fan_out), so the bench still pays the synthesis cost once;
+    # persist keeps lineage for fault tolerance (session.materialize).
+    from tidb_cdc_spark.session import materialize
+
+    return materialize(env)
 
 
 def cdc_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +86,7 @@ def cdc_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip through JSON text, epoch-ms → timestamp. Stateless,
     shuffle-free plan (codegen'd from_json + try_cast)."""
     env = _envelopes(spark, sf_dir, with_ops=False)
-    parsed = parse_cdc(env, events_spec(), drop_malformed=True)
+    parsed = parse_cdc(env, events_spec())
     return parsed.select(
         F.col("after.event_id").alias("event_id"),
         F.col("after.user_id").alias("user_id"),
@@ -113,7 +116,6 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         env,
         events_spec(),
         seq_col=F.col("data").getItem("event_id").try_cast("long"),
-        drop_malformed=True,
     )
     snap = snapshot_from_ops(parsed, events_spec())
     return snap.select(

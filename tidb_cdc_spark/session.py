@@ -91,6 +91,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+#: How multiply-consumed subplans (self-join inputs, synthesized CDC
+#: sources) are materialized. Modes:
+#:   "persist"    (default) — ``persist(StorageLevel.DISK_ONLY)``:
+#:                keeps full lineage, so a lost executor/block is
+#:                recomputed from source — the fault-tolerant choice
+#:                for a 1000-executor 100 TB run.
+#:   "checkpoint" — ``localCheckpoint(eager=False)``: truncates
+#:                lineage (smaller re-plans) but blocks live only in
+#:                the block manager; an executor loss KILLS the job.
+#:                Acceptable for short single-node sessions.
+MATERIALIZE_MODE = "persist"
+
+
+def materialize(df):
+    """Materialize a subplan consumed by more than one downstream
+    branch (Spark does not reuse common subplans — without this the
+    producing pipeline executes, and codegen-compiles, once per
+    consumer). Also acts as a projection/pushdown barrier: consumers
+    read the materialized blocks, never re-derive the source."""
+    if MATERIALIZE_MODE == "checkpoint":
+        return df.localCheckpoint(eager=False)
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.DISK_ONLY)
+
+
 def fan_out(df, spark: SparkSession, partitions: int | None = None):
     """Round-robin repartition to restore scan parallelism.
 

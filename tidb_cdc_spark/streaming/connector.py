@@ -106,7 +106,7 @@ class Connector:
         for reg in self._registrations.values():
             raw = self._source_for(spark, reg)
             seq = F.col("offset").cast("long") if "offset" in raw.columns else None
-            changes = parse_cdc(raw, reg.spec, seq_col=seq, drop_malformed=True)
+            changes = parse_cdc(raw, reg.spec, seq_col=seq)
 
             def make_batch_fn(r: _Registration):
                 def fn(batch_df: DataFrame, batch_id: int) -> None:

@@ -67,9 +67,13 @@ def stateful_latest(
     whenever it changes. With ``ttl_ms`` set, idle keys are evicted
     via processing-time timeout (bounded state for ephemeral keys).
 
-    Late/duplicate events older than the stored ts are ignored —
-    replay-idempotent, which is what makes at-least-once delivery
-    from the source effectively exactly-once downstream.
+    Late/duplicate events at or older than the stored ts are ignored
+    (strict > — an equal-ts arrival is a replay or an unordered tie
+    and never displaces the stored value) — replay-idempotent, which
+    is what makes at-least-once delivery from the source effectively
+    exactly-once downstream. Events needing a finer order than ts
+    should encode a sequence number into ts (as conflate_latest's
+    (ts, seq) does).
     """
     out_schema = f"{key_col} {key_type}, ts bigint, {payload_col} string"
     state_schema = "ts bigint, payload string"
@@ -84,7 +88,10 @@ def stateful_latest(
             if not len(pdf):
                 continue
             top = pdf.loc[pdf[ts_col].idxmax()]
-            if int(top[ts_col]) >= ts0:
+            # strict >: an event at exactly the stored ts is a replay
+            # (or an unordered tie) — keeping the stored value makes
+            # the ignore-older claim hold and replays idempotent
+            if int(top[ts_col]) > ts0:
                 ts0, payload0 = int(top[ts_col]), top[payload_col]
                 changed = True
         state.update((ts0, payload0))
