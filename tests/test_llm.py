@@ -229,6 +229,34 @@ class TestMultimodal:
         assert {r.media_id: r.sha256 for r in feats2} == {
             r.media_id: r.sha256 for r in feats}
 
+    def test_decode_uses_codec_when_importable(self, monkeypatch):
+        """The one-function stub boundary: with a codec library
+        present, decode_image_dims uses it; on parse failure (or
+        with no codec) it falls back to the deterministic fake."""
+
+        class FakeImage:
+            size = (320, 240)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        class FakePIL:
+            @staticmethod
+            def open(buf):
+                if buf.read(4) != b"GOOD":
+                    raise ValueError("not an image")
+                return FakeImage()
+
+        monkeypatch.setattr(M, "_PIL_Image", FakePIL)
+        assert M.decode_image_dims(b"GOOD rest of image bytes") == (320, 240)
+        bad = b"definitely not an image"
+        assert M.decode_image_dims(bad) == M._decode_image_stub(bad)
+        monkeypatch.setattr(M, "_PIL_Image", None)
+        assert M.decode_image_dims(bad) == M._decode_image_stub(bad)
+
     def test_resize_preserves_schema_updates_meta(self, spark):
         media = M.synthesize_media(spark, n=6)
         out = M.resize_images(media, 32, 32)

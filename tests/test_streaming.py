@@ -158,14 +158,119 @@ class TestKafkaConfig:
             KafkaSourceConfig(brokers=["b"], topic="t", starting_offsets="oldest")
 
 
+class TestOffsetOrderingContract:
+    """The reference's consume-loop / MarkMessage contract
+    (cdc_manager.go:109-188, :299) without a broker: a Kafka-shaped
+    file stream feeds (topic, partition, offset, value); the
+    Connector wires offset into parse_cdc's seq_col, so conflation
+    orders by (ts, offset) and checkpointed restarts resume exactly
+    like committed offsets."""
+
+    @staticmethod
+    def _kmsg(offset, op, k, v, ts):
+        return json.dumps({
+            "topic": "srv.d.t", "partition": 0, "offset": offset,
+            "value": _msg(op, k, v, ts),
+        })
+
+    def test_ts_tie_broken_by_offset_and_checkpoint_restart(self, spark, tmp_path):
+        from tidb_cdc_spark.sources import kafka_shaped_file_stream
+
+        events_dir = tmp_path / "in"
+        # SAME ts for key "a": only the Kafka offset can order them —
+        # last-write-wins must pick offset 2 (v=5)
+        _write_batch(events_dir, "b1.jsonl", [
+            self._kmsg(0, "insert", "a", 1, 10),
+            self._kmsg(1, "update", "a", 3, 10),
+            self._kmsg(2, "update", "a", 5, 10),
+            self._kmsg(3, "insert", "b", 7, 10),
+        ])
+        sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+        conn = _connector(
+            tmp_path, [sink], kafka_shaped_file_stream(spark, str(events_dir))
+        )
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+        assert {(r.k, r.v) for r in sink.read_current(spark).collect()} == {
+            ("a", 5), ("b", 7)}
+
+        # restart from the checkpoint: only the new file is consumed;
+        # a STALE offset for "a" at the same ts must NOT regress it
+        _write_batch(events_dir, "b2.jsonl", [
+            self._kmsg(4, "delete", "b", 7, 11),
+            self._kmsg(5, "update", "a", 9, 10),
+        ])
+        conn2 = _connector(
+            tmp_path, [sink], kafka_shaped_file_stream(spark, str(events_dir))
+        )
+        conn2.start(spark, available_now=True)
+        conn2.await_termination()
+        assert {(r.k, r.v) for r in sink.read_current(spark).collect()} == {
+            ("a", 9)}
+
+
 class TestJdbcMergeSql:
     def test_merge_statement_shape(self):
         sink = JdbcMergeSink(url="jdbc:x", table="tgt")
         sql = sink.merge_sql(SPEC, "stage")
-        assert "MERGE INTO tgt t USING stage s ON t.k = s.k" in sql
-        assert "WHEN MATCHED AND s._op = 'delete' THEN DELETE" in sql
-        assert "UPDATE SET v = s.v" in sql
-        assert "INSERT (k, v) VALUES (s.k, s.v)" in sql
+        assert 'MERGE INTO tgt t USING stage s ON t."k" = s."k"' in sql
+        assert 'WHEN MATCHED AND s."_op" = \'delete\' THEN DELETE' in sql
+        assert 'UPDATE SET "v" = s."v"' in sql
+        assert 'INSERT ("k", "v") VALUES (s."k", s."v")' in sql
+
+
+class TestJdbcMergeSinkDerby:
+    """Executes the generated MERGE for real against embedded Derby
+    (ships on Spark's classpath; in-process, same JVM as local-mode
+    executors, so the in-memory database is visible to both the
+    staging write and the driver-side MERGE)."""
+
+    def test_merge_executes_end_to_end(self, spark, tmp_path):
+        url = f"jdbc:derby:memory:merge_{tmp_path.name};create=true"
+        sink = JdbcMergeSink(
+            url=url,
+            table="tgt",
+            create_column_types="k VARCHAR(64), _op VARCHAR(16)",
+        )
+        # target table: quoted lowercase columns, matching Spark's
+        # JDBC writer quoting of the staging table
+        sink._execute(
+            spark,
+            'CREATE TABLE tgt ("k" VARCHAR(64) NOT NULL, "v" INT, PRIMARY KEY ("k"))',
+        )
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [
+            _msg("insert", "a", 1, 10),
+            _msg("insert", "b", 2, 11),
+            _msg("update", "a", 5, 12),
+            _msg("delete", "b", 2, 13),
+        ])
+        conn = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+
+        def read_tgt():
+            return {
+                (r.k, r.v)
+                for r in spark.read.format("jdbc")
+                .option("url", url)
+                .option("dbtable", "tgt")
+                .load()
+                .collect()
+            }
+
+        assert read_tgt() == {("a", 5)}
+
+        # second batch through the checkpoint: update + insert + delete
+        _write_batch(events_dir, "b2.jsonl", [
+            _msg("update", "a", 9, 20),
+            _msg("insert", "c", 3, 21),
+            _msg("delete", "a", 9, 22),
+        ])
+        conn2 = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn2.start(spark, available_now=True)
+        conn2.await_termination()
+        assert read_tgt() == {("c", 3)}
 
 
 class TestStreamingWindows:

@@ -63,13 +63,37 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+try:  # pragma: no cover — no codec libs in this container
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     """STUB — deterministic fake decode (no codec libs in this
-    container). Replace with PIL.Image.open(io.BytesIO(payload)).size
-    in a real deployment. The fake derives a stable (w, h) from the
-    payload hash so tests are reproducible."""
+    container). The fake derives a stable (w, h) from the payload
+    hash so tests are reproducible."""
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 64, 64 + h[1] % 64
+
+
+def decode_image_dims(payload: bytes) -> tuple[int, int]:
+    """THE stub boundary, kept to one function: real decode when a
+    codec library is importable (PIL — a container with codecs uses
+    it automatically), deterministic fake otherwise. A payload PIL
+    cannot parse also falls back to the fake (keeps the pipeline
+    total; a production deployment wanting dead-lettering instead
+    swaps this one function). Everything around it — schema, Arrow
+    batching, partitioning — is real either way."""
+    if _PIL_Image is not None:
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                return int(im.size[0]), int(im.size[1])
+        except Exception:
+            return _decode_image_stub(payload)
+    return _decode_image_stub(payload)
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -88,7 +112,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                 ),
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
             }
-            dims = pdf["payload"].map(lambda b: _decode_image_stub(bytes(b)))
+            dims = pdf["payload"].map(lambda b: decode_image_dims(bytes(b)))
             out["feat_width"] = dims.map(lambda d: d[0]).astype("int32")
             out["feat_height"] = dims.map(lambda d: d[1]).astype("int32")
             yield pd.DataFrame(out)

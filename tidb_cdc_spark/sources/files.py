@@ -27,3 +27,28 @@ def maxwell_file_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path)
+
+
+#: Column layout Spark's Kafka source produces (the subset the engine
+#: consumes); the fake below matches it so the Connector's offset-
+#: ordering path is identical for both.
+KAFKA_ENVELOPE_SCHEMA = "topic string, partition int, offset long, value string"
+
+
+def kafka_shaped_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Kafka-SHAPED replay source: JSON-lines rows carrying the Kafka
+    envelope columns (topic, partition, offset, value).
+
+    This is the broker-free twin of ``kafka_stream`` — same columns,
+    so the Connector detects ``offset`` and feeds it to
+    ``parse_cdc(seq_col=offset)``, exercising the reference's
+    offset-ordering / commit contract (consume loop + MarkMessage,
+    ``cdc_manager.go:109-188``, ``:299``) end-to-end: within a ts tie
+    the HIGHER offset wins conflation, and checkpointed restarts
+    resume past consumed files exactly like committed offsets."""
+    reader = spark.readStream.format("json").schema(KAFKA_ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)

@@ -85,26 +85,41 @@ class JdbcMergeSink(Sink):
     JDBC → one MERGE statement keyed on PK (exactly-once to the
     target given idempotent MERGE + checkpointed offsets).
 
-    Untestable in this container (no JDBC target); the MERGE SQL
-    generation is pure and unit-tested, the execute path is gated.
+    Column identifiers are double-quoted (ANSI) in the generated
+    MERGE, matching Spark's JDBC writer, which always quotes the
+    column names it creates; table names are passed through as given
+    so they resolve the same way for both engines. Integration-tested
+    end-to-end against embedded Derby (on Spark's classpath; MERGE
+    since 10.11) — in-memory Derby is same-JVM only, so on a real
+    cluster point ``url`` at a network-reachable database.
+
+    ``create_column_types`` is forwarded to the staging write's
+    ``createTableColumnTypes`` — needed for dialects that map
+    StringType to a non-comparable type by default (Derby: CLOB,
+    which cannot sit in a MERGE ON clause).
     """
 
     url: str
     table: str
     properties: dict | None = None
+    create_column_types: str | None = None
 
     def merge_sql(self, spec: TableSpec, staging: str) -> str:
+        def q(c: str) -> str:
+            return '"' + c + '"'
+
         cols = [c.source for c in spec.resolved_columns()]
         pk = spec.pk_columns
-        on = " AND ".join(f"t.{c} = s.{c}" for c in pk)
-        sets = ", ".join(f"{c} = s.{c}" for c in cols if c not in pk)
-        ins_cols = ", ".join(cols)
-        ins_vals = ", ".join(f"s.{c}" for c in cols)
+        on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in pk)
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in cols if c not in pk)
+        ins_cols = ", ".join(q(c) for c in cols)
+        ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        op = q("_op")
         return (
             f"MERGE INTO {self.table} t USING {staging} s ON {on} "
-            f"WHEN MATCHED AND s._op = 'delete' THEN DELETE "
+            f"WHEN MATCHED AND s.{op} = 'delete' THEN DELETE "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED AND s._op <> 'delete' THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+            f"WHEN NOT MATCHED AND s.{op} <> 'delete' THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         )
 
     def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
@@ -118,17 +133,42 @@ class JdbcMergeSink(Sink):
         )
         staging = f"{self.table}_stage_{batch_id}"
         props = self.properties or {}
-        staged.write.format("jdbc").option("url", self.url).option(
-            "dbtable", staging
-        ).options(**props).mode("overwrite").save()
-        self._execute_merge(changes.sparkSession, self.merge_sql(spec, staging))
+        writer = (
+            staged.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", staging)
+            .options(**props)
+        )
+        if self.create_column_types:
+            writer = writer.option("createTableColumnTypes", self.create_column_types)
+        writer.mode("overwrite").save()
+        spark = changes.sparkSession
+        try:
+            self._execute(spark, self.merge_sql(spec, staging))
+        finally:
+            # staging is per-batch scratch; a failed merge fails the
+            # batch and the retry overwrites it anyway
+            self._execute(spark, f"DROP TABLE {staging}", ignore_errors=True)
 
-    def _execute_merge(self, spark, sql: str) -> None:  # pragma: no cover
-        # Requires a vendor JDBC driver on the classpath and a live
-        # target database — neither exists in this container. The SQL
-        # itself is unit-tested; wire a driver-side java.sql call here
-        # when deploying (DriverManager.getConnection(url).execute).
-        raise NotImplementedError(f"no JDBC target available; generated: {sql}")
+    def _execute(self, spark, sql: str, ignore_errors: bool = False) -> None:
+        """Run one statement driver-side over java.sql (py4j) — the
+        MERGE is a single server-side statement, not a Spark job."""
+        jvm = spark._jvm
+        props = jvm.java.util.Properties()
+        for k, v in (self.properties or {}).items():
+            props.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(sql)
+            except Exception:
+                if not ignore_errors:
+                    raise
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
 
 
 class HandlerSink(Sink):
