@@ -1,0 +1,139 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pair edges.
+
+The dedup operators (exact/minhash/simhash/jaccard/embedding) emit
+PAIRS; deduplicating a corpus needs the transitive closure — if
+A~B and B~C then A,B,C are one cluster with one kept representative.
+This is the standard last stage of a pretraining dedup pipeline.
+
+Algorithm: iterative min-label propagation (each node adopts the
+smallest label among itself and its neighbors until fixpoint) — the
+DataFrame-native formulation of connected components. Convergence
+is O(component diameter) rounds; near-dup clusters are dense and
+shallow (a viral doc family links through shared hubs), so a handful
+of rounds closes them. Each round is one join + one aggregate, both
+equi on node id; on a 1000-executor cluster each round is two
+shuffles over |V| rows, where V is only the nodes that appear in
+some pair (≪ corpus).
+
+Lineage: labels are CHECKPOINTED each round, not persisted —
+``persist`` keeps the full logical plan, which for an iterative
+join grows exponentially with rounds (the plan tree alone OOMs the
+driver around round ~15). Truncation is the standard Spark answer
+for iterative algorithms (GraphX does the same): a reliable
+``checkpoint`` when ``sparkContext.setCheckpointDir`` is configured
+(fault-tolerant — set it to HDFS/object storage on a real cluster),
+else ``localCheckpoint`` (single-node sessions; an executor loss
+reruns the job, which for a deterministic CC is safe to retry).
+
+Cited precedent: this is the "hash-min" variant of the MapReduce
+connected-components family (Kiveris et al., "Connected Components
+in MapReduce and Beyond" — public literature); the large-star/
+small-star optimization drops rounds to O(log d) and slots in here
+unchanged if ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.session import materialize
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage between iterations: reliable checkpoint when a
+    checkpoint dir is configured, localCheckpoint otherwise."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``edges``;
+    ``cluster_id`` is the component's minimum node id (stable,
+    deterministic representative).
+
+    Raises if ``max_iters`` rounds do not reach the fixpoint — a
+    silent partial closure would under-merge clusters, which for
+    dedup means silently KEEPING duplicates; fail loudly instead.
+    """
+    sym = materialize(
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        ).union(
+            edges.select(
+                F.col(dst_col).cast("long").alias("src"),
+                F.col(src_col).cast("long").alias("dst"),
+            )
+        )
+    )
+    labels = _truncate(
+        sym.select(F.col("src").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .select(F.col("src").alias("id"), "nbr_label")
+        )
+        new_labels = _truncate(
+            labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old_label")), "id"
+            )
+            .filter(F.col("label") < F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        f"raise max_iters (component diameter exceeds it)"
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """(doc_id, cluster_id, is_representative) over the WHOLE corpus:
+    docs in no pair form singleton clusters of themselves; the kept
+    representative is the cluster's min doc id. Filtering on
+    ``is_representative`` is the dedup."""
+    cc = connected_components(pairs, src_col, dst_col)
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        cc.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    ).withColumn(
+        "is_representative", (F.col("doc_id") == F.col("cluster_id"))
+    )

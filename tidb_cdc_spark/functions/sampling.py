@@ -1,0 +1,75 @@
+"""Deterministic sampling for training-data pipelines.
+
+A 100 TB corpus is never sampled with ``rand()`` — reruns must pick
+the SAME rows (reproducible ablations, resumable jobs, consistent
+train/eval splits), so the keep/drop decision is a pure function of
+a stable key: hash the key, keep the row iff the hash falls below
+the rate threshold. Everything here is codegen expressions (md5 →
+hex → integer compare); a sample is a filtered scan — no shuffle,
+no state, trivially parallel at any scale.
+
+md5 (not xxhash64) is used for the bucket hash so the SAME sample
+can be reproduced in any other engine (DuckDB/Postgres/Python all
+ship md5; xxhash64 seeds differ across libraries) — sampling is a
+cross-system contract in practice (the eval set drawn by the Spark
+job must be reproducible by the offline notebook).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^32 — the bucket hash is 32 bits (first 8 hex chars of md5).
+_BUCKET_SPACE = 4294967296
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 2^32) from a stable key: first 4 bytes
+    of md5(key ‖ salt). Change ``salt`` to draw an independent
+    sample from the same keys (split trains/evals by salt)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ``rate``-fraction sample keyed on ``key_col``.
+
+    The filter is a pure scan predicate — at 100 TB this is a single
+    pass with no shuffle, and (unlike ``df.sample``) every rerun,
+    every engine, and every partition layout selects the same rows.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thresh = int(rate * _BUCKET_SPACE)
+    return df.filter(hash_bucket(F.col(key_col), salt) < F.lit(thresh))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates to
+    rebalance a pretraining mix). ``rates`` maps stratum value →
+    keep fraction; strata not listed get ``default_rate``.
+
+    Same scan-only shape as ``hash_sample`` — the stratum threshold
+    is a CASE expression on the stratum column, so no join against a
+    rates table is needed (broadcast-join a rates table instead once
+    the map stops fitting in a literal CASE — thousands of strata)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    thresh: Column = F.lit(int(default_rate * _BUCKET_SPACE))
+    for s, r in sorted(rates.items()):
+        thresh = (
+            F.when(F.col(strata_col) == s, F.lit(int(r * _BUCKET_SPACE)))
+            .otherwise(thresh)
+        )
+    return df.filter(hash_bucket(F.col(key_col), salt) < thresh)

@@ -91,6 +91,38 @@ def lang_id(text: Column) -> Column:
     return F.when(best > 0, pred).otherwise(F.lit("und"))
 
 
+#: PII patterns — deliberately lookaround-free so they behave
+#: identically under Java regex (Spark) and RE2 (DuckDB/Go).
+#: Ordered: emails before phones (an email's digits must not be
+#: half-eaten by the phone pattern), URLs before emails would also
+#: work — the apply order below is the contract.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+[0-9][0-9()\-\s]{6,}[0-9]"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (url/email/phone) — codegen
+    regexp_count scans, no Python in the row path."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)) for kind, pat in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``, applying patterns in
+    ``PII_PATTERNS`` order (urls first so an email-shaped userinfo
+    inside a URL is consumed by the URL rule). The standard scrub
+    pass before a corpus ships to training — pure expressions, a
+    100 TB scrub is a linear scan."""
+    out = text
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit document fingerprint: xxhash64 over the
     whitespace-normalized, lower-cased text. The exact-dedup key —
