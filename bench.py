@@ -71,6 +71,12 @@ def main() -> None:
         "knn_lsh_cosine",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "sample_hash_docs",
+        "tfidf_top_terms",
+        "dedup_clusters_exact",
+        "pii_scrub_stats",
+        "corpus_quality_filter",
+        "contamination_eval_overlap",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,117 @@
+"""Tests for repetition stats, quality filtering, and contamination
+detection (functions/quality.py)."""
+
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import quality as Q
+from tidb_cdc_spark.functions import sampling as SA
+
+
+class TestRepetitionStats:
+    def test_hand_checked(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "a a a b"),
+                (1, "x y z w"),
+                (2, "ab!?"),
+                (3, "   "),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in Q.repetition_stats(docs).collect()}
+        r0 = rows[0]
+        # tokens: a a a b → top a=3/4; 2-grams: (a a, a a, a b) → 1 dup
+        # of 3; 3-grams: (a a a, a a b) → 0 dup of 2
+        assert r0.n_tokens == 4
+        assert r0.top_token_ppm == 750000
+        assert r0.dup_2gram_ppm == 333333
+        assert r0.dup_3gram_ppm == 0
+        r1 = rows[1]
+        assert (r1.top_token_ppm, r1.dup_2gram_ppm) == (250000, 0)
+        # "ab!?": 2 symbol chars of 4
+        assert rows[2].symbol_ppm == 500000
+        # whitespace-only doc: all-zero stats, still present
+        r3 = rows[3]
+        assert (r3.n_tokens, r3.top_token_ppm, r3.dup_2gram_ppm) == (0, 0, 0)
+
+    def test_case_insensitive_tokens(self, spark):
+        docs = spark.createDataFrame([(0, "The THE the")], "doc_id long, text string")
+        r = Q.repetition_stats(docs).collect()[0]
+        assert r.top_token_ppm == 1000000  # all one token after lower()
+
+
+class TestQualityFilter:
+    def test_reasons_ordered_and_keep(self, spark):
+        long_clean = " ".join(f"w{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [
+                (0, long_clean),  # keep
+                (1, "short doc"),  # too_short
+                (2, "spam " * 30),  # top_token AND dup_2gram (not short)
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in Q.quality_filter(docs).collect()}
+        assert rows[0].keep and rows[0].fail_reasons == ""
+        # 2 tokens: short AND max token share 1/2 > 20 % — order fixed
+        assert not rows[1].keep and rows[1].fail_reasons == "too_short,top_token"
+        assert rows[2].fail_reasons == "top_token,dup_2gram"
+
+    def test_custom_thresholds(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "one two three")], "doc_id long, text string"
+        )
+        t = Q.QualityThresholds(min_tokens=1, max_top_token_ppm=400000)
+        assert Q.quality_filter(docs, t).collect()[0].keep
+
+
+class TestShingleStringRows:
+    def test_counts_and_short_doc(self, spark):
+        ten = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(0, ten), (1, "a b c")], "doc_id long, text string"
+        )
+        sh = Q.shingle_string_rows(docs, k=8)
+        by_doc = {}
+        for r in sh.collect():
+            by_doc.setdefault(r.doc_id, set()).add(r._g)
+        assert len(by_doc[0]) == 3  # 10 - 8 + 1
+        assert by_doc[1] == {"a b c"}  # n < k → one all-token shingle
+
+    def test_distinct(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b a b a b a b a b")], "doc_id long, text string"
+        )
+        # 10 tokens → 3 positional 8-shingles, 2 identical ("a b"*4
+        # starting on 'a') → distinct set smaller than count
+        got = Q.shingle_string_rows(docs, k=8).count()
+        assert got == 2
+
+
+class TestContamination:
+    def test_duplicate_across_split_detected(self, spark):
+        # find an eval id and a train id under the default split,
+        # then plant identical text on both
+        ids = spark.range(0, 50).select(
+            F.col("id"),
+            (SA.hash_bucket(F.col("id"), "eval") < int(0.10 * 2**32)).alias("e"),
+        ).collect()
+        eval_id = next(r.id for r in ids if r.e)
+        train_ids = [r.id for r in ids if not r.e][:2]
+        shared = " ".join(f"s{i}" for i in range(12))
+        unique = " ".join(f"u{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [
+                (eval_id, shared),
+                (train_ids[0], shared),
+                (train_ids[1], unique),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in Q.contamination_overlap(docs).collect()}
+        assert eval_id not in rows  # eval docs are not reported
+        dup = rows[train_ids[0]]
+        assert dup.contaminated and dup.n_hits == dup.n_shingles == 5
+        clean = rows[train_ids[1]]
+        assert not clean.contaminated and clean.n_hits == 0
+        assert clean.n_shingles == 5
