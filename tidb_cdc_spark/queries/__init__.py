@@ -16,11 +16,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tidb_cdc_spark.queries import batch, batch2, batch3, cdcq, llm, llm2, llm3, llm4
+from tidb_cdc_spark.queries import (
+    batch,
+    batch2,
+    batch3,
+    cdcq,
+    llm,
+    llm2,
+    llm3,
+    llm4,
+    llm5,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (batch, batch2, batch3, cdcq, llm, llm2, llm3, llm4):
+for mod in (batch, batch2, batch3, cdcq, llm, llm2, llm3, llm4, llm5):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
