@@ -77,6 +77,9 @@ def main() -> None:
         "pii_scrub_stats",
         "corpus_quality_filter",
         "contamination_eval_overlap",
+        "pack_sequences",
+        "corpus_mix_plan",
+        "knn_centroid_assign",
     ]
     timings: dict[str, float] = {}
     for name in names:

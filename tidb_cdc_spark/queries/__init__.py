@@ -26,11 +26,12 @@ from tidb_cdc_spark.queries import (
     llm3,
     llm4,
     llm5,
+    llm6,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (batch, batch2, batch3, cdcq, llm, llm2, llm3, llm4, llm5):
+for mod in (batch, batch2, batch3, cdcq, llm, llm2, llm3, llm4, llm5, llm6):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
