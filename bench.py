@@ -80,6 +80,9 @@ def main() -> None:
         "pack_sequences",
         "corpus_mix_plan",
         "knn_centroid_assign",
+        "vocab_top_terms",
+        "source_overlap_matrix",
+        "embedding_int8_quantize",
     ]
     timings: dict[str, float] = {}
     for name in names:
