@@ -1,0 +1,124 @@
+"""Tests for stream-static enrichment and incremental corpus
+ingestion (streaming/enrich.py)."""
+
+import json
+import os
+
+import pytest
+
+from tidb_cdc_spark.streaming.enrich import (
+    enrich_stream,
+    ingest_new_documents,
+    snapshot_fingerprints,
+)
+
+
+def _doc_stream(spark, tmp_path, rows):
+    d = tmp_path / "docs_in"
+    os.makedirs(d, exist_ok=True)
+    with open(d / "1.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    return (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string, source string, ingest_ts timestamp")
+        .load(str(d))
+    )
+
+
+class TestEnrichStream:
+    def test_left_join_attaches_dim(self, spark, tmp_path):
+        stream = _doc_stream(
+            spark,
+            tmp_path,
+            [
+                {"doc_id": 1, "text": "a", "source": "web", "ingest_ts": "2024-01-01 00:00:00"},
+                {"doc_id": 2, "text": "b", "source": "unknown", "ingest_ts": "2024-01-01 00:00:00"},
+            ],
+        )
+        dim = spark.createDataFrame(
+            [("web", 500_000)], "source string, mix_ppm long"
+        )
+        out = enrich_stream(stream, dim, on="source")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("enriched")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_e"))
+            .start()
+        )
+        q.awaitTermination()
+        rows = {r.doc_id: r.mix_ppm for r in spark.sql("select * from enriched").collect()}
+        assert rows == {1: 500_000, 2: None}
+
+    def test_illegal_how_rejected(self, spark):
+        df = spark.createDataFrame([(1,)], "a long")
+        with pytest.raises(ValueError, match="stream-static"):
+            enrich_stream(df, df, on="a", how="full")
+
+    def test_dim_is_broadcast(self, spark, tmp_path):
+        stream = _doc_stream(
+            spark,
+            tmp_path,
+            [{"doc_id": 1, "text": "a", "source": "web", "ingest_ts": "2024-01-01 00:00:00"}],
+        )
+        dim = spark.createDataFrame([("web", 1)], "source string, x long")
+        q = (
+            enrich_stream(stream, dim, on="source")
+            .writeStream.format("memory")
+            .queryName("enrich_plan")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_p"))
+            .start()
+        )
+        q.awaitTermination()
+        # the last-executed micro-batch plan must hash-join against a
+        # broadcast dim — no stream-side Exchange
+        plan = q._jsq.explainInternal(False)
+        assert "BroadcastHashJoin" in plan
+
+
+class TestIngestNewDocuments:
+    def test_snapshot_and_in_stream_dedup(self, spark, tmp_path):
+        snapshot_docs = spark.createDataFrame(
+            [(100, "already shipped")], "doc_id long, text string"
+        )
+        snap = snapshot_fingerprints(snapshot_docs)
+        stream = _doc_stream(
+            spark,
+            tmp_path,
+            [
+                # dup of the snapshot — dropped
+                {"doc_id": 1, "text": "already shipped", "source": "web", "ingest_ts": "2024-01-01 00:00:00"},
+                # fresh — kept
+                {"doc_id": 2, "text": "brand new", "source": "web", "ingest_ts": "2024-01-01 00:01:00"},
+                # in-stream repeat of the fresh doc — dropped
+                {"doc_id": 3, "text": "brand new", "source": "books", "ingest_ts": "2024-01-01 00:02:00"},
+                # another fresh one — kept
+                {"doc_id": 4, "text": "also new", "source": "web", "ingest_ts": "2024-01-01 00:03:00"},
+            ],
+        )
+        out = ingest_new_documents(stream, snap, broadcast_snapshot=True)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ingested")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_i"))
+            .start()
+        )
+        q.awaitTermination()
+        kept = sorted(
+            r.doc_id for r in spark.sql("select * from ingested").collect()
+        )
+        assert kept == [2, 4]
+
+    def test_emits_fp_for_snapshot_append(self, spark, tmp_path):
+        snap = snapshot_fingerprints(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        )
+        stream = _doc_stream(
+            spark,
+            tmp_path,
+            [{"doc_id": 2, "text": "y", "source": "web", "ingest_ts": "2024-01-01 00:00:00"}],
+        )
+        out = ingest_new_documents(stream, snap)
+        assert "fp" in out.columns
