@@ -83,6 +83,8 @@ def main() -> None:
         "vocab_top_terms",
         "source_overlap_matrix",
         "embedding_int8_quantize",
+        "quality_budget_head",
+        "corpus_snapshot_diff",
     ]
     timings: dict[str, float] = {}
     for name in names:

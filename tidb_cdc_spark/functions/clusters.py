@@ -92,22 +92,20 @@ def connected_components(
             .agg(F.min("dst_label").alias("nbr_label"))
             .select(F.col("src").alias("id"), "nbr_label")
         )
+        # change detection is fused into the update join (a `_changed`
+        # flag column) — counting it on the checkpointed result costs
+        # one tiny job, vs a whole labels⋈labels join per round
         new_labels = _truncate(
             labels.join(nbr_min, "id", "left").select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old_label")), "id"
-            )
-            .filter(F.col("label") < F.col("old_label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             sym.unpersist()
             return labels.select("id", F.col("label").alias("cluster_id"))

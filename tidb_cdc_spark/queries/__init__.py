@@ -28,11 +28,12 @@ from tidb_cdc_spark.queries import (
     llm5,
     llm6,
     llm7,
+    llm8,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (batch, batch2, batch3, cdcq, llm, llm2, llm3, llm4, llm5, llm6, llm7):
+for mod in (batch, batch2, batch3, cdcq, llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

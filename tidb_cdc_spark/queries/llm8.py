@@ -1,0 +1,122 @@
+r"""Eighth wave: budget-constrained quality selection (take the
+best docs until half the corpus tokens are spent —
+functions/selection.py) and corpus snapshot diff (derive the
+added/removed/changed delta between two corpus versions —
+functions/versioning.py).
+
+Cross-engine notes: quality is integral µ-units (PPM − symbol_ppm,
+truncating division); the running sum is fully determined by the
+total (quality DESC, doc_id ASC) order, which Spark computes with
+the two-level quality-banded distributed scan and the oracle with a
+plain window — same integers. The v2 snapshot in the diff query is
+SYNTHESIZED deterministically from doc_id arithmetic (drop %10==1,
+revise %10==2, add remapped %10==3) so both engines build the same
+pair of corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import selection as SEL
+from tidb_cdc_spark.functions import text as T
+from tidb_cdc_spark.functions import versioning as VER
+from tidb_cdc_spark.queries.llm import _docs
+
+_PPM = SEL.PPM
+
+
+def quality_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-the-corpus token budget spent on the highest-quality
+    (fewest-symbols) documents first; per doc the running spend and
+    the keep decision."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.lit(_PPM)
+            - F.expr(
+                f"(length(regexp_replace(text, '[A-Za-z0-9\\\\s]', '')) * {_PPM}L)"
+                " div greatest(length(text), 1)"
+            )
+        ).alias("quality_ppm"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return SEL.budget_head(d).orderBy("doc_id")
+
+
+_BUDGET_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST({_PPM} - (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+              * {_PPM}) // GREATEST(length(text), 1) AS BIGINT) AS quality_ppm,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+  FROM s
+)
+SELECT doc_id, quality_ppm, n_tokens, cum_tokens,
+       cum_tokens * 2 <= total AS selected
+FROM c ORDER BY doc_id
+"""
+
+
+def _v2(d: DataFrame) -> DataFrame:
+    kept = d.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    return kept.unionAll(added)
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document diff between the corpus and a deterministically
+    synthesized v2 (drop %10==1, revise %10==2, add remapped
+    %10==3): id, status, both content fingerprints."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return VER.snapshot_diff(d, _v2(d)).orderBy("id")
+
+
+_DIFF_SQL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 2 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 1
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 10 = 3
+), o AS (SELECT doc_id AS id, md5(text) AS old_fp FROM documents),
+n AS (SELECT doc_id AS id, md5(text) AS new_fp FROM v2)
+SELECT COALESCE(o.id, n.id) AS id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp = new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_fp, new_fp
+FROM o FULL OUTER JOIN n USING (id) ORDER BY id
+"""
+
+
+QUERIES = {
+    "quality_budget_head": quality_budget_head,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
+}
+
+ORACLE = {
+    "quality_budget_head": _BUDGET_SQL,
+    "corpus_snapshot_diff": _DIFF_SQL,
+}
