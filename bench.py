@@ -85,6 +85,8 @@ def main() -> None:
         "embedding_int8_quantize",
         "quality_budget_head",
         "corpus_snapshot_diff",
+        "events_funnel",
+        "events_cohort_retention",
     ]
     timings: dict[str, float] = {}
     for name in names:
