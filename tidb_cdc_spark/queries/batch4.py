@@ -115,12 +115,75 @@ GROUP BY 1, 2 ORDER BY cohort_day, day_offset
 """
 
 
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts per type on a COMPLETE date spine (missing
+    days 0-filled) with a per-type running total — the resample /
+    gap-fill shape every time-series report needs.
+
+    Scale: the spine is (#days × #types) rows built from a 1-row
+    bounds aggregate — broadcast to the left join; the running total
+    window is partitioned by type (parallel, never corpus-global)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = (
+        bounds.select(
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+        )
+        .crossJoin(d.select("event_type").distinct())
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("n_events"),
+            F.sum(F.coalesce("c", F.lit(0))).over(w).cast("long").alias("running_total"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_GAPFILL_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+spine AS (
+  SELECT t.event_type, CAST(u.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM d) t
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+              FROM b) u
+)
+SELECT spine.event_type,
+       strftime(spine.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(c, 0) AS BIGINT) AS n_events,
+       CAST(SUM(COALESCE(c, 0)) OVER (PARTITION BY spine.event_type
+            ORDER BY spine.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_total
+FROM spine LEFT JOIN d USING (event_type, day)
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
+    "events_daily_gapfill": events_daily_gapfill,
 }
 
 ORACLE = {
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
+    "events_daily_gapfill": _GAPFILL_SQL,
 }
