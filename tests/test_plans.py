@@ -105,3 +105,35 @@ class TestNewTpchPlans:
         plan = explain_str(q18_large_volume_customers(spark, SF))
         assert "sum_qty" in plan
         assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+
+
+class TestNewWavePlans:
+    def test_funnel_scans_events_at_most_thrice(self, spark):
+        from tidb_cdc_spark.queries.batch4 import events_funnel
+
+        # v and c are materialized, so the plan holds exactly one
+        # filtered events scan per funnel stage — not the 6 the
+        # unmaterialized DAG would re-expand to
+        plan = explain_str(events_funnel(spark, SF))
+        assert plan.count("FileScan parquet") <= 3
+
+    def test_funnel_pushes_event_type(self, spark):
+        from tidb_cdc_spark.queries.batch4 import events_funnel
+
+        df = events_funnel(spark, SF)
+        assert has_pushed_filters(df, "event_type")
+
+    def test_source_overlap_single_corpus_scan(self, spark):
+        from tidb_cdc_spark.queries.llm7 import source_overlap_matrix
+
+        # the distinct (fp, source) projection is materialized before
+        # the self-join: one scan of documents, not one per side
+        plan = explain_str(source_overlap_matrix(spark, SF))
+        assert plan.count("FileScan parquet") <= 1
+
+    def test_gapfill_broadcasts_spine(self, spark):
+        from tidb_cdc_spark.queries.batch4 import events_daily_gapfill
+
+        plan = explain_str(events_daily_gapfill(spark, SF))
+        # spine side joins broadcast; running-total window partitioned
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -112,15 +112,21 @@ def source_overlap(
     whole-document hash misses; pass ``prefix_chars=None`` for exact
     whole-text overlap. The join key is the fingerprint, so per-key
     fan-out ≤ #sources."""
+    from tidb_cdc_spark.session import materialize
+
     head = (
         F.col(text_col)
         if prefix_chars is None
         else F.substring(F.col(text_col), 1, prefix_chars)
     )
-    fs = docs.select(
-        F.md5(head).alias("fp"),
-        F.col(source_col).alias("source"),
-    ).distinct()
+    # materialized: the self-join below would otherwise recompute the
+    # scan + distinct shuffle for EACH side — two full corpus reads
+    fs = materialize(
+        docs.select(
+            F.md5(head).alias("fp"),
+            F.col(source_col).alias("source"),
+        ).distinct()
+    )
     per_source = fs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("total_fps")
     )

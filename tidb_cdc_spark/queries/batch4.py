@@ -27,13 +27,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase conversion: users with a view, users
     with a click at-or-after their first view, users with a purchase
     at-or-after that first qualifying click."""
+    from tidb_cdc_spark.session import materialize
+
     ev = _t(spark, sf_dir, "events")
-    v = (
+    # v and c are per-user aggregates (small) consumed by 3 resp. 2
+    # downstream stages — materialized, else each use re-expands into
+    # its own filtered scan + aggregation of the events table
+    v = materialize(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
-    c = (
+    c = materialize(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("t_view"))
