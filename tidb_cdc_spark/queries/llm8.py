@@ -111,12 +111,53 @@ FROM o FULL OUTER JOIN n USING (id) ORDER BY id
 """
 
 
+_CW, _CS = 32, 24  # window/stride sized to the testdata's 10-99-token docs
+
+
+def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking (32-token windows, stride 24):
+    one row per chunk span per document."""
+    from tidb_cdc_spark.functions import chunking as CH
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return CH.chunk_spans(d, window=_CW, stride=_CS).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+_CHUNK_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+             x -> x <> '')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       start_tok // {_CS} AS chunk_idx,
+       start_tok,
+       LEAST(start_tok + {_CW}, n) AS end_tok,
+       LEAST(start_tok + {_CW}, n) - start_tok AS chunk_tokens
+FROM (
+  SELECT doc_id, n, CAST(u.s AS BIGINT) AS start_tok
+  FROM tok, unnest(generate_series(0,
+       {_CS} * ((GREATEST(n - {_CW}, 0) + {_CS - 1}) // {_CS}),
+       {_CS})) u(s)
+  WHERE n > 0
+)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "quality_budget_head": quality_budget_head,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "doc_chunk_spans": doc_chunk_spans,
 }
 
 ORACLE = {
     "quality_budget_head": _BUDGET_SQL,
     "corpus_snapshot_diff": _DIFF_SQL,
+    "doc_chunk_spans": _CHUNK_SQL,
 }
