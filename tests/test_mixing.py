@@ -1,6 +1,8 @@
 """Tests for corpus mixing / batch-layout planning
 (functions/mixing.py)."""
 
+from pyspark.sql import functions as F
+
 from tidb_cdc_spark.functions import mixing as MX
 
 
@@ -103,3 +105,37 @@ class TestTokenLengthHistogram:
         assert out[4].n_docs == 1 and out[4].min_tokens == 8
         assert out[10].n_docs == 1 and out[10].max_tokens == 1023
         assert out[11].n_docs == 1 and out[11].min_tokens == 1024
+
+
+class TestIsqrtAndTemperature:
+    def test_isqrt_exact_sweep(self, spark):
+        import math
+
+        vals = list(range(0, 200)) + [
+            10**12 - 1,
+            10**12,
+            (2**31 - 1) ** 2,
+            (2**31 - 1) ** 2 - 1,
+            (2**31 - 1) ** 2 + 1,
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {
+            r.x: r.s
+            for r in df.select("x", MX.isqrt(F.col("x")).alias("s")).collect()
+        }
+        for v in vals:
+            assert got[v] == math.isqrt(v), v
+
+    def test_t2_flattens_mixture(self, spark):
+        rows = [("big", 9000)] * 1 + [("small", 100)]
+        out = {
+            r.source: r
+            for r in MX.temperature_mix_plan(_docs_df(spark, rows)).collect()
+        }
+        # natural: 9000/9100 vs 100/9100; t2 weights isqrt: 94 vs 10
+        assert out["big"].t2_weight == 94 and out["small"].t2_weight == 10
+        # the small source's target share rises vs natural, big's falls
+        assert out["small"].t2_target_ppm > out["small"].natural_ppm
+        assert out["big"].t2_target_ppm < out["big"].natural_ppm
+        # and the small source must repeat to hit its target
+        assert out["small"].repeat_epochs >= 2

@@ -119,6 +119,68 @@ def source_mix_plan(
     )
 
 
+def isqrt(col: F.Column) -> F.Column:
+    """EXACT integer square root of a non-negative BIGINT column.
+
+    ``floor(sqrt(double))`` alone is rounding-mode hazardous near
+    perfect squares, so the float candidate is corrected with one
+    integral fix-up step (the double error is < 1 for any int64, so
+    one step always lands exactly): c+1 if (c+1)² ≤ x, c−1 if
+    c² > x, else c. Pure integer comparisons → engine-identical."""
+    c = F.floor(F.sqrt(col.cast("double"))).cast("long")
+    return (
+        F.when((c + 1) * (c + 1) <= col, c + 1)
+        .when(c * c > col, c - 1)
+        .otherwise(c)
+    )
+
+
+def temperature_mix_plan(
+    docs: DataFrame,
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """T=2 (square-root) temperature mixing: target share per source
+    ∝ √(its token count) — the standard "flatten the mixture" move
+    that boosts small sources without letting any source dominate
+    (multilingual-LM sampling temperature, public practice).
+
+    Emitted per source: ``natural_ppm``, ``t2_weight`` (= isqrt of
+    token count), ``t2_target_ppm`` (weight share of Σ weights),
+    ``target_tokens``, ``need_ppm``, ``sample_rate_ppm``,
+    ``repeat_epochs`` — same contract as :func:`source_mix_plan`.
+    All integral (exact isqrt + truncating division); windows run on
+    the #sources-row aggregate."""
+    stats = source_stats(docs, tokens_col, source_col)
+    w_all = Window.partitionBy()
+    stats = (
+        stats.withColumn("_total", F.sum("n_tokens").over(w_all))
+        .withColumn("t2_weight", isqrt(F.col("n_tokens")))
+        .withColumn("_wsum", F.sum("t2_weight").over(w_all))
+        .withColumn(
+            "_target", F.expr("(_total * t2_weight) div greatest(_wsum, 1L)")
+        )
+    )
+    need = F.expr(f"({PPM}L * _target) div greatest(n_tokens, 1L)")
+    return stats.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"({PPM}L * n_tokens) div _total").alias("natural_ppm"),
+        "t2_weight",
+        F.expr(f"({PPM}L * t2_weight) div greatest(_wsum, 1L)").alias(
+            "t2_target_ppm"
+        ),
+        F.col("_target").alias("target_tokens"),
+        need.alias("need_ppm"),
+        F.least(need, F.lit(PPM)).cast("long").alias("sample_rate_ppm"),
+        F.expr(
+            f"(({PPM}L * _target) div greatest(n_tokens, 1L)"
+            f" + {PPM - 1}L) div {PPM}L"
+        ).alias("repeat_epochs"),
+    )
+
+
 def padding_waste_stats(
     docs: DataFrame,
     budget: int,

@@ -128,14 +128,64 @@ FROM tok GROUP BY 1 ORDER BY bucket
 )
 
 
+def corpus_mix_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root (T=2) temperature mixing plan — per source the
+    exact-integer √-weighted target and sampling factors."""
+    return MX.temperature_mix_plan(_doc_tokens(spark, sf_dir)).orderBy(
+        "source"
+    )
+
+
+# exact isqrt: float floor(sqrt()) candidate + one integral fix-up
+_ISQRT = (
+    "CASE WHEN (c + 1) * (c + 1) <= n_tokens THEN c + 1 "
+    "WHEN c * c > n_tokens THEN c - 1 ELSE c END"
+)
+
+_MIX_T2_SQL = (
+    _TOK_CTE
+    + f"""
+, s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+), c0 AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS c
+  FROM s
+), t AS (
+  SELECT source, n_docs, n_tokens, {_ISQRT} AS t2_weight,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+  FROM c0
+), u AS (
+  SELECT *, CAST(SUM(t2_weight) OVER () AS BIGINT) AS wsum,
+         (total * t2_weight) // GREATEST(wsum, 1) AS target
+  FROM t
+)
+SELECT source, n_docs, n_tokens,
+       (1000000 * n_tokens) // total AS natural_ppm,
+       t2_weight,
+       (1000000 * t2_weight) // GREATEST(wsum, 1) AS t2_target_ppm,
+       target AS target_tokens,
+       (1000000 * target) // GREATEST(n_tokens, 1) AS need_ppm,
+       CAST(LEAST((1000000 * target) // GREATEST(n_tokens, 1), 1000000)
+            AS BIGINT) AS sample_rate_ppm,
+       ((1000000 * target) // GREATEST(n_tokens, 1) + 999999)
+         // 1000000 AS repeat_epochs
+FROM u ORDER BY source
+"""
+)
+
+
 QUERIES = {
     "corpus_mix_plan": corpus_mix_plan,
+    "corpus_mix_t2": corpus_mix_t2,
     "batch_padding_waste": batch_padding_waste,
     "token_length_histogram": token_length_histogram,
 }
 
 ORACLE = {
     "corpus_mix_plan": _MIX_SQL,
+    "corpus_mix_t2": _MIX_T2_SQL,
     "batch_padding_waste": _PAD_SQL,
     "token_length_histogram": _HIST_SQL,
 }
