@@ -181,14 +181,78 @@ ORDER BY event_type, day
 """
 
 
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot: one column per type (explicit value
+    list — a dynamic pivot would need a driver-side distinct; the
+    fixed list keeps the plan a single groupBy)."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _TYPES
+        ],
+    ).orderBy("user_id")
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_value_percentiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped exact percentiles of the event value per type —
+    Spark ``percentile`` == DuckDB ``quantile_cont`` (same p·(n−1)
+    convention); at 100 TB swap in approx_percentile (same shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PCTL_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "events_daily_gapfill": events_daily_gapfill,
+    "events_pivot_by_type": events_pivot_by_type,
+    "events_value_percentiles_by_type": events_value_percentiles_by_type,
 }
 
 ORACLE = {
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
     "events_daily_gapfill": _GAPFILL_SQL,
+    "events_pivot_by_type": _PIVOT_SQL,
+    "events_value_percentiles_by_type": _PCTL_SQL,
 }
