@@ -83,6 +83,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     # runtime-settable, so pin it at the read site.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # date/hour-derived outputs (events_hourly, cohorts, date
+        # showcases) assume UTC like get_spark() sessions; pin it so
+        # an externally built session in another zone hashes the same
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # read-only conf manager; get_spark() sessions already set it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
