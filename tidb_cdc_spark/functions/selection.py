@@ -57,12 +57,11 @@ def budget_head(
     a budget of HALF the corpus tokens (relative, so the same query
     is meaningful at every scale factor; for an absolute budget
     filter on ``cum_tokens`` directly)."""
+    # column-preserving: the selection decision rides along with
+    # whatever payload columns the caller chains downstream
     df = materialize(
-        docs.select(
-            F.col(id_col),
-            F.col(quality_col).cast("long").alias(quality_col),
-            F.col(tokens_col).cast("long").alias(tokens_col),
-        )
+        docs.withColumn(quality_col, F.col(quality_col).cast("long"))
+        .withColumn(tokens_col, F.col(tokens_col).cast("long"))
     )
     width = -(-(PPM + 1) // n_shards)  # ceil
     shard = F.when(
