@@ -43,11 +43,16 @@ from tidb_cdc_spark.session import materialize
 
 def _truncate(df: DataFrame) -> DataFrame:
     """Cut lineage between iterations: reliable checkpoint when a
-    checkpoint dir is configured, localCheckpoint otherwise."""
+    checkpoint dir is configured, localCheckpoint otherwise.
+
+    LAZY (eager=False): every round immediately runs a `changed`
+    count over the result, which materializes the checkpoint — an
+    eager truncate would run a whole extra job per round just to
+    materialize it earlier."""
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
 
 
 def connected_components(
