@@ -84,6 +84,59 @@ class TestApply:
         rebuilt = snapshot_from_ops(_parse(spark, batch1 + batch2), SPEC)
         assert _state(merged) == _state(rebuilt) == {"a": 5, "c": 7}
 
+    def test_incremental_agg_delta_merge(self, spark):
+        # base aggregate updated by a parsed CDC batch: insert adds,
+        # update applies (after − before) via the old-map overlay
+        # (_msg sets old.v = v−1), delete subtracts and drops the key
+        # once its count reaches 0.
+        from decimal import Decimal
+
+        from tidb_cdc_spark.cdc.incremental import agg_delta, merge_agg
+
+        base = spark.createDataFrame(
+            [("a", 2, Decimal("30.00")), ("b", 1, Decimal("5.00"))],
+            "k string, n long, total decimal(18,2)",
+        )
+        ops = [
+            _msg("insert", "a", 10, 1),
+            _msg("update", "a", 7, 2),  # before.v = 6 → delta +1
+            _msg("delete", "b", 5, 3),  # b count → 0 → dropped
+            _msg("insert", "c", 4, 4),  # key absent from base
+        ]
+        delta = agg_delta(_parse(spark, ops), key="k", value_field="v")
+        merged = merge_agg(base, delta, key="k")
+        rows = {r.k: (r.n, float(r.total)) for r in merged.collect()}
+        assert rows == {"a": (3, 41.0), "c": (1, 4.0)}
+
+    def test_incremental_agg_matches_rebuild(self, spark):
+        # property check: base(batch1) ⊕ delta(batch2) == agg(batch1+batch2)
+        # for an insert-only base and a mixed delta
+        from tidb_cdc_spark.cdc.incremental import agg_delta, merge_agg
+
+        rng = random.Random(7)
+        batch1, batch2, ts = [], [], 0
+        for i in range(60):
+            ts += 1
+            batch1.append(_msg("insert", f"k{i % 5}", rng.randrange(100), ts))
+        live = {f"k{i % 5}" for i in range(60)}
+        for _ in range(40):
+            ts += 1
+            k = f"k{rng.randrange(5)}"
+            batch2.append(_msg(rng.choice(["insert", "update"]), k, rng.randrange(100), ts))
+        base = (
+            agg_delta(_parse(spark, batch1), key="k", value_field="v")
+            .selectExpr("k", "d_count AS n", "d_sum AS total")
+        )
+        delta = agg_delta(_parse(spark, batch2), key="k", value_field="v")
+        merged = merge_agg(base, delta, key="k")
+        full = (
+            agg_delta(_parse(spark, batch1 + batch2), key="k", value_field="v")
+            .selectExpr("k", "d_count AS n", "d_sum AS total")
+        )
+        got = {r.k: (r.n, float(r.total)) for r in merged.collect()}
+        want = {r.k: (r.n, float(r.total)) for r in full.collect()}
+        assert got == want and set(got) == live
+
     def test_random_op_sequences_last_write_wins(self, spark):
         # property-ish test (FIXTURES F3): final state = sequential
         # dict interpretation of the op log
