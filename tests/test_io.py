@@ -59,3 +59,55 @@ class TestWriteCorpus:
         for f in glob.glob(os.path.join(path, "source=*", "*.parquet")):
             q = pq.read_table(f, columns=["quality"])["quality"].to_pylist()
             assert q == sorted(q), f
+
+
+def _grid(spark, side=64):
+    # full side×side grid: every (x, y) cell once, so coverage
+    # fractions are deterministic geometry, not data luck
+    return spark.range(side * side).selectExpr(
+        f"id % {side} AS x", f"id div {side} AS y", "id AS payload"
+    )
+
+
+class TestZorder:
+    def test_morton_code_matches_python(self, spark):
+        from pyspark.sql import functions as F
+
+        def py_morton(x, y):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        rows = (
+            spark.createDataFrame(
+                [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 3, 128, 65535)],
+                "x long, y long",
+            )
+            .select("x", "y", IO.morton_z2(F.col("x"), F.col("y")).alias("z"))
+            .collect()
+        )
+        for r in rows:
+            assert r.z == py_morton(r.x, r.y), (r.x, r.y)
+
+    def test_zorder_files_prune_on_both_dims(self, spark, tmp_path):
+        zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+        df = _grid(spark)
+        IO.write_zorder(df, zpath, "x", "y", num_files=16)
+        # baseline: single-dim sort layout — perfect on y, useless on x
+        (
+            df.repartitionByRange(16, "y")
+            .sortWithinPartitions("y")
+            .write.parquet(lpath)
+        )
+        zstats = IO.zorder_pruning_stats(spark, zpath, "x", "y").collect()
+        lstats = IO.zorder_pruning_stats(spark, lpath, "x", "y").collect()
+        zx = sum(r.x_cover for r in zstats) / len(zstats)
+        zy = sum(r.y_cover for r in zstats) / len(zstats)
+        lx = sum(r.x_cover for r in lstats) / len(lstats)
+        # z-order: BOTH dims cover a fraction of the range per file;
+        # linear layout: x spans the whole range in every file
+        assert lx > 0.9, lx
+        assert zx < 0.6 and zy < 0.6, (zx, zy)
+        # roundtrip: no rows lost, curve key preserved
+        assert spark.read.parquet(zpath).count() == 64 * 64

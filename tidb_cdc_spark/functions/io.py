@@ -43,6 +43,101 @@ def write_corpus(
     )
 
 
+# ------------------------------------------------------------------
+# Z-order (Morton-curve) layout: multi-dimensional pruning.
+#
+# Sorting a table by ONE column makes parquet min/max stats prune on
+# that column only; a 100 TB table queried by BOTH user and time
+# needs a layout where every file covers a small range of EACH
+# dimension. Interleaving the bits of the two keys (Morton / Z-order
+# code) and range-partitioning + sorting on the code gives every
+# file a compact rectangle in (x, y) space — the same layout trick
+# Delta/Iceberg OPTIMIZE ZORDER applies, expressed here as three
+# pure-codegen bit expressions plus the standard write path.
+# ------------------------------------------------------------------
+
+#: (shift, mask) steps spreading the low 16 bits of a long so bit i
+#: lands at bit 2i (classic magic-number bit dilation).
+_SPREAD16 = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def _spread16(v):
+    v = v.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD16:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_z2(x, y):
+    """32-bit Z-order code of two non-negative columns (low 16 bits
+    each): x occupies even bits, y odd bits. Pure integer codegen —
+    identical arithmetic is expressible in any engine, so oracle
+    queries can pin it bit-for-bit."""
+    return _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    num_files: int = 8,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` Z-ordered on (``x_col`` low 16 bits, ``y_col``
+    low 16 bits): range-partition on the Morton code (sampled range
+    boundaries — no single-task global sort), sort within partitions
+    so row-group stats are tight, keep the code as ``_z`` (the curve
+    key is useful downstream, e.g. for incremental compaction)."""
+    out = (
+        df.withColumn("_z", morton_z2(F.col(x_col), F.col(y_col)))
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+    )
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
+def zorder_pruning_stats(
+    spark: SparkSession, path: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-file min/max of both layout dimensions plus the fraction
+    of each dimension's global range the file covers — the audit
+    that shows a point/range predicate on EITHER column skips most
+    files (the whole point of the layout)."""
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    per_file = df.groupBy("_file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(x_col).alias("x_min"),
+        F.max(x_col).alias("x_max"),
+        F.min(y_col).alias("y_min"),
+        F.max(y_col).alias("y_max"),
+    )
+    # global ranges: 1-row aggregate, broadcast into the projection
+    g = df.agg(
+        F.min(x_col).alias("gx0"),
+        F.max(x_col).alias("gx1"),
+        F.min(y_col).alias("gy0"),
+        F.max(y_col).alias("gy1"),
+    )
+    return per_file.crossJoin(F.broadcast(g)).select(
+        "_file",
+        "n_rows",
+        "x_min",
+        "x_max",
+        "y_min",
+        "y_max",
+        ((F.col("x_max") - F.col("x_min"))
+         / F.greatest(F.col("gx1") - F.col("gx0"), F.lit(1))).alias("x_cover"),
+        ((F.col("y_max") - F.col("y_min"))
+         / F.greatest(F.col("gy1") - F.col("gy0"), F.lit(1))).alias("y_cover"),
+    )
+
+
 def corpus_layout_stats(
     spark: SparkSession, path: str, partition_by: list[str] | tuple[str, ...] = ("source",)
 ) -> DataFrame:

@@ -241,15 +241,119 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame time-series features per user: rolling count /
+    sum / min / max over the last 5 events (ROWS BETWEEN 4 PRECEDING
+    AND CURRENT ROW) plus the inter-event gap — the standard feature
+    block in fraud/engagement models.
+
+    Scale shape: ONE hash exchange on user_id serves every window
+    (same partitioning, same (ts, event_id) ordering); the frame is
+    row-bounded so state per row is O(1) — no unbounded-preceding
+    running state, no driver involvement. Gap is integral (epoch
+    microseconds) and the rolling sum is exact decimal, cast to
+    double only at the edge (cross-engine hash conventions)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-4, 0)
+    wl = Window.partitionBy("user_id").orderBy(*order)
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_sum"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
+        (us - F.lag(us).over(wl)).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS roll_n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS roll_sum,
+       MIN(value) OVER w AS roll_min,
+       MAX(value) OVER w AS roll_max,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve audit: interleave (user_id, minute) low
+    16 bits into the 32-bit curve key that ``functions.io.write_zorder``
+    lays files out on, then summarize curve buckets. Pins the bit
+    dilation arithmetic — the part an engine can silently get wrong —
+    bit-for-bit against the oracle; the layout/pruning effect itself
+    is asserted in tests/test_io.py (file min/max coverage)."""
+    from tidb_cdc_spark.functions.io import morton_z2
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("user_id") % 65536
+    # integral `div`, not `/`: float division of epoch-µs longs can
+    # round across a minute boundary
+    y = F.expr("(unix_micros(ts) div 60000000) % 65536")
+    z = morton_z2(x, y)
+    return (
+        ev.select(z.alias("_z"))
+        .groupBy(F.shiftright(F.col("_z"), 24).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_z").alias("z_min"),
+            F.max("_z").alias("z_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# staged bit dilation (shift-or-mask) — decimal literals for
+# 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555
+_ZORDER_SQL = """
+WITH base AS (
+  SELECT user_id % 65536 AS x,
+         (epoch_us(ts) // 60000000) % 65536 AS y
+  FROM events
+), a AS (
+  SELECT (x & 65535) AS x, (y & 65535) AS y FROM base
+), b AS (
+  SELECT ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y FROM a
+), c AS (
+  SELECT ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM b
+), d AS (
+  SELECT ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM c
+), e AS (
+  SELECT ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM d
+), zc AS (
+  SELECT (x | (y << 1)) AS _z FROM e
+)
+SELECT _z >> 24 AS bucket, COUNT(*) AS n, MIN(_z) AS z_min, MAX(_z) AS z_max
+FROM zc GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "events_daily_gapfill": events_daily_gapfill,
     "events_pivot_by_type": events_pivot_by_type,
     "events_value_percentiles_by_type": events_value_percentiles_by_type,
+    "events_rolling_features": events_rolling_features,
+    "events_zorder_buckets": events_zorder_buckets,
 }
 
 ORACLE = {
+    "events_rolling_features": _ROLLING_SQL,
+    "events_zorder_buckets": _ZORDER_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
     "events_daily_gapfill": _GAPFILL_SQL,
