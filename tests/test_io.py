@@ -61,6 +61,41 @@ class TestWriteCorpus:
             assert q == sorted(q), f
 
 
+class TestCompaction:
+    def test_small_files_compacted(self, spark, tmp_path):
+        small, big = str(tmp_path / "small"), str(tmp_path / "big")
+        df = _corpus(spark, 200)
+        # simulate streaming-append damage: ≥ 20 tiny files
+        df.repartition(20).write.option("maxRecordsPerFile", 10).parquet(small)
+        assert len(glob.glob(os.path.join(small, "*.parquet"))) >= 20
+        n = IO.compact_corpus(spark, small, big, target_rows_per_file=100)
+        assert n == 2
+        files = glob.glob(os.path.join(big, "*.parquet"))
+        assert len(files) <= 3
+        back = spark.read.parquet(big)
+        assert back.count() == 200
+        assert sorted(r.doc_id for r in back.collect()) == list(range(200))
+
+    def test_compact_with_sort_restores_pruning(self, spark, tmp_path):
+        small, big = str(tmp_path / "s2"), str(tmp_path / "b2")
+        _corpus(spark, 200).repartition(10).write.parquet(small)
+        IO.compact_corpus(
+            spark, small, big, target_rows_per_file=50, sort_by=("doc_id",)
+        )
+        import pyarrow.parquet as pq
+
+        ranges = []
+        for f in glob.glob(os.path.join(big, "*.parquet")):
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert ids == sorted(ids), f
+            if ids:
+                ranges.append((min(ids), max(ids)))
+        # range partitioning ⇒ files cover disjoint doc_id ranges
+        ranges.sort()
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 < b0, ranges
+
+
 def _grid(spark, side=64):
     # full side×side grid: every (x, y) cell once, so coverage
     # fractions are deterministic geometry, not data luck

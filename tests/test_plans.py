@@ -137,3 +137,40 @@ class TestNewWavePlans:
         plan = explain_str(events_daily_gapfill(spark, SF))
         # spine side joins broadcast; running-total window partitioned
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestDynamicPartitionPruning:
+    def test_partitioned_fact_prunes_on_dim_filter(self, spark, tmp_path):
+        # a partitioned fact joined to a filtered dim on the
+        # partition column must plan a dynamic pruning subquery —
+        # at 100 TB this is what turns "scan every partition" into
+        # "scan the partitions the dim filter selects"
+        path = str(tmp_path / "fact")
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        ev.write.partitionBy("event_type").parquet(path)
+        fact = spark.read.parquet(path)
+        dim = spark.createDataFrame(
+            [("click", 1), ("view", 0), ("purchase", 0)],
+            "event_type string, keep int",
+        )
+        q = (
+            fact.join(dim.filter(F.col("keep") == 1), "event_type")
+            .agg(F.sum("value").alias("s"))
+        )
+        plan = explain_str(q)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+class TestZorderPlan:
+    def test_morton_code_is_codegen(self, spark):
+        from tidb_cdc_spark.queries.batch4 import events_zorder_buckets
+
+        # the bit-dilation expressions must stay inside
+        # WholeStageCodegen (no CodegenFallback interpreted eval, no
+        # Python worker round-trip). AQE only settles codegen stages
+        # at runtime, so execute and read the final plan.
+        df = events_zorder_buckets(spark, SF)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WholeStageCodegen" in plan
+        assert "BatchEvalPython" not in plan

@@ -43,6 +43,42 @@ def write_corpus(
     )
 
 
+def compact_corpus(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_by: list[str] | tuple[str, ...] = (),
+    mode: str = "error",
+) -> int:
+    """Rewrite a corpus that has accumulated small files (streaming
+    ingest, per-batch appends) into ``ceil(rows / target)`` right-
+    sized files — the periodic maintenance job every long-lived
+    table needs, since each file costs a task + open + footer parse
+    on every downstream scan.
+
+    Sizing uses one count (a parquet metadata-only action — row
+    counts come from footers, no data pages are read; at 100 TB the
+    same number could come from the catalog for free). With
+    ``sort_by`` the rewrite range-partitions + sorts so row-group
+    stats prune on those columns afterwards; otherwise a plain
+    round-robin repartition balances bytes. Returns the file count
+    written."""
+    df = spark.read.parquet(path)
+    total = df.count()
+    n_files = max(1, -(-total // target_rows_per_file))
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(out_path)
+    )
+    return n_files
+
+
 # ------------------------------------------------------------------
 # Z-order (Morton-curve) layout: multi-dimensional pruning.
 #
