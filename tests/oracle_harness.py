@@ -49,8 +49,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
-    s = canon(spark_df.toPandas())
+    raw_s = spark_df.toPandas()
+    # STRICT dtype-kind gate, mirroring the driver: a DuckDB HUGEINT
+    # (SUM over ints) arrives as float64 while Spark returns int64 —
+    # numerically equal but hash-different ("99111.0" vs "99111").
+    # canon() would mask this, so check kinds on the RAW frames first.
+    kind_probs = []
+    for c in sorted(set(raw_s.columns) & set(oracle_pdf.columns)):
+        ks, ko = raw_s[c].dtype.kind, oracle_pdf[c].dtype.kind
+        num = {"i", "u", "f"}
+        if ks != ko and not (ks in num and ko in num and ("f" not in (ks, ko))):
+            kind_probs.append(f"{c}: spark dtype {raw_s[c].dtype} vs oracle {oracle_pdf[c].dtype}")
+    s = canon(raw_s)
     o = canon(oracle_pdf)
+    if kind_probs:
+        return False, "dtype-kind mismatch (driver hash would differ): " + "; ".join(kind_probs)
     if s.shape[0] != o.shape[0]:
         return False, f"rowcount spark={s.shape[0]} oracle={o.shape[0]}"
     if list(s.columns) != list(o.columns):

@@ -170,7 +170,11 @@ class TestZorderPlan:
         # Python worker round-trip). AQE only settles codegen stages
         # at runtime, so execute and read the final plan.
         df = events_zorder_buckets(spark, SF)
-        df.count()
+        # df.count() would execute a DIFFERENT query (agg wrapper) and
+        # leave df's own AQE plan unfinalized; collect() finalizes it.
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "WholeStageCodegen" in plan
+        # AQE's finalized tree renders codegen stages as "*(n) Op"
+        # rather than the literal WholeStageCodegen node name.
+        assert "WholeStageCodegen" in plan or "*(" in plan, plan[:2000]
         assert "BatchEvalPython" not in plan

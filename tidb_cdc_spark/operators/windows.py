@@ -47,11 +47,25 @@ def sessionize(
     The batch analogue of Structured Streaming's ``session_window``
     (the streaming variant lives in ``streaming/``).
     """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
-    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # Integral microsecond gap: exact int64 arithmetic, bit-identical
+    # across engines (a double-seconds compare can flip on the boundary
+    # when the fractional part rounds). Non-timestamp ts columns
+    # (numeric epoch) fall back to a plain numeric diff.
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        cur = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        prev = F.unix_micros(prev_ts.cast("timestamp"))
+        gap = cur - prev
+        threshold = F.lit(int(gap_seconds) * 1_000_000)
+    else:
+        gap = F.col(ts_col) - prev_ts
+        threshold = F.lit(gap_seconds)
+    is_new = F.when(prev_ts.isNull() | (gap > threshold), 1).otherwise(0)
     return df.withColumn(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

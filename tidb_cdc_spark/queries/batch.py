@@ -354,7 +354,7 @@ _SESSIONS_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -367,7 +367,8 @@ WITH flagged AS (
   SELECT user_id, session_id, COUNT(*) AS n_events
   FROM sess GROUP BY user_id, session_id
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(n_events) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
@@ -434,7 +435,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type

@@ -127,7 +127,7 @@ WITH scored AS (
              x -> x IN ({", ".join("'" + w + "'" for w in _STOP_EN)}))) AS hits
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(nt) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
        CAST(SUM((hits * 1000000) // GREATEST(nt, 1)) AS DOUBLE)
          / (1000000.0 * COUNT(*)) AS avg_stopword_ratio
 FROM scored GROUP BY lang ORDER BY lang

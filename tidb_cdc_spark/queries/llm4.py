@@ -30,7 +30,7 @@ WITH tok AS (
   FROM documents
 ), tl AS (SELECT doc_id, l, len(l) AS n, nc, nsym FROM tok),
 tf AS (
-  SELECT doc_id, SUM(c) AS nt, MAX(c) AS top FROM (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt, MAX(c) AS top FROM (
     SELECT doc_id, term, COUNT(*) AS c
     FROM (SELECT doc_id, unnest(l) AS term FROM tl) GROUP BY doc_id, term
   ) GROUP BY doc_id

@@ -45,8 +45,8 @@ WITH tok AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM tok
 )
 SELECT doc_id, n_tokens,
@@ -69,7 +69,7 @@ WITH comp AS (
               AS BIGINT) AS q
   FROM embeddings, range(1, 65) t(i)
 ), cent AS (
-  SELECT label, pos, SUM(q) // COUNT(*) AS cq, COUNT(*) AS n
+  SELECT label, pos, CAST(SUM(q) // COUNT(*) AS BIGINT) AS cq, COUNT(*) AS n
   FROM comp GROUP BY label, pos
 )
 """
@@ -86,8 +86,8 @@ _CENTROID_SQL = (
     _QCOMP_CTE
     + """
 SELECT label, MAX(n) AS n_vectors,
-       SUM(cq) AS centroid_checksum,
-       SUM(cq * cq) AS centroid_norm2
+       CAST(SUM(cq) AS BIGINT) AS centroid_checksum,
+       CAST(SUM(cq * cq) AS BIGINT) AS centroid_norm2
 FROM cent GROUP BY label ORDER BY label
 """
 )
@@ -106,7 +106,7 @@ _ASSIGN_SQL = (
     + """
 , d AS (
   SELECT comp.vec_id, comp.label, cent.label AS clabel,
-         SUM((q - cq) * (q - cq)) AS dist2
+         CAST(SUM((q - cq) * (q - cq)) AS BIGINT) AS dist2
   FROM comp JOIN cent USING (pos)
   GROUP BY comp.vec_id, comp.label, cent.label
 ), r AS (

@@ -74,7 +74,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     with microsecond truncation — matching engines that read ns
     parquet natively. Integer division keeps full int64 precision."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # The conf must hold on the *caller's* session, not just the one
     # get_spark() builds: external harnesses pass their own session, and
@@ -90,8 +90,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     except Exception:
         pass  # read-only conf manager; get_spark() sessions already set it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Testdata generations have stored `ts` three ways over time:
+    #   1. TIMESTAMP(NANOS)        -> read as LongType via nanosAsLong
+    #   2. TIMESTAMP_MICROS utc=1  -> TimestampType (nothing to do)
+    #   3. TIMESTAMP_MICROS utc=0  -> TimestampNTZType
+    # Normalize all of them to TimestampType. The session timezone is
+    # pinned UTC above, so NTZ -> TZ is value-preserving, and every
+    # downstream unix_micros/unix_millis/window expression resolves.
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
