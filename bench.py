@@ -87,6 +87,7 @@ def main() -> None:
         "corpus_snapshot_diff",
         "events_funnel",
         "events_cohort_retention",
+        "corpus_curation_pipeline",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -30,11 +30,12 @@ from tidb_cdc_spark.queries import (
     llm6,
     llm7,
     llm8,
+    llm9,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (batch, batch2, batch3, batch4, cdcq, llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8):
+for mod in (batch, batch2, batch3, batch4, cdcq, llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

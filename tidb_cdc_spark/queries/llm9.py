@@ -1,0 +1,159 @@
+r"""Ninth wave: the end-to-end corpus-curation pipeline as ONE
+Spark plan — quality filter → exact dedup → budget selection →
+packing summary — the full pre-training data path condensed into a
+single per-language audit row. This is the composition the
+individual waves exist for: a user runs THIS to turn a raw crawl
+into a training corpus and gets the per-stage attrition numbers a
+data card needs.
+
+Stage plan (every stage distributed, no driver-side loops):
+1. quality stats + keep decision (functions/quality.py — token
+   explode, two map-side-combining groupBys);
+2. exact dedup among keepers by md5 content fingerprint (hash
+   groupBy on the 128-bit key; min-id representative — shuffle is
+   ~48 B/row regardless of document size);
+3. budget selection: highest-quality (fewest-symbols) docs first
+   until half the surviving tokens are spent (functions/
+   selection.py two-level quality-banded prefix scan — no global
+   single-task window);
+4. packing summary: chunks = ceil(tokens/2048) per language
+   (concatenation is contiguous, so the chunk count needs no
+   per-doc spans).
+
+Cross-engine: every stage is integral (counts, µ-unit quality,
+md5 hex, truncating div), so the oracle twin reproduces the exact
+bytes. The per-doc stage outcomes are folded into ONE groupBy(lang)
+over left-joined survivor markers — 5 output rows.
+
+Reference scope note: the reference engine (dollarkillerx/tidb-cdc,
+cdc_manager.go) has no corpus surface; north-star pipeline op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import quality as Q
+from tidb_cdc_spark.functions import selection as SEL
+from tidb_cdc_spark.queries.llm import _docs
+from tidb_cdc_spark.session import materialize
+
+_T = Q.QualityThresholds()
+_PPM = SEL.PPM
+_BUDGET = 2048
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curation funnel: input → quality-kept → unique →
+    budget-selected doc counts, surviving tokens, packed chunk count."""
+    docs = _docs(spark, sf_dir)
+    qf = Q.quality_filter(docs).select("doc_id", "n_tokens", "symbol_ppm", "keep")
+    # The stats subplan feeds four downstream consumers (spine, dedup,
+    # selection, rollup) — materialize once instead of re-running the
+    # token-explode pipeline per consumer.
+    base = materialize(
+        docs.select("doc_id", "lang", F.md5(F.col("text")).alias("_fp")).join(
+            qf, "doc_id"
+        )
+    )
+    kept = base.filter(F.col("keep"))
+    reps = kept.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    uniq = kept.join(reps, "doc_id", "leftsemi").select(
+        "doc_id",
+        "lang",
+        (F.lit(_PPM) - F.col("symbol_ppm")).alias("quality_ppm"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    chosen = (
+        SEL.budget_head(uniq)
+        .filter(F.col("selected"))
+        .select("doc_id", F.lit(1).alias("_sel"))
+    )
+    uniq_ids = uniq.select("doc_id", F.lit(1).alias("_uniq"))
+    funnel = base.join(uniq_ids, "doc_id", "left").join(chosen, "doc_id", "left")
+    picked_tokens = F.sum(
+        F.when(F.col("_sel").isNotNull(), F.col("n_tokens")).otherwise(0)
+    ).cast("long")
+    return (
+        funnel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias(
+                "n_quality_kept"
+            ),
+            F.sum(F.when(F.col("_uniq").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            F.sum(F.when(F.col("_sel").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_selected"),
+            picked_tokens.alias("tokens_selected"),
+        )
+        .withColumn(
+            "n_chunks",
+            F.expr(f"(tokens_selected + {_BUDGET - 1}L) div {_BUDGET}L"),
+        )
+        .orderBy("lang")
+    )
+
+
+# The oracle replays the identical funnel: llm4's stats CTE (the SQL
+# twin of functions/quality.repetition_stats), the same threshold
+# predicate as QualityThresholds, md5 dedup, the selection window in
+# (quality DESC, doc_id) order, and the ceil-div chunk count.
+from tidb_cdc_spark.queries.llm4 import _STATS_CTE  # noqa: E402
+
+_PIPELINE_SQL = (
+    _STATS_CTE
+    + f"""
+, base AS (
+  SELECT d.doc_id, d.lang, md5(d.text) AS fp, s.n_tokens, s.symbol_ppm,
+         NOT (s.n_tokens < {_T.min_tokens}
+              OR s.n_tokens > {_T.max_tokens}
+              OR s.top_token_ppm > {_T.max_top_token_ppm}
+              OR s.dup_2gram_ppm > {_T.max_dup_2gram_ppm}
+              OR s.symbol_ppm > {_T.max_symbol_ppm}) AS keep
+  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+), uniq AS (
+  SELECT MIN(doc_id) AS doc_id FROM base WHERE keep GROUP BY fp
+), su AS (
+  SELECT b.doc_id, b.lang, b.n_tokens, {_PPM} - b.symbol_ppm AS quality_ppm
+  FROM base b JOIN uniq u ON b.doc_id = u.doc_id
+), sel AS (
+  SELECT doc_id,
+         CAST(SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+  FROM su
+), chosen AS (
+  SELECT doc_id FROM sel WHERE cum * 2 <= total
+)
+SELECT b.lang,
+       COUNT(*) AS n_input,
+       CAST(SUM(CASE WHEN b.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_kept,
+       CAST(SUM(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN b.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_selected,
+       CAST((SUM(CASE WHEN c.doc_id IS NOT NULL THEN b.n_tokens ELSE 0 END)
+             + {_BUDGET - 1}) // {_BUDGET} AS BIGINT) AS n_chunks
+FROM base b
+LEFT JOIN uniq u ON b.doc_id = u.doc_id
+LEFT JOIN chosen c ON b.doc_id = c.doc_id
+GROUP BY b.lang ORDER BY b.lang
+"""
+)
+
+
+QUERIES = {
+    "corpus_curation_pipeline": corpus_curation_pipeline,
+}
+
+ORACLE = {
+    "corpus_curation_pipeline": _PIPELINE_SQL,
+}
