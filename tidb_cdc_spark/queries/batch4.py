@@ -289,6 +289,50 @@ ORDER BY event_id
 """
 
 
+def events_trailing_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the count and exact value
+    sum of the SAME USER's events in the trailing 30 minutes
+    (inclusive) — the time-bounded sibling of the row-bounded frame
+    in ``events_rolling_features`` (velocity/rate features where "last
+    N events" is the wrong unit and "last 30 minutes" is right).
+
+    Scale shape: one hash exchange on user_id; the frame is bounded
+    by a range predicate on the ordering value (epoch µs), evaluated
+    with a sliding two-pointer over the sorted partition — O(1) state
+    per row, no unbounded running state. RANGE frames include peer
+    rows (equal timestamps) in both engines, so ties are
+    deterministic without a tiebreak column."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30m"),
+    ).orderBy("event_id")
+
+
+_TRAILING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_30m,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_30m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) curve audit: interleave (user_id, minute) low
     16 bits into the 32-bit curve key that ``functions.io.write_zorder``
@@ -348,11 +392,13 @@ QUERIES = {
     "events_pivot_by_type": events_pivot_by_type,
     "events_value_percentiles_by_type": events_value_percentiles_by_type,
     "events_rolling_features": events_rolling_features,
+    "events_trailing_30m": events_trailing_30m,
     "events_zorder_buckets": events_zorder_buckets,
 }
 
 ORACLE = {
     "events_rolling_features": _ROLLING_SQL,
+    "events_trailing_30m": _TRAILING_SQL,
     "events_zorder_buckets": _ZORDER_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
