@@ -54,10 +54,11 @@ def q22_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders (every synthetic customer has some order, so the classic
     no-orders-at-all variant is vacuously empty)."""
     cust = _t(spark, sf_dir, "customer")
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0)
-        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a"))
-        .collect()[0]["a"]
+    # uncorrelated scalar subquery stays IN the plan: broadcast the
+    # 1-row aggregate and cross-join, instead of a driver-side
+    # .collect() that would serialize two separate jobs
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
     )
     orders = (
         _t(spark, sf_dir, "orders")
@@ -65,7 +66,8 @@ def q22_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return (
-        cust.filter(F.col("c_acctbal").cast("double") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("_avg_bal"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
