@@ -161,6 +161,30 @@ class TestDynamicPartitionPruning:
         assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+class TestRangeFramePlan:
+    def test_trailing_30m_single_hash_exchange(self, spark):
+        from tidb_cdc_spark.queries.batch4 import events_trailing_30m
+
+        # both window aggregates share the user_id partitioning: one
+        # hash exchange total (plus the final sort's range exchange)
+        df = events_trailing_30m(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan
+
+
+class TestCurationPipelinePlan:
+    def test_pipeline_stays_jvm_side(self, spark):
+        from tidb_cdc_spark.queries.llm9 import corpus_curation_pipeline
+
+        # 4-stage funnel must stay whole-stage codegen: no Python
+        # round-trip, and the dedup/selection joins on the tiny
+        # survivor id-lists must broadcast
+        df = corpus_curation_pipeline(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert "BatchEvalPython" not in plan
+
+
 class TestZorderPlan:
     def test_morton_code_is_codegen(self, spark):
         from tidb_cdc_spark.queries.batch4 import events_zorder_buckets
