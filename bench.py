@@ -64,6 +64,7 @@ def main() -> None:
         "events_asof_purchase_click",
         "cdc_parse_typed",
         "cdc_apply_latest",
+        "cdc_scd2_history",
         "dedup_exact_docs",
         "text_token_stats",
         "text_lang_id",

@@ -155,3 +155,36 @@ class TestApply:
                 expected[k] = v
         got = _state(snapshot_from_ops(_parse(spark, msgs), SPEC))
         assert got == expected
+
+
+class TestScd2History:
+    def test_delete_closes_interval_without_opening(self, spark):
+        from tidb_cdc_spark.cdc.scd import scd2_history
+
+        msgs = [
+            _msg("insert", "a", 1, 100),
+            _msg("update", "a", 2, 200),
+            _msg("delete", "a", 2, 300),
+            _msg("insert", "a", 3, 400),
+            _msg("insert", "b", 9, 150),
+        ]
+        hist = scd2_history(_parse(spark, msgs), SPEC)
+        rows = {(r.k, r.version): r for r in hist.collect()}
+        # delete consumed version 3: emitted versions are 1,2,4 for 'a'
+        assert set(rows) == {("a", 1), ("a", 2), ("a", 4), ("b", 1)}
+        assert (rows[("a", 1)].valid_from, rows[("a", 1)].valid_to) == (100, 200)
+        assert (rows[("a", 2)].valid_from, rows[("a", 2)].valid_to) == (200, 300)
+        # the post-delete re-insert is the open current version
+        assert rows[("a", 4)].valid_to is None and rows[("a", 4)].is_current
+        assert not rows[("a", 2)].is_current
+        assert rows[("b", 1)].is_current and rows[("b", 1)].v == 9
+
+    def test_replay_is_idempotent(self, spark):
+        from tidb_cdc_spark.cdc.scd import scd2_history
+
+        msgs = [_msg("insert", "a", 1, 100), _msg("update", "a", 2, 200)]
+        once = scd2_history(_parse(spark, msgs), SPEC)
+        twice = scd2_history(_parse(spark, msgs), SPEC)
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )

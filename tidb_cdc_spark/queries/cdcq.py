@@ -146,6 +146,56 @@ ORDER BY user_id
 """
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → Type-2 SCD: the change stream (same synthesized
+    insert/update/delete mix as ``cdc_apply_latest``) becomes
+    versioned dimension rows with ``[valid_from, valid_to)``
+    intervals — deletes close intervals without opening one. One
+    PK-keyed exchange serves both window passes (``cdc/scd.py``)."""
+    from tidb_cdc_spark.cdc.scd import scd2_history
+
+    env = _envelopes(spark, sf_dir, with_ops=True)
+    parsed = parse_cdc(
+        env,
+        events_spec(),
+        seq_col=F.col("data").getItem("event_id").try_cast("long"),
+    )
+    hist = scd2_history(parsed, events_spec())
+    return hist.select(
+        "user_id",
+        "version",
+        "event_id",
+        "event_type",
+        "value",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("user_id", "version")
+
+
+_SCD2_SQL = """
+WITH ops AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+         CASE WHEN event_id % 4 = 3 THEN 'delete'
+              WHEN event_id % 4 = 1 THEN 'update'
+              ELSE 'insert' END AS op
+  FROM events
+), seqd AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+         LEAD(ts_sec) OVER w AS valid_to
+  FROM ops
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+)
+SELECT user_id, version, event_id, event_type, value,
+       ts_sec AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM seqd WHERE op <> 'delete'
+ORDER BY user_id, version
+"""
+
+
 def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: a materialized per-type
     (count, sum) aggregate is updated by a CDC change batch via
@@ -219,11 +269,13 @@ ORDER BY event_type
 QUERIES = {
     "cdc_parse_typed": cdc_parse_typed,
     "cdc_apply_latest": cdc_apply_latest,
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_incremental_agg": cdc_incremental_agg,
 }
 
 ORACLE = {
     "cdc_parse_typed": _PARSE_SQL,
     "cdc_apply_latest": _APPLY_SQL,
+    "cdc_scd2_history": _SCD2_SQL,
     "cdc_incremental_agg": _INCR_SQL,
 }
