@@ -391,6 +391,65 @@ ORDER BY nationkey
 """
 
 
+# ------------------------------------- data profiling via unpivot/stack
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of lineitem's numeric columns —
+    one scan computes every statistic (Spark fuses the aggregates),
+    then ``stack`` unpivots the 1-row wide aggregate into one row per
+    column. The unpivot runs on ONE row, so the wide→long reshape is
+    free at any scale; the scan is the only data-sized cost."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}_n"),
+            F.count_distinct(F.col(c)).alias(f"{c}_d"),
+            F.min(F.col(c)).cast("double").alias(f"{c}_min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}_max"),
+            F.expr(f"percentile({c}, 0.5)").alias(f"{c}_p50"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_n, {c}_d, {c}_min, {c}_max, {c}_p50" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_nonnull, n_distinct, min_v, max_v, p50)"
+        )
+    ).orderBy("col")
+
+
+_PROFILE_SQL = """
+SELECT col, n_nonnull, n_distinct, min_v, max_v, p50 FROM (
+  SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n_nonnull,
+         COUNT(DISTINCT l_quantity) AS n_distinct,
+         CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+         quantile_cont(l_quantity, 0.5) AS p50
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+         COUNT(DISTINCT l_extendedprice),
+         CAST(MIN(l_extendedprice) AS DOUBLE),
+         CAST(MAX(l_extendedprice) AS DOUBLE),
+         quantile_cont(l_extendedprice, 0.5)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(l_discount), COUNT(DISTINCT l_discount),
+         CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+         quantile_cont(l_discount, 0.5)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', COUNT(l_tax), COUNT(DISTINCT l_tax),
+         CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
+         quantile_cont(l_tax, 0.5)
+  FROM lineitem
+) ORDER BY col
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q22_customers_without_orders": q22_customers_without_orders,
@@ -403,6 +462,7 @@ QUERIES = {
     "suppliers_of_large_parts": suppliers_of_large_parts,
     "price_band_pairs": price_band_pairs,
     "full_outer_nation_presence": full_outer_nation_presence,
+    "table_profile_lineitem": table_profile_lineitem,
 }
 
 ORACLE = {
@@ -417,4 +477,5 @@ ORACLE = {
     "suppliers_of_large_parts": _IN_SQL,
     "price_band_pairs": _BAND_SQL,
     "full_outer_nation_presence": _FULL_OUTER_SQL,
+    "table_profile_lineitem": _PROFILE_SQL,
 }

@@ -333,6 +333,51 @@ ORDER BY event_id
 """
 
 
+def events_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation in BATCH via the built-in
+    ``window()`` generator: overlapping 1-hour windows every 15
+    minutes (each event lands in 4 windows) — the batch twin of the
+    streaming sliding agg in streaming/windows.py.
+
+    Scale shape: window() explodes each row to its ≤4 windows BEFORE
+    the hash aggregate, so map-side partial aggregation still bounds
+    the shuffle at (#windows × #groups) rows — same contract as a
+    tumbling groupBy, just 4× the explode factor."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# window membership is integral-second exact: window starts are
+# multiples of 900 s, so floor(epoch) preserves the boundary compare
+_SLIDING_SQL = """
+WITH t AS (
+  SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, value FROM events
+), w AS (
+  SELECT unnest(generate_series(((te - 3600) // 900 + 1) * 900,
+                                (te // 900) * 900, 900)) AS ws,
+         value
+  FROM t
+)
+SELECT ws AS window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY ws ORDER BY ws
+"""
+
+
 def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) curve audit: interleave (user_id, minute) low
     16 bits into the 32-bit curve key that ``functions.io.write_zorder``
@@ -393,12 +438,14 @@ QUERIES = {
     "events_value_percentiles_by_type": events_value_percentiles_by_type,
     "events_rolling_features": events_rolling_features,
     "events_trailing_30m": events_trailing_30m,
+    "events_sliding_1h": events_sliding_1h,
     "events_zorder_buckets": events_zorder_buckets,
 }
 
 ORACLE = {
     "events_rolling_features": _ROLLING_SQL,
     "events_trailing_30m": _TRAILING_SQL,
+    "events_sliding_1h": _SLIDING_SQL,
     "events_zorder_buckets": _ZORDER_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
