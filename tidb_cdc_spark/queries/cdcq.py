@@ -33,8 +33,19 @@ def events_spec() -> TableSpec:
     )
 
 
+#: (session id, sf_dir, with_ops) → materialized envelope source.
+#: A real Kafka topic exists ONCE; the three CDC queries consuming it
+#: should not each re-synthesize and re-persist the same bytes within
+#: a session (driver gate and bench both run them back-to-back).
+_ENV_CACHE: dict[tuple[int, str, bool], DataFrame] = {}
+
+
 def _envelopes(spark: SparkSession, sf_dir: str, with_ops: bool) -> DataFrame:
     """events rows → Maxwell JSON messages (one per row)."""
+    key = (id(spark), sf_dir, with_ops)
+    cached = _ENV_CACHE.get(key)
+    if cached is not None:
+        return cached
     from tidb_cdc_spark.session import fan_out, read_table
 
     # fan_out: a real CDC source is a Kafka topic with N partitions;
@@ -76,7 +87,9 @@ def _envelopes(spark: SparkSession, sf_dir: str, with_ops: bool) -> DataFrame:
     # persist keeps lineage for fault tolerance (session.materialize).
     from tidb_cdc_spark.session import materialize
 
-    return materialize(env)
+    out = materialize(env)
+    _ENV_CACHE[key] = out
+    return out
 
 
 def cdc_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
