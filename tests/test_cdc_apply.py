@@ -170,12 +170,13 @@ class TestScd2History:
         ]
         hist = scd2_history(_parse(spark, msgs), SPEC)
         rows = {(r.k, r.version): r for r in hist.collect()}
-        # delete consumed version 3: emitted versions are 1,2,4 for 'a'
-        assert set(rows) == {("a", 1), ("a", 2), ("a", 4), ("b", 1)}
+        # version = ordinal among EMITTED versions (deletes close
+        # intervals but consume no ordinal): a has versions 1,2,3
+        assert set(rows) == {("a", 1), ("a", 2), ("a", 3), ("b", 1)}
         assert (rows[("a", 1)].valid_from, rows[("a", 1)].valid_to) == (100, 200)
         assert (rows[("a", 2)].valid_from, rows[("a", 2)].valid_to) == (200, 300)
         # the post-delete re-insert is the open current version
-        assert rows[("a", 4)].valid_to is None and rows[("a", 4)].is_current
+        assert rows[("a", 3)].valid_to is None and rows[("a", 3)].is_current
         assert not rows[("a", 2)].is_current
         assert rows[("b", 1)].is_current and rows[("b", 1)].v == 9
 
@@ -187,4 +188,25 @@ class TestScd2History:
         twice = scd2_history(_parse(spark, msgs), SPEC)
         assert sorted(map(tuple, once.collect())) == sorted(
             map(tuple, twice.collect())
+        )
+
+    def test_incremental_merge_equals_one_shot(self, spark):
+        import random
+
+        from tidb_cdc_spark.cdc.scd import merge_scd2, scd2_history
+
+        rng = random.Random(7)
+        ops, ts = [], 0
+        for _ in range(60):
+            ts += rng.randint(1, 5)
+            k = rng.choice("abcd")
+            op = rng.choice(["insert", "update", "update", "delete"])
+            ops.append(_msg(op, k, rng.randint(0, 99) + 1, ts))
+        one_shot = scd2_history(_parse(spark, ops), SPEC)
+        # fold the same log in three ts-ordered batches
+        hist = None
+        for lo, hi in ((0, 20), (20, 45), (45, 60)):
+            hist = merge_scd2(hist, _parse(spark, ops[lo:hi]), SPEC)
+        assert sorted(map(tuple, one_shot.collect())) == sorted(
+            map(tuple, hist.collect())
         )

@@ -35,12 +35,13 @@ def scd2_history(
     """Versioned history rows from typed change rows (the
     ``parse_cdc`` output schema ``op, ts, _seq, before, after``).
 
-    Output: PK columns, the after-image attributes, ``version``
-    (per-key change ordinal — deletes consume an ordinal so replaying
-    the log always yields the same numbering), ``valid_from`` /
-    ``valid_to`` (the ts of this change / the next change on the key,
-    null while open), ``is_current``. Delete changes close intervals
-    but emit no row.
+    Output: PK columns, the after-image attributes, ``version`` (the
+    per-key ordinal among EMITTED versions — deletes close intervals
+    but do not consume an ordinal, so ``version`` is "the nth visible
+    version of this entity" and ``merge_scd2`` can continue the
+    numbering from ``max(version)``), ``valid_from`` / ``valid_to``
+    (the ts of this change / the next change of ANY kind on the key,
+    null while open), ``is_current``.
     """
     pk = spec.pk_columns
     if not pk:
@@ -57,9 +58,15 @@ def scd2_history(
     )
     w = Window.partitionBy(*pk).orderBy("valid_from", "__seq")
     attrs = [c.target for c in spec.resolved_columns() if not c.pk]
+    live = F.when(F.col("op") != CDCType.DELETE, F.lit(1)).otherwise(F.lit(0))
     return (
-        keyed.withColumn("version", F.row_number().over(w).cast("long"))
-        .withColumn("valid_to", F.lead("valid_from").over(w))
+        keyed.withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn(
+            "version",
+            F.sum(live)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
         .filter(F.col("op") != CDCType.DELETE)
         .select(
             *pk,
@@ -70,3 +77,63 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def merge_scd2(
+    history: DataFrame | None,
+    changes: DataFrame,
+    spec: TableSpec,
+    ts_col: str = "ts",
+    seq_col: str = "_seq",
+) -> DataFrame:
+    """Incrementally maintain a Type-2 SCD table with one micro-batch
+    of typed changes — the ``foreachBatch`` body for a streaming SCD2
+    sink (the history sibling of ``apply.apply_changes``).
+
+    Contract: if batches partition the change log respecting per-key
+    (ts, seq) order (the CDC dispatch-key guarantee), then folding
+    them with ``merge_scd2`` equals ``scd2_history`` over the whole
+    log — pinned by tests.
+
+    Plan: the batch's own SCD2 plan, plus one keyed join against the
+    history to (a) close the open interval of every touched key at
+    the batch's first change ts and (b) continue version numbering
+    from ``max(version)``. With the history table bucketed by PK both
+    joins are co-located at scale.
+    """
+    batch = scd2_history(changes, spec, ts_col, seq_col)
+    if history is None:
+        return batch
+    pk = spec.pk_columns
+    firsts = (
+        changes.select(
+            *[
+                F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+                for c in pk
+            ],
+            F.col(ts_col).alias("_bts"),
+        )
+        .groupBy(*pk)
+        .agg(F.min("_bts").alias("_first_ts"))
+    )
+    base_v = history.groupBy(*pk).agg(F.max("version").alias("_v0"))
+    closed = (
+        history.join(firsts, pk, "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("is_current") & F.col("_first_ts").isNotNull(),
+                F.col("_first_ts"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_first_ts")
+    )
+    shifted = (
+        batch.join(base_v, pk, "left")
+        .withColumn(
+            "version", F.col("version") + F.coalesce(F.col("_v0"), F.lit(0))
+        )
+        .drop("_v0")
+    )
+    return closed.unionByName(shifted)

@@ -196,10 +196,12 @@ WITH ops AS (
   FROM events
 ), seqd AS (
   SELECT *,
-         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
-         LEAD(ts_sec) OVER w AS valid_to
+         CAST(SUM(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version,
+         LEAD(ts_sec) OVER (PARTITION BY user_id
+                            ORDER BY ts_sec, event_id) AS valid_to
   FROM ops
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
 )
 SELECT user_id, version, event_id, event_type, value,
        ts_sec AS valid_from, valid_to,
