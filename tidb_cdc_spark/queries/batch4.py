@@ -378,6 +378,52 @@ FROM w GROUP BY ws ORDER BY ws
 """
 
 
+def array_map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map scalar surface: sequence, aggregate, array_max,
+    contains, slice, reverse, array_join, map_from_arrays,
+    element_at, map_keys — deterministic per-row arrays derived from
+    event_id so the oracle can state the expected values in closed
+    form. Arrays are emitted joined-to-string (hash-stable across
+    engines' list renderings)."""
+    ev = _t(spark, sf_dir, "events")
+    n = (F.col("event_id") % 5 + 1).cast("int")
+    arr = F.sequence(F.lit(1), n)
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")), F.array(n, n * 2)
+    )
+    return ev.select(
+        "event_id",
+        n.alias("n"),
+        F.array_join(arr, ",").alias("arr_str"),
+        F.aggregate(arr, F.lit(0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("arr_sum"),
+        F.array_max(arr).alias("arr_max"),
+        F.array_contains(arr, 3).alias("has3"),
+        F.array_join(F.slice(arr, 1, 2), ",").alias("first2_str"),
+        F.array_join(F.reverse(arr), ",").alias("rev_str"),
+        F.element_at(m, "b").cast("long").alias("map_b"),
+        F.array_join(F.map_keys(m), ",").alias("keys_str"),
+    ).orderBy("event_id")
+
+
+_ARRAYMAP_SQL = """
+SELECT event_id,
+       CAST(event_id % 5 + 1 AS INT) AS n,
+       array_to_string(generate_series(1, event_id % 5 + 1), ',') AS arr_str,
+       CAST((event_id % 5 + 1) * (event_id % 5 + 2) // 2 AS BIGINT) AS arr_sum,
+       CAST(event_id % 5 + 1 AS INT) AS arr_max,
+       event_id % 5 + 1 >= 3 AS has3,
+       array_to_string(generate_series(1, LEAST(event_id % 5 + 1, 2)), ',')
+         AS first2_str,
+       array_to_string(list_reverse(generate_series(1, event_id % 5 + 1)), ',')
+         AS rev_str,
+       CAST((event_id % 5 + 1) * 2 AS BIGINT) AS map_b,
+       'a,b' AS keys_str
+FROM events ORDER BY event_id
+"""
+
+
 def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) curve audit: interleave (user_id, minute) low
     16 bits into the 32-bit curve key that ``functions.io.write_zorder``
@@ -439,6 +485,7 @@ QUERIES = {
     "events_rolling_features": events_rolling_features,
     "events_trailing_30m": events_trailing_30m,
     "events_sliding_1h": events_sliding_1h,
+    "array_map_functions_showcase": array_map_functions_showcase,
     "events_zorder_buckets": events_zorder_buckets,
 }
 
@@ -446,6 +493,7 @@ ORACLE = {
     "events_rolling_features": _ROLLING_SQL,
     "events_trailing_30m": _TRAILING_SQL,
     "events_sliding_1h": _SLIDING_SQL,
+    "array_map_functions_showcase": _ARRAYMAP_SQL,
     "events_zorder_buckets": _ZORDER_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
