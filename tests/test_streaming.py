@@ -429,3 +429,47 @@ class TestStatefulOperators:
         # equal-ts replay in batch 2 must NOT displace the stored value
         # (strict > — replay idempotency even for ties)
         assert latest[3] == (7, "orig")
+
+
+class TestScd2HistorySink:
+    def test_streamed_history_equals_one_shot_replay(self, spark, tmp_path):
+        from tidb_cdc_spark.cdc import parse_cdc
+        from tidb_cdc_spark.cdc.scd import scd2_history
+        from tidb_cdc_spark.streaming import Scd2HistorySink
+
+        b1 = [
+            _msg("insert", "a", 1, 10),
+            _msg("insert", "b", 2, 11),
+            _msg("update", "a", 5, 12),
+        ]
+        b2 = [
+            _msg("delete", "a", 5, 20),
+            _msg("insert", "a", 9, 21),
+            _msg("update", "b", 3, 22),
+        ]
+        events_dir = tmp_path / "in"
+        sink = Scd2HistorySink(str(tmp_path / "hist"))
+        _write_batch(events_dir, "b1.jsonl", b1)
+        conn = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+        _write_batch(events_dir, "b2.jsonl", b2)
+        conn2 = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn2.start(spark, available_now=True)
+        conn2.await_termination()
+
+        hist = sink.read_current(spark)
+        rows = {(r.k, r.version): r for r in hist.collect()}
+        assert set(rows) == {("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2)}
+        assert rows[("a", 2)].valid_to == 20  # closed by the delete in batch 2
+        assert rows[("a", 3)].is_current and rows[("a", 3)].v == 9
+        assert rows[("b", 1)].valid_to == 22 and rows[("b", 2)].is_current
+
+        # equals a one-shot replay of the concatenated log
+        all_msgs = spark.createDataFrame(
+            [(m,) for m in b1 + b2], "value string"
+        ).withColumn("_s", F.monotonically_increasing_id())
+        one_shot = scd2_history(parse_cdc(all_msgs, SPEC, seq_col=F.col("_s")), SPEC)
+        assert sorted(map(tuple, one_shot.collect())) == sorted(
+            map(tuple, hist.select(*one_shot.columns).collect())
+        )

@@ -7,6 +7,7 @@ from tidb_cdc_spark.streaming.sinks import (
     JdbcMergeSink,
     MemorySink,
     ParquetSnapshotSink,
+    Scd2HistorySink,
     Sink,
 )
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
@@ -16,6 +17,7 @@ __all__ = [
     "ConnectorConfig",
     "Sink",
     "ParquetSnapshotSink",
+    "Scd2HistorySink",
     "JdbcMergeSink",
     "HandlerSink",
     "MemorySink",

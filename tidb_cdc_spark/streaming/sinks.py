@@ -80,6 +80,35 @@ class ParquetSnapshotSink(Sink):
 
 
 @dataclass
+class Scd2HistorySink(ParquetSnapshotSink):
+    """Maintains a Type-2 SCD history table (versioned rows with
+    ``[valid_from, valid_to)`` intervals, ``cdc/scd.py``) instead of
+    a current-state snapshot — same copy-on-write versioned-directory
+    mechanics as ``ParquetSnapshotSink``, different merge: each batch
+    closes the open interval of every touched key and appends the
+    batch's new versions (``merge_scd2``). Checkpointed offsets +
+    per-key ordered batches ⇒ the stored history equals a one-shot
+    replay of the full log (pinned by the merge property test)."""
+
+    def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
+        from tidb_cdc_spark.cdc.scd import merge_scd2
+
+        spark = changes.sparkSession
+        base = self.read_current(spark)
+        merged = merge_scd2(base, changes, spec)
+        v = (self._current_version() or 0) + 1
+        target = os.path.join(self.path, f"v={v}")
+        merged.write.mode("overwrite").parquet(target)
+        tmp = os.path.join(self.path, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.path, "_CURRENT"))
+        for d in os.listdir(self.path):
+            if d.startswith("v=") and int(d[2:]) < v - 1:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+
+@dataclass
 class JdbcMergeSink(Sink):
     """Upsert into an RDBMS table: conflated batch → staging table via
     JDBC → one MERGE statement keyed on PK (exactly-once to the
