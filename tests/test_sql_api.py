@@ -1,0 +1,38 @@
+"""SQL-API surface: registered temp views drive spark.sql with the
+same scans/pushdown as the DataFrame API."""
+
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark import register_views
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSqlApi:
+    def test_sql_join_equals_dataframe(self, spark):
+        register_views(spark, SF)
+        via_sql = spark.sql(
+            """
+            SELECT n_name, COUNT(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+            """
+        ).collect()
+        cust = spark.table("customer")
+        nat = spark.table("nation")
+        via_df = (
+            cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_cust"))
+            .orderBy("n_name")
+            .collect()
+        )
+        assert via_sql == via_df and len(via_sql) > 0
+
+    def test_sql_view_timestamps_normalized(self, spark):
+        register_views(spark, SF, ["events"])
+        # ts must arrive as TIMESTAMP (not NTZ / long) through SQL too
+        row = spark.sql(
+            "SELECT MIN(unix_micros(ts)) AS m FROM events"
+        ).collect()[0]
+        assert row.m > 0

@@ -29,7 +29,12 @@ Design rules (enforced throughout):
   strategy in the docstring.
 """
 
-from tidb_cdc_spark.session import get_spark
+from tidb_cdc_spark.session import (
+    get_spark,
+    load_tables,
+    read_table,
+    register_views,
+)
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "read_table", "load_tables", "register_views"]
 __version__ = "0.1.0"

@@ -159,6 +159,18 @@ def fan_out_by(df, spark: SparkSession, *cols, partitions: int | None = None):
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """SQL-API surface: register every testdata table as a temp view
+    (timestamp-normalized via ``read_table``) so users can run
+    ``spark.sql("SELECT ... FROM lineitem JOIN orders ...")``
+    directly — same scans, same pushdown, same Catalyst plans as the
+    DataFrame API."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the testdata parquet tables as a dict of DataFrames.
 
