@@ -391,6 +391,37 @@ ORDER BY nationkey
 """
 
 
+# ------------------------------------------------ skew-salted aggregate
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation surface, oracle-gated: two-phase SALTED
+    aggregation (operators/skew.py — phase 1 groups by (key, salt) so
+    a hot key fans out over 16 reducers, phase 2 merges partials)
+    over lineitem's 3-value l_returnflag — maximal key skew. Exact
+    decimal sums make the salted split algebraically identical to the
+    plain GROUP BY the oracle runs."""
+    from tidb_cdc_spark.operators.skew import salted_sum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _dec("l_quantity").alias("qty"),
+        F.lit(1).alias("one"),
+    )
+    out = salted_sum(li, ["l_returnflag"], {"qty": "sum_qty", "one": "n"})
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("l_returnflag")
+
+
+_SALTED_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ------------------------------------- data profiling via unpivot/stack
 def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile of lineitem's numeric columns —
@@ -463,6 +494,7 @@ QUERIES = {
     "price_band_pairs": price_band_pairs,
     "full_outer_nation_presence": full_outer_nation_presence,
     "table_profile_lineitem": table_profile_lineitem,
+    "skew_salted_agg": skew_salted_agg,
 }
 
 ORACLE = {
@@ -478,4 +510,5 @@ ORACLE = {
     "price_band_pairs": _BAND_SQL,
     "full_outer_nation_presence": _FULL_OUTER_SQL,
     "table_profile_lineitem": _PROFILE_SQL,
+    "skew_salted_agg": _SALTED_SQL,
 }
