@@ -88,6 +88,8 @@ def main() -> None:
         "corpus_snapshot_diff",
         "events_funnel",
         "events_cohort_retention",
+        "events_trailing_30m",
+        "events_sliding_1h",
         "corpus_curation_pipeline",
     ]
     timings: dict[str, float] = {}
