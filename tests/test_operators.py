@@ -94,6 +94,50 @@ class TestSessionize:
         assert got[3] == 2  # 40-min gap → new session
         assert got[4] == 1
 
+    def test_random_streams_match_bruteforce(self, spark):
+        """Seeded random event streams vs a Python brute-force
+        sessionizer: boundary semantics (gap strictly greater than
+        the threshold starts a session), microsecond precision,
+        equal-ts tiebreaks by event id."""
+        import datetime
+        import random
+
+        rng = random.Random(42)
+        gap = 600
+        rows = []
+        for uid in range(8):
+            t_us = 0
+            for _ in range(rng.randint(1, 40)):
+                # cluster of micro-steps with occasional exact-gap and
+                # gap+1µs jumps to probe the boundary
+                step = rng.choice(
+                    [0, 1, 500_000, gap * 1_000_000, gap * 1_000_000 + 1]
+                )
+                t_us += step
+                rows.append((uid, t_us, len(rows)))
+        epoch = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (u, epoch + datetime.timedelta(microseconds=t), e)
+                for u, t, e in rows
+            ],
+            "uid int, t timestamp, eid int",
+        )
+        out = sessionize(df, ["uid"], "t", gap_seconds=gap, tiebreak_cols=["eid"])
+        got = {r.eid: (r.uid, r.session_id) for r in out.collect()}
+
+        expect = {}
+        by_uid = {}
+        for u, t, e in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+            prev = by_uid.get(u)
+            if prev is None or t - prev[0] > gap * 1_000_000:
+                sid = (prev[1] + 1) if prev else 1
+            else:
+                sid = prev[1]
+            by_uid[u] = (t, sid)
+            expect[e] = (u, sid)
+        assert got == expect
+
 
 class TestBucketedJoin:
     def test_colocated_join_has_zero_exchanges(self, spark):
