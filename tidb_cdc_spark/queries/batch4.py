@@ -378,6 +378,59 @@ FROM w GROUP BY ws ORDER BY ws
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analytics: per-user consecutive event-type transitions
+    (Markov transition counts + within-source share) — the
+    click-path sibling of the funnel query.
+
+    Plan: ONE hash exchange on user_id for the lead() pairing; the
+    transition aggregate is map-side combining on the 25-cell pair
+    space; the share window runs on the 25-row aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wsrc).cast("double")
+        ).alias("share"),
+    ).orderBy("src", "dst")
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT src, dst FROM (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL
+), counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs GROUP BY src, dst
+)
+SELECT src, dst, n,
+       CAST(n AS DOUBLE)
+         / CAST(CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS DOUBLE)
+         AS share
+FROM counts ORDER BY src, dst
+"""
+
+
 def array_map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/map scalar surface: sequence, aggregate, array_max,
     contains, slice, reverse, array_join, map_from_arrays,
@@ -486,6 +539,7 @@ QUERIES = {
     "events_trailing_30m": events_trailing_30m,
     "events_sliding_1h": events_sliding_1h,
     "array_map_functions_showcase": array_map_functions_showcase,
+    "events_transition_matrix": events_transition_matrix,
     "events_zorder_buckets": events_zorder_buckets,
 }
 
@@ -494,6 +548,7 @@ ORACLE = {
     "events_trailing_30m": _TRAILING_SQL,
     "events_sliding_1h": _SLIDING_SQL,
     "array_map_functions_showcase": _ARRAYMAP_SQL,
+    "events_transition_matrix": _TRANSITION_SQL,
     "events_zorder_buckets": _ZORDER_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
