@@ -234,6 +234,51 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(q, e, k=5).orderBy("query_id", "rank")
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval contract, oracle-gated. The synthetic embeddings
+    are mutually near-orthogonal (recall on them is meaningless —
+    LSH's contract is recall on ACTUALLY-near neighbors, tested on
+    clustered data in tests/), so the gated audit PLANTS a true
+    neighbor per query — a ×1.001-scaled copy at vec_id+10⁶, which
+    preserves cosine (=1) AND every hyperplane signature bit — and
+    verifies LSH retrieves it at rank 1. Deterministic by algorithm
+    structure: identical signatures ⇒ same buckets ⇒ the copy is a
+    candidate, and cosine 1 reranks first. A bucketing or rerank
+    regression flips the boolean and fails the hash."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    planted = q.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias(
+            "embedding"
+        ),
+        *[c for c in e.columns if c not in ("vec_id", "embedding")],
+    )
+    corpus = e.unionByName(planted.select(*e.columns))
+    approx = S.knn_lsh(q, corpus, k=5, dim=64)
+    found = (
+        approx.filter(F.col("neighbor_id") == F.col("query_id") + 1000000)
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("_rk"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(found, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("_rk").isNotNull().alias("planted_found"),
+            (F.coalesce(F.col("_rk"), F.lit(99)) == 1).alias("planted_rank1"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_RECALL_SQL = """
+SELECT vec_id AS query_id, TRUE AS planted_found, TRUE AS planted_rank1
+FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate near-dup pairs on documents."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
@@ -282,6 +327,7 @@ QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "knn_lsh_cosine": knn_lsh_cosine,
     "knn_ivf_cosine": knn_ivf_cosine,
+    "ann_recall_audit": ann_recall_audit,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -295,4 +341,5 @@ ORACLE = {
     "text_lang_id": _LANG_ID_SQL,
     "text_fingerprint_md5": _FP_SQL,
     "knn_bruteforce_cosine": _KNN_SQL,
+    "ann_recall_audit": _ANN_RECALL_SQL,
 }
