@@ -391,6 +391,37 @@ ORDER BY nationkey
 """
 
 
+# --------------------------------------------- explicit grouping sets
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status), (priority), () with
+    grouping_id — the third multi-grouping-set code path next to
+    rollup/cube (one pass, expand + single shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
 # ------------------------------------------------ skew-salted aggregate
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-mitigation surface, oracle-gated: two-phase SALTED
@@ -495,6 +526,7 @@ QUERIES = {
     "full_outer_nation_presence": full_outer_nation_presence,
     "table_profile_lineitem": table_profile_lineitem,
     "skew_salted_agg": skew_salted_agg,
+    "grouping_sets_orders": grouping_sets_orders,
 }
 
 ORACLE = {
@@ -511,4 +543,5 @@ ORACLE = {
     "full_outer_nation_presence": _FULL_OUTER_SQL,
     "table_profile_lineitem": _PROFILE_SQL,
     "skew_salted_agg": _SALTED_SQL,
+    "grouping_sets_orders": _GROUPING_SETS_SQL,
 }
