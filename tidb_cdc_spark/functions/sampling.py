@@ -47,6 +47,44 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < F.lit(thresh))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate: float,
+    max_weight: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: row kept with
+    probability ``rate · w / max_weight`` (importance sampling by
+    e.g. token count — longer documents proportionally likelier).
+
+    The decision is the exact integer compare
+    ``bucket · max_weight < rate·2³² · w`` — no float pow/log (the
+    classic ``u^(1/w)`` priority-sampling key is float-rounding
+    hazardous across engines), so any engine reproduces the same
+    rows. Scan-only predicate like the rest of the family.
+
+    ``max_weight`` must bound the weight column (checked at runtime:
+    an overweight row would silently exceed probability 1) and keep
+    ``rate·2³²·max_weight`` inside int64 — enforced here.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if max_weight <= 0 or int(rate * _BUCKET_SPACE) * max_weight >= 2**62:
+        raise ValueError(f"max_weight {max_weight} out of safe range")
+    thresh = int(rate * _BUCKET_SPACE)
+    w = F.col(weight_col).cast("long")
+    guard = F.when(
+        w <= max_weight, hash_bucket(F.col(key_col), salt) * F.lit(max_weight)
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"{weight_col} exceeds max_weight {max_weight}")
+        ).cast("long")
+    )
+    return df.filter(guard < F.lit(thresh) * w)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

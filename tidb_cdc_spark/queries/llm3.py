@@ -52,6 +52,24 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang").orderBy("doc_id")
 
 
+_MAX_WEIGHT = 1024
+
+
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-weighted Bernoulli sample: doc kept with
+    probability n_tokens/1024 — importance sampling with an exact
+    integer keep-decision (no float pow; any engine reproduces the
+    rows). Scan-only predicate like the whole sampling family."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.token_count(F.col("text")).cast("long").alias("w")
+    )
+    return (
+        SA.weighted_sample(d, "doc_id", "w", rate=1.0, max_weight=_MAX_WEIGHT)
+        .select("doc_id", "lang", F.col("w").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def _md5_bucket_sql(key_expr: str, salt: str = "") -> str:
     """DuckDB expression for sampling.hash_bucket: integer value of
     the first 8 hex chars of md5(key || salt)."""
@@ -74,6 +92,18 @@ def _md5_bucket_sql(key_expr: str, salt: str = "") -> str:
 _SAMPLE_SQL = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_md5_bucket_sql("doc_id")} < {int(_SAMPLE_RATE * 4294967296)}
+ORDER BY doc_id
+"""
+
+_WEIGHTED_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens FROM t
+WHERE {_md5_bucket_sql("doc_id")} * {_MAX_WEIGHT} < 4294967296 * n_tokens
 ORDER BY doc_id
 """
 
@@ -228,6 +258,7 @@ _PII_SQL = (
 QUERIES = {
     "sample_hash_docs": sample_hash_docs,
     "sample_stratified_lang": sample_stratified_lang,
+    "sample_weighted_docs": sample_weighted_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_clusters_exact": dedup_clusters_exact,
     "dedup_clusters_fuzzy": dedup_clusters_fuzzy,
@@ -237,6 +268,7 @@ QUERIES = {
 ORACLE = {
     "sample_hash_docs": _SAMPLE_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
+    "sample_weighted_docs": _WEIGHTED_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "dedup_clusters_exact": _CLUSTERS_EXACT_SQL,
     "pii_scrub_stats": _PII_SQL,
