@@ -185,6 +185,44 @@ class TestCurationPipelinePlan:
         assert "BatchEvalPython" not in plan
 
 
+class TestNewQueryPlans:
+    def test_sliding_window_two_exchanges_max(self, spark):
+        from tidb_cdc_spark.queries.batch4 import events_sliding_1h
+
+        # window() explode feeds a map-side-combining agg: one hash
+        # exchange + the final sort's range exchange
+        df = events_sliding_1h(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan
+
+    def test_transition_matrix_bounded_exchanges(self, spark):
+        from tidb_cdc_spark.queries.batch4 import events_transition_matrix
+
+        df = events_transition_matrix(spark, SF)
+        plan = explain_str(df, mode="simple")
+        # user_id window + (src,dst) agg + src share window
+        assert plan.count("Exchange hashpartitioning") <= 3
+        assert "BatchEvalPython" not in plan
+
+    def test_salted_agg_two_phase(self, spark):
+        from tidb_cdc_spark.queries.batch2 import skew_salted_agg
+
+        df = skew_salted_agg(spark, SF)
+        plan = explain_str(df, mode="simple")
+        # phase-1 (key, salt) exchange + phase-2 key exchange
+        assert plan.count("Exchange hashpartitioning") == 2
+
+    def test_grouping_sets_single_exchange(self, spark):
+        from tidb_cdc_spark.queries.batch2 import grouping_sets_orders
+
+        df = grouping_sets_orders(spark, SF)
+        plan = explain_str(df, mode="simple")
+        # Expand feeds ONE shuffled aggregate for all three sets
+        assert "Expand" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
 class TestZorderPlan:
     def test_morton_code_is_codegen(self, spark):
         from tidb_cdc_spark.queries.batch4 import events_zorder_buckets
