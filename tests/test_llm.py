@@ -293,3 +293,38 @@ class TestIvf:
         ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
         recall = len(bf_set & ivf_set) / len(bf_set)
         assert recall >= 0.9, f"IVF recall {recall} too low on clustered data"
+
+
+class TestNearDupIngest:
+    def test_band_store_screens_incoming_batch(self, spark):
+        from tidb_cdc_spark.functions.dedup import (
+            minhash_band_rows,
+            near_dup_ingest,
+        )
+
+        words = [f"w{i}" for i in range(30)]
+        corpus = spark.createDataFrame(
+            [(1, " ".join(words)), (2, " ".join(reversed(words)))],
+            "doc_id long, text string",
+        )
+        store = minhash_band_rows(corpus)
+        # doc 10: token-identical to doc 1 (whitespace differs only) →
+        # identical shingle set → identical signature → deterministic
+        # collision. doc 11: disjoint vocabulary → no collision.
+        batch = spark.createDataFrame(
+            [
+                (10, "  ".join(words)),
+                (11, " ".join(f"x{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        clean, candidates, new_bands = near_dup_ingest(batch, store)
+        cand = {(r.new_id, r.corpus_id) for r in candidates.collect()}
+        assert (10, 1) in cand
+        assert all(n != 11 for n, _ in cand)
+        assert {r.doc_id for r in clean.collect()} == {11}
+        # appending new_bands keeps the index current: a replay of the
+        # SAME batch now collides on the admitted doc too
+        store2 = store.unionByName(new_bands)
+        _, cand2, _ = near_dup_ingest(batch, store2)
+        assert (11, 11) in {(r.new_id, r.corpus_id) for r in cand2.collect()}

@@ -156,6 +156,84 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, band, bhash) rows — the PERSISTENT LSH index format: a
+    corpus's band table, stored bucketed on (band, bhash), lets any
+    later batch find near-dup candidates with one equi-join instead
+    of re-hashing the corpus. ~24 B/row × bands per document."""
+    rows = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("_sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bhash"),
+    )
+
+
+def near_dup_ingest(
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Streaming near-dup admission control: screen an incoming batch
+    against the corpus's persistent band table (``minhash_band_rows``
+    format) WITHOUT touching corpus text.
+
+    Returns ``(clean, candidates, new_bands)``:
+    - ``candidates`` — (new id, corpus id) pairs sharing ≥1 LSH band
+      with a stored document (verify exactly downstream if the
+      estimated-Jaccard threshold matters);
+    - ``clean`` — batch docs with NO collision (safe to admit);
+    - ``new_bands`` — the batch's band rows, to append to the store
+      (admitting clean docs keeps the index current).
+
+    Scale: the join is (batch × matching buckets) on the bucketed
+    (band, bhash) store — per-batch cost ∝ batch size, never corpus
+    size; the foreachBatch body for keeping a 100 TB corpus
+    near-dup-free at ingest.
+    """
+    new_bands = minhash_band_rows(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    nb = new_bands.select(
+        F.col(id_col).alias("_new_id"), "band", "bhash"
+    )
+    store = band_store.select(
+        F.col(id_col).alias("_corpus_id"), "band", "bhash"
+    )
+    candidates = (
+        nb.join(store, ["band", "bhash"])
+        .select(
+            F.col("_new_id").alias("new_id"),
+            F.col("_corpus_id").alias("corpus_id"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    clean = new_docs.join(
+        candidates.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    return clean, candidates, new_bands
+
+
 def simhash(text: Column, shingle_k: int = 3) -> Column:
     """64-bit SimHash: bit j of the result is the sign of
     Σ_shingles (±1 depending on bit j of xxhash64(shingle)).
