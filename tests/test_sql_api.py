@@ -36,3 +36,35 @@ class TestSqlApi:
             "SELECT MIN(unix_micros(ts)) AS m FROM events"
         ).collect()[0]
         assert row.m > 0
+
+
+class TestPythonUdtf:
+    def test_udtf_matches_explode(self, spark):
+        """UDTF surface (SURVEY §2.1 UDF/UDAF/UDTF row): a Python
+        table function lateral-joined per row equals the codegen
+        posexplode path. UDTFs are the SLOW path (row-at-a-time
+        Python) — declared for API completeness; hot paths use the
+        built-in explode, as everywhere else in the repo."""
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="token string, pos int")
+        class Tokenize:
+            def eval(self, text: str):
+                for i, t in enumerate(text.split()):
+                    yield t, i
+
+        spark.udtf.register("tokenize", Tokenize)
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "x y")], "doc_id long, text string"
+        )
+        docs.createOrReplaceTempView("udtf_docs")
+        via_udtf = spark.sql(
+            "SELECT doc_id, token, pos FROM udtf_docs, "
+            "LATERAL tokenize(text) ORDER BY doc_id, pos"
+        ).collect()
+        via_explode = spark.sql(
+            "SELECT doc_id, col AS token, pos FROM udtf_docs "
+            "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, col "
+            "ORDER BY doc_id, pos"
+        ).collect()
+        assert [tuple(r) for r in via_udtf] == [tuple(r) for r in via_explode]
