@@ -150,10 +150,66 @@ GROUP BY b.lang ORDER BY b.lang
 )
 
 
+def rag_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval end-to-end: query vectors → exact top-3 cosine
+    neighbors (the ANN twin swaps in ``knn_lsh`` at scale, same join
+    shape) → joined back to the document table for the passage
+    payload (language, token count). One broadcast of the 3 query
+    vectors + one id-equi-join against documents — no corpus text
+    moves until a document is actually retrieved."""
+    from tidb_cdc_spark.functions import similarity as S
+    from tidb_cdc_spark.functions import text as T
+    from tidb_cdc_spark.queries.llm import _embs
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 3)
+    hits = S.knn_bruteforce(q, e, k=3).select("query_id", "neighbor_id", "rank")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        "lang",
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        hits.join(docs, hits.neighbor_id == docs.doc_id)
+        .select("query_id", "rank", "doc_id", "lang", "n_tokens")
+        .orderBy("query_id", "rank")
+    )
+
+
+_RAG_SQL = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(qv, cv)
+           / (sqrt(list_inner_product(qv, qv))
+              * sqrt(list_inner_product(cv, cv))) AS score
+  FROM q, c WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, d.doc_id, d.lang,
+       len(list_filter(string_split_regex(d.text, '\s+'),
+           x -> x <> '')) AS n_tokens
+FROM ranked JOIN documents d ON neighbor_id = d.doc_id
+WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
+    "rag_retrieve_topk": rag_retrieve_topk,
 }
 
 ORACLE = {
     "corpus_curation_pipeline": _PIPELINE_SQL,
+    "rag_retrieve_topk": _RAG_SQL,
 }
