@@ -52,6 +52,32 @@ class TestHashSampling:
         with pytest.raises(ValueError, match="stratum"):
             SA.stratified_sample(df, "k", "k", {"x": -0.1})
 
+    def test_weighted_overflow_guard_is_rate_independent(self, spark):
+        # the runtime predicate multiplies max_weight by the FULL
+        # 2^32 bucket, so a low rate must not loosen the bound:
+        # 2^32 · 3e9 > 2^62 would wrap negative and keep wrong rows
+        df = spark.createDataFrame([(1, 5)], "k long, w long")
+        with pytest.raises(ValueError, match="max_weight"):
+            SA.weighted_sample(df, "k", "w", rate=0.25, max_weight=3_000_000_000)
+        # a safe bound still passes regardless of rate
+        assert SA.weighted_sample(df, "k", "w", rate=0.25, max_weight=10).count() <= 1
+
+    def test_weighted_matches_bruteforce(self, spark):
+        # cross-engine contract: keep iff bucket·max_weight < rate·2³²·w
+        import hashlib
+
+        rows = [(i, 1 + i % 7) for i in range(2000)]
+        df = spark.createDataFrame(rows, "k long, w long")
+        got = {r.k for r in SA.weighted_sample(df, "k", "w", 0.4, 7).collect()}
+        thresh = int(0.4 * SA._BUCKET_SPACE)
+        expect = {
+            k
+            for k, w in rows
+            if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) * 7
+            < thresh * w
+        }
+        assert got == expect
+
 
 class TestTfidf:
     def test_hand_checked_scores(self, spark):
@@ -132,6 +158,16 @@ class TestConnectedComponents:
         edges = spark.createDataFrame(pairs, "id_a long, id_b long")
         got = {r.id: r.cluster_id for r in C.connected_components(edges).collect()}
         assert set(got.values()) == {0}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # a 200-node path has diameter 199: plain hash-min propagation
+        # needs ~199 rounds (would blow max_iters=25); path-halving
+        # pointer jumps make the min travel exponentially — O(log d)
+        pairs = [(i, i + 1) for i in range(199)]
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in C.connected_components(edges).collect()}
+        assert set(got.values()) == {0} and len(got) == 200
+        assert C.LAST_ROUNDS <= 12, f"took {C.LAST_ROUNDS} rounds"
 
     def test_nonconvergence_raises(self, spark):
         pairs = [(i, i + 1) for i in range(8)]

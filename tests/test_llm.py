@@ -323,8 +323,43 @@ class TestNearDupIngest:
         assert (10, 1) in cand
         assert all(n != 11 for n, _ in cand)
         assert {r.doc_id for r in clean.collect()} == {11}
+        # new_bands carries ONLY admitted docs — appending rejected
+        # doc 10's bands would index a document that was never stored
+        assert {r.doc_id for r in new_bands.collect()} == {11}
         # appending new_bands keeps the index current: a replay of the
         # SAME batch now collides on the admitted doc too
         store2 = store.unionByName(new_bands)
         _, cand2, _ = near_dup_ingest(batch, store2)
         assert (11, 11) in {(r.new_id, r.corpus_id) for r in cand2.collect()}
+
+    def test_intra_batch_collisions_admit_one(self, spark):
+        from tidb_cdc_spark.functions.dedup import (
+            minhash_band_rows,
+            near_dup_ingest,
+        )
+
+        words = [f"w{i}" for i in range(30)]
+        corpus = spark.createDataFrame(
+            [(1, " ".join(f"z{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        store = minhash_band_rows(corpus)
+        # 20 and 21 are token-identical (identical shingle set) and
+        # arrive in the SAME batch; 22 is unrelated. Arrival-order
+        # admission keeps the smaller id only.
+        batch = spark.createDataFrame(
+            [
+                (20, " ".join(words)),
+                (21, "  ".join(words)),
+                (22, " ".join(f"y{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        clean, candidates, new_bands = near_dup_ingest(batch, store)
+        assert {r.doc_id for r in clean.collect()} == {20, 22}
+        intra = {
+            (r.new_id, r.corpus_id)
+            for r in candidates.filter("src = 'batch'").collect()
+        }
+        assert (21, 20) in intra
+        assert {r.doc_id for r in new_bands.collect()} == {20, 22}

@@ -94,6 +94,24 @@ class TestSessionize:
         assert got[3] == 2  # 40-min gap → new session
         assert got[4] == 1
 
+    def test_fractional_gap_survives_microsecond_conversion(self, spark):
+        # gap_seconds=0.5 must become 500_000 µs, not int-truncate to 0
+        import datetime
+
+        epoch = datetime.datetime(2024, 1, 1)
+        us = datetime.timedelta(microseconds=1)
+        df = spark.createDataFrame(
+            [
+                (1, epoch, 1),
+                (1, epoch + 400_000 * us, 2),  # 0.4 s gap ≤ 0.5 s → same
+                (1, epoch + 1_000_001 * us, 3),  # 0.6 s gap > 0.5 s → new
+            ],
+            "uid int, t timestamp, eid int",
+        )
+        out = sessionize(df, ["uid"], "t", gap_seconds=0.5, tiebreak_cols=["eid"])
+        got = {r.eid: r.session_id for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 2}
+
     def test_random_streams_match_bruteforce(self, spark):
         """Seeded random event streams vs a Python brute-force
         sessionizer: boundary semantics (gap strictly greater than

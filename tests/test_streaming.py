@@ -473,3 +473,34 @@ class TestScd2HistorySink:
         assert sorted(map(tuple, one_shot.collect())) == sorted(
             map(tuple, hist.select(*one_shot.columns).collect())
         )
+
+    def test_batch_replay_is_noop(self, spark, tmp_path):
+        """foreachBatch re-delivery after a crash (offsets commit AFTER
+        process) must not corrupt the history: merge_scd2 is append-
+        based, so without the batch watermark a replay would close the
+        batch's own intervals at their own valid_from and duplicate
+        versions."""
+        from tidb_cdc_spark.cdc import parse_cdc
+        from tidb_cdc_spark.streaming import Scd2HistorySink
+
+        def changes(msgs):
+            df = spark.createDataFrame([(m,) for m in msgs], "value string")
+            return parse_cdc(
+                df.withColumn("_s", F.monotonically_increasing_id()),
+                SPEC,
+                seq_col=F.col("_s"),
+            )
+
+        sink = Scd2HistorySink(str(tmp_path / "hist"))
+        b1 = changes([_msg("insert", "a", 1, 10), _msg("update", "a", 5, 12)])
+        sink.process(b1, 0, SPEC)
+        applied = sorted(map(tuple, sink.read_current(spark).collect()))
+
+        sink.process(b1, 0, SPEC)  # at-least-once re-delivery
+        assert sorted(map(tuple, sink.read_current(spark).collect())) == applied
+
+        # a genuinely new batch still applies
+        sink.process(changes([_msg("update", "a", 9, 20)]), 1, SPEC)
+        hist = {(r.k, r.version): r for r in sink.read_current(spark).collect()}
+        assert hist[("a", 2)].valid_to == 20
+        assert hist[("a", 3)].is_current and hist[("a", 3)].v == 9

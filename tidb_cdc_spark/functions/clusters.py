@@ -7,14 +7,17 @@ A~B and B~C then A,B,C are one cluster with one kept representative.
 This is the standard last stage of a pretraining dedup pipeline.
 
 Algorithm: iterative min-label propagation (each node adopts the
-smallest label among itself and its neighbors until fixpoint) — the
-DataFrame-native formulation of connected components. Convergence
-is O(component diameter) rounds; near-dup clusters are dense and
-shallow (a viral doc family links through shared hubs), so a handful
-of rounds closes them. Each round is one join + one aggregate, both
-equi on node id; on a 1000-executor cluster each round is two
-shuffles over |V| rows, where V is only the nodes that appear in
-some pair (≪ corpus).
+smallest label among itself and its neighbors) PLUS a path-halving
+pointer jump per round (each node then adopts its label's label) —
+the DataFrame-native formulation of connected components with path
+compression. Propagation alone converges in O(component diameter)
+rounds; the jump lets the minimum travel exponentially (reach ~2^r
+after r rounds), so convergence is O(log d) — on a 100 TB corpus the
+round count, not per-round cost, is the wall-clock driver, and a
+long chain topology (crawl-mirror chains) would otherwise stall the
+job at O(d). Each round is two equi-joins + one aggregate on node
+id; on a 1000-executor cluster that is three shuffles over |V| rows,
+where V is only the nodes that appear in some pair (≪ corpus).
 
 Lineage: labels are CHECKPOINTED each round, not persisted —
 ``persist`` keeps the full logical plan, which for an iterative
@@ -26,11 +29,10 @@ for iterative algorithms (GraphX does the same): a reliable
 else ``localCheckpoint`` (single-node sessions; an executor loss
 reruns the job, which for a deterministic CC is safe to retry).
 
-Cited precedent: this is the "hash-min" variant of the MapReduce
+Cited precedent: hash-min with pointer jumping from the MapReduce
 connected-components family (Kiveris et al., "Connected Components
-in MapReduce and Beyond" — public literature); the large-star/
-small-star optimization drops rounds to O(log d) and slots in here
-unchanged if ever needed.
+in MapReduce and Beyond" — public literature); path halving is the
+classic union-find compression applied once per round.
 """
 
 from __future__ import annotations
@@ -39,6 +41,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tidb_cdc_spark.session import materialize
+
+#: Rounds the last ``connected_components`` call took to converge —
+#: observability for the O(log d) claim (tests + NOTES.md rehearsals).
+LAST_ROUNDS: int = 0
 
 
 def _truncate(df: DataFrame) -> DataFrame:
@@ -85,7 +91,8 @@ def connected_components(
             "label", F.col("id")
         )
     )
-    for _ in range(max_iters):
+    global LAST_ROUNDS
+    for rounds in range(1, max_iters + 1):
         nbr_min = (
             sym.join(
                 labels.select(
@@ -97,21 +104,39 @@ def connected_components(
             .agg(F.min("dst_label").alias("nbr_label"))
             .select(F.col("src").alias("id"), "nbr_label")
         )
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("_old"),
+        )
+        # path-halving pointer jump: label ← min(label, label(label)),
+        # resolved against the PREVIOUS round's mapping so `prop` (not
+        # yet checkpointed) is scanned once. Every label value is a
+        # node id, so the mapping is total; labels only decrease, so
+        # the jump stays inside the component and cannot cycle.
+        jump = F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label")))
         # change detection is fused into the update join (a `_changed`
         # flag column) — counting it on the checkpointed result costs
         # one tiny job, vs a whole labels⋈labels join per round
         new_labels = _truncate(
-            labels.join(nbr_min, "id", "left").select(
+            prop.join(
+                labels.select(
+                    F.col("id").alias("label"), F.col("label").alias("_ll")
+                ),
+                "label",
+                "left",
+            ).select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+                jump.alias("label"),
+                (jump < F.col("_old")).alias("_changed"),
             )
         )
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            LAST_ROUNDS = rounds
             sym.unpersist()
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(

@@ -197,39 +197,71 @@ def near_dup_ingest(
     format) WITHOUT touching corpus text.
 
     Returns ``(clean, candidates, new_bands)``:
-    - ``candidates`` — (new id, corpus id) pairs sharing ≥1 LSH band
-      with a stored document (verify exactly downstream if the
-      estimated-Jaccard threshold matters);
-    - ``clean`` — batch docs with NO collision (safe to admit);
-    - ``new_bands`` — the batch's band rows, to append to the store
-      (admitting clean docs keeps the index current).
+    - ``candidates`` — (new_id, corpus_id, src) pairs sharing ≥1 LSH
+      band: ``src='store'`` pairs collide with a stored document,
+      ``src='batch'`` pairs collide with a SMALLER-id document of the
+      same batch (two near-identical docs arriving together must not
+      both be admitted). Verify exactly downstream if the estimated-
+      Jaccard threshold matters.
+    - ``clean`` — batch docs with NO collision against the store and
+      no collision against a smaller-id batch doc (safe to admit).
+      The smaller-id rule is deterministic arrival-order admission;
+      for collision CHAINS (A←B←C with B∉A's buckets rejected) it is
+      conservative — C is rejected even though its only partner B was
+      itself rejected; exact re-screening of ``candidates`` recovers
+      such docs if that matters.
+    - ``new_bands`` — band rows for the ADMITTED (clean) docs only,
+      safe to append to the store as-is; appending rejected docs'
+      bands would create future candidate pairs against documents
+      that were never admitted.
 
-    Scale: the join is (batch × matching buckets) on the bucketed
-    (band, bhash) store — per-batch cost ∝ batch size, never corpus
-    size; the foreachBatch body for keeping a 100 TB corpus
+    Scale: both joins are (batch × matching buckets) — the store join
+    on the bucketed (band, bhash) table, the intra-batch join on the
+    batch's own band rows — so per-batch cost ∝ batch size, never
+    corpus size; the foreachBatch body for keeping a 100 TB corpus
     near-dup-free at ingest.
     """
-    new_bands = minhash_band_rows(
+    batch_bands = minhash_band_rows(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k
     )
-    nb = new_bands.select(
+    nb = batch_bands.select(
         F.col(id_col).alias("_new_id"), "band", "bhash"
     )
     store = band_store.select(
         F.col(id_col).alias("_corpus_id"), "band", "bhash"
     )
-    candidates = (
+    store_hits = (
         nb.join(store, ["band", "bhash"])
         .select(
             F.col("_new_id").alias("new_id"),
             F.col("_corpus_id").alias("corpus_id"),
+            F.lit("store").alias("src"),
         )
         .dropDuplicates(["new_id", "corpus_id"])
     )
+    intra_hits = (
+        nb.join(
+            nb.select(
+                F.col("_new_id").alias("_partner_id"), "band", "bhash"
+            ),
+            ["band", "bhash"],
+        )
+        .filter(F.col("_partner_id") < F.col("_new_id"))
+        .select(
+            F.col("_new_id").alias("new_id"),
+            F.col("_partner_id").alias("corpus_id"),
+            F.lit("batch").alias("src"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    candidates = store_hits.unionByName(intra_hits)
     clean = new_docs.join(
         candidates.select(F.col("new_id").alias(id_col)).distinct(),
         id_col,
         "left_anti",
+    )
+    new_bands = batch_bands.join(
+        clean.select(id_col), id_col, "left_semi"
     )
     return clean, candidates, new_bands
 

@@ -71,7 +71,12 @@ def weighted_sample(
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    if max_weight <= 0 or int(rate * _BUCKET_SPACE) * max_weight >= 2**62:
+    # The runtime predicate computes bucket·max_weight where bucket
+    # ranges over the FULL [0, 2^32) space regardless of rate, so the
+    # bound must be rate-independent — else e.g. rate=0.25 admits a
+    # max_weight whose product wraps negative in non-ANSI mode and
+    # silently keeps rows that should drop.
+    if max_weight <= 0 or _BUCKET_SPACE * max_weight >= 2**62:
         raise ValueError(f"max_weight {max_weight} out of safe range")
     thresh = int(rate * _BUCKET_SPACE)
     w = F.col(weight_col).cast("long")

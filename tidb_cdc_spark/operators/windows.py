@@ -35,7 +35,7 @@ def sessionize(
     df: DataFrame,
     key_cols: list[str],
     ts_col: str,
-    gap_seconds: int,
+    gap_seconds: float,
     tiebreak_cols: list[str] | None = None,
     session_col: str = "session_id",
 ) -> DataFrame:
@@ -61,7 +61,9 @@ def sessionize(
         cur = F.unix_micros(F.col(ts_col).cast("timestamp"))
         prev = F.unix_micros(prev_ts.cast("timestamp"))
         gap = cur - prev
-        threshold = F.lit(int(gap_seconds) * 1_000_000)
+        # round (not int-truncate) so fractional gaps survive the
+        # int64 conversion: gap_seconds=0.5 → 500_000 µs, not 0
+        threshold = F.lit(round(gap_seconds * 1_000_000))
     else:
         gap = F.col(ts_col) - prev_ts
         threshold = F.lit(gap_seconds)

@@ -49,12 +49,26 @@ class ParquetSnapshotSink(Sink):
 
     path: str
 
-    def _current_version(self) -> int | None:
+    def _pointer(self) -> tuple[int, int] | None:
+        """(version, last_applied_batch_id) from the _CURRENT pointer.
+
+        The two values live in ONE file swapped with ``os.replace`` so
+        version and batch watermark commit atomically together; older
+        single-value pointers read back with batch_id -1 (unknown)."""
         ptr = os.path.join(self.path, "_CURRENT")
         if not os.path.exists(ptr):
             return None
         with open(ptr) as f:
-            return int(f.read().strip())
+            parts = f.read().split()
+        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else -1)
+
+    def _current_version(self) -> int | None:
+        p = self._pointer()
+        return None if p is None else p[0]
+
+    def _last_batch_id(self) -> int | None:
+        p = self._pointer()
+        return None if p is None else p[1]
 
     def read_current(self, spark) -> DataFrame | None:
         v = self._current_version()
@@ -62,21 +76,26 @@ class ParquetSnapshotSink(Sink):
             return None
         return spark.read.parquet(os.path.join(self.path, f"v={v}"))
 
-    def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
-        spark = changes.sparkSession
-        base = self.read_current(spark)
-        merged = apply_changes(base, changes, spec)
+    def _commit_version(self, merged: DataFrame, batch_id: int) -> None:
+        """Write the next snapshot version, atomically swap the
+        pointer (version + batch watermark), GC old versions."""
         v = (self._current_version() or 0) + 1
         target = os.path.join(self.path, f"v={v}")
         merged.write.mode("overwrite").parquet(target)
         tmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(tmp, "w") as f:
-            f.write(str(v))
+            f.write(f"{v} {batch_id}")
         os.replace(tmp, os.path.join(self.path, "_CURRENT"))  # atomic pointer swap
         # retain previous version for readers-in-flight; GC older
         for d in os.listdir(self.path):
             if d.startswith("v=") and int(d[2:]) < v - 1:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
+        spark = changes.sparkSession
+        base = self.read_current(spark)
+        merged = apply_changes(base, changes, spec)
+        self._commit_version(merged, batch_id)
 
 
 @dataclass
@@ -88,24 +107,25 @@ class Scd2HistorySink(ParquetSnapshotSink):
     closes the open interval of every touched key and appends the
     batch's new versions (``merge_scd2``). Checkpointed offsets +
     per-key ordered batches ⇒ the stored history equals a one-shot
-    replay of the full log (pinned by the merge property test)."""
+    replay of the full log (pinned by the merge property test).
+
+    Unlike the PK-keyed MERGE sinks, ``merge_scd2`` is append-based
+    and NOT naturally idempotent — a foreachBatch re-delivery after a
+    crash (offsets commit after ``process``) would close the batch's
+    own just-written intervals at their own ``valid_from`` and append
+    duplicate versions. The batch watermark stored atomically in the
+    _CURRENT pointer makes replays an explicit no-op."""
 
     def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
         from tidb_cdc_spark.cdc.scd import merge_scd2
 
+        last = self._last_batch_id()
+        if last is not None and batch_id <= last:
+            return  # at-least-once replay of an already-applied batch
         spark = changes.sparkSession
         base = self.read_current(spark)
         merged = merge_scd2(base, changes, spec)
-        v = (self._current_version() or 0) + 1
-        target = os.path.join(self.path, f"v={v}")
-        merged.write.mode("overwrite").parquet(target)
-        tmp = os.path.join(self.path, "_CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.path, "_CURRENT"))
-        for d in os.listdir(self.path):
-            if d.startswith("v=") and int(d[2:]) < v - 1:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        self._commit_version(merged, batch_id)
 
 
 @dataclass
