@@ -65,6 +65,7 @@ def main() -> None:
         "cdc_parse_typed",
         "cdc_apply_latest",
         "cdc_scd2_history",
+        "cdc_decimal_agg",
         "dedup_exact_docs",
         "text_token_stats",
         "text_lang_id",

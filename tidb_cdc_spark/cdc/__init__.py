@@ -11,12 +11,13 @@ from tidb_cdc_spark.cdc.schema import (
     CDCType,
     envelope_schema,
 )
-from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec, snake_case
+from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec, is_widening, snake_case
 from tidb_cdc_spark.cdc.parse import (
     parse_envelope,
     with_images,
     project_table,
     parse_cdc,
+    schema_drift,
 )
 from tidb_cdc_spark.cdc.apply import conflate_latest, apply_changes
 
@@ -26,11 +27,13 @@ __all__ = [
     "envelope_schema",
     "ColumnSpec",
     "TableSpec",
+    "is_widening",
     "snake_case",
     "parse_envelope",
     "with_images",
     "project_table",
     "parse_cdc",
+    "schema_drift",
     "conflate_latest",
     "apply_changes",
 ]

@@ -118,6 +118,59 @@ def with_images(df: DataFrame) -> DataFrame:
     )
 
 
+def schema_drift(
+    df: DataFrame, spec: TableSpec, value_col: str = "value"
+) -> DataFrame:
+    """Stream-vs-spec drift report: which columns arrive that the spec
+    does not declare, and which declared columns the stream no longer
+    carries — per column, with event counts.
+
+    Output: ``col_name string, kind string, n_events long`` where
+    ``kind`` is ``unknown_in_stream`` (column present in an event's
+    ``data`` image but absent from the spec — the reference drops
+    these silently via its reflection fall-through,
+    ``cdc_utils.go:96-123``) or ``missing_from_stream`` (spec column
+    absent from an event's ``data`` — decoded as NULL by
+    ``parse_cdc``). Feed the findings into ``TableSpec.evolve``.
+
+    Plan: the string-map phase-1 parse (key PRESENCE is detectable
+    there), two ``array_except`` probes per row, explode of the
+    (usually empty) drift array, then a groupBy on (col_name, kind) —
+    shuffle cardinality = drifted columns, not rows, so the report is
+    a cheap monitoring query at any scale.
+    """
+    env = parse_envelope(df, value_col, drop_malformed=True)
+    known = F.array(*[F.lit(c.source) for c in spec.resolved_columns()])
+    keys = F.map_keys(F.col("data"))
+    unknown = F.array_except(keys, known)
+    missing = F.array_except(known, keys)
+    drift = F.concat(
+        F.transform(
+            unknown,
+            lambda c: F.struct(
+                c.alias("col_name"), F.lit("unknown_in_stream").alias("kind")
+            ),
+        ),
+        F.transform(
+            missing,
+            lambda c: F.struct(
+                c.alias("col_name"), F.lit("missing_from_stream").alias("kind")
+            ),
+        ),
+    )
+    return (
+        env.filter(
+            (F.col("database") == spec.database)
+            & (F.col("table") == spec.table)
+            & F.col("data").isNotNull()
+        )
+        .select(F.explode(drift).alias("d"))
+        .select("d.col_name", "d.kind")
+        .groupBy("col_name", "kind")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def cast_value(value: Column, col: ColumnSpec) -> Column:
     """Lenient per-field decode: the §1.2 coercion matrix as a single
     expression. Failed coercions yield NULL (the Spark analogue of

@@ -57,6 +57,53 @@ SUPPORTED_TYPES = {
 }
 
 
+#: Safe type-widening lattice: old type → target types every already-
+#: accepted value survives into unchanged (no silent reinterpretation,
+#: no precision loss). ``string`` accepts anything (the string-map
+#: phase is the canonical text form). bigint→double is deliberately
+#: NOT a widening (loses integer precision above 2^53).
+_WIDENING: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint", "double", "string"},
+    "smallint": {"int", "bigint", "double", "string"},
+    "int": {"bigint", "double", "string"},
+    "bigint": {"string"},
+    "float": {"double", "string"},
+    "double": {"string"},
+    "boolean": {"string"},
+    "date": {"timestamp", "string"},
+    "timestamp": {"string"},
+    "decimal": {"string"},  # plus wider decimals, handled below
+    "binary": set(),
+    "string": set(),
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+
+def _decimal_params(dtype: str) -> tuple[int, int] | None:
+    m = _DECIMAL_RE.match(dtype.strip().lower())
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def is_widening(old: str, new: str) -> bool:
+    """True iff ``old`` → ``new`` is on the safe-widening lattice."""
+    old_l, new_l = old.strip().lower(), new.strip().lower()
+    if old_l == new_l:
+        return True
+    od, nd = _decimal_params(old_l), _decimal_params(new_l)
+    if od is not None:
+        if new_l == "string":
+            return True
+        # wider decimal: no fewer integer digits AND no fewer
+        # fractional digits than the old type can hold
+        return nd is not None and nd[0] - nd[1] >= od[0] - od[1] and nd[1] >= od[1]
+    if nd is not None:
+        # integer → decimal that can hold the integer range exactly
+        digits = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+        return old_l in digits and nd[0] - nd[1] >= digits[old_l]
+    return new_l in _WIDENING.get(old_l.split("(")[0], set())
+
+
 @dataclass(frozen=True)
 class ColumnSpec:
     """One target column.
@@ -122,6 +169,76 @@ class TableSpec:
         for sub in self.nested:
             out.extend(sub.resolved_columns())
         return out
+
+    def evolve(
+        self,
+        add: tuple[ColumnSpec, ...] = (),
+        widen: dict[str, str] | None = None,
+        drop: tuple[str, ...] = (),
+    ) -> "TableSpec":
+        """Declared schema-evolution contract (stream-vs-spec drift).
+
+        The reference has NO evolution story: unknown incoming columns
+        are silently skipped by the reflection fall-through
+        (``cdc_utils.go:96-123``) while the deployment replicates DDL
+        upstream (``test/deals_changefeed.toml:44`` sync-ddl=true) —
+        so a real user's spec drifts from the stream within weeks.
+        The engine's contract:
+
+        - **unknown column in the stream** → ignored by ``parse_cdc``
+          (typed ``from_json`` extracts spec columns only), but
+          OBSERVABLE via ``parse.schema_drift``; adopt it with
+          ``evolve(add=...)``.
+        - **spec column absent from the stream** → NULL in the typed
+          image (same as an explicit JSON null); observable via
+          ``schema_drift``; retire it with ``evolve(drop=...)``.
+        - **upstream type change** → values that stop fitting decode
+          to NULL (lenient ``try_cast``); ``evolve(widen=...)`` moves
+          the column up the safe-widening lattice — widening only, so
+          every value the old spec accepted decodes identically under
+          the new one (no silent reinterpretation).
+
+        ``widen``/``drop`` key on the RESOLVED source column name.
+        Flattened nested specs are evolved in place. PK columns can be
+        widened but not dropped.
+        """
+        widen = dict(widen or {})
+        drop_set = set(drop)
+        known = {c.source for c in self.resolved_columns()}
+        for name in list(widen) + list(drop_set):
+            if name not in known:
+                raise ValueError(f"evolve: unknown column {name!r}")
+        for a in add:
+            if a.source in known:
+                raise ValueError(f"evolve: column {a.source!r} already exists")
+
+        def evolve_one(c: ColumnSpec) -> ColumnSpec | None:
+            if c.source in drop_set:
+                if c.pk:
+                    raise ValueError(f"evolve: cannot drop pk column {c.source!r}")
+                return None
+            if c.source in widen:
+                new_t = widen.pop(c.source)
+                if not is_widening(c.dtype, new_t):
+                    raise ValueError(
+                        f"evolve: {c.dtype!r} -> {new_t!r} for {c.source!r} "
+                        "is not a safe widening"
+                    )
+                return ColumnSpec(
+                    c.name, new_t, c.column, c.pk, c.exclude, c.bool01, c.epoch_ms
+                )
+            return c
+
+        cols = tuple(
+            e for c in self.columns if (e := evolve_one(c)) is not None
+        ) + tuple(add)
+        nested = tuple(
+            TableSpec(s.database, s.table,
+                      tuple(e for c in s.columns if (e := evolve_one(c)) is not None),
+                      s.nested)
+            for s in self.nested
+        )
+        return TableSpec(self.database, self.table, cols, nested)
 
     @property
     def pk_columns(self) -> list[str]:
