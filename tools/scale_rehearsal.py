@@ -1,0 +1,115 @@
+"""Scale rehearsal: synthesize a ~10x events/documents dataset and
+run the heaviest declared operators on it — surfacing memory cliffs,
+shuffle blowups, and convergence pathologies that AQE hides at sf0.1.
+
+Usage: python3 tools/scale_rehearsal.py [out_dir]
+
+Writes replicated tables to ``out_dir`` (default
+/tmp/spark_graft_sf1x10) — NEVER into /root/testdata — then times
+each op twice (min reported, same convention as bench.py). Documents
+are replicated with a per-replica perturbation token so near-dup
+structure stays realistic (~doc-sized clusters, not 10x-everything);
+replica 1 keeps the text EXACT to stress the dedup/cluster path with
+planted 2-node clusters corpus-wide. Events shift ids/users so key
+cardinality scales with volume (a 10x stream has more users, not 10x
+hotter keys).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPLICAS = 10
+
+
+def build(spark, src: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.session import read_table
+
+    os.makedirs(out, exist_ok=True)
+    docs = read_table(spark, src, "documents")
+    n_docs = docs.count()
+    parts = []
+    for k in range(REPLICAS):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
+        if k == 0:
+            pass  # originals
+        elif k == 1:
+            pass  # exact text copies under new ids → planted dup pairs
+        else:
+            d = d.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" r{k} "), F.col("doc_id"))
+            )
+        parts.append(d)
+    big_docs = parts[0]
+    for p in parts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    ev = read_table(spark, src, "events")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    eparts = []
+    for k in range(REPLICAS):
+        eparts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(k * n_ev))
+            .withColumn("user_id", F.col("user_id") + F.lit(k * n_users))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k} SECONDS"))
+        )
+    big_ev = eparts[0]
+    for p in eparts[1:]:
+        big_ev = big_ev.unionByName(p)
+    big_ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    # lineitem is read by cdc_decimal_agg's synthesis; link the sf0.1
+    # original (rehearsal targets the documents/events-heavy ops)
+    for t in ("lineitem", "region", "nation", "customer", "supplier",
+              "part", "orders", "embeddings"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{src}/{t}.parquet", dst)
+
+
+HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_clusters_exact",
+    "corpus_curation_pipeline",
+    "cdc_apply_latest",
+    "quality_budget_head",
+]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1x10"
+    src = "/root/testdata/sf0.1"
+    from tidb_cdc_spark import get_spark
+    from tidb_cdc_spark.functions import clusters
+    from tidb_cdc_spark.queries import QUERIES
+
+    spark = get_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{out}/documents.parquet"):
+        t0 = time.perf_counter()
+        build(spark, src, out)
+        print(f"# built {out} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in HEAVY:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, out).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 2)
+        extra = f" cc_rounds={clusters.LAST_ROUNDS}" if "clusters" in name else ""
+        print(f"# {name}: {timings[name]}s rows={n}{extra}", file=sys.stderr, flush=True)
+    print(json.dumps({"scale": "10x-sf0.1", "queries": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
