@@ -79,6 +79,7 @@ def main() -> None:
         "pii_scrub_stats",
         "corpus_quality_filter",
         "contamination_eval_overlap",
+        "repeated_spans_top",
         "pack_sequences",
         "corpus_mix_plan",
         "knn_centroid_assign",

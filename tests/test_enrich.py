@@ -122,3 +122,76 @@ class TestIngestNewDocuments:
         )
         out = ingest_new_documents(stream, snap)
         assert "fp" in out.columns
+
+
+class TestNearDupAdmissionSink:
+    """Streaming composition of near_dup_ingest: two micro-batches
+    through foreachBatch with the band store persisted between them."""
+
+    def test_two_batch_admission(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import NearDupAdmissionSink
+
+        words = [f"w{i}" for i in range(30)]
+        sink = NearDupAdmissionSink(str(tmp_path / "store"))
+
+        def run_batch(name, rows):
+            d = tmp_path / "adm_in"
+            os.makedirs(d, exist_ok=True)
+            tmp = d / f".{name}.tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(json.dumps(r) for r in rows))
+            os.replace(tmp, d / name)
+            stream = (
+                spark.readStream.format("json")
+                .schema("doc_id long, text string")
+                .load(str(d))
+            )
+            q = (
+                stream.writeStream.foreachBatch(sink.process)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # batch 1: 1 and 2 are token-identical (intra-batch pair),
+        # 3 is unique
+        run_batch("b1.jsonl", [
+            {"doc_id": 1, "text": " ".join(words)},
+            {"doc_id": 2, "text": "  ".join(words)},
+            {"doc_id": 3, "text": " ".join(f"x{i}" for i in range(30))},
+        ])
+        corpus = {r.doc_id for r in sink.read_corpus(spark).collect()}
+        assert corpus == {1, 3}  # smaller id admitted from the pair
+
+        # batch 2: 10 duplicates the ADMITTED doc 1 (cross-batch,
+        # caught by the persisted band store), 11 is fresh
+        run_batch("b2.jsonl", [
+            {"doc_id": 10, "text": " ".join(words)},
+            {"doc_id": 11, "text": " ".join(f"y{i}" for i in range(30))},
+        ])
+        corpus = {r.doc_id for r in sink.read_corpus(spark).collect()}
+        assert corpus == {1, 3, 11}
+        # band store holds admitted docs only
+        bands = spark.read.parquet(str(tmp_path / "store" / "bands"))
+        assert {r.doc_id for r in bands.collect()} == {1, 3, 11}
+        # audit trail: candidate pairs name both collision kinds
+        cand = spark.read.parquet(str(tmp_path / "store" / "candidates"))
+        pairs = {(r.new_id, r.corpus_id, r.src) for r in cand.collect()}
+        assert (2, 1, "batch") in pairs
+        assert (10, 1, "store") in pairs
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import NearDupAdmissionSink
+
+        sink = NearDupAdmissionSink(str(tmp_path / "store"))
+        batch = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        sink.process(batch, 0)
+        sink.process(batch, 0)  # re-delivery
+        assert sink.read_corpus(spark).count() == 1
+        sink.process(batch.selectExpr("doc_id + 5 AS doc_id", "text"), 1)
+        # the new batch's doc collides with the stored doc -> rejected
+        assert sink.read_corpus(spark).count() == 1

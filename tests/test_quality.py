@@ -115,3 +115,44 @@ class TestContamination:
         clean = rows[train_ids[1]]
         assert not clean.contaminated and clean.n_hits == 0
         assert clean.n_shingles == 5
+
+
+class TestRepeatedSpans:
+    def _docs(self, spark):
+        boiler = " ".join(f"b{i}" for i in range(12))  # 12-token block
+        uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(20))  # noqa: E731
+        return spark.createDataFrame(
+            [
+                (1, f"{uniq('x')} {boiler}"),
+                (2, f"{boiler} {uniq('y')}"),
+                (3, uniq("z")),
+                (4, "tiny doc"),  # < k tokens -> all-token span
+                (5, "tiny doc"),  # exact short-dup pair
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_cross_doc_spans_found(self, spark):
+        out = {
+            r.span: r.n_docs
+            for r in Q.repeated_spans(self._docs(spark), span_tokens=12).collect()
+        }
+        boiler = " ".join(f"b{i}" for i in range(12))
+        assert out[boiler] == 2  # the planted boilerplate block
+        assert out["tiny doc"] == 2  # short-doc all-token fallback
+        # within-doc-only and unique spans are absent
+        assert all(n >= 2 for n in out.values())
+        # sliding windows touching the boilerplate boundary are NOT
+        # repeated (different neighbors in doc 1 vs doc 2)
+        assert len(out) == 2
+
+    def test_coverage_ppm(self, spark):
+        rows = {
+            r.doc_id: r
+            for r in Q.span_dup_coverage(self._docs(spark), span_tokens=12).collect()
+        }
+        # doc 1: 21 spans (32 tokens), exactly 1 shared (the boiler block)
+        assert rows[1].n_spans == 21 and rows[1].shared_spans == 1
+        assert rows[1].shared_ppm == (1 * 1_000_000) // 21
+        assert rows[3].shared_spans == 0 and rows[3].shared_ppm == 0
+        assert rows[4].shared_ppm == 1_000_000  # fully duplicated

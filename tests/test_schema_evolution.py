@@ -166,6 +166,55 @@ class TestWideningLattice:
         assert not is_widening(old, new)
 
 
+class TestStreamingContinuity:
+    def test_connector_restart_with_evolved_spec(self, spark, tmp_path):
+        """Operational path: batch 1 flows under spec v1; upstream DDL
+        adds a column; the connector restarts with the EVOLVED spec on
+        the SAME checkpoint and snapshot — old rows read NULL for the
+        new column, new rows carry it."""
+        import os
+
+        from tidb_cdc_spark.sources import maxwell_file_stream
+        from tidb_cdc_spark.streaming import (
+            Connector,
+            ConnectorConfig,
+            ParquetSnapshotSink,
+        )
+
+        events_dir = tmp_path / "in"
+
+        def write_batch(name, msgs):
+            os.makedirs(events_dir, exist_ok=True)
+            tmp = events_dir / f".{name}.tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(msgs))
+            os.replace(tmp, events_dir / name)
+
+        def run(spec):
+            conn = Connector(
+                ConnectorConfig(
+                    server_name="srv", checkpoint_root=str(tmp_path / "ckpt")
+                )
+            )
+            conn.register(
+                spec, [sink], source=maxwell_file_stream(spark, str(events_dir))
+            )
+            conn.start(spark, available_now=True)
+            conn.await_termination()
+
+        sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+        write_batch("b1.jsonl", [_msg({"k": "a", "v": 1})])
+        run(SPEC)
+        assert {r.k for r in sink.read_current(spark).collect()} == {"a"}
+
+        evolved = SPEC.evolve(add=(ColumnSpec("Added", "string"),))
+        write_batch("b2.jsonl", [_msg({"k": "b", "v": 2, "added": "x"})])
+        run(evolved)
+        rows = {r.k: r for r in sink.read_current(spark).collect()}
+        assert rows["a"].added is None  # pre-evolution row, null backfill
+        assert rows["b"].added == "x" and rows["b"].v == 2
+
+
 class TestDecimalColumns:
     def test_decimal_roundtrip_exact(self, spark):
         # the reference's reflection switch has no decimal case

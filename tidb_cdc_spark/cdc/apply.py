@@ -78,6 +78,13 @@ def apply_changes(
     effectively-exactly-once (SURVEY §2 op #15).
 
     ``base = None`` builds the snapshot from the change stream alone.
+
+    Schema evolution: the snapshot follows the CURRENT spec — a base
+    written under an older spec is aligned column-by-column before
+    the merge (columns the spec added read NULL for pre-evolution
+    rows, columns it dropped disappear at the next merge), so a
+    connector restarted with an evolved spec continues from the same
+    snapshot and checkpoint (see ``TableSpec.evolve``).
     """
     pk = spec.pk_columns
     if not pk:
@@ -86,6 +93,16 @@ def apply_changes(
     upserts = latest.filter(F.col("op") != CDCType.DELETE).select("after.*")
     if base is None:
         return upserts
+    cols = spec.resolved_columns()
+    if set(base.columns) != {c.source for c in cols}:
+        base = base.select(
+            *[
+                F.col(c.source)
+                if c.source in base.columns
+                else F.lit(None).cast(c.dtype).alias(c.source)
+                for c in cols
+            ]
+        )
     touched = latest.select("_pk.*")
     survivors = base.join(touched, on=pk, how="left_anti")
     return survivors.unionByName(upserts)

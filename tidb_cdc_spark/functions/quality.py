@@ -207,6 +207,80 @@ def shingle_string_rows(
     )
 
 
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 12,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated exact token spans — the
+    substring-level dedup signal ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2021 — public literature):
+    exact spans repeated across documents drive memorization even
+    when whole-document dedup passes (boilerplate, licenses, quoted
+    chains). Suffix-array exactness does not distribute; the
+    standard distributed approximation is fixed-length span
+    fingerprints — every repeated substring of ≥ ``span_tokens``
+    tokens contains a repeated ``span_tokens``-window, so recall is
+    complete at that granularity.
+
+    Output: ``(span, n_docs)`` for spans occurring in ≥ ``min_docs``
+    DISTINCT documents (within-doc repetition is ``repetition_stats``'
+    job). Scale: one codegen shingle pass (posexplode + window-lead,
+    shuffle clustered on doc_id), then one map-side-combining groupBy
+    on the span — shuffled rows are (span, partial count), and the
+    ≥ min_docs filter runs post-aggregate where the data is already
+    tiny. No joins, no driver-side state.
+    """
+    spans = shingle_string_rows(docs, id_col, text_col, k=span_tokens)
+    return (
+        spans.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("_g").alias("span"), "n_docs")
+    )
+
+
+def span_dup_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 12,
+) -> DataFrame:
+    """Per-document share of its spans that also occur in another
+    document — the doc-level actionable form of ``repeated_spans``
+    (curation drops/deboilerplates docs above a coverage threshold).
+
+    Output: ``(doc_id, n_spans, shared_spans, shared_ppm)`` with the
+    ratio integral in µ-units (cross-engine exact, module docstring).
+    Scale: span rows → span-count aggregate → join back on the span
+    string → per-doc aggregate. The join's build side is only the
+    spans with n_docs ≥ 2 after aggregation... kept as the full count
+    table here because the per-span count column is needed; both
+    sides cluster on the span hash so it is one co-partitioned
+    shuffle join, then the doc aggregate re-clusters on doc_id.
+    """
+    spans = shingle_string_rows(docs, id_col, text_col, k=span_tokens)
+    counts = spans.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))
+    return (
+        spans.join(counts, "_g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_nd") >= 2).cast("long")).alias("shared_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "shared_spans",
+            F.expr(f"(shared_spans * {PPM}L) div greatest(n_spans, 1)").alias(
+                "shared_ppm"
+            ),
+        )
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
     eval_rate: float = 0.10,

@@ -31,6 +31,7 @@ from tidb_cdc_spark.queries import (
     llm7,
     llm8,
     llm9,
+    llm10,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -38,11 +39,10 @@ ORACLE: dict[str, str] = {}
 
 # Registry order is load-bearing: the driver's correctness gate checks
 # the FIRST 50 entries in insertion order.  The LLM-pipeline surface
-# (llm*.py, 42 queries) and the full CDC-consumer set (cdcq, 4) lead,
-# followed by four long-stable TPC-H rows — exactly 50 — so every
-# north-star operator gets a driver CORRECTNESS row; the remaining
-# TPC-H/events queries stay covered by the strict local mirror
-# (tests/test_queries_oracle.py, driver-identical compare).
-for mod in (llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, cdcq, batch, batch2, batch3, batch4):
+# (llm*.py, 44 queries) and the full CDC-consumer set (cdcq, 6) lead —
+# exactly 50 — so every north-star operator gets a driver CORRECTNESS
+# row; the TPC-H/events queries stay covered by the strict local
+# mirror (tests/test_queries_oracle.py, driver-identical compare).
+for mod in (llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10, cdcq, batch, batch2, batch3, batch4):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

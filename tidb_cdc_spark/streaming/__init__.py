@@ -11,10 +11,12 @@ from tidb_cdc_spark.streaming.sinks import (
     Sink,
 )
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
+from tidb_cdc_spark.streaming.enrich import NearDupAdmissionSink
 
 __all__ = [
     "Connector",
     "ConnectorConfig",
+    "NearDupAdmissionSink",
     "Sink",
     "ParquetSnapshotSink",
     "Scd2HistorySink",

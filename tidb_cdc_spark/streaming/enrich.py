@@ -82,3 +82,119 @@ def snapshot_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct content fingerprints of a batch corpus — the 16 B/row
     projection ``ingest_new_documents`` anti-joins against."""
     return docs.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+
+
+class NearDupAdmissionSink:
+    """foreachBatch body that keeps a corpus NEAR-dup-free at ingest —
+    the streaming composition of ``functions.dedup.near_dup_ingest``
+    over a persistent LSH band store:
+
+    - each micro-batch is screened against the stored band table
+      (one equi-join on the bucketed (band, bhash) key — per-batch
+      cost ∝ batch size, never corpus size) and against itself
+      (intra-batch pairs admit one representative);
+    - admitted docs append to ``<root>/corpus``, their band rows to
+      ``<root>/bands`` (keeping the index current for the next
+      batch), and candidate pairs to ``<root>/candidates`` as the
+      audit trail for exact downstream verification.
+
+    Replay: a batch-id watermark (written LAST, atomic rename) makes
+    re-delivery of an already-applied batch a no-op — appends are not
+    idempotent. A crash BETWEEN the three appends can still leave a
+    partial batch on plain parquet; at scale the same sink logic
+    targets a transactional table format (Delta/Iceberg) where the
+    three appends commit atomically — same plan, different committer
+    (mirrors the ParquetSnapshotSink note in sinks.py).
+
+    Attach with ``stream.writeStream.foreachBatch(sink.process)``.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+    ):
+        self.root = root
+        self.id_col, self.text_col = id_col, text_col
+        self.num_hashes, self.bands, self.shingle_k = num_hashes, bands, shingle_k
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        import os
+
+        p = self._path("_BATCH")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def read_corpus(self, spark) -> DataFrame | None:
+        import os
+
+        p = self._path("corpus")
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    def _band_store(self, spark) -> DataFrame:
+        import os
+
+        p = self._path("bands")
+        if os.path.exists(p):
+            return spark.read.parquet(p)
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(self.id_col, LongType()),
+                    StructField("band", IntegerType()),
+                    StructField("bhash", LongType()),
+                ]
+            ),
+        )
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        last = self._last_batch_id()
+        if last is not None and batch_id <= last:
+            return  # at-least-once re-delivery
+        from tidb_cdc_spark.functions.dedup import near_dup_ingest
+
+        spark = batch.sparkSession
+        clean, candidates, new_bands = near_dup_ingest(
+            batch,
+            self._band_store(spark),
+            self.id_col,
+            self.text_col,
+            self.num_hashes,
+            self.bands,
+            self.shingle_k,
+        )
+        # clean feeds two appends (corpus + bands); cache so the
+        # screening joins run once, not once per sink
+        clean = clean.persist()
+        try:
+            clean.write.mode("append").parquet(self._path("corpus"))
+            new_bands.write.mode("append").parquet(self._path("bands"))
+            candidates.write.mode("append").parquet(self._path("candidates"))
+        finally:
+            clean.unpersist()
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path("_BATCH.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._path("_BATCH"))
