@@ -295,6 +295,74 @@ class TestIvf:
         assert recall >= 0.9, f"IVF recall {recall} too low on clustered data"
 
 
+class TestProductQuantization:
+    def _clustered(self, spark, dim=32, n_clusters=10, per=12, sigma=0.05):
+        import random
+
+        rng = random.Random(29)
+        rows = []
+        for c in range(n_clusters):
+            base = [rng.gauss(0, 1) for _ in range(dim)]
+            for i in range(per):
+                rows.append(
+                    (c * 100 + i, [b + rng.gauss(0, sigma) for b in base])
+                )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_codes_shape_and_compression(self, spark):
+        from tidb_cdc_spark.functions import pq as PQ
+
+        embs = self._clustered(spark)
+        books = PQ.pq_train(embs, m=4, k=16)
+        assert books.shape == (4, 16, 8)
+        codes = PQ.pq_encode(embs, books)
+        rows = codes.collect()
+        assert all(len(r.codes) == 4 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r.codes)
+        # clustered vectors quantize to FAR fewer code words than
+        # vectors (boundary-straddling noise splits some clusters
+        # across nearby codes, so it is not exactly one per cluster)
+        distinct = len({tuple(r.codes) for r in rows})
+        assert distinct <= len(rows) // 2, distinct
+
+    def test_adc_knn_high_recall_on_clustered_data(self, spark):
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions import pq as PQ
+        from tidb_cdc_spark.functions import similarity as S2
+
+        embs = self._clustered(spark)
+        books = PQ.pq_train(embs, m=4, k=16)
+        codes = PQ.pq_encode(embs, books)
+        q = embs.filter(F.col("vec_id") % 100 == 0)
+        bf = S2.knn_bruteforce(q, embs, k=5)
+        pq = PQ.pq_knn_adc(q, codes, books, k=5)
+        # Within a tight cluster all members quantize to (near-)equal
+        # codes, so ADC cannot ORDER them — exact-id recall vs brute
+        # force is dominated by tie-breaks, not quantization quality.
+        # The property PQ guarantees is cluster-level retrieval: every
+        # returned neighbor must come from the query's own cluster
+        # (brute-force top-5 is all in-cluster by construction).
+        bf_rows = bf.collect()
+        assert all(r.query_id // 100 == r.neighbor_id // 100 for r in bf_rows)
+        pq_rows = pq.collect()
+        in_cluster = sum(
+            r.query_id // 100 == r.neighbor_id // 100 for r in pq_rows
+        )
+        assert len(pq_rows) == len(bf_rows)
+        recall = in_cluster / len(pq_rows)
+        assert recall >= 0.95, f"PQ-ADC cluster recall {recall} too low"
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest as _pytest
+
+        from tidb_cdc_spark.functions import pq as PQ
+
+        embs = self._clustered(spark, dim=30)
+        with _pytest.raises(ValueError, match="divisible"):
+            PQ.pq_train(embs, m=4, k=8)
+
+
 class TestNearDupIngest:
     def test_band_store_screens_incoming_batch(self, spark):
         from tidb_cdc_spark.functions.dedup import (

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) — SURVEY §5 strategy item (4):
+algebraic properties that example tests cannot sweep.
+
+Spark-backed properties cap ``max_examples`` (a Spark job per example)
+and disable deadlines; pure-Python properties run the full default
+sweep.
+"""
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tidb_cdc_spark.cdc.spec import is_widening, snake_case
+
+#: the closed type vocabulary the spec compiler accepts (plus a few
+#: parametrized decimals — the lattice must hold across all of them)
+TYPES = [
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "boolean", "date", "timestamp", "string", "binary",
+    "decimal(10,2)", "decimal(12,2)", "decimal(18,4)", "decimal(21,2)",
+    "decimal(38,10)",
+]
+
+
+class TestWideningLattice:
+    @given(st.sampled_from(TYPES))
+    def test_reflexive(self, t):
+        assert is_widening(t, t)
+
+    @given(st.sampled_from(TYPES), st.sampled_from(TYPES), st.sampled_from(TYPES))
+    def test_transitive(self, a, b, c):
+        # a→b and b→c must imply a→c: evolve() applied twice can never
+        # reach a state a single evolve() would have rejected
+        if is_widening(a, b) and is_widening(b, c):
+            assert is_widening(a, c), (a, b, c)
+
+    @given(st.sampled_from(TYPES), st.sampled_from(TYPES))
+    def test_antisymmetric(self, a, b):
+        # mutual widening only for the same type (no two distinct
+        # types may widen into each other — that would make "widening"
+        # a reinterpretation, not a one-way adoption)
+        if a != b and is_widening(a, b):
+            assert not is_widening(b, a), (a, b)
+
+    @given(st.sampled_from(TYPES))
+    def test_string_is_top_except_binary(self, t):
+        # string is the lattice top for every TEXTUAL type; binary is
+        # an island by design (bytes → string is a charset
+        # REINTERPRETATION, not a widening)
+        if t == "binary":
+            assert not is_widening(t, "string")
+        else:
+            assert is_widening(t, "string")
+        if t != "string":
+            assert not is_widening("string", t)
+
+
+class TestSnakeCase:
+    @given(st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,20}", fullmatch=True))
+    def test_idempotent_and_lower(self, name):
+        s = snake_case(name)
+        assert s == s.lower()
+        assert snake_case(s) == s  # applying twice changes nothing
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "update", "delete"]),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=99),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_snapshot_equals_dict_replay(spark, ops):
+    """Arbitrary op logs: the engine snapshot equals the sequential
+    dict interpretation (last-write-wins per PK, delete removes)."""
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.cdc import parse_cdc
+    from tidb_cdc_spark.cdc.apply import snapshot_from_ops
+    from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
+
+    spec = TableSpec(
+        "d", "t",
+        (ColumnSpec("K", "string", column="k", pk=True), ColumnSpec("V", "int")),
+    )
+    msgs, expected = [], {}
+    for ts, (op, k, v) in enumerate(ops, start=1):
+        m = {"database": "d", "table": "t", "type": op, "ts": ts,
+             "data": {"k": k, "v": v}}
+        if op == "update":
+            m["old"] = {"v": v - 1}
+        msgs.append(json.dumps(m))
+        if op == "delete":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+    df = spark.createDataFrame([(m,) for m in msgs], "value string").withColumn(
+        "_s", F.monotonically_increasing_id()
+    )
+    snap = snapshot_from_ops(parse_cdc(df, spec, seq_col=F.col("_s")), spec)
+    assert {r.k: r.v for r in snap.collect()} == expected

@@ -1,0 +1,168 @@
+"""Product quantization (PQ) — the compression half of the standard
+100 TB ANN layout (IVF-PQ: coarse cells from ``similarity.knn_ivf``'s
+quantizer + PQ codes inside each cell; Jégou et al., "Product
+Quantization for Nearest Neighbor Search", public literature).
+
+A 64-dim float32 embedding is 256 B; its PQ code at m=8 subvectors ×
+256-centroid codebooks is 8 B — a 32× compression that lets a
+billion-vector index live in cluster memory. Search uses asymmetric
+distance computation (ADC): the QUERY stays exact, and per query a
+(m × k) lookup table of partial squared distances to every codebook
+centroid is built once; each corpus vector's approximate distance is
+then m table lookups summed — no float math per corpus vector.
+
+Spark shapes (design for the 100 TB case):
+- **train**: m independent MLlib KMeans fits, one per subvector block
+  (each a distributed job over the corpus slice; at scale train on a
+  sample — KMeans converges on far less data than the corpus).
+- **encode**: one scan; codes are computed per subvector by a
+  broadcast nearest-centroid argmin (the codebook is m×k×(dim/m)
+  doubles ≈ KBs — always broadcastable).
+- **search (ADC)**: corpus codes explode to (vec_id, sub, code) — m
+  small ints per vector; the per-query LUT (m×k rows) broadcast-joins
+  on (sub, code); per-vector distances are a map-side-combining sum
+  keyed on (query_id, vec_id). No corpus-side float vectors move.
+
+Reference scope note: the reference engine (dollarkillerx/tidb-cdc)
+has no vector surface; this is north-star pipeline surface, same
+contract style as functions/similarity.py. No SQL oracle (KMeans is
+not SQL-expressible) — correctness is pinned by recall-vs-brute-force
+and reconstruction-error tests, like knn_lsh/knn_ivf.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions.similarity import as_double
+from tidb_cdc_spark.operators.windows import topk_per_group
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Train per-subvector codebooks: ``m`` independent KMeans fits
+    over the corpus's subvector blocks. Returns the codebook tensor
+    of shape (m, k, dim/m) — kilobytes, held driver-side and
+    broadcast into encode/search closures."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(as_double(F.col(vec_col))).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    books = []
+    base = corpus.select(as_double(F.col(vec_col)).alias("_v"))
+    for j in range(m):
+        sub = base.select(
+            array_to_vector(
+                F.slice(F.col("_v"), j * d_sub + 1, d_sub)
+            ).alias("_fv")
+        )
+        km = KMeans(k=k, seed=seed + j, maxIter=10, featuresCol="_fv").fit(sub)
+        books.append(np.stack([np.asarray(c) for c in km.clusterCenters()]))
+    return np.stack(books)  # (m, k, d_sub)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each subvector replaced by the index
+    of its nearest codebook centroid. One scan, Arrow-batched numpy
+    argmin against the broadcast codebook tensor."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, d_sub = codebooks.shape
+    cb = codebooks  # captured in the closure → task broadcast
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (n, dim)
+        out = np.empty((M.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            block = M[:, j * d_sub : (j + 1) * d_sub]  # (n, d_sub)
+            # ||x−c||² = ||x||² − 2x·c + ||c||²; ||x||² constant per row
+            d2 = -2.0 * (block @ cb[j].T) + (cb[j] * cb[j]).sum(1)
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return corpus.select(
+        F.col(id_col), encode(as_double(F.col(vec_col))).alias("codes")
+    )
+
+
+def pq_knn_adc(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation over PQ
+    codes: per query build the (sub, code) → partial-squared-distance
+    LUT (m×k rows, exact query side), broadcast-join it against the
+    exploded corpus codes, and sum per (query, vector).
+
+    Output: (query_id, neighbor_id, rank) — rank 1 = nearest, ties
+    broken by neighbor_id (same contract as knn_lsh/knn_ivf).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    m, kk, d_sub = codebooks.shape
+    cb = codebooks
+
+    @pandas_udf("array<double>")
+    def lut(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (n, dim)
+        out = np.empty((M.shape[0], m * kk))
+        for j in range(m):
+            block = M[:, j * d_sub : (j + 1) * d_sub]
+            out[:, j * kk : (j + 1) * kk] = (
+                (block * block).sum(1, keepdims=True)
+                - 2.0 * (block @ cb[j].T)
+                + (cb[j] * cb[j]).sum(1)
+            )
+        return pd.Series([row.tolist() for row in out])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(lut(as_double(F.col(vec_col)))).alias("_slot", "_pd"),
+    ).select(
+        "query_id",
+        (F.col("_slot") / kk).cast("int").alias("_sub"),
+        (F.col("_slot") % kk).alias("_code"),
+        "_pd",
+    )
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("_sub", "_code"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["_sub", "_code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_pd").alias("_d2"), F.count(F.lit(1)).alias("_nsub"))
+        # a vector scores only if every subvector matched a LUT row
+        # (they always do — the LUT is dense — but the guard keeps the
+        # semantics explicit if a caller prunes the LUT)
+        .filter(F.col("_nsub") == m)
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("_d2").asc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")

@@ -32,6 +32,7 @@ from tidb_cdc_spark.queries import (
     llm8,
     llm9,
     llm10,
+    llm11,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -43,6 +44,7 @@ ORACLE: dict[str, str] = {}
 # exactly 50 — so every north-star operator gets a driver CORRECTNESS
 # row; the TPC-H/events queries stay covered by the strict local
 # mirror (tests/test_queries_oracle.py, driver-identical compare).
-for mod in (llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10, cdcq, batch, batch2, batch3, batch4):
+# llm11 (rows-only PQ) sits after cdcq deliberately — see its docstring
+for mod in (llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10, cdcq, llm11, batch, batch2, batch3, batch4):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
