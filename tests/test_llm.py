@@ -362,6 +362,25 @@ class TestProductQuantization:
         with _pytest.raises(ValueError, match="divisible"):
             PQ.pq_train(embs, m=4, k=8)
 
+    def test_ivfpq_cluster_recall(self, spark):
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions import pq as PQ
+
+        embs = self._clustered(spark)
+        q = embs.filter(F.col("vec_id") % 100 == 0)
+        out = PQ.ivfpq_knn(q, embs, k=5, n_cells=10, n_probe=3)
+        rows = out.collect()
+        assert {r.query_id for r in rows} == {c * 100 for c in range(10)}
+        in_cluster = sum(r.query_id // 100 == r.neighbor_id // 100 for r in rows)
+        recall = in_cluster / len(rows)
+        assert recall >= 0.95, f"IVF-PQ cluster recall {recall} too low"
+        # every query returns exactly k ranked neighbors
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
 
 class TestNearDupIngest:
     def test_band_store_screens_incoming_batch(self, spark):

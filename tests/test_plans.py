@@ -240,3 +240,33 @@ class TestZorderPlan:
         # rather than the literal WholeStageCodegen node name.
         assert "WholeStageCodegen" in plan or "*(" in plan, plan[:2000]
         assert "BatchEvalPython" not in plan
+
+
+class TestRound5Plans:
+    def test_decimal_agg_single_hash_exchange(self, spark):
+        # envelope parse is stateless/codegen; ONE hash exchange (the
+        # 3-key aggregate) + the final sort's range exchange
+        from tidb_cdc_spark.queries.cdcq import cdc_decimal_agg
+
+        df = cdc_decimal_agg(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_repeated_spans_two_hash_exchanges(self, spark):
+        # shingle window (doc_id) + span groupBy — nothing else; the
+        # top-100 is TakeOrdered, not a sort exchange
+        from tidb_cdc_spark.queries.llm10 import repeated_spans_top
+
+        plan = explain_str(repeated_spans_top(spark, SF), mode="simple")
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "TakeOrderedAndProject" in plan
+
+    def test_span_coverage_bounded_exchanges(self, spark):
+        # shingle window + span count + count-join/doc aggregate: the
+        # span-key join is co-partitioned with the count aggregate, so
+        # hash exchanges stay at 3 (never one per operator)
+        from tidb_cdc_spark.queries.llm10 import span_dup_coverage
+
+        plan = explain_str(span_dup_coverage(spark, SF), mode="simple")
+        assert plan.count("Exchange hashpartitioning") <= 3

@@ -166,3 +166,124 @@ def pq_knn_adc(
         k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "rank")
+
+
+def ivfpq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """The literal 100 TB ANN layout — IVF-PQ: coarse k-means cells
+    prune the candidate set (probe ``n_probe`` of ``n_cells``;
+    corpus persisted partitioned BY cell at scale → partition
+    pruning), and PQ codes of the RESIDUALS (vector − cell centroid,
+    the classic accuracy trick: residuals are small and centered, so
+    the codebooks spend their resolution where the data is) rank
+    candidates by ADC without touching corpus floats.
+
+    Plan: cell assignment + residual encode are one scan each; the
+    search joins the per-(query, probed-cell) LUT — (n_probe·m·k)
+    rows per query, broadcast — against the exploded candidate codes
+    on (cell, sub, code), then one map-side-combining sum per
+    (query, vector). Output contract matches knn_lsh/knn_ivf/pq:
+    (query_id, neighbor_id, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_fv", array_to_vector(F.col("_cv")))
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_fv").fit(c)
+    centers = np.stack([np.asarray(ctr) for ctr in km.clusterCenters()])
+
+    assigned = km.transform(c).select(
+        "neighbor_id", "_cv", F.col(km.getPredictionCol()).alias("_cell")
+    )
+
+    @pandas_udf("array<double>")
+    def residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()) - centers[cells.to_numpy()]
+        return pd.Series([row.tolist() for row in M])
+
+    residuals = assigned.select(
+        F.col("neighbor_id").alias(id_col),
+        "_cell",
+        residual(F.col("_cv"), F.col("_cell")).alias(vec_col),
+    )
+    books = pq_train(residuals, m=m, k=k_codes, vec_col=vec_col, seed=seed)
+    codes = pq_encode(residuals, books, id_col=id_col, vec_col=vec_col).join(
+        residuals.select(id_col, "_cell"), id_col
+    )
+
+    m_, kk, d_sub = books.shape
+    cb = books
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())
+        d2 = (
+            (M * M).sum(1, keepdims=True)
+            - 2.0 * (M @ centers.T)
+            + (centers * centers).sum(1)
+        )
+        order = np.argsort(d2, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    @pandas_udf("array<double>")
+    def cell_lut(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        """ADC LUT of the query's RESIDUAL to one probed cell:
+        m·k partial squared distances, flattened [sub-major]."""
+        R = np.stack(vecs.to_numpy()) - centers[cells.to_numpy()]
+        out = np.empty((R.shape[0], m_ * kk))
+        for j in range(m_):
+            block = R[:, j * d_sub : (j + 1) * d_sub]
+            out[:, j * kk : (j + 1) * kk] = (
+                (block * block).sum(1, keepdims=True)
+                - 2.0 * (block @ cb[j].T)
+                + (cb[j] * cb[j]).sum(1)
+            )
+        return pd.Series([row.tolist() for row in out])
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    probed = qv.withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
+    lut = probed.select(
+        "query_id",
+        "_cell",
+        F.posexplode(cell_lut(F.col("_qv"), F.col("_cell"))).alias("_slot", "_pd"),
+    ).select(
+        "query_id",
+        "_cell",
+        (F.col("_slot") / kk).cast("int").alias("_sub"),
+        (F.col("_slot") % kk).alias("_code"),
+        "_pd",
+    )
+    cand = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "_cell",
+        F.posexplode("codes").alias("_sub", "_code"),
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["_cell", "_sub", "_code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_pd").alias("_d2"), F.count(F.lit(1)).alias("_nsub"))
+        .filter(F.col("_nsub") == m_)
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("_d2").asc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")

@@ -30,5 +30,17 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_knn_adc(q, codes, books, k=5).orderBy("query_id", "rank")
 
 
-QUERIES = {"knn_pq_adc": knn_pq_adc}
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via the full IVF-PQ layout: coarse cells prune
+    candidates (n_probe of n_cells — partition pruning when the code
+    table is stored partitioned by cell), residual-encoded PQ codes
+    rank them by ADC. The canonical billion-vector index shape."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return PQ.ivfpq_knn(q, e, k=5, n_cells=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+QUERIES = {"knn_pq_adc": knn_pq_adc, "knn_ivfpq": knn_ivfpq}
 ORACLE: dict[str, str] = {}
