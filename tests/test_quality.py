@@ -156,3 +156,48 @@ class TestRepeatedSpans:
         assert rows[1].shared_ppm == (1 * 1_000_000) // 21
         assert rows[3].shared_spans == 0 and rows[3].shared_ppm == 0
         assert rows[4].shared_ppm == 1_000_000  # fully duplicated
+
+
+class TestStreamCompat:
+    def test_quality_filter_runs_in_foreachbatch(self, spark, tmp_path):
+        """The curation filter slots into the streaming runtime the
+        same way the CDC sinks do — per micro-batch via foreachBatch
+        (its per-document aggregation uses count_distinct, which
+        streaming aggregation does not support live; per-doc stats
+        are a batch-local computation anyway — a document arrives
+        whole in one micro-batch)."""
+        import json
+        import os
+
+        d = tmp_path / "qs_in"
+        os.makedirs(d, exist_ok=True)
+        good = " ".join(f"w{i}" for i in range(60))
+        bad = "spam " * 60  # one token repeated -> top_token filter
+        with open(d / "1.jsonl", "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps({"doc_id": i, "text": t})
+                    for i, t in ((1, good), (2, bad))
+                )
+            )
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .load(str(d))
+        )
+        results = []
+
+        def process(batch, batch_id):
+            results.extend(Q.quality_filter(batch).collect())
+
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "ck_q"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert {r.doc_id for r in results if r.keep} == {1}
+        assert {r.doc_id: r.fail_reasons for r in results if not r.keep} == {
+            2: "top_token,dup_2gram"
+        }
