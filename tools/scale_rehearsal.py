@@ -80,6 +80,8 @@ HEAVY = [
     "corpus_curation_pipeline",
     "cdc_apply_latest",
     "quality_budget_head",
+    "repeated_spans_top",
+    "span_dup_coverage",
 ]
 
 
