@@ -128,6 +128,20 @@ class TestEvolve:
             ("k", "string"), ("inner", "bigint"),
         ]
 
+    def test_deeply_nested_specs_evolve(self):
+        # widening/dropping must reach EVERY nesting depth, not just
+        # the first level (validation resolves the flattened columns,
+        # so application must too)
+        deep = TableSpec("d", "t", (ColumnSpec("DeepV", "int"),))
+        mid = TableSpec("d", "t", (ColumnSpec("MidV", "int"),), nested=(deep,))
+        spec = TableSpec(
+            "d", "t", (ColumnSpec("K", "string", pk=True),), nested=(mid,)
+        )
+        evolved = spec.evolve(widen={"deep_v": "bigint"}, drop=("mid_v",))
+        assert [(c.source, c.dtype) for c in evolved.resolved_columns()] == [
+            ("k", "string"), ("deep_v", "bigint"),
+        ]
+
 
 class TestWideningLattice:
     @pytest.mark.parametrize(

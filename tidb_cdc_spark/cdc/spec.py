@@ -229,16 +229,18 @@ class TableSpec:
                 )
             return c
 
-        cols = tuple(
-            e for c in self.columns if (e := evolve_one(c)) is not None
-        ) + tuple(add)
-        nested = tuple(
-            TableSpec(s.database, s.table,
-                      tuple(e for c in s.columns if (e := evolve_one(c)) is not None),
-                      s.nested)
-            for s in self.nested
-        )
-        return TableSpec(self.database, self.table, cols, nested)
+        def evolve_spec(s: "TableSpec", extra: tuple[ColumnSpec, ...]) -> "TableSpec":
+            # recurse to EVERY nesting depth — validation resolves the
+            # flattened columns, so application must reach them all
+            return TableSpec(
+                s.database,
+                s.table,
+                tuple(e for c in s.columns if (e := evolve_one(c)) is not None)
+                + extra,
+                tuple(evolve_spec(sub, ()) for sub in s.nested),
+            )
+
+        return evolve_spec(self, tuple(add))
 
     @property
     def pk_columns(self) -> list[str]:

@@ -139,6 +139,9 @@ def connected_components(
             LAST_ROUNDS = rounds
             sym.unpersist()
             return labels.select("id", F.col("label").alias("cluster_id"))
+    LAST_ROUNDS = max_iters  # don't report a stale prior run's count
+    sym.unpersist()  # a caller retrying with higher max_iters must
+    # not accumulate one orphaned edge table per failed attempt
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         f"raise max_iters (component diameter exceeds it)"

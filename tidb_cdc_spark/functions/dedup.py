@@ -221,8 +221,14 @@ def near_dup_ingest(
     corpus size; the foreachBatch body for keeping a 100 TB corpus
     near-dup-free at ingest.
     """
-    batch_bands = minhash_band_rows(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    # materialized: three consumers derive from the batch's band rows
+    # (store join, intra-batch self-join ×2 sides, new_bands) — the
+    # 64-hash signature pass should run once per batch, not per use.
+    # Lifetime: the persist is released by Spark's ContextCleaner once
+    # the returned frames go unreachable (per-batch in a foreachBatch
+    # loop), same contract as minhash_lsh_pairs' signature persist.
+    batch_bands = _materialize(
+        minhash_band_rows(new_docs, id_col, text_col, num_hashes, bands, shingle_k)
     )
     nb = batch_bands.select(
         F.col(id_col).alias("_new_id"), "band", "bhash"

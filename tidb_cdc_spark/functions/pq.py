@@ -55,7 +55,10 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(corpus.select(as_double(F.col(vec_col))).first()[0])
+    head = corpus.select(as_double(F.col(vec_col))).first()
+    if head is None or head[0] is None:
+        raise ValueError(f"pq_train: corpus is empty or {vec_col!r} is null")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
@@ -214,10 +217,17 @@ def ivfpq_knn(
         M = np.stack(vecs.to_numpy()) - centers[cells.to_numpy()]
         return pd.Series([row.tolist() for row in M])
 
-    residuals = assigned.select(
-        F.col("neighbor_id").alias(id_col),
-        "_cell",
-        residual(F.col("_cv"), F.col("_cell")).alias(vec_col),
+    from tidb_cdc_spark.session import materialize
+
+    # materialized: pq_train scans the residuals m times (one KMeans
+    # fit per subvector), pq_encode once, the cell re-join once — the
+    # assignment transform + residual UDF must not re-execute per scan
+    residuals = materialize(
+        assigned.select(
+            F.col("neighbor_id").alias(id_col),
+            "_cell",
+            residual(F.col("_cv"), F.col("_cell")).alias(vec_col),
+        )
     )
     books = pq_train(residuals, m=m, k=k_codes, vec_col=vec_col, seed=seed)
     codes = pq_encode(residuals, books, id_col=id_col, vec_col=vec_col).join(

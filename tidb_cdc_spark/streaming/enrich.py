@@ -142,7 +142,7 @@ class NearDupAdmissionSink:
         p = self._path("corpus")
         return spark.read.parquet(p) if os.path.exists(p) else None
 
-    def _band_store(self, spark) -> DataFrame:
+    def _band_store(self, spark, batch: DataFrame) -> DataFrame:
         import os
 
         p = self._path("bands")
@@ -155,11 +155,14 @@ class NearDupAdmissionSink:
             StructType,
         )
 
+        # empty first-batch store: the id field's type is DERIVED from
+        # the incoming batch so non-long doc ids (string/uuid) union
+        # consistently with the intra-batch candidate rows
         return spark.createDataFrame(
             [],
             StructType(
                 [
-                    StructField(self.id_col, LongType()),
+                    StructField(self.id_col, batch.schema[self.id_col].dataType),
                     StructField("band", IntegerType()),
                     StructField("bhash", LongType()),
                 ]
@@ -177,7 +180,7 @@ class NearDupAdmissionSink:
         spark = batch.sparkSession
         clean, candidates, new_bands = near_dup_ingest(
             batch,
-            self._band_store(spark),
+            self._band_store(spark, batch),
             self.id_col,
             self.text_col,
             self.num_hashes,

@@ -32,7 +32,9 @@ def build(spark, src: str, out: str) -> None:
 
     os.makedirs(out, exist_ok=True)
     docs = read_table(spark, src, "documents")
-    n_docs = docs.count()
+    # id stride = max+1 (NOT row count): sparse id spaces would make
+    # count-based offsets collide across replicas
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     parts = []
     for k in range(REPLICAS):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
@@ -51,7 +53,7 @@ def build(spark, src: str, out: str) -> None:
     big_docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     ev = read_table(spark, src, "events")
-    n_ev = ev.count()
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
     n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
     eparts = []
     for k in range(REPLICAS):
