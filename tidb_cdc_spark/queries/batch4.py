@@ -529,8 +529,72 @@ FROM zc GROUP BY bucket ORDER BY bucket
 """
 
 
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection (|z| > 3) — the anomaly
+    screen a metrics pipeline runs over an event stream.
+
+    Cross-engine exactness: the per-type moments (n, Σv, Σv²) are
+    EXACT decimal sums (value is 2-dp; v² is 4-dp; order-independent),
+    converted to double only for mean/var/z — identical IEEE inputs +
+    identical op order ⇒ identical doubles in any engine, so the
+    |z| > 3 cut selects identical rows. Plan: one map-side-combining
+    aggregate to a #types-row stats table, broadcast back onto the
+    scan — the rows shuffle zero times.
+    """
+    from tidb_cdc_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    d2 = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d2).alias("_s"),
+        F.sum((d2 * d2).cast("decimal(28,4)")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    var = (
+        F.col("_ss").cast("double") / F.col("_n").cast("double") - mean * mean
+    )
+    m = stats.select("event_type", mean.alias("_mean"), var.alias("_var"))
+    z = (F.col("value") - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+_OUTLIERS_SQL = """
+WITH st AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s,
+         SUM(CAST(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS ss
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mean,
+         CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
+           - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) AS var
+  FROM st
+)
+SELECT e.event_type, e.event_id, e.value,
+       ROUND((e.value - m.mean)/sqrt(m.var), 4) AS z
+FROM events e JOIN m USING (event_type)
+WHERE ABS((e.value - m.mean)/sqrt(m.var)) > 3
+ORDER BY e.event_type, e.event_id
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_value_outliers": events_value_outliers,
     "events_cohort_retention": events_cohort_retention,
     "events_daily_gapfill": events_daily_gapfill,
     "events_pivot_by_type": events_pivot_by_type,
@@ -544,6 +608,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_value_outliers": _OUTLIERS_SQL,
     "events_rolling_features": _ROLLING_SQL,
     "events_trailing_30m": _TRAILING_SQL,
     "events_sliding_1h": _SLIDING_SQL,
