@@ -10,6 +10,11 @@ from tidb_cdc_spark.functions import similarity as S
 from tidb_cdc_spark.functions import text as T
 
 
+def _as_long(u: int) -> int:
+    """Unsigned 64-bit int → Python int in Spark LongType range."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     base = (
@@ -53,12 +58,103 @@ class TestMinhash:
         if (0, 3) in pairs:
             assert 0.5 < pairs[(0, 3)] < 1.0
 
+    def test_bucket_guard_changes_nothing_on_normal_docs(self, spark, docs):
+        guarded = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs).collect()}
+        bare = {(r.id_a, r.id_b)
+                for r in D.minhash_lsh_pairs(docs, max_bucket_size=None).collect()}
+        assert guarded == bare
+
+    def test_viral_template_family_capped(self, spark):
+        """40 near-identical template docs share ~every band bucket —
+        each bucket alone is 40·39/2 join rows; with a cap below the
+        family size the buckets are dropped and the candidate list no
+        longer grows quadratically in family size."""
+        rows = [
+            (i, "common boiler plate template text repeated across the "
+                f"whole mirror family with tiny suffix unique{i}")
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        bare = D.minhash_lsh_pairs(df, max_bucket_size=None).count()
+        assert bare == 40 * 39 // 2  # every pair collides unguarded
+        capped = D.minhash_lsh_pairs(df, max_bucket_size=10).count()
+        assert capped < bare / 4
+
 
 class TestSimhash:
     def test_exact_dups_zero_hamming(self, spark, docs):
         pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(docs).collect()}
         assert pairs[(0, 1)] == 0
         assert pairs[(0, 2)] == 0  # normalization via lower() in shingles
+
+    def test_bucket_guard_changes_nothing_on_normal_docs(self, spark, docs):
+        guarded = {(r.id_a, r.id_b, r.hamming)
+                   for r in D.simhash_pairs(docs).collect()}
+        bare = {(r.id_a, r.id_b, r.hamming)
+                for r in D.simhash_pairs(docs, max_bucket_size=None).collect()}
+        assert guarded == bare
+
+    def test_permuted_tables_complete_wrt_hamming(self, spark):
+        """Exhaustive completeness check of the Manku table design: for
+        a base signature and EVERY ≤3-bit perturbation pattern shape
+        (all C(6,3) ways of spreading 3 flipped bits across blocks —
+        incl. 3 distinct blocks, where the old 4×16 pigeonhole's
+        chunk-PAIR variant would provably miss), the pair is found."""
+        import random
+
+        rng = random.Random(7)
+        base = rng.getrandbits(64)
+        # block layout for blocks=6: sizes 11,11,11,11,10,10
+        sizes = [11, 11, 11, 11, 10, 10]
+        offs = [sum(sizes[:i]) for i in range(6)]
+        rows = [(0, _as_long(base))]
+        want = set()
+        nid = 1
+        from itertools import combinations_with_replacement
+        for blks in combinations_with_replacement(range(6), 3):
+            # flip 3 bits spread over the chosen blocks (distinct bits)
+            bits = []
+            for b in set(blks):
+                k = blks.count(b)
+                bits += rng.sample(range(offs[b], offs[b] + sizes[b]), k)
+            rows.append((nid, _as_long(base ^ sum(1 << p for p in bits))))
+            want.add((0, nid))
+            nid += 1
+        sig = spark.createDataFrame(rows, "_id long, _sh long")
+        got = {(r.id_a, r.id_b) for r in D.simhash_pairs_from_sigs(sig).collect()
+               if r.id_a == 0}
+        assert want <= got
+
+    def test_viral_family_stays_subquadratic(self, spark):
+        """10⁴ synthetic signatures agreeing on blocks 0-2 (33 shared
+        low bits — worse than any single shared 16-bit chunk) land in
+        ONE (0,1,2)-table bucket = 5·10⁷ join rows unguarded; the
+        bucket cap drops it and planted true pairs are still found
+        through their other clean-block tables."""
+        import random
+
+        rng = random.Random(42)
+        fam_low = rng.getrandbits(33)
+        rows = [
+            (i, _as_long((rng.getrandbits(31) << 33) | fam_low))
+            for i in range(10_000)
+        ]
+        # planted near-dups OUTSIDE the family: diffs confined to
+        # blocks 0-2, so table (3,4,5) catches them even with other
+        # buckets dropped
+        want = set()
+        for j in range(5):
+            b = rng.getrandbits(64)
+            diff = sum(1 << p for p in rng.sample(range(33), 3))
+            a_id, b_id = 20_000 + 2 * j, 20_001 + 2 * j
+            rows += [(a_id, _as_long(b)), (b_id, _as_long(b ^ diff))]
+            want.add((a_id, b_id))
+        sig = spark.createDataFrame(rows, "_id long, _sh long")
+        got = {(r.id_a, r.id_b)
+               for r in D.simhash_pairs_from_sigs(sig).collect()}
+        assert want <= got
+        # guard bound: no quadratic family blowup in the output
+        assert len(got) < 5_000
 
 
 class TestNgramJaccard:

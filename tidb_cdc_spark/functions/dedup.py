@@ -102,6 +102,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -115,7 +116,20 @@ def minhash_lsh_pairs(
     the candidate set is orders of magnitude smaller than the banded
     explosion, so the re-attach joins are cheap compared to what the
     slim band shuffle saves.
+
+    ``max_bucket_size`` guards the one data-driven quadratic left: a
+    64-bit band key never collides by accident, but a viral template
+    family of b near-identical docs shares most band buckets, and one
+    b-sized bucket alone contributes b·(b−1)/2 join rows. Buckets over
+    the cap are dropped before the self-join; a true pair is lost only
+    when ALL 16 of its shared buckets are oversized — i.e. only inside
+    a ≥cap mutual near-dup family, which the pair list could not
+    usefully enumerate anyway (pairs grow quadratically in family
+    size; collapse such families via exact dedup or cluster the
+    surviving pairs). ``None`` disables the guard.
     """
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
     sig = _materialize(
         minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
@@ -131,6 +145,14 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bhash"),
     )
+    if max_bucket_size is not None:
+        banded = (
+            banded.withColumn(
+                "_bs", F.count(F.lit(1)).over(Window.partitionBy("_band", "_bhash"))
+            )
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
     left = banded.select(F.col("_id").alias("id_a"), "_band", "_bhash")
     right = banded.select(F.col("_id").alias("id_b"), "_band", "_bhash")
     cand = (
@@ -377,44 +399,107 @@ def simhash_signatures_df(
     return per_doc.select("_id", out.alias("_sh"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def simhash_pairs_from_sigs(
+    sig: DataFrame,
     max_hamming: int = 3,
-    n_chunks: int = 4,
+    blocks: int = 6,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+    """Pair stage of :func:`simhash_pairs` over a precomputed
+    ``(_id, _sh)`` signature frame — split out so the candidate-join
+    scaling can be tested on synthetic signatures without paying the
+    shingle pipeline.
 
-    Pigeonhole bucketing: split the 64-bit hash into ``n_chunks``
-    16-bit chunks; any pair within distance ``max_hamming < n_chunks``
-    agrees on ≥1 chunk → equi-join per chunk, then exact Hamming
-    filter via bit_count(xor). No cross join at any scale.
+    Manku-style permuted tables (Manku, Jain, Sarma — "Detecting
+    Near-Duplicates for Web Crawling", WWW'07): the 64-bit hash is
+    split into ``blocks`` blocks; ≤ ``max_hamming`` differing bits
+    dirty at most ``max_hamming`` blocks, so every qualifying pair
+    agrees EXACTLY on some ``blocks − max_hamming``-subset of blocks —
+    one table per such subset (C(6,3) = 20 tables at the defaults),
+    keyed on the subset's concatenated block values (~32 bits at the
+    defaults). vs. the naive 4×16-bit pigeonhole: random signatures
+    collide per table at n²/2^32, not n²/2^16 — at 10⁹ docs that is
+    the difference between ~10⁸ accidental candidates per table
+    (absorbable) and ~10¹³ (quadratic death). The cost is tables×n
+    slim rows (id + two longs) through the explode, linear in n.
+
+    ``max_bucket_size`` is the skew guard (same contract as
+    ``ngram_jaccard_pairs.max_doc_freq``): a (table, key) bucket
+    holding b rows contributes b·(b−1)/2 join rows, so one viral
+    template family — which agrees on EVERY block, hence floods every
+    table — would alone re-create the quadratic. Oversized buckets
+    are dropped before the self-join; a true pair is lost only if ALL
+    of its clean-block tables are oversized, i.e. only inside a
+    ≥cap-sized mutual near-dup family, which exact/minhash dedup
+    upstream should have collapsed anyway. ``None`` disables.
     """
-    sig = _materialize(simhash_signatures_df(df, id_col, text_col))
-    chunked = sig.select(
+    from itertools import combinations
+
+    from pyspark.sql import Window
+
+    if not 0 < blocks - max_hamming:
+        raise ValueError("need blocks > max_hamming for the pigeonhole guarantee")
+    sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    offs = [sum(sizes[:i]) for i in range(blocks)]
+
+    def block(i: int) -> Column:
+        # unsigned shift: the top block contains the sign bit
+        return F.shiftrightunsigned(F.col("_sh"), offs[i]).bitwiseAND(
+            F.lit((1 << sizes[i]) - 1)
+        )
+
+    tables = list(combinations(range(blocks), blocks - max_hamming))
+    keyed = sig.select(
         "_id",
         "_sh",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("_sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(n_chunks)
+                    F.xxhash64(F.lit(t), *[block(i) for i in combo])
+                    for t, combo in enumerate(tables)
                 ]
             )
-        ).alias("_chunk", "_ckey"),
+        ).alias("_table", "_key"),
     )
-    l = chunked.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_chunk", "_ckey")
-    r = chunked.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "_chunk", "_ckey")
+    if max_bucket_size is not None:
+        keyed = (
+            keyed.withColumn(
+                "_bs", F.count(F.lit(1)).over(Window.partitionBy("_table", "_key"))
+            )
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
+    l = keyed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_table", "_key")
+    r = keyed.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "_table", "_key")
     hamming = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
     return (
-        l.join(r, ["_chunk", "_ckey"])
+        l.join(r, ["_table", "_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 6,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Signatures via :func:`simhash_signatures_df` (SWAR codegen
+    aggregate), candidates via :func:`simhash_pairs_from_sigs`
+    (Manku permuted-table equi-join, ~32-bit keys, bucket-size skew
+    guard), then the exact ``bit_count(xor)`` Hamming filter. No
+    cross join at any scale.
+    """
+    sig = _materialize(simhash_signatures_df(df, id_col, text_col))
+    return simhash_pairs_from_sigs(sig, max_hamming, blocks, max_bucket_size)
 
 
 def ngram_jaccard_pairs(
