@@ -1,0 +1,275 @@
+"""Oracle-checkable audit twins for the approximate operators.
+
+The LSH/IVF/PQ family cannot have a DuckDB oracle for its raw pair /
+top-k output (banding and k-means are not SQL-expressible), so their
+driver rows were permanently ``no_oracle``. These audits convert each
+into a HARD oracle row by the ``ann_recall_audit`` pattern: plant a
+deterministic structure — an EXACT copy of each probe row at
+``id + 10⁶`` — and emit per-probe booleans that are TRUE by algorithm
+structure, not by luck:
+
+- an exact text copy has the identical shingle multiset ⇒ identical
+  MinHash signature (all bands collide), identical SimHash (Hamming
+  0), identical n-gram set (Jaccard 1.0), and is edge-connected to
+  its original in the fuzzy cluster graph;
+- an exact vector copy lands in the same IVF cell (same argmin), gets
+  the same PQ code (same per-subspace argmin), and ranks at ADC
+  distance 0 — so it must appear in the top-k for every ANN variant.
+
+A bucketing, banding, encoding, or rerank regression flips a boolean
+and fails the value hash. The raw pair/top-k queries stay declared
+(rows-only) right after the gate window; these audits take their
+driver slots. DuckDB's side of each audit is the planted-id spine
+with constant TRUEs — the determinism argument above is what makes
+that a real oracle rather than a tautology, and the booleans are
+computed from the operator's actual output, never assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import clusters as C
+from tidb_cdc_spark.functions import dedup as D
+from tidb_cdc_spark.functions import pq as PQ
+from tidb_cdc_spark.functions import similarity as S
+from tidb_cdc_spark.queries.llm import _docs, _embs
+
+_OFF = 1_000_000  # planted ids live at original_id + _OFF
+_N_DOCS = 20  # docs 0.._N_DOCS-1 get planted copies
+_N_VECS = 5  # vectors 0.._N_VECS-1 get planted copies
+
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    copies = d.filter(F.col("doc_id") < _N_DOCS).select(
+        (F.col("doc_id") + _OFF).alias("doc_id"),
+        *[c for c in d.columns if c != "doc_id"],
+    )
+    return d.unionByName(copies.select(*d.columns))
+
+
+def _embs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    copies = e.filter(F.col("vec_id") < _N_VECS).select(
+        (F.col("vec_id") + _OFF).alias("vec_id"),
+        *[c for c in e.columns if c != "vec_id"],
+    )
+    return e.unionByName(copies.select(*e.columns))
+
+
+def _planted_pair_report(
+    pairs: DataFrame, spine: DataFrame, value_flag: Column, flag_name: str
+) -> DataFrame:
+    """(doc_id, found, <flag>) for each planted doc: ``found`` iff the
+    (orig, orig+OFF) pair is in ``pairs``; ``flag`` from the pair's
+    value column (FALSE when not found)."""
+    hit = (
+        pairs.filter(F.col("id_b") == F.col("id_a") + _OFF)
+        .filter(F.col("id_a") < _N_DOCS)
+        .select(F.col("id_a").alias("doc_id"), value_flag.alias("_flag"))
+    )
+    return (
+        spine.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_flag").isNotNull().alias("found"),
+            F.coalesce(F.col("_flag"), F.lit(False)).alias(flag_name),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _doc_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).filter(F.col("doc_id") < _N_DOCS).select("doc_id")
+
+
+_DOC_AUDIT_SQL = """
+SELECT doc_id, TRUE AS found, TRUE AS {flag}
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+"""
+
+
+def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact copies share every MinHash band ⇒ pair found with
+    estimated Jaccard exactly 1.0 (all 64 signature slots equal)."""
+    pairs = D.minhash_lsh_pairs(_docs_with_copies(spark, sf_dir))
+    return _planted_pair_report(
+        pairs,
+        _doc_spine(spark, sf_dir),
+        F.col("est_jaccard") == 1.0,
+        "est_one",
+    )
+
+
+def dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact copies have the identical 64-bit SimHash ⇒ every permuted
+    table collides ⇒ pair found at Hamming 0."""
+    pairs = D.simhash_pairs(_docs_with_copies(spark, sf_dir))
+    return _planted_pair_report(
+        pairs,
+        _doc_spine(spark, sf_dir),
+        F.col("hamming") == 0,
+        "hamming_zero",
+    )
+
+
+def dedup_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact copies have identical distinct-shingle sets ⇒ exact
+    n-gram Jaccard 1.0 through the inverted-index join (document-
+    frequency pruning drops a shingle for both sides or neither, so
+    the ratio over surviving sets is still 1.0)."""
+    pairs = D.ngram_jaccard_pairs(
+        _docs_with_copies(spark, sf_dir), min_jaccard=0.8
+    )
+    return _planted_pair_report(
+        pairs,
+        _doc_spine(spark, sf_dir),
+        F.col("jaccard") == 1.0,
+        "jaccard_one",
+    )
+
+
+def dedup_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vector copies share every hyperplane sign ⇒ same LSH
+    bucket ⇒ pair surfaces and verifies at cosine exactly 1."""
+    pairs = D.embedding_near_dup_pairs(
+        _embs_with_copies(spark, sf_dir).select("vec_id", "embedding")
+    )
+    hit = (
+        pairs.filter(F.col("id_b") == F.col("id_a") + _OFF)
+        .filter(F.col("id_a") < _N_VECS)
+        .select(F.col("id_a").alias("vec_id"), (F.col("cos") == 1.0).alias("_c"))
+    )
+    spine = _embs(spark, sf_dir).filter(F.col("vec_id") < _N_VECS).select("vec_id")
+    return (
+        spine.join(hit, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("_c").isNotNull().alias("found"),
+            F.coalesce(F.col("_c"), F.lit(False)).alias("cos_one"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_EMB_AUDIT_SQL = """
+SELECT vec_id, TRUE AS found, TRUE AS cos_one
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
+
+def dedup_clusters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-cluster contract: an exact copy is edge-connected to its
+    original through BOTH the MinHash and SimHash pair graphs, so
+    connected components must assign the two the same cluster id."""
+    d = _docs_with_copies(spark, sf_dir)
+    mh = D.minhash_lsh_pairs(d).select("id_a", "id_b")
+    sh = D.simhash_pairs(d).select("id_a", "id_b")
+    labels = C.cluster_representatives(d, mh.unionByName(sh)).select(
+        "doc_id", "cluster_id"
+    )
+    orig = labels.filter(F.col("doc_id") < _N_DOCS)
+    copy = labels.filter(F.col("doc_id") >= _OFF).select(
+        (F.col("doc_id") - _OFF).alias("doc_id"),
+        F.col("cluster_id").alias("_copy_cluster"),
+    )
+    return (
+        orig.join(copy, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("cluster_id") == F.col("_copy_cluster")).alias("same_cluster"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CLUSTERS_AUDIT_SQL = """
+SELECT doc_id, TRUE AS same_cluster
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+"""
+
+
+def _knn_planted_report(approx: DataFrame, spine: DataFrame) -> DataFrame:
+    found = (
+        approx.filter(F.col("neighbor_id") == F.col("query_id") + _OFF)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        spine.join(found, "query_id", "left")
+        .select("query_id", F.col("_n").isNotNull().alias("planted_found"))
+        .orderBy("query_id")
+    )
+
+
+_KNN_AUDIT_SQL = """
+SELECT vec_id AS query_id, TRUE AS planted_found
+FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+"""
+
+
+def _vec_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _embs(spark, sf_dir)
+        .filter(F.col("vec_id") < _N_VECS)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+
+
+def knn_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF retrieval contract: an exact copy gets the identical cell
+    assignment (same argmin over centroids) and cosine 1 to its query
+    ⇒ must be retrieved in the top-5 (self + copy tie at cosine 1;
+    k=5 holds both)."""
+    e = _embs_with_copies(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_VECS)
+    approx = S.knn_ivf(q, e, k=5)
+    return _knn_planted_report(approx, _vec_spine(spark, sf_dir))
+
+
+def knn_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC retrieval contract: an exact copy encodes to the
+    identical PQ code as the query itself ⇒ ADC distance equals the
+    query's own quantization distance, the minimum possible ⇒ copy in
+    the top-5."""
+    e = _embs_with_copies(spark, sf_dir)
+    books = PQ.pq_train(e, m=4, k=16)
+    codes = PQ.pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < _N_VECS)
+    approx = PQ.pq_knn_adc(q, codes, books, k=5)
+    return _knn_planted_report(approx, _vec_spine(spark, sf_dir))
+
+
+def knn_ivfpq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval contract: exact copy ⇒ same coarse cell, same
+    residual, same PQ code ⇒ candidate via every probed cell and
+    minimal ADC distance ⇒ copy in the top-5."""
+    e = _embs_with_copies(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_VECS)
+    approx = PQ.ivfpq_knn(q, e, k=5, n_cells=16, n_probe=4)
+    return _knn_planted_report(approx, _vec_spine(spark, sf_dir))
+
+
+QUERIES = {
+    "dedup_minhash_audit": dedup_minhash_audit,
+    "dedup_simhash_audit": dedup_simhash_audit,
+    "dedup_jaccard_audit": dedup_jaccard_audit,
+    "dedup_embedding_audit": dedup_embedding_audit,
+    "dedup_clusters_audit": dedup_clusters_audit,
+    "knn_ivf_audit": knn_ivf_audit,
+    "knn_pq_audit": knn_pq_audit,
+    "knn_ivfpq_audit": knn_ivfpq_audit,
+}
+
+ORACLE = {
+    "dedup_minhash_audit": _DOC_AUDIT_SQL.format(flag="est_one"),
+    "dedup_simhash_audit": _DOC_AUDIT_SQL.format(flag="hamming_zero"),
+    "dedup_jaccard_audit": _DOC_AUDIT_SQL.format(flag="jaccard_one"),
+    "dedup_embedding_audit": _EMB_AUDIT_SQL,
+    "dedup_clusters_audit": _CLUSTERS_AUDIT_SQL,
+    "knn_ivf_audit": _KNN_AUDIT_SQL,
+    "knn_pq_audit": _KNN_AUDIT_SQL,
+    "knn_ivfpq_audit": _KNN_AUDIT_SQL,
+}
