@@ -195,3 +195,22 @@ class TestNearDupAdmissionSink:
         sink.process(batch.selectExpr("doc_id + 5 AS doc_id", "text"), 1)
         # the new batch's doc collides with the stored doc -> rejected
         assert sink.read_corpus(spark).count() == 1
+
+    def test_fresh_checkpoint_against_existing_store_fails_loudly(
+        self, spark, tmp_path
+    ):
+        """Batch ids behind the watermark mean a NEW checkpoint is
+        writing into an old store root — that must raise, not silently
+        no-op every batch until ids catch up (silent data loss)."""
+        from tidb_cdc_spark.streaming import NearDupAdmissionSink
+
+        sink = NearDupAdmissionSink(str(tmp_path / "store"))
+        batch = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        sink.process(batch, 5)
+        sink.process(batch, 5)  # re-delivery of the SAME id: no-op
+        assert sink.read_corpus(spark).count() == 1
+        with pytest.raises(RuntimeError, match="behind the stored watermark"):
+            sink.process(batch, 0)  # fresh-checkpoint ids restart at 0

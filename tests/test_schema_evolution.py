@@ -117,6 +117,26 @@ class TestEvolve:
         with pytest.raises(ValueError, match="already exists"):
             SPEC.evolve(add=(ColumnSpec("V", "bigint"),))
 
+    def test_excluded_column_name_collisions(self):
+        spec = TableSpec(
+            "d", "t",
+            (
+                ColumnSpec("K", "string", pk=True),
+                ColumnSpec("Hidden", "int", exclude=True),
+            ),
+        )
+        # adding a column whose source collides with an EXCLUDED
+        # column must be rejected — the excluded column still owns
+        # the source name
+        with pytest.raises(ValueError, match="already exists"):
+            spec.evolve(add=(ColumnSpec("Hidden", "bigint"),))
+        # widen/drop of an excluded column gets a distinct error, not
+        # the misleading 'unknown column'
+        with pytest.raises(ValueError, match="excluded"):
+            spec.evolve(widen={"hidden": "bigint"})
+        with pytest.raises(ValueError, match="excluded"):
+            spec.evolve(drop=("hidden",))
+
     def test_nested_specs_evolve_in_place(self):
         spec = TableSpec(
             "d", "t",

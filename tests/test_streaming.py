@@ -504,3 +504,8 @@ class TestScd2HistorySink:
         hist = {(r.k, r.version): r for r in sink.read_current(spark).collect()}
         assert hist[("a", 2)].valid_to == 20
         assert hist[("a", 3)].is_current and hist[("a", 3)].v == 9
+
+        # a batch id BEHIND the watermark = fresh checkpoint writing
+        # into an old history path: loud failure, not a silent no-op
+        with pytest.raises(RuntimeError, match="behind the stored watermark"):
+            sink.process(changes([_msg("update", "a", 1, 30)]), 0, SPEC)

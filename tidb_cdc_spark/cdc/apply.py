@@ -93,16 +93,23 @@ def apply_changes(
     upserts = latest.filter(F.col("op") != CDCType.DELETE).select("after.*")
     if base is None:
         return upserts
-    cols = spec.resolved_columns()
-    if set(base.columns) != {c.source for c in cols}:
-        base = base.select(
-            *[
-                F.col(c.source)
+    # Align the base to the CURRENT spec unconditionally: missing
+    # columns backfill NULL, surviving columns cast explicitly to the
+    # spec dtype (a no-op cast is eliminated by Catalyst). Gating this
+    # on column-SET mismatch would make a same-names/wider-type evolve
+    # rely on union's implicit type coercion — correct today, but the
+    # snapshot dtype should be the spec's by construction, not by
+    # coercion accident.
+    base = base.select(
+        *[
+            (
+                F.col(c.source).cast(c.dtype)
                 if c.source in base.columns
-                else F.lit(None).cast(c.dtype).alias(c.source)
-                for c in cols
-            ]
-        )
+                else F.lit(None).cast(c.dtype)
+            ).alias(c.source)
+            for c in spec.resolved_columns()
+        ]
+    )
     touched = latest.select("_pk.*")
     survivors = base.join(touched, on=pk, how="left_anti")
     return survivors.unionByName(upserts)

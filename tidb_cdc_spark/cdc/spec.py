@@ -170,6 +170,15 @@ class TableSpec:
             out.extend(sub.resolved_columns())
         return out
 
+    def all_columns(self) -> list[ColumnSpec]:
+        """Every declared column INCLUDING excluded ones, flattened —
+        the name-collision domain for ``evolve`` (an excluded column
+        still owns its source name)."""
+        out = list(self.columns)
+        for sub in self.nested:
+            out.extend(sub.all_columns())
+        return out
+
     def evolve(
         self,
         add: tuple[ColumnSpec, ...] = (),
@@ -205,11 +214,17 @@ class TableSpec:
         widen = dict(widen or {})
         drop_set = set(drop)
         known = {c.source for c in self.resolved_columns()}
+        excluded = {c.source for c in self.all_columns() if c.exclude}
         for name in list(widen) + list(drop_set):
+            if name in excluded:
+                raise ValueError(
+                    f"evolve: column {name!r} is excluded from the spec; "
+                    "un-exclude it before widening or dropping"
+                )
             if name not in known:
                 raise ValueError(f"evolve: unknown column {name!r}")
         for a in add:
-            if a.source in known:
+            if a.source in known or a.source in excluded:
                 raise ValueError(f"evolve: column {a.source!r} already exists")
 
         def evolve_one(c: ColumnSpec) -> ColumnSpec | None:

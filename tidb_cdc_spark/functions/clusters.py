@@ -42,9 +42,21 @@ from pyspark.sql import functions as F
 
 from tidb_cdc_spark.session import materialize
 
-#: Rounds the last ``connected_components`` call took to converge —
-#: observability for the O(log d) claim (tests + NOTES.md rehearsals).
-LAST_ROUNDS: int = 0
+import threading
+
+#: Per-THREAD round count of the most recent ``connected_components``
+#: call — observability for the O(log d) claim only (tests + NOTES.md
+#: rehearsals); reset to 0 at call entry so an exception mid-loop
+#: can't leak a prior run's count. Read as ``clusters.LAST_ROUNDS``
+#: (module __getattr__ below) or, per-call, as the ``cc_rounds``
+#: attribute of the returned labels DataFrame.
+_ROUNDS = threading.local()
+
+
+def __getattr__(name: str) -> int:
+    if name == "LAST_ROUNDS":
+        return getattr(_ROUNDS, "value", 0)
+    raise AttributeError(name)
 
 
 def _truncate(df: DataFrame) -> DataFrame:
@@ -91,7 +103,7 @@ def connected_components(
             "label", F.col("id")
         )
     )
-    global LAST_ROUNDS
+    _ROUNDS.value = 0
     for rounds in range(1, max_iters + 1):
         nbr_min = (
             sym.join(
@@ -136,10 +148,12 @@ def connected_components(
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
-            LAST_ROUNDS = rounds
+            _ROUNDS.value = rounds
             sym.unpersist()
-            return labels.select("id", F.col("label").alias("cluster_id"))
-    LAST_ROUNDS = max_iters  # don't report a stale prior run's count
+            out = labels.select("id", F.col("label").alias("cluster_id"))
+            out.cc_rounds = rounds  # per-call channel, no shared state
+            return out
+    _ROUNDS.value = max_iters  # don't report a stale prior run's count
     sym.unpersist()  # a caller retrying with higher max_iters must
     # not accumulate one orphaned edge table per failed attempt
     raise RuntimeError(

@@ -551,10 +551,18 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((d2 * d2).cast("decimal(28,4)")).alias("_ss"),
     )
     mean = F.col("_s").cast("double") / F.col("_n").cast("double")
-    var = (
-        F.col("_ss").cast("double") / F.col("_n").cast("double") - mean * mean
+    # E[x²]−mean² can go tiny-negative in floating point for a near-
+    # constant group (and 0 for a constant/single-row one): clamp to 0
+    # and drop var=0 groups — no outliers exist there, and DuckDB's
+    # sqrt ERRORS on negative input where Spark yields NaN, so the
+    # clamp must live identically in both engines (_OUTLIERS_SQL).
+    var = F.greatest(
+        F.col("_ss").cast("double") / F.col("_n").cast("double") - mean * mean,
+        F.lit(0.0),
     )
-    m = stats.select("event_type", mean.alias("_mean"), var.alias("_var"))
+    m = stats.select("event_type", mean.alias("_mean"), var.alias("_var")).filter(
+        F.col("_var") > 0
+    )
     z = (F.col("value") - F.col("_mean")) / F.sqrt(F.col("_var"))
     return (
         ev.join(F.broadcast(m), "event_type")
@@ -576,13 +584,17 @@ WITH st AS (
          SUM(CAST(CAST(value AS DECIMAL(18,2))
                   * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS ss
   FROM events GROUP BY event_type
-), m AS (
+), m0 AS (
   SELECT event_type,
          CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mean,
-         CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
-           - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
-             * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) AS var
+         GREATEST(
+           CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
+             - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE)),
+           0) AS var
   FROM st
+), m AS (
+  SELECT * FROM m0 WHERE var > 0
 )
 SELECT e.event_type, e.event_id, e.value,
        ROUND((e.value - m.mean)/sqrt(m.var), 4) AS z

@@ -120,8 +120,22 @@ class Scd2HistorySink(ParquetSnapshotSink):
         from tidb_cdc_spark.cdc.scd import merge_scd2
 
         last = self._last_batch_id()
-        if last is not None and batch_id <= last:
-            return  # at-least-once replay of an already-applied batch
+        if last is not None and last >= 0:
+            if batch_id == last:
+                return  # at-least-once replay of an already-applied batch
+            if batch_id < last:
+                # under ONE checkpoint lineage batches arrive in order,
+                # so only the latest applied batch can ever be re-
+                # delivered (== last); an id BEHIND the watermark means
+                # a fresh/foreign checkpoint is targeting this store —
+                # silently no-oping every batch until ids catch up
+                # would be silent data loss, so fail loudly instead
+                raise RuntimeError(
+                    f"batch id {batch_id} is behind the stored watermark "
+                    f"{last}: this history was written under a different "
+                    "checkpoint lineage; a stream with a fresh checkpoint "
+                    "must target a fresh sink path"
+                )
         spark = changes.sparkSession
         base = self.read_current(spark)
         merged = merge_scd2(base, changes, spec)
