@@ -176,6 +176,29 @@ def knn_ivf(
         "neighbor_id", "_cv", F.col(km.getPredictionCol()).alias("_cell")
     )
 
+    probe_cells = _probe_cells_udf(centers, n_probe)
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
+    cands = cd.join(F.broadcast(qd), "_cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.withColumn(
+        "score", cosine(F.col("_qv"), F.col("_cv"))
+    ).select("query_id", "neighbor_id", "score")
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _probe_cells_udf(centers: "np.ndarray", n_probe: int):
+    """Arrow-batched (vectors → n_probe nearest centroid ids)."""
+    from pyspark.sql.functions import pandas_udf
+
     @pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.to_numpy())  # (n, dim)
@@ -188,10 +211,93 @@ def knn_ivf(
         order = np.argsort(d2, axis=1)[:, :n_probe]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
+    return probe_cells
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+) -> None:
+    """Persist the IVF layout ``knn_ivf``'s docstring promises:
+    ``<path>/index`` holds (id, vector, cell) PARTITIONED BY cell —
+    one directory per Voronoi cell — and ``<path>/centroids`` the
+    n_cells centroid rows.
+
+    Why this is the billion-vector shape: a probe's ``cell IN (…)``
+    predicate becomes a PARTITION filter on the index scan, so Spark
+    never lists or reads the unprobed directories — probing 4 of 256
+    cells reads ~1.6 % of the bytes (asserted plan-level in
+    tests/test_llm.py). ``repartition("cell")`` before ``partitionBy``
+    keeps it one file per cell instead of tasks×cells fragments
+    (same rationale as ``io.write_partitioned``).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)
+    ).withColumn("_fv", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_fv").fit(c)
+    assigned = km.transform(c).select(
+        id_col, vec_col, F.col(km.getPredictionCol()).alias("cell")
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/index")
+    )
+    centers = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())
+    ]
+    spark.createDataFrame(centers, "cell int, center array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a persisted ``ivf_write_index`` layout.
+
+    The probed-cell set is computed from the QUERY batch (the small,
+    broadcast side by contract) and collected — it is bounded by
+    n_cells ids, metadata-sized, never corpus-sized — so it can be
+    planted into the scan as a static ``cell IN (…)`` partition
+    filter: directory-level pruning visible in the plan's
+    ``PartitionFilters``, independent of runtime DPP heuristics.
+    Candidates then equi-join on cell against the broadcast tagged
+    queries; exact cosine re-ranks (same contract as ``knn_ivf``).
+    """
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centers = np.stack([np.asarray(r.center) for r in crows])
+    probe_cells = _probe_cells_udf(centers, n_probe)
     qd = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
-    cands = cd.join(F.broadcast(qd), "_cell").filter(
+    # distinct probed cells: ≤ n_cells values (index metadata, not data)
+    probed = sorted(r._cell for r in qd.select("_cell").distinct().collect())
+    scan = (
+        spark.read.parquet(f"{path}/index")
+        .filter(F.col("cell").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col("cell").alias("_cell"),
+        )
+    )
+    cands = scan.join(F.broadcast(qd), "_cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cands.withColumn(

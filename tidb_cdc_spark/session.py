@@ -45,6 +45,23 @@ def get_spark(
         # must broadcast; 64 MB threshold covers TPC-H dims well past
         # sf100 for region/nation and lets AQE convert at runtime ---
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        # --- streaming state store: RocksDB provider. The default
+        # HDFS-backed store keeps every key in executor heap — at
+        # 100 TB CDC key cardinality that is an OOM, not a tuning
+        # problem. RocksDB keeps state on local disk with bounded
+        # memory, and changelog checkpointing uploads per-batch deltas
+        # instead of full snapshots (state-size-independent commit
+        # latency). Measured numbers: NOTES.md "state store" entry. ---
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         # --- Arrow for pandas-UDF paths (similarity / multimodal) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

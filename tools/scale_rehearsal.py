@@ -87,6 +87,48 @@ HEAVY = [
 ]
 
 
+def measure_state_store(spark, out: str) -> dict:
+    """Run the custom stateful operator (``running_totals``,
+    ``applyInPandasWithState``) over the 10x events through the
+    session's state-store provider (RocksDB, session.py) and report
+    checkpointed state size — the number behind the "state scales
+    with keys, not events" claim."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.streaming.stateful import running_totals
+
+    ck = f"{out}/_state_rehearsal_ck"
+    shutil.rmtree(ck, ignore_errors=True)
+    ev = spark.read.parquet(f"{out}/events.parquet")
+    n_keys = ev.select("user_id").distinct().count()
+    n_rows = ev.count()
+    stream = spark.readStream.schema(ev.schema).parquet(f"{out}/events.parquet")
+    t0 = time.perf_counter()
+    q = (
+        running_totals(stream.withColumn("value", F.col("value").cast("double")))
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    secs = round(time.perf_counter() - t0, 2)
+    state_bytes = 0
+    for root, _dirs, files in os.walk(f"{ck}/state"):
+        state_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    shutil.rmtree(ck, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "keys": n_keys,
+        "state_bytes": state_bytes,
+        "bytes_per_key": round(state_bytes / max(n_keys, 1), 1),
+        "sec": secs,
+    }
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1x10"
     src = "/root/testdata/sf0.1"
@@ -111,7 +153,10 @@ def main() -> None:
         timings[name] = round(best, 2)
         extra = f" cc_rounds={clusters.LAST_ROUNDS}" if "clusters" in name else ""
         print(f"# {name}: {timings[name]}s rows={n}{extra}", file=sys.stderr, flush=True)
-    print(json.dumps({"scale": "10x-sf0.1", "queries": timings}))
+    state = measure_state_store(spark, out)
+    print(f"# state store (running_totals over 10x events): {state}",
+          file=sys.stderr, flush=True)
+    print(json.dumps({"scale": "10x-sf0.1", "queries": timings, "state": state}))
     spark.stop()
 
 
