@@ -1,0 +1,149 @@
+"""BPE merge training (exact twin vs a pure-Python reference) and
+unigram-surprisal scoring."""
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import bpe as B
+from tidb_cdc_spark.functions import lm as L
+
+
+def ref_bpe(texts: list[str], n_merges: int, min_pair_count: int = 2):
+    """Reference BPE (Sennrich ACL'16, the textbook dict version):
+    same tokenization (lower, whitespace), same EOW marker, same tie
+    order (count desc, then (left, right) asc), same non-overlapping
+    left-to-right merge application."""
+    vocab = collections.Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            vocab[w] += 1
+    syms = {w: list(w) + [B.EOW] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < min_pair_count:
+            break
+        merges.append((l, r, l + r, c))
+        for w in vocab:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest wide",
+    "low and newer and wide",
+]
+
+
+class TestBpeTrain:
+    def test_merge_sequence_matches_reference_exactly(self, spark):
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id long, text string"
+        )
+        got = [
+            (r.left, r.right, r.merged, r.pair_count)
+            for r in B.bpe_train(docs, n_merges=12).orderBy("rank").collect()
+        ]
+        want = ref_bpe(TEXTS, 12)
+        assert got == want and len(got) > 5
+
+    def test_merge_sequence_matches_reference_on_testdata(self, spark):
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+        )
+        texts = [r.text for r in docs.collect()]
+        got = [
+            (r.left, r.right, r.merged, r.pair_count)
+            for r in B.bpe_train(docs, n_merges=8).orderBy("rank").collect()
+        ]
+        assert got == ref_bpe(texts, 8)
+
+    def test_early_stop_below_min_count(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "ab cd ef")], "doc_id long, text string"
+        )
+        # every pair occurs once < min_pair_count=2 -> zero merges
+        assert B.bpe_train(docs, n_merges=5).count() == 0
+
+    def test_nonoverlapping_application(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "aaaa aaaa aaaa")], "doc_id long, text string"
+        )
+        merges = B.bpe_train(docs, n_merges=1).collect()
+        assert (merges[0].left, merges[0].right) == ("a", "a")
+        # COUNTING counts overlapping adjacencies (textbook get_stats):
+        # 3 per "aaaa" × 3 occurrences
+        assert merges[0].pair_count == 9
+        # APPLICATION is non-overlapping left-to-right:
+        # "aaaa" -> (aa)(aa), never (aa) over a shared middle "a"
+        seg = B.bpe_segment(docs, [("a", "a")]).collect()[0].subwords
+        assert seg == ["aa", "aa", B.EOW] * 3
+
+    def test_segment_applies_merges_in_order(self, spark):
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id long, text string"
+        )
+        merges = [
+            (r.left, r.right)
+            for r in B.bpe_train(docs, n_merges=12).orderBy("rank").collect()
+        ]
+        seg = {
+            r.doc_id: r.subwords
+            for r in B.bpe_segment(docs, merges).collect()
+        }
+        # segmentation must reconstruct the original words
+        for i, t in enumerate(TEXTS):
+            joined = "".join(seg[i]).replace(B.EOW, " ").strip()
+            assert joined == " ".join(t.lower().split())
+        # learned subwords actually compress: fewer symbols than chars
+        n_syms = sum(len(v) for v in seg.values())
+        n_chars = sum(len(w) + 1 for t in TEXTS for w in t.split())
+        assert n_syms < n_chars
+
+
+class TestUnigramSurprisal:
+    def test_values_match_hand_computation(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+        )
+        # counts: a=2, b=2, c=1; N=5 -> floor_log2(5)=2
+        # bits: a -> 2-1=1, b -> 2-1=1, c -> 2-0=2
+        out = {r.doc_id: r for r in L.unigram_surprisal(docs).collect()}
+        assert out[0].n_tokens == 3 and out[0].sum_bits == 1 + 1 + 1
+        assert out[1].n_tokens == 2 and out[1].sum_bits == 1 + 2
+        assert out[1].mean_mbits == 3 * 1_000_000 // 2
+
+    def test_rare_vocab_scores_higher(self, spark):
+        rows = [(i, "the the the common words here") for i in range(20)]
+        rows.append((99, "zyxwvut qponmlk jihgfed"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.mean_mbits for r in L.unigram_surprisal(docs).collect()}
+        assert out[99] > out[0]
+
+    def test_zero_token_docs_drop(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "some text"), (1, "   "), (2, "")], "doc_id long, text string"
+        )
+        assert {r.doc_id for r in L.unigram_surprisal(docs).collect()} == {0}

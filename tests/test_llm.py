@@ -459,6 +459,37 @@ class TestProductQuantization:
         distinct = len({tuple(r.codes) for r in rows})
         assert distinct <= len(rows) // 2, distinct
 
+    def test_persisted_ivfpq_matches_in_memory_and_prunes(self, spark, tmp_path):
+        """ivfpq_write_index + ivfpq_probe_index must return exactly
+        what the in-memory ivfpq_knn returns (same seed ⇒ same cells,
+        codebooks, codes; the probe reads only the probed cells, which
+        is precisely the candidate set the in-memory search scores) —
+        and the codes scan must show directory-level PartitionFilters."""
+        from tidb_cdc_spark.functions import pq as PQ
+
+        embs = self._clustered(spark)
+        q = embs.filter(F.col("vec_id") % 100 == 0)
+        path = str(tmp_path / "ivfpq")
+        PQ.ivfpq_write_index(embs, path, n_cells=10, m=4, k_codes=16)
+        via_index = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in PQ.ivfpq_probe_index(spark, path, q, k=5, n_probe=3).collect()
+        }
+        in_memory = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in PQ.ivfpq_knn(
+                embs.filter(F.col("vec_id") % 100 == 0),
+                embs, k=5, n_cells=10, n_probe=3, m=4, k_codes=16,
+            ).collect()
+        }
+        assert via_index == in_memory and len(via_index) > 0
+
+        scan = spark.read.parquet(f"{path}/codes").filter(
+            F.col("cell").isin([0, 1])
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan
+
     def test_adc_knn_high_recall_on_clustered_data(self, spark):
         from pyspark.sql import functions as F
 

@@ -171,45 +171,33 @@ def pq_knn_adc(
     ).select("query_id", "neighbor_id", "rank")
 
 
-def ivfpq_knn(
-    queries: DataFrame,
+def _ivfpq_build(
     corpus: DataFrame,
-    k: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 16,
-    n_probe: int = 4,
-    m: int = 4,
-    k_codes: int = 16,
-    seed: int = 7,
-) -> DataFrame:
-    """The literal 100 TB ANN layout — IVF-PQ: coarse k-means cells
-    prune the candidate set (probe ``n_probe`` of ``n_cells``;
-    corpus persisted partitioned BY cell at scale → partition
-    pruning), and PQ codes of the RESIDUALS (vector − cell centroid,
-    the classic accuracy trick: residuals are small and centered, so
-    the codebooks spend their resolution where the data is) rank
-    candidates by ADC without touching corpus floats.
-
-    Plan: cell assignment + residual encode are one scan each; the
-    search joins the per-(query, probed-cell) LUT — (n_probe·m·k)
-    rows per query, broadcast — against the exploded candidate codes
-    on (cell, sub, code), then one map-side-combining sum per
-    (query, vector). Output contract matches knn_lsh/knn_ivf/pq:
-    (query_id, neighbor_id, rank).
-    """
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    m: int,
+    k_codes: int,
+    seed: int,
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """Shared IVF-PQ build phase: coarse k-means cells, RESIDUAL
+    encoding (vector − cell centroid — the classic accuracy trick:
+    residuals are small and centered, so the codebooks spend their
+    resolution where the data is), PQ codebooks over residuals.
+    Returns ``(centers (n_cells, dim), books (m, k, d_sub),
+    codes (id, _cell, codes array<int>))``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col), as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_fv", array_to_vector(F.col("_cv")))
     km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_fv").fit(c)
     centers = np.stack([np.asarray(ctr) for ctr in km.clusterCenters()])
 
     assigned = km.transform(c).select(
-        "neighbor_id", "_cv", F.col(km.getPredictionCol()).alias("_cell")
+        id_col, "_cv", F.col(km.getPredictionCol()).alias("_cell")
     )
 
     @pandas_udf("array<double>")
@@ -224,7 +212,7 @@ def ivfpq_knn(
     # assignment transform + residual UDF must not re-execute per scan
     residuals = materialize(
         assigned.select(
-            F.col("neighbor_id").alias(id_col),
+            id_col,
             "_cell",
             residual(F.col("_cv"), F.col("_cell")).alias(vec_col),
         )
@@ -233,20 +221,30 @@ def ivfpq_knn(
     codes = pq_encode(residuals, books, id_col=id_col, vec_col=vec_col).join(
         residuals.select(id_col, "_cell"), id_col
     )
+    return centers, books, codes
+
+
+def _ivfpq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    centers: np.ndarray,
+    books: np.ndarray,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ search phase over a (id, _cell, codes) table:
+    per-(query, probed-cell) residual ADC LUT — (n_probe·m·k) rows
+    per query, broadcast — joined against the exploded candidate
+    codes on (cell, sub, code), then one map-side-combining sum per
+    (query, vector). No corpus-side float vectors move."""
+    from pyspark.sql.functions import pandas_udf
+
+    from tidb_cdc_spark.functions.similarity import _probe_cells_udf
 
     m_, kk, d_sub = books.shape
     cb = books
-
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.to_numpy())
-        d2 = (
-            (M * M).sum(1, keepdims=True)
-            - 2.0 * (M @ centers.T)
-            + (centers * centers).sum(1)
-        )
-        order = np.argsort(d2, axis=1)[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
 
     @pandas_udf("array<double>")
     def cell_lut(vecs: pd.Series, cells: pd.Series) -> pd.Series:
@@ -263,6 +261,7 @@ def ivfpq_knn(
             )
         return pd.Series([row.tolist() for row in out])
 
+    probe_cells = _probe_cells_udf(centers, n_probe)
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
@@ -297,3 +296,127 @@ def ivfpq_knn(
         k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "rank")
+
+
+def ivfpq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """The literal 100 TB ANN layout — IVF-PQ: coarse k-means cells
+    prune the candidate set (probe ``n_probe`` of ``n_cells``), and
+    PQ codes of the residuals rank candidates by ADC. In-memory
+    build+search composition of ``_ivfpq_build`` + ``_ivfpq_search``;
+    the persisted form is ``ivfpq_write_index``/``ivfpq_probe_index``.
+    Output contract matches knn_lsh/knn_ivf/pq:
+    (query_id, neighbor_id, rank).
+    """
+    centers, books, codes = _ivfpq_build(
+        corpus, id_col, vec_col, n_cells, m, k_codes, seed
+    )
+    return _ivfpq_search(
+        queries, codes, centers, books, k, n_probe, id_col, vec_col
+    )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+    seed: int = 7,
+) -> None:
+    """Persist the full IVF-PQ index:
+
+    - ``<path>/codes`` — (id, codes) PARTITIONED BY cell: integer
+      codes only, m bytes-ish per vector, one directory per cell —
+      probing reads n_probe/n_cells of the bytes via directory-level
+      partition pruning (plan-pinned in tests);
+    - ``<path>/centroids`` — coarse centers (n_cells rows);
+    - ``<path>/codebooks`` — residual PQ codebooks (m·k rows).
+
+    Together with ``ivfpq_probe_index`` this is the billion-vector
+    serving shape: the float corpus is never stored in the index at
+    all — only codes + kilobytes of metadata.
+    """
+    centers, books, codes = _ivfpq_build(
+        corpus, id_col, vec_col, n_cells, m, k_codes, seed
+    )
+    spark = corpus.sparkSession
+    (
+        codes.withColumnRenamed("_cell", "cell")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    mm, kk, _ = books.shape
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(mm)
+            for c in range(kk)
+        ],
+        "sub int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a persisted ``ivfpq_write_index`` layout.
+
+    Like ``similarity.ivf_probe_index``, the probed-cell set is
+    computed from the QUERY batch (≤ n_cells ids — metadata-sized)
+    and planted as a static ``cell IN (…)`` partition filter on the
+    codes scan, so unprobed directories are never listed or read;
+    ADC then ranks candidates from codes alone.
+    """
+    from tidb_cdc_spark.functions.similarity import _probe_cells_udf
+
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centers = np.stack([np.asarray(r.center) for r in crows])
+    brows = spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
+    mm = max(r.sub for r in brows) + 1
+    kk = max(r.code for r in brows) + 1
+    books = np.stack(
+        [
+            np.stack([np.asarray(r.center) for r in brows if r.sub == j])
+            for j in range(mm)
+        ]
+    )
+    assert books.shape[:2] == (mm, kk)
+
+    probe_cells = _probe_cells_udf(centers, n_probe)
+    qd = queries.select(
+        F.col(id_col).alias("_qid"), as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_pc", F.explode(probe_cells(F.col("_qv"))))
+    probed = sorted(r._pc for r in qd.select("_pc").distinct().collect())
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(probed))
+        .withColumnRenamed("cell", "_cell")
+    )
+    return _ivfpq_search(
+        queries, codes, centers, books, k, n_probe, id_col, vec_col
+    )
