@@ -146,7 +146,10 @@ def minhash_lsh_pairs(
         ).alias("_band", "_bhash"),
     )
     if max_bucket_size is not None:
-        banded = (
+        # materialized for the same reason as simhash_pairs_from_sigs:
+        # the guard window must run once, not once per join side, and
+        # its (_band, _bhash) clustering carries into the self-join
+        banded = _materialize(
             banded.withColumn(
                 "_bs", F.count(F.lit(1)).over(Window.partitionBy("_band", "_bhash"))
             )
@@ -462,7 +465,12 @@ def simhash_pairs_from_sigs(
         ).alias("_table", "_key"),
     )
     if max_bucket_size is not None:
-        keyed = (
+        # materialized: the guarded frame feeds BOTH join sides, and
+        # Spark re-executes common subplans per consumer — without
+        # this the explode+window pipeline runs twice. The cached
+        # blocks keep the window's (_table, _key) clustering, so the
+        # self-join consumes them with no further exchange.
+        keyed = _materialize(
             keyed.withColumn(
                 "_bs", F.count(F.lit(1)).over(Window.partitionBy("_table", "_key"))
             )
