@@ -109,3 +109,32 @@ def test_snapshot_equals_dict_replay(spark, ops):
     )
     snap = snapshot_from_ops(parse_cdc(df, spec, seq_col=F.col("_s")), spec)
     assert {r.k: r.v for r in snap.collect()} == expected
+
+
+#: tiny word alphabet → dense pair collisions and plenty of ties, the
+#: adversarial regime for BPE tie-breaking
+_WORDS = st.text(alphabet="abc", min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(_WORDS, min_size=1, max_size=8), min_size=1, max_size=5))
+def test_bpe_merge_sequence_equals_reference(spark, docs_words):
+    """Distributed BPE == the pure-Python reference on random corpora
+    over a 3-letter alphabet — ties everywhere, so this sweeps the
+    (count desc, pair asc) tie order example tests cannot."""
+    from tests.test_bpe_lm import ref_bpe
+    from tidb_cdc_spark.functions import bpe as B
+
+    texts = [" ".join(ws) for ws in docs_words]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r.left, r.right, r.merged, r.pair_count)
+        for r in B.bpe_train(df, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == ref_bpe(texts, 6)
