@@ -52,6 +52,98 @@ def _connector(tmp_path, sinks, source):
     return conn
 
 
+SPEC2 = TableSpec(
+    database="d",
+    table="u",
+    columns=(
+        ColumnSpec("K", "string", column="k", pk=True),
+        ColumnSpec("W", "int"),
+    ),
+)
+
+
+def _msg_for(db, table, op, data, ts):
+    return json.dumps(
+        {"database": db, "table": table, "type": op, "ts": ts, "data": data}
+    )
+
+
+class TestSharedConnector:
+    """One streaming query routing N registered tables (the
+    hundreds-of-tables mode): envelope (database, table) routes rows
+    inside a single persisted micro-batch."""
+
+    def test_routes_two_tables_from_one_stream(self, spark, tmp_path):
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [
+            _msg_for("d", "t", "insert", {"k": "a", "v": 1}, 10),
+            _msg_for("d", "u", "insert", {"k": "x", "w": 7}, 11),
+            _msg_for("d", "t", "update", {"k": "a", "v": 5}, 12),
+            _msg_for("d", "zz_unregistered", "insert", {"k": "q"}, 13),
+        ])
+        sink_t = ParquetSnapshotSink(str(tmp_path / "snap_t"))
+        sink_u = ParquetSnapshotSink(str(tmp_path / "snap_u"))
+        conn = Connector(
+            ConnectorConfig(server_name="srv", checkpoint_root=str(tmp_path / "ck"))
+        )
+        conn.register(SPEC, [sink_t])
+        conn.register(SPEC2, [sink_u])
+        q = conn.start_shared(
+            spark,
+            source=maxwell_file_stream(spark, str(events_dir)),
+            available_now=True,
+        )
+        q.awaitTermination()
+        assert {(r.k, r.v) for r in sink_t.read_current(spark).collect()} == {
+            ("a", 5)
+        }
+        assert {(r.k, r.w) for r in sink_u.read_current(spark).collect()} == {
+            ("x", 7)
+        }
+
+        # incremental continuation from the shared checkpoint: only
+        # the new file is consumed
+        _write_batch(events_dir, "b2.jsonl", [
+            _msg_for("d", "u", "delete", {"k": "x", "w": 7}, 20),
+            _msg_for("d", "t", "insert", {"k": "b", "v": 9}, 21),
+        ])
+        conn2 = Connector(
+            ConnectorConfig(server_name="srv", checkpoint_root=str(tmp_path / "ck"))
+        )
+        conn2.register(SPEC, [sink_t])
+        conn2.register(SPEC2, [sink_u])
+        q2 = conn2.start_shared(
+            spark,
+            source=maxwell_file_stream(spark, str(events_dir)),
+            available_now=True,
+        )
+        q2.awaitTermination()
+        assert {(r.k, r.v) for r in sink_t.read_current(spark).collect()} == {
+            ("a", 5), ("b", 9)
+        }
+        assert sink_u.read_current(spark).count() == 0
+
+    def test_shared_kafka_pattern_options(self):
+        cfg = KafkaSourceConfig(
+            brokers=["b:9092"], topic_pattern=r"srv\..*"
+        )
+        assert cfg.options()["subscribePattern"] == r"srv\..*"
+        assert "subscribe" not in cfg.options()
+        with pytest.raises(ValueError, match="exactly one"):
+            KafkaSourceConfig(brokers=["b:9092"])
+        with pytest.raises(ValueError, match="exactly one"):
+            KafkaSourceConfig(
+                brokers=["b:9092"], topic="t", topic_pattern="p.*"
+            )
+
+    def test_shared_requires_registrations(self, spark, tmp_path):
+        conn = Connector(
+            ConnectorConfig(server_name="srv", checkpoint_root=str(tmp_path / "ck"))
+        )
+        with pytest.raises(ValueError, match="no registrations"):
+            conn.start_shared(spark, source=None)
+
+
 class TestConnectorFileStream:
     def test_snapshot_sink_applies_ops(self, spark, tmp_path):
         events_dir = tmp_path / "in"

@@ -28,8 +28,12 @@ class KafkaSourceConfig:
     NewConsumerGroup, cdc_manager.go:62-94)."""
 
     brokers: list[str]
-    topic: str
+    topic: str | None = None
     group: str | None = None  # default: topic name (cdc_manager.go:75-77)
+    #: regex over topic names (Spark ``subscribePattern``) — the
+    #: shared-consumer mode: one source for every ``server.db.table``
+    #: topic of a deployment. Exactly one of topic/topic_pattern.
+    topic_pattern: str | None = None
     starting_offsets: str = "earliest"  # 'oldest' default (cdc_manager.go:139-141)
     max_offsets_per_trigger: int | None = None  # backpressure (absent in reference)
     min_partitions: int | None = None  # oversplit beyond Kafka partitions
@@ -44,8 +48,8 @@ class KafkaSourceConfig:
     def __post_init__(self):
         if not self.brokers:
             raise ValueError("at least one broker required")
-        if not self.topic:
-            raise ValueError("topic required")
+        if bool(self.topic) == bool(self.topic_pattern):
+            raise ValueError("exactly one of topic / topic_pattern required")
         if self.starting_offsets not in ("earliest", "latest"):
             raise ValueError("starting_offsets must be earliest|latest")
         if self.sasl_enabled and not (self.sasl_user and self.sasl_password):
@@ -54,10 +58,13 @@ class KafkaSourceConfig:
     def options(self) -> dict[str, str]:
         opts = {
             "kafka.bootstrap.servers": ",".join(self.brokers),
-            "subscribe": self.topic,
             "startingOffsets": self.starting_offsets,
             "failOnDataLoss": str(self.fail_on_data_loss).lower(),
         }
+        if self.topic:
+            opts["subscribe"] = self.topic
+        else:
+            opts["subscribePattern"] = self.topic_pattern
         if self.group:
             opts["kafka.group.id"] = self.group
         if self.max_offsets_per_trigger:

@@ -135,6 +135,82 @@ class Connector:
             self._queries.append(writer.start())
         return list(self._queries)
 
+    def start_shared(
+        self,
+        spark: SparkSession,
+        source: DataFrame | None = None,
+        available_now: bool = False,
+        topic_pattern: str | None = None,
+    ) -> StreamingQuery:
+        """ONE streaming query serving EVERY registration — the
+        many-table scale mode.
+
+        ``start`` launches a query per table, which is right for tens
+        of tables but not hundreds: each Spark streaming query costs a
+        Kafka consumer group, a checkpoint log, a trigger loop, and
+        driver scheduling. The shared form subscribes to a topic
+        PATTERN (default ``server\\..*`` — topics are
+        ``server.db.table``, cdc_manager.go:390-391), persists each
+        raw micro-batch ONCE, and routes rows to each registration's
+        typed parse + sinks with cheap filtered passes over the cached
+        batch (the envelope's database/table fields via
+        ``get_json_object``; rows of unregistered tables are ignored —
+        watch them with ``parse.schema_drift`` if that matters).
+
+        Ordering: identical guarantee to per-table mode — per-PK order
+        within a topic-partition (seq = Kafka offset); neither mode
+        orders across tables. Offsets commit once for the whole batch,
+        so a sink error fails the batch for EVERY table (no partial
+        commit; same no-silent-loss stance as ``start``).
+        """
+        regs = list(self._registrations.values())
+        if not regs:
+            raise ValueError("no registrations")
+        if source is None:
+            cfg = KafkaSourceConfig(
+                brokers=self.config.brokers,
+                topic_pattern=topic_pattern
+                or self.config.server_name.replace(".", "\\.") + "\\..*",
+                group=f"{self.config.server_name}-shared",
+                starting_offsets=self.config.starting_offsets,
+                max_offsets_per_trigger=self.config.max_offsets_per_trigger,
+                sasl_enabled=self.config.sasl_enabled,
+                sasl_user=self.config.sasl_user,
+                sasl_password=self.config.sasl_password,
+            )
+            source = kafka_stream(spark, cfg)
+        has_offset = "offset" in source.columns
+
+        def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                val = F.col("value").cast("string")
+                for r in regs:
+                    sub = batch_df.filter(
+                        (F.get_json_object(val, "$.database") == r.spec.database)
+                        & (F.get_json_object(val, "$.table") == r.spec.table)
+                    )
+                    seq = F.col("offset").cast("long") if has_offset else None
+                    changes = parse_cdc(sub, r.spec, seq_col=seq)
+                    for sink in r.sinks:
+                        sink.process(changes, batch_id, r.spec)
+            finally:
+                batch_df.unpersist()
+
+        writer = (
+            source.writeStream.foreachBatch(batch_fn)
+            .option(
+                "checkpointLocation",
+                f"{self.config.checkpoint_root}/_shared",
+            )
+            .queryName(f"{self.config.server_name}-shared")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        self._queries.append(q)
+        return q
+
     def await_termination(self, timeout: float | None = None) -> None:
         for q in self._queries:
             q.awaitTermination(timeout)
