@@ -111,40 +111,43 @@ def bpe_train(
     # that eventually exhausts driver heap in a long-lived session.
     # localCheckpoint (eager) materializes AND severs the plan, same
     # rationale as the connected-components loop (functions/clusters).
+    # Block lifetime: localCheckpoint blocks are NOT released by
+    # unpersist() (that only uncaches persist()-made CacheManager
+    # entries); they are freed by the ContextCleaner when the
+    # checkpointed RDD is garbage-collected — which the loop
+    # guarantees by dropping each round's reference when `vocab` is
+    # rebound, so at most a GC-lag's worth of rounds is ever live.
+    # Block size is vocab-bounded (KBs..MBs), not corpus-bounded.
     vocab = word_vocab(docs, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            # fully-merged words (1 symbol) have no pairs; filtering
-            # them also dodges sequence(1, 0), which Spark evaluates
-            # as the DESCENDING [1, 0]
-            pairs = vocab.filter(F.size("syms") >= 2).select(
-                "wc",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(syms[i-1] AS l, syms[i] AS r))"
-                    )
-                ).alias("p"),
-            ).select("wc", "p.l", "p.r")
-            best = (
-                pairs.groupBy("l", "r")
-                .agg(F.sum("wc").alias("c"))
-                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-                .first()
-            )
-            if best is None or best.c < min_pair_count:
-                break
-            merges.append((rank, best.l, best.r, best.l + best.r, int(best.c)))
-            new_vocab = vocab.select(
-                "word",
-                "wc",
-                _merge_pair_udf(best.l, best.r)(F.col("syms")).alias("syms"),
-            ).localCheckpoint()  # eager: rewrite runs now, lineage cut
-            vocab.unpersist()  # release the previous round's blocks
-            vocab = new_vocab
-    finally:
-        vocab.unpersist()
+    for rank in range(1, n_merges + 1):
+        # fully-merged words (1 symbol) have no pairs; filtering
+        # them also dodges sequence(1, 0), which Spark evaluates
+        # as the DESCENDING [1, 0]
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+        ).select("wc", "p.l", "p.r")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .first()
+        )
+        if best is None or best.c < min_pair_count:
+            break
+        merges.append((rank, best.l, best.r, best.l + best.r, int(best.c)))
+        vocab = vocab.select(
+            "word",
+            "wc",
+            _merge_pair_udf(best.l, best.r)(F.col("syms")).alias("syms"),
+        ).localCheckpoint()  # eager: rewrite runs now, lineage cut;
+        # rebinding drops the old round's RDD for the ContextCleaner
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
@@ -159,10 +162,23 @@ def bpe_segment(
     """Tokenize with a learned merge table: (id, subwords) — applies
     the merges in rank order to each word (the inference half of the
     tokenizer). One scan; the merge table is closure-captured (a
-    learned table is KBs — always broadcastable)."""
+    learned table is KBs — always broadcastable).
+
+    Tokenizer parity with training: lower-casing happens JVM-side
+    (``F.lower``, the same function ``word_vocab`` uses — Python's
+    ``str.lower`` disagrees on a few Unicode mappings, e.g. 'İ'),
+    and word splitting uses an ASCII ``\\s+`` regex matching Java's
+    default ``\\s`` class (Python's ``str.split()`` also splits on
+    Unicode whitespace like NBSP, which training treats as a word
+    character) — otherwise inference would segment symbol streams
+    the merge table never saw.
+    """
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     ranked = list(merges)
+    ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf("array<string>")
     def segment(texts: pd.Series) -> pd.Series:
@@ -182,10 +198,13 @@ def bpe_segment(
 
         def one(t):
             subs = []
-            for w in (t or "").lower().split():
-                subs.extend(word_syms(w))
+            for w in ws.split(t or ""):
+                if w:
+                    subs.extend(word_syms(w))
             return subs
 
         return texts.map(one)
 
-    return docs.select(F.col(id_col), segment(F.col(text_col)).alias("subwords"))
+    return docs.select(
+        F.col(id_col), segment(F.lower(F.col(text_col))).alias("subwords")
+    )

@@ -233,12 +233,18 @@ def _ivfpq_search(
     n_probe: int,
     id_col: str,
     vec_col: str,
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF-PQ search phase over a (id, _cell, codes) table:
     per-(query, probed-cell) residual ADC LUT — (n_probe·m·k) rows
     per query, broadcast — joined against the exploded candidate
     codes on (cell, sub, code), then one map-side-combining sum per
-    (query, vector). No corpus-side float vectors move."""
+    (query, vector). No corpus-side float vectors move.
+
+    ``probed`` lets the caller hand in an already-computed
+    (query_id, _qv, _cell) frame — ``ivfpq_probe_index`` materializes
+    one for its partition-filter collect, and reusing it here keeps
+    the probe UDF to a single pass over the query batch."""
     from pyspark.sql.functions import pandas_udf
 
     from tidb_cdc_spark.functions.similarity import _probe_cells_udf
@@ -261,11 +267,12 @@ def _ivfpq_search(
             )
         return pd.Series([row.tolist() for row in out])
 
-    probe_cells = _probe_cells_udf(centers, n_probe)
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    )
-    probed = qv.withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
+    if probed is None:
+        probe_cells = _probe_cells_udf(centers, n_probe)
+        qv = queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+        )
+        probed = qv.withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
     lut = probed.select(
         "query_id",
         "_cell",
@@ -407,16 +414,23 @@ def ivfpq_probe_index(
     )
     assert books.shape[:2] == (mm, kk)
 
+    from tidb_cdc_spark.functions.similarity import _probe_cells_udf
+    from tidb_cdc_spark.session import materialize
+
     probe_cells = _probe_cells_udf(centers, n_probe)
-    qd = queries.select(
-        F.col(id_col).alias("_qid"), as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_pc", F.explode(probe_cells(F.col("_qv"))))
-    probed = sorted(r._pc for r in qd.select("_pc").distinct().collect())
+    # materialized: one probe-UDF pass serves both the cell collect
+    # and the ADC search join
+    qd = materialize(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+        ).withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
+    )
+    cells = sorted(r._cell for r in qd.select("_cell").distinct().collect())
     codes = (
         spark.read.parquet(f"{path}/codes")
-        .filter(F.col("cell").isin(probed))
+        .filter(F.col("cell").isin(cells))
         .withColumnRenamed("cell", "_cell")
     )
     return _ivfpq_search(
-        queries, codes, centers, books, k, n_probe, id_col, vec_col
+        queries, codes, centers, books, k, n_probe, id_col, vec_col, probed=qd
     )

@@ -280,12 +280,19 @@ def ivf_probe_index(
     Candidates then equi-join on cell against the broadcast tagged
     queries; exact cosine re-ranks (same contract as ``knn_ivf``).
     """
+    from tidb_cdc_spark.session import materialize
+
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centers = np.stack([np.asarray(r.center) for r in crows])
     probe_cells = _probe_cells_udf(centers, n_probe)
-    qd = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
+    # materialized: the tagged query frame feeds the probed-cell
+    # collect AND the candidate join — without this the Arrow-batched
+    # probe UDF runs twice over the query batch
+    qd = materialize(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+        ).withColumn("_cell", F.explode(probe_cells(F.col("_qv"))))
+    )
     # distinct probed cells: ≤ n_cells values (index metadata, not data)
     probed = sorted(r._cell for r in qd.select("_cell").distinct().collect())
     scan = (

@@ -5,7 +5,7 @@ top-k output (banding and k-means are not SQL-expressible), so their
 driver rows were permanently ``no_oracle``. These audits convert each
 into a HARD oracle row by the ``ann_recall_audit`` pattern: plant a
 deterministic structure — an EXACT copy of each probe row at
-``id + 10⁶`` — and emit per-probe booleans that are TRUE by algorithm
+``id + max(id) + 1`` — and emit per-probe booleans that are TRUE by algorithm
 structure, not by luck:
 
 - an exact text copy has the identical shingle multiset ⇒ identical
@@ -36,37 +36,62 @@ from tidb_cdc_spark.functions import pq as PQ
 from tidb_cdc_spark.functions import similarity as S
 from tidb_cdc_spark.queries.llm import _docs, _embs
 
-_OFF = 1_000_000  # planted ids live at original_id + _OFF
 _N_DOCS = 20  # docs 0.._N_DOCS-1 get planted copies
 _N_VECS = 5  # vectors 0.._N_VECS-1 get planted copies
+#: top-k used by the knn audits: ADC/cosine ties rank by neighbor_id
+#: ascending and the planted copy has the LARGEST id, so k must
+#: comfortably exceed any plausible count of exactly-tied lower-id
+#: vectors (PQ code collisions make small ties possible; 50 identical
+#: codes would mean the corpus is one giant duplicate family)
+_AUDIT_K = 50
 
 
-def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _planting_offset(df: DataFrame, id_col: str) -> int:
+    """Copies are planted at ``id + offset`` with offset = max(id)+1 —
+    id-space-safe at ANY scale factor (a fixed 10⁶ offset would
+    collide with real ids once the corpus grows past it, silently
+    corrupting every audit). One aggregated scalar — metadata-sized,
+    deterministic."""
+    m = df.agg(F.max(F.col(id_col))).first()[0]
+    return int(m) + 1
+
+
+def _docs_with_copies(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
     d = _docs(spark, sf_dir)
+    off = _planting_offset(d, "doc_id")
     copies = d.filter(F.col("doc_id") < _N_DOCS).select(
-        (F.col("doc_id") + _OFF).alias("doc_id"),
+        (F.col("doc_id") + off).alias("doc_id"),
         *[c for c in d.columns if c != "doc_id"],
     )
-    return d.unionByName(copies.select(*d.columns))
+    return d.unionByName(copies.select(*d.columns)), off
 
 
-def _embs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embs_with_copies(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
     e = _embs(spark, sf_dir)
+    off = _planting_offset(e, "vec_id")
     copies = e.filter(F.col("vec_id") < _N_VECS).select(
-        (F.col("vec_id") + _OFF).alias("vec_id"),
+        (F.col("vec_id") + off).alias("vec_id"),
         *[c for c in e.columns if c != "vec_id"],
     )
-    return e.unionByName(copies.select(*e.columns))
+    return e.unionByName(copies.select(*e.columns)), off
 
 
 def _planted_pair_report(
-    pairs: DataFrame, spine: DataFrame, value_flag: Column, flag_name: str
+    pairs: DataFrame,
+    spine: DataFrame,
+    value_flag: Column,
+    flag_name: str,
+    off: int,
 ) -> DataFrame:
     """(doc_id, found, <flag>) for each planted doc: ``found`` iff the
-    (orig, orig+OFF) pair is in ``pairs``; ``flag`` from the pair's
+    (orig, orig+off) pair is in ``pairs``; ``flag`` from the pair's
     value column (FALSE when not found)."""
     hit = (
-        pairs.filter(F.col("id_b") == F.col("id_a") + _OFF)
+        pairs.filter(F.col("id_b") == F.col("id_a") + F.lit(off))
         .filter(F.col("id_a") < _N_DOCS)
         .select(F.col("id_a").alias("doc_id"), value_flag.alias("_flag"))
     )
@@ -94,24 +119,26 @@ FROM documents WHERE doc_id < 20 ORDER BY doc_id
 def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact copies share every MinHash band ⇒ pair found with
     estimated Jaccard exactly 1.0 (all 64 signature slots equal)."""
-    pairs = D.minhash_lsh_pairs(_docs_with_copies(spark, sf_dir))
+    d, off = _docs_with_copies(spark, sf_dir)
     return _planted_pair_report(
-        pairs,
+        D.minhash_lsh_pairs(d),
         _doc_spine(spark, sf_dir),
         F.col("est_jaccard") == 1.0,
         "est_one",
+        off,
     )
 
 
 def dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact copies have the identical 64-bit SimHash ⇒ every permuted
     table collides ⇒ pair found at Hamming 0."""
-    pairs = D.simhash_pairs(_docs_with_copies(spark, sf_dir))
+    d, off = _docs_with_copies(spark, sf_dir)
     return _planted_pair_report(
-        pairs,
+        D.simhash_pairs(d),
         _doc_spine(spark, sf_dir),
         F.col("hamming") == 0,
         "hamming_zero",
+        off,
     )
 
 
@@ -120,25 +147,23 @@ def dedup_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram Jaccard 1.0 through the inverted-index join (document-
     frequency pruning drops a shingle for both sides or neither, so
     the ratio over surviving sets is still 1.0)."""
-    pairs = D.ngram_jaccard_pairs(
-        _docs_with_copies(spark, sf_dir), min_jaccard=0.8
-    )
+    d, off = _docs_with_copies(spark, sf_dir)
     return _planted_pair_report(
-        pairs,
+        D.ngram_jaccard_pairs(d, min_jaccard=0.8),
         _doc_spine(spark, sf_dir),
         F.col("jaccard") == 1.0,
         "jaccard_one",
+        off,
     )
 
 
 def dedup_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact vector copies share every hyperplane sign ⇒ same LSH
     bucket ⇒ pair surfaces and verifies at cosine exactly 1."""
-    pairs = D.embedding_near_dup_pairs(
-        _embs_with_copies(spark, sf_dir).select("vec_id", "embedding")
-    )
+    e, off = _embs_with_copies(spark, sf_dir)
+    pairs = D.embedding_near_dup_pairs(e.select("vec_id", "embedding"))
     hit = (
-        pairs.filter(F.col("id_b") == F.col("id_a") + _OFF)
+        pairs.filter(F.col("id_b") == F.col("id_a") + F.lit(off))
         .filter(F.col("id_a") < _N_VECS)
         .select(F.col("id_a").alias("vec_id"), (F.col("cos") == 1.0).alias("_c"))
     )
@@ -164,15 +189,15 @@ def dedup_clusters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-cluster contract: an exact copy is edge-connected to its
     original through BOTH the MinHash and SimHash pair graphs, so
     connected components must assign the two the same cluster id."""
-    d = _docs_with_copies(spark, sf_dir)
+    d, off = _docs_with_copies(spark, sf_dir)
     mh = D.minhash_lsh_pairs(d).select("id_a", "id_b")
     sh = D.simhash_pairs(d).select("id_a", "id_b")
     labels = C.cluster_representatives(d, mh.unionByName(sh)).select(
         "doc_id", "cluster_id"
     )
     orig = labels.filter(F.col("doc_id") < _N_DOCS)
-    copy = labels.filter(F.col("doc_id") >= _OFF).select(
-        (F.col("doc_id") - _OFF).alias("doc_id"),
+    copy = labels.filter(F.col("doc_id") >= F.lit(off)).select(
+        (F.col("doc_id") - F.lit(off)).alias("doc_id"),
         F.col("cluster_id").alias("_copy_cluster"),
     )
     return (
@@ -191,9 +216,11 @@ FROM documents WHERE doc_id < 20 ORDER BY doc_id
 """
 
 
-def _knn_planted_report(approx: DataFrame, spine: DataFrame) -> DataFrame:
+def _knn_planted_report(
+    approx: DataFrame, spine: DataFrame, off: int
+) -> DataFrame:
     found = (
-        approx.filter(F.col("neighbor_id") == F.col("query_id") + _OFF)
+        approx.filter(F.col("neighbor_id") == F.col("query_id") + F.lit(off))
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -221,35 +248,36 @@ def _vec_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF retrieval contract: an exact copy gets the identical cell
     assignment (same argmin over centroids) and cosine 1 to its query
-    ⇒ must be retrieved in the top-5 (self + copy tie at cosine 1;
-    k=5 holds both)."""
-    e = _embs_with_copies(spark, sf_dir)
+    ⇒ must be retrieved in the audit top-k (ties rank by id ascending
+    and the copy's id is the largest, so k is sized far beyond any
+    plausible exact-tie count — see _AUDIT_K)."""
+    e, off = _embs_with_copies(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_VECS)
-    approx = S.knn_ivf(q, e, k=5)
-    return _knn_planted_report(approx, _vec_spine(spark, sf_dir))
+    approx = S.knn_ivf(q, e, k=_AUDIT_K)
+    return _knn_planted_report(approx, _vec_spine(spark, sf_dir), off)
 
 
 def knn_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC retrieval contract: an exact copy encodes to the
     identical PQ code as the query itself ⇒ ADC distance equals the
-    query's own quantization distance, the minimum possible ⇒ copy in
-    the top-5."""
-    e = _embs_with_copies(spark, sf_dir)
+    query's own quantization distance, the minimum possible ⇒ copy in the audit top-k (_AUDIT_K
+    absorbs same-code ties, which rank lower ids first)."""
+    e, off = _embs_with_copies(spark, sf_dir)
     books = PQ.pq_train(e, m=4, k=16)
     codes = PQ.pq_encode(e, books)
     q = e.filter(F.col("vec_id") < _N_VECS)
-    approx = PQ.pq_knn_adc(q, codes, books, k=5)
-    return _knn_planted_report(approx, _vec_spine(spark, sf_dir))
+    approx = PQ.pq_knn_adc(q, codes, books, k=_AUDIT_K)
+    return _knn_planted_report(approx, _vec_spine(spark, sf_dir), off)
 
 
 def knn_ivfpq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ retrieval contract: exact copy ⇒ same coarse cell, same
     residual, same PQ code ⇒ candidate via every probed cell and
-    minimal ADC distance ⇒ copy in the top-5."""
-    e = _embs_with_copies(spark, sf_dir)
+    minimal ADC distance ⇒ copy in the audit top-k (_AUDIT_K)."""
+    e, off = _embs_with_copies(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_VECS)
-    approx = PQ.ivfpq_knn(q, e, k=5, n_cells=16, n_probe=4)
-    return _knn_planted_report(approx, _vec_spine(spark, sf_dir))
+    approx = PQ.ivfpq_knn(q, e, k=_AUDIT_K, n_cells=16, n_probe=4)
+    return _knn_planted_report(approx, _vec_spine(spark, sf_dir), off)
 
 
 QUERIES = {

@@ -182,20 +182,31 @@ class Connector:
         has_offset = "offset" in source.columns
 
         def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.persist()
+            # ONE slim routing parse per row, cached with the batch:
+            # separate get_json_object calls each re-parse the whole
+            # JSON document and would run 2× per registration; a
+            # 2-field from_json runs once total, and the per-table
+            # routing filters are then plain column comparisons over
+            # the cached rows
+            routed = batch_df.withColumn(
+                "_route",
+                F.from_json(
+                    F.col("value").cast("string"),
+                    "database string, table string",
+                ),
+            ).persist()
             try:
-                val = F.col("value").cast("string")
                 for r in regs:
-                    sub = batch_df.filter(
-                        (F.get_json_object(val, "$.database") == r.spec.database)
-                        & (F.get_json_object(val, "$.table") == r.spec.table)
-                    )
+                    sub = routed.filter(
+                        (F.col("_route.database") == r.spec.database)
+                        & (F.col("_route.table") == r.spec.table)
+                    ).drop("_route")
                     seq = F.col("offset").cast("long") if has_offset else None
                     changes = parse_cdc(sub, r.spec, seq_col=seq)
                     for sink in r.sinks:
                         sink.process(changes, batch_id, r.spec)
             finally:
-                batch_df.unpersist()
+                routed.unpersist()
 
         writer = (
             source.writeStream.foreachBatch(batch_fn)

@@ -172,22 +172,10 @@ class NearDupAdmissionSink:
     def process(self, batch: DataFrame, batch_id: int) -> None:
         import os
 
-        last = self._last_batch_id()
-        if last is not None:
-            if batch_id == last:
-                return  # at-least-once re-delivery
-            if batch_id < last:
-                # batches arrive in order under one checkpoint lineage,
-                # so an id BEHIND the watermark means a fresh/foreign
-                # checkpoint is writing into this store root — silently
-                # skipping every batch until ids catch up would be
-                # silent data loss; fail loudly instead
-                raise RuntimeError(
-                    f"batch id {batch_id} is behind the stored watermark "
-                    f"{last}: this band store was written under a "
-                    "different checkpoint lineage; a stream with a fresh "
-                    "checkpoint must target a fresh store root"
-                )
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(self._last_batch_id(), batch_id, "band store"):
+            return  # at-least-once re-delivery
         from tidb_cdc_spark.functions.dedup import near_dup_ingest
 
         spark = batch.sparkSession

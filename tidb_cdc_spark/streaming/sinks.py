@@ -34,6 +34,33 @@ class Sink:
         raise NotImplementedError
 
 
+def guard_batch_watermark(last: int | None, batch_id: int, what: str) -> bool:
+    """Shared replay/lineage policy for watermark-keeping sinks.
+
+    Returns True when ``batch_id`` equals the stored watermark — the
+    one legitimate at-least-once re-delivery (under a single
+    checkpoint lineage batches arrive in order, so only the latest
+    applied batch can ever be re-run) — meaning the caller should
+    no-op. Raises when ``batch_id`` is BEHIND the watermark: that
+    means a fresh/foreign checkpoint is writing into an existing
+    store path, and silently skipping every batch until ids catch up
+    would be silent data loss. ``last`` of None or <0 (legacy
+    single-value pointers) means no watermark exists yet.
+    """
+    if last is None or last < 0:
+        return False
+    if batch_id == last:
+        return True
+    if batch_id < last:
+        raise RuntimeError(
+            f"batch id {batch_id} is behind the stored watermark {last}: "
+            f"this {what} was written under a different checkpoint "
+            "lineage; a stream with a fresh checkpoint must target a "
+            "fresh sink path"
+        )
+    return False
+
+
 @dataclass
 class ParquetSnapshotSink(Sink):
     """Maintains a queryable current-state snapshot in Parquet via
@@ -119,23 +146,8 @@ class Scd2HistorySink(ParquetSnapshotSink):
     def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
         from tidb_cdc_spark.cdc.scd import merge_scd2
 
-        last = self._last_batch_id()
-        if last is not None and last >= 0:
-            if batch_id == last:
-                return  # at-least-once replay of an already-applied batch
-            if batch_id < last:
-                # under ONE checkpoint lineage batches arrive in order,
-                # so only the latest applied batch can ever be re-
-                # delivered (== last); an id BEHIND the watermark means
-                # a fresh/foreign checkpoint is targeting this store —
-                # silently no-oping every batch until ids catch up
-                # would be silent data loss, so fail loudly instead
-                raise RuntimeError(
-                    f"batch id {batch_id} is behind the stored watermark "
-                    f"{last}: this history was written under a different "
-                    "checkpoint lineage; a stream with a fresh checkpoint "
-                    "must target a fresh sink path"
-                )
+        if guard_batch_watermark(self._last_batch_id(), batch_id, "history"):
+            return  # at-least-once replay of an already-applied batch
         spark = changes.sparkSession
         base = self.read_current(spark)
         merged = merge_scd2(base, changes, spec)
