@@ -58,9 +58,10 @@ for _mod in (
 #   the plan-complex TPC-H/events queries, so every declared query
 #   re-acquires a fresh driver row within a few rounds (the r5 finding:
 #   51 non-gate queries had only stale driver rows).  Round 6 rotates
-#   IN q3/q5/q8/q9/q18 + sessionize/funnel/trailing-30m/zorder/salted,
-#   OUT eleven single-scan text/sampling queries (still mirror-checked
-#   in tests/test_queries_oracle.py, driver-identical compare).
+#   IN q3/q5/q8/q9/q18 + sessionize/funnel/trailing-30m/zorder/salted
+#   + the new text_unigram_surprisal, OUT twelve single-scan text/
+#   sampling queries (still mirror-checked in
+#   tests/test_queries_oracle.py, driver-identical compare).
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -76,7 +77,7 @@ GATE = [
     "knn_ivfpq_audit",
     "dedup_clusters_exact",
     # LLM curation surface
-    "text_quality_by_lang",
+    "text_unigram_surprisal",
     "multimodal_doc_features",
     "tfidf_top_terms",
     "corpus_quality_filter",

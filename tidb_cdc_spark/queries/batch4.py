@@ -604,9 +604,66 @@ ORDER BY e.event_type, e.event_id
 """
 
 
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers by median absolute deviation —
+    the screen that survives what breaks z-scores: a single extreme
+    value inflates mean AND stddev (masking itself), while the median
+    and MAD are 50%-breakdown robust.
+
+    |v − median| > 3·MAD, MAD = median(|v − median|). Cross-engine
+    exactness: Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the p·(n−1) interpolation convention (pinned since r1), both
+    medians are computed from identical doubles, and the final ratio
+    divides identical doubles — so both engines select identical rows.
+    Plan: two small per-type aggregates (percentile is sort-based but
+    groups are #types), each broadcast back onto the scan — event rows
+    shuffle zero times; at 100 TB swap ``percentile`` for
+    ``approx_percentile`` with the same call shape.
+    """
+    from tidb_cdc_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    withmed = ev.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - _med), 0.5)").alias("_mad")
+    )
+    dev = F.abs(F.col("value") - F.col("_med"))
+    return (
+        withmed.join(F.broadcast(mad.filter(F.col("_mad") > 0)), "event_type")
+        .filter(dev > 3 * F.col("_mad"))
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.round(dev / F.col("_mad"), 4).alias("dev_ratio"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(ABS(e.value - med.m), 0.5) AS d
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_type, e.event_id, e.value,
+       ROUND(ABS(e.value - med.m) / mad.d, 4) AS dev_ratio
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.d > 0 AND ABS(e.value - med.m) > 3 * mad.d
+ORDER BY e.event_type, e.event_id
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_value_outliers": events_value_outliers,
+    "events_value_mad_outliers": events_value_mad_outliers,
     "events_cohort_retention": events_cohort_retention,
     "events_daily_gapfill": events_daily_gapfill,
     "events_pivot_by_type": events_pivot_by_type,
@@ -621,6 +678,7 @@ QUERIES = {
 
 ORACLE = {
     "events_value_outliers": _OUTLIERS_SQL,
+    "events_value_mad_outliers": _MAD_SQL,
     "events_rolling_features": _ROLLING_SQL,
     "events_trailing_30m": _TRAILING_SQL,
     "events_sliding_1h": _SLIDING_SQL,
