@@ -188,6 +188,26 @@ class TestConnectedComponents:
         assert by_id[1] == (1, True)  # singleton: own cluster, kept
         assert by_id[4] == (4, True)
 
+    def test_quality_aware_representative(self, spark):
+        # cluster {0,3,5}: quality 1.0/9.0/9.0 → max quality wins,
+        # tie between 3 and 5 broken by LOWEST id → 3 is kept even
+        # though 0 (the min id = cluster_id) has the worst quality.
+        docs = spark.createDataFrame(
+            [(0, 1.0), (1, 5.0), (3, 9.0), (4, 2.0), (5, 9.0)],
+            "doc_id long, q double",
+        )
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+        rows = C.cluster_representatives(
+            docs, pairs, quality_col="q"
+        ).collect()
+        by_id = {r.doc_id: (r.cluster_id, r.is_representative) for r in rows}
+        assert by_id[0] == (0, False)
+        assert by_id[3] == (0, True)
+        assert by_id[5] == (0, False)
+        # singletons keep themselves regardless of quality
+        assert by_id[1] == (1, True)
+        assert by_id[4] == (4, True)
+
 
 class TestPiiScrub:
     def test_counts_and_redaction(self, spark):

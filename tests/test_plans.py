@@ -270,3 +270,54 @@ class TestRound5Plans:
 
         plan = explain_str(span_dup_coverage(spark, SF), mode="simple")
         assert plan.count("Exchange hashpartitioning") <= 3
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_join_injects_bloom_on_fact_scan(self, spark):
+        # At 100 TB a selective dim filter must prune the FACT side
+        # before the shuffle: Spark's runtime bloom filter plants a
+        # might_contain(...) predicate on the fact scan, built from
+        # the filtered dim keys. The production thresholds
+        # (creationSideThreshold 10 MB / applicationSideScanSize
+        # 10 GB) are exactly right at scale but unreachable at test
+        # SF, so lower them HERE ONLY to pin that the engine's plans
+        # are bloom-eligible (no manual pre-join, no disabling
+        # config baked into get_spark).
+        old = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            # force a shuffle join: broadcast joins don't need (or
+            # get) a bloom filter — the broadcast IS the filter
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            li = spark.read.parquet(f"{SF}/lineitem.parquet")
+            j = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            plan = explain_str(j, mode="simple")
+            assert "might_contain" in plan, plan
+            assert "bloom_filter_agg" in plan, plan
+            # the filter must sit on the lineitem (application) side
+            fact_side = plan[plan.index("might_contain"):]
+            assert "l_orderkey" in fact_side.split("\n")[0]
+            # and the join still returns correct rows
+            assert j.count() >= 1
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

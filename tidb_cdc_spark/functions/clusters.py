@@ -168,17 +168,41 @@ def cluster_representatives(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, is_representative) over the WHOLE corpus:
-    docs in no pair form singleton clusters of themselves; the kept
-    representative is the cluster's min doc id. Filtering on
-    ``is_representative`` is the dedup."""
+    docs in no pair form singleton clusters of themselves. Filtering
+    on ``is_representative`` is the dedup.
+
+    Representative choice: by default the cluster's min doc id (free
+    — it IS the cluster id). With ``quality_col``, the member with
+    the HIGHEST quality wins (ties → lowest doc id) — the real
+    pipeline shape: near-dup families keep the cleanest copy, not an
+    arbitrary one. Cost: one ``max_by`` hash aggregate keyed on
+    cluster_id (map-side combine, ~24 B/row shuffle carrying only
+    (cluster, id, quality)) + one equi-join back — both partition on
+    cluster_id, so at 100 TB the added stages reuse one shuffle
+    exchange and never move document text.
+    """
     cc = connected_components(pairs, src_col, dst_col)
-    return docs.select(F.col(id_col).alias("doc_id")).join(
+    cols = [F.col(id_col).alias("doc_id")] + (
+        [F.col(quality_col).alias("_q")] if quality_col else []
+    )
+    labeled = docs.select(*cols).join(
         cc.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
-    ).withColumn(
-        "is_representative", (F.col("doc_id") == F.col("cluster_id"))
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    if quality_col is None:
+        return labeled.withColumn(
+            "is_representative", (F.col("doc_id") == F.col("cluster_id"))
+        )
+    best = labeled.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(_q, -doc_id))").alias("_rep")
+    )
+    return (
+        labeled.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("_rep")).alias("is_representative"),
+        )
     )

@@ -216,6 +216,44 @@ FROM documents WHERE doc_id < 20 ORDER BY doc_id
 """
 
 
+def dedup_keep_best_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative contract: give every PLANTED COPY
+    strictly lower quality than every real doc (quality 1 vs 2), run
+    quality-aware ``cluster_representatives`` over the MinHash ∪
+    SimHash pair graph — a copy is edge-connected to its original,
+    so its cluster holds at least one higher-quality member, and
+    ``max_by(quality, -id)`` can therefore NEVER elect the copy.
+    One boolean per planted doc, TRUE by algorithm structure."""
+    d, off = _docs_with_copies(spark, sf_dir)
+    d = d.withColumn(
+        "_quality", F.when(F.col("doc_id") < F.lit(off), 2).otherwise(1)
+    )
+    mh = D.minhash_lsh_pairs(d).select("id_a", "id_b")
+    sh = D.simhash_pairs(d).select("id_a", "id_b")
+    labels = C.cluster_representatives(
+        d, mh.unionByName(sh), quality_col="_quality"
+    )
+    copy = labels.filter(F.col("doc_id") >= F.lit(off)).select(
+        (F.col("doc_id") - F.lit(off)).alias("doc_id"),
+        (~F.col("is_representative")).alias("copy_not_kept"),
+    )
+    return (
+        _doc_spine(spark, sf_dir)
+        .join(copy, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("copy_not_kept", F.lit(False)).alias("copy_not_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_KEEP_BEST_AUDIT_SQL = """
+SELECT doc_id, TRUE AS copy_not_kept
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+"""
+
+
 def _knn_planted_report(
     approx: DataFrame, spine: DataFrame, off: int
 ) -> DataFrame:
@@ -286,6 +324,7 @@ QUERIES = {
     "dedup_jaccard_audit": dedup_jaccard_audit,
     "dedup_embedding_audit": dedup_embedding_audit,
     "dedup_clusters_audit": dedup_clusters_audit,
+    "dedup_keep_best_audit": dedup_keep_best_audit,
     "knn_ivf_audit": knn_ivf_audit,
     "knn_pq_audit": knn_pq_audit,
     "knn_ivfpq_audit": knn_ivfpq_audit,
@@ -297,6 +336,7 @@ ORACLE = {
     "dedup_jaccard_audit": _DOC_AUDIT_SQL.format(flag="jaccard_one"),
     "dedup_embedding_audit": _EMB_AUDIT_SQL,
     "dedup_clusters_audit": _CLUSTERS_AUDIT_SQL,
+    "dedup_keep_best_audit": _KEEP_BEST_AUDIT_SQL,
     "knn_ivf_audit": _KNN_AUDIT_SQL,
     "knn_pq_audit": _KNN_AUDIT_SQL,
     "knn_ivfpq_audit": _KNN_AUDIT_SQL,

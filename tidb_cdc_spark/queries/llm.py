@@ -61,6 +61,74 @@ ORDER BY doc_id
 """
 
 
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup clusters with QUALITY-AWARE representative choice:
+    within each identical-text group keep the copy from the
+    preferred (lexicographically smallest) source, ties → lowest
+    doc_id — the canonical-copy selection every crawl pipeline does
+    (prefer the cleaner mirror, not an arbitrary row). Emits only
+    real dup clusters (n_dups > 1).
+
+    Plan: TWO-STAGE aggregate. Stage 1 groups by (fingerprint,
+    source) with plain min/count — fixed-width buffers, pure
+    whole-stage-codegen HashAggregate with map-side combine, and it
+    does ALL the data-sized reduction (shuffle ∝ distinct
+    (fp, source), ~30 B/row). Stage 2 reduces those tiny rows per
+    fingerprint with ``min(struct(source, doc_id))`` — struct
+    buffers force a SortAggregate, which is why it runs on the
+    REDUCED rows, never the corpus (a single-stage
+    ``min_by(x, struct(...))`` would sort-aggregate 100 TB; the
+    count(distinct source) rewrite would add an expand on top).
+    n_sources falls out of stage 2 as a plain count.
+    """
+    d = _docs(spark, sf_dir)
+    per_source = (
+        d.withColumn("_fp", D.fingerprint(F.col("text")))
+        .groupBy("_fp", "source")
+        .agg(
+            F.min("doc_id").alias("_min_id"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        per_source.groupBy("_fp")
+        .agg(
+            F.min(F.struct("source", "_min_id")).alias("_k"),
+            F.sum("_n").alias("n_dups"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .select(
+            F.col("_k._min_id").alias("kept_doc_id"),
+            F.col("_k.source").alias("kept_source"),
+            "n_dups",
+            "n_sources",
+        )
+        .orderBy("kept_doc_id")
+    )
+
+
+_KEEP_BEST_SQL = """
+WITH g AS (
+  SELECT trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+         doc_id, source
+  FROM documents
+), r AS (
+  SELECT fp, doc_id, source,
+         row_number() OVER (PARTITION BY fp ORDER BY source, doc_id) AS rn
+  FROM g
+), s AS (
+  SELECT fp, COUNT(*) AS n_dups, COUNT(DISTINCT source) AS n_sources
+  FROM g GROUP BY fp
+)
+SELECT r.doc_id AS kept_doc_id, r.source AS kept_source,
+       s.n_dups, s.n_sources
+FROM r JOIN s USING (fp)
+WHERE r.rn = 1 AND s.n_dups > 1
+ORDER BY kept_doc_id
+"""
+
+
 # ------------------------------------------------------- text stats
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char statistics — pure codegen scan."""
@@ -320,6 +388,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_exact_keep_best": dedup_exact_keep_best,
     "text_token_stats": text_token_stats,
     "text_quality_by_lang": text_quality_by_lang,
     "text_lang_id": text_lang_id,
@@ -336,6 +405,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
+    "dedup_exact_keep_best": _KEEP_BEST_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality_by_lang": _QUALITY_SQL,
     "text_lang_id": _LANG_ID_SQL,
