@@ -67,6 +67,7 @@ def main() -> None:
         "cdc_scd2_history",
         "cdc_decimal_agg",
         "dedup_exact_docs",
+        "dedup_exact_keep_best",
         "text_token_stats",
         "text_lang_id",
         "knn_bruteforce_cosine",
@@ -90,6 +91,7 @@ def main() -> None:
         "corpus_snapshot_diff",
         "events_funnel",
         "events_cohort_retention",
+        "events_value_mad_outliers",
         "events_trailing_30m",
         "events_sliding_1h",
         "corpus_curation_pipeline",

@@ -601,3 +601,83 @@ class TestScd2HistorySink:
         # into an old history path: loud failure, not a silent no-op
         with pytest.raises(RuntimeError, match="behind the stored watermark"):
             sink.process(changes([_msg("update", "a", 1, 30)]), 0, SPEC)
+
+
+class TestStreamMetrics:
+    def test_progress_captured_and_jsonl(self, spark, tmp_path):
+        import time
+
+        from tidb_cdc_spark.streaming import attach_metrics
+
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [
+            _msg("insert", "a", 1, 10),
+            _msg("insert", "b", 2, 11),
+            _msg("update", "a", 5, 12),
+            _msg("delete", "b", 2, 13),
+        ])
+        jsonl = str(tmp_path / "metrics.jsonl")
+        m = attach_metrics(spark, jsonl_path=jsonl)
+        try:
+            sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+            conn = _connector(
+                tmp_path, [sink], maxwell_file_stream(spark, str(events_dir))
+            )
+            conn.start(spark, available_now=True)
+            conn.await_termination()
+            # listener delivery is async on the listener-bus thread
+            deadline = time.time() + 15
+            while time.time() < deadline and not any(
+                r["num_input_rows"] == 4 for r in m.rows()
+            ):
+                time.sleep(0.2)
+            rows = m.rows()
+            batch = next(r for r in rows if r["num_input_rows"] == 4)
+            assert batch["batch_id"] == 0
+            assert batch["batch_duration_ms"] >= 0
+            assert batch["query_id"] and batch["run_id"]
+            # the DataFrame view round-trips the same series
+            df = m.to_df(spark)
+            got = df.filter("num_input_rows = 4").collect()
+            assert len(got) == 1 and got[0].batch_id == 0
+            # JSONL operational log has the same row
+            with open(jsonl) as f:
+                lines = [json.loads(line) for line in f]
+            assert any(r["num_input_rows"] == 4 for r in lines)
+            assert m.io_errors == 0
+        finally:
+            spark.streams.removeListener(m)
+
+    def test_to_df_empty_safe(self, spark):
+        from tidb_cdc_spark.streaming.metrics import StreamMetrics
+
+        m = StreamMetrics()
+        df = m.to_df(spark)
+        assert df.count() == 0
+        assert "num_input_rows" in df.columns
+
+    def test_ring_buffer_bounds_memory(self, spark):
+        from tidb_cdc_spark.streaming.metrics import StreamMetrics
+
+        m = StreamMetrics(max_rows=3)
+
+        class _P:
+            timestamp = "t"
+            id = "q"
+            runId = "r"
+            name = None
+            durationMs = {"triggerExecution": 1, "addBatch": 1}
+            stateOperators = []
+            numInputRows = 1
+            inputRowsPerSecond = 1.0
+            processedRowsPerSecond = 1.0
+
+        class _E:
+            progress = _P()
+
+        for i in range(10):
+            _P.batchId = i
+            m.onQueryProgress(_E())
+        rows = m.rows()
+        assert len(rows) == 3
+        assert [r["batch_id"] for r in rows] == [7, 8, 9]

@@ -12,11 +12,14 @@ from tidb_cdc_spark.streaming.sinks import (
 )
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
 from tidb_cdc_spark.streaming.enrich import NearDupAdmissionSink
+from tidb_cdc_spark.streaming.metrics import StreamMetrics, attach_metrics
 
 __all__ = [
     "Connector",
     "ConnectorConfig",
     "NearDupAdmissionSink",
+    "StreamMetrics",
+    "attach_metrics",
     "Sink",
     "ParquetSnapshotSink",
     "Scd2HistorySink",
