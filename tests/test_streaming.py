@@ -681,3 +681,64 @@ class TestStreamMetrics:
         rows = m.rows()
         assert len(rows) == 3
         assert [r["batch_id"] for r in rows] == [7, 8, 9]
+
+
+class TestBootstrap:
+    def test_snapshot_bootstrap_then_stream(self, spark, tmp_path):
+        # snapshot-then-tail: seed from a full-table export, then the
+        # CDC stream applies on top (latest-wins keyed merge)
+        initial = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+        sink.bootstrap(initial, SPEC)
+        assert {(r.k, r.v) for r in sink.read_current(spark).collect()} == {
+            ("a", 1), ("b", 2)}
+
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [
+            _msg("update", "a", 5, 12),
+            _msg("insert", "c", 3, 13),
+            _msg("delete", "b", 2, 14),
+        ])
+        conn = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+        assert {(r.k, r.v) for r in sink.read_current(spark).collect()} == {
+            ("a", 5), ("c", 3)}
+
+    def test_bootstrap_refuses_existing(self, spark, tmp_path):
+        initial = spark.createDataFrame([("a", 1)], "k string, v int")
+        sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+        sink.bootstrap(initial, SPEC)
+        with pytest.raises(RuntimeError, match="already exists"):
+            sink.bootstrap(initial, SPEC)
+
+    def test_bootstrap_aligns_missing_columns(self, spark, tmp_path):
+        # export lacking a spec column (pre-evolution dump): typed NULL
+        initial = spark.createDataFrame([("a",)], "k string")
+        sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+        sink.bootstrap(initial, SPEC)
+        row = sink.read_current(spark).collect()[0]
+        assert row.k == "a" and row.v is None
+
+    def test_scd2_bootstrap_then_stream(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import Scd2HistorySink
+
+        initial = spark.createDataFrame([("a", 1)], "k string, v int")
+        sink = Scd2HistorySink(str(tmp_path / "hist"))
+        with pytest.raises(ValueError, match="as_of"):
+            sink.bootstrap(initial, SPEC)
+        sink.bootstrap(initial, SPEC, as_of=5)
+
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [_msg("update", "a", 2, 10)])
+        conn = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+        hist = {
+            (r.k, r.v, r.version, r.valid_from, r.valid_to, r.is_current)
+            for r in sink.read_current(spark).collect()
+        }
+        assert hist == {
+            ("a", 1, 1, 5, 10, False),
+            ("a", 2, 2, 10, None, True),
+        }

@@ -118,6 +118,44 @@ class ParquetSnapshotSink(Sink):
             if d.startswith("v=") and int(d[2:]) < v - 1:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
+    def bootstrap(self, initial: DataFrame, spec: TableSpec) -> None:
+        """Seed the snapshot with an initial full-table load — the
+        snapshot-then-tail bootstrap every CDC migration starts with
+        (the reference has no equivalent: it can only consume the
+        topic from an offset, so a table older than the topic's
+        retention can never be fully materialized).
+
+        ``initial`` is the table exported from the source (parquet
+        dump, JDBC read, …); columns are aligned to the spec exactly
+        like a pre-evolution base (missing → typed NULL). Written as
+        the first version with batch watermark −1, so the stream's
+        batch 0 applies normally on top. Refuses to overwrite an
+        existing snapshot — re-bootstrapping over live state is data
+        loss, not a retry.
+
+        Ordering caveat (same as any snapshot+log system): start the
+        change stream from an offset AT OR BEFORE the export's
+        consistent point; the PK-keyed latest-wins merge makes the
+        overlap idempotent.
+        """
+        if self._pointer() is not None:
+            raise RuntimeError(
+                f"snapshot at {self.path} already exists — bootstrap "
+                "targets a fresh path (re-seeding live state would "
+                "discard applied changes)"
+            )
+        aligned = initial.select(
+            *[
+                (
+                    F.col(c.source).cast(c.dtype)
+                    if c.source in initial.columns
+                    else F.lit(None).cast(c.dtype)
+                ).alias(c.source)
+                for c in spec.resolved_columns()
+            ]
+        )
+        self._commit_version(aligned, -1)
+
     def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
         spark = changes.sparkSession
         base = self.read_current(spark)
@@ -142,6 +180,50 @@ class Scd2HistorySink(ParquetSnapshotSink):
     own just-written intervals at their own ``valid_from`` and append
     duplicate versions. The batch watermark stored atomically in the
     _CURRENT pointer makes replays an explicit no-op."""
+
+    def bootstrap(
+        self,
+        initial: DataFrame,
+        spec: TableSpec,
+        as_of=None,
+        ts_dtype: str = "long",
+    ) -> None:
+        """Seed the history with an initial full-table load: every
+        row becomes its entity's version 1, open-ended
+        ``[as_of, null)`` — pre-export history is unknowable from a
+        snapshot, so the export's consistent point is where recorded
+        history begins. ``as_of`` (required) must use the change
+        stream's ts representation (``ts_dtype``, default epoch
+        ``long`` to match the Maxwell envelope); the first post-
+        bootstrap change to a key closes its seeded interval via the
+        normal ``merge_scd2`` path."""
+        if self._pointer() is not None:
+            raise RuntimeError(
+                f"history at {self.path} already exists — bootstrap "
+                "targets a fresh path"
+            )
+        if as_of is None:
+            raise ValueError(
+                "as_of (the export's consistent point) is required for "
+                "an SCD2 bootstrap — seeded intervals start there"
+            )
+        aligned = initial.select(
+            *[
+                (
+                    F.col(c.source).cast(c.dtype)
+                    if c.source in initial.columns
+                    else F.lit(None).cast(c.dtype)
+                ).alias(c.source)
+                for c in spec.resolved_columns()
+            ]
+        )
+        seeded = (
+            aligned.withColumn("version", F.lit(1).cast("long"))
+            .withColumn("valid_from", F.lit(as_of).cast(ts_dtype))
+            .withColumn("valid_to", F.lit(None).cast(ts_dtype))
+            .withColumn("is_current", F.lit(True))
+        )
+        self._commit_version(seeded, -1)
 
     def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
         from tidb_cdc_spark.cdc.scd import merge_scd2
