@@ -78,6 +78,8 @@ def build(spark, src: str, out: str) -> None:
 
 HEAVY = [
     "dedup_minhash_lsh",
+    "dedup_exact_keep_best",
+    "events_value_mad_outliers",
     "dedup_clusters_exact",
     "corpus_curation_pipeline",
     "cdc_apply_latest",
