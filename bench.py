@@ -95,6 +95,7 @@ def main() -> None:
         "events_trailing_30m",
         "events_sliding_1h",
         "corpus_curation_pipeline",
+        "rag_hybrid_rrf",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -204,12 +204,156 @@ ORDER BY query_id, rank
 """
 
 
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense (cosine) and lexical (distinct-token
+    overlap — degenerate BM25 with no tf/idf weighting, chosen so the
+    score is integer-exact across engines) rankings fused by
+    Reciprocal Rank Fusion, score(d) = Σ_m 1/(60 + rank_m(d))
+    (Cormack & Clarke's RRF, the public IR standard; k=60). RRF fuses
+    RANKS, not raw scores, so the two modalities need no score
+    calibration — which is also what makes it oracle-exact: ranks are
+    ints, the fused score is the same two IEEE divisions + one add in
+    both engines.
+
+    Plan: the dense arm broadcasts the 3 query vectors over the
+    corpus scan (no corpus shuffle — knn_bruteforce's shape). The
+    lexical arm is an inverted-index join: corpus docs explode to
+    distinct tokens, the QUERY token table (3 docs' worth) broadcasts
+    onto it, overlap counts come from one map-side-combining groupBy
+    on (query, doc). LEFT-join fusion keeps docs with zero lexical
+    overlap in play on dense rank alone. At 100 TB both arms scan the
+    corpus once each with only id/rank-sized shuffles; the dense arm
+    swaps to the IVF/LSH index for large query sets (same fusion)."""
+    from tidb_cdc_spark.functions import similarity as S
+    from tidb_cdc_spark.functions import text as T
+    from tidb_cdc_spark.operators import topk_per_group
+    from tidb_cdc_spark.queries.llm import _embs
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 3)
+    c = e.select(
+        F.col("vec_id").alias("doc_id"),
+        S.as_double(F.col("embedding")).alias("_cv"),
+    )
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double(F.col("embedding")).alias("_qv"),
+    )
+    from pyspark.sql import Window
+
+    dense = (
+        c.join(F.broadcast(qv), F.col("query_id") != F.col("doc_id"))
+        .withColumn("_score", S.cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "_vr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_score").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .select("query_id", "doc_id", "_vr")
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("_tok"),
+    )
+    qtoks = toks.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "_tok"
+    )
+    lex = (
+        toks.join(F.broadcast(qtoks), "_tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_n_shared").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .select("query_id", "doc_id", "_lr")
+    )
+    fused = dense.join(lex, ["query_id", "doc_id"], "left").withColumn(
+        "_rrf",
+        1.0 / (60 + F.col("_vr"))
+        + F.coalesce(1.0 / (60 + F.col("_lr")), F.lit(0.0)),
+    )
+    return (
+        topk_per_group(
+            fused,
+            ["query_id"],
+            [F.col("_rrf").desc(), F.col("doc_id")],
+            5,
+            rank_col="rank",
+        )
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("_rrf", 6).alias("rrf_score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_HYBRID_SQL = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+), c AS (
+  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), dense AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY list_inner_product(qv, cv)
+                      / (sqrt(list_inner_product(qv, qv))
+                         * sqrt(list_inner_product(cv, cv))) DESC,
+                    doc_id) AS vr
+  FROM q, c WHERE query_id <> doc_id
+), tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(text, '\s+'), x -> x <> ''))) AS tok
+  FROM documents
+), qtok AS (
+  SELECT doc_id AS query_id, tok FROM tok WHERE doc_id < 3
+), lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY COUNT(*) DESC, doc_id) AS lr
+  FROM tok JOIN qtok USING (tok)
+  WHERE tok.doc_id <> qtok.query_id
+  GROUP BY query_id, doc_id
+), fused AS (
+  SELECT d.query_id, d.doc_id,
+         1.0/(60 + d.vr) + COALESCE(1.0/(60 + l.lr), 0.0) AS rrf
+  FROM dense d LEFT JOIN lex l
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, ROUND(rrf, 6) AS rrf_score
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "rag_retrieve_topk": rag_retrieve_topk,
+    "rag_hybrid_rrf": rag_hybrid_rrf,
 }
 
 ORACLE = {
     "corpus_curation_pipeline": _PIPELINE_SQL,
     "rag_retrieve_topk": _RAG_SQL,
+    "rag_hybrid_rrf": _HYBRID_SQL,
 }
