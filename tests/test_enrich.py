@@ -214,3 +214,79 @@ class TestNearDupAdmissionSink:
         assert sink.read_corpus(spark).count() == 1
         with pytest.raises(RuntimeError, match="behind the stored watermark"):
             sink.process(batch, 0)  # fresh-checkpoint ids restart at 0
+
+
+class TestBandStoreCompaction:
+    def _run_batch(self, spark, tmp_path, sink, name, rows):
+        d = tmp_path / "cmp_in"
+        os.makedirs(d, exist_ok=True)
+        tmp = d / f".{name}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.replace(tmp, d / name)
+        q = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .load(str(d))
+            .writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", str(tmp_path / "cmp_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_compact_shrinks_files_preserves_data(self, spark, tmp_path):
+        import glob
+
+        from tidb_cdc_spark.streaming import NearDupAdmissionSink
+
+        sink = NearDupAdmissionSink(str(tmp_path / "store"))
+        # several appended batches → several file sets per table
+        for b in range(3):
+            self._run_batch(spark, tmp_path, sink, f"c{b}.jsonl", [
+                {"doc_id": 100 * b + i,
+                 "text": " ".join(f"t{b}_{i}_{j}" for j in range(30))}
+                for i in range(3)
+            ])
+        bands_dir = str(tmp_path / "store" / "bands")
+        before_files = len(glob.glob(f"{bands_dir}/*.parquet"))
+        assert before_files > 1
+        before_corpus = {r.doc_id for r in sink.read_corpus(spark).collect()}
+        before_bands = spark.read.parquet(bands_dir).count()
+
+        stats = sink.compact(spark, files_per_table=1)
+        assert stats["bands"][0] == before_files and stats["bands"][1] == 1
+        assert {r.doc_id for r in sink.read_corpus(spark).collect()} == before_corpus
+        assert spark.read.parquet(bands_dir).count() == before_bands
+
+        # the stream continues against the compacted store: a dup of
+        # an admitted doc is still screened out
+        admitted = sorted(before_corpus)[0]
+        dup_text = " ".join(
+            f"t0_{admitted % 100}_{j}" for j in range(30))
+        self._run_batch(spark, tmp_path, sink, "c9.jsonl", [
+            {"doc_id": 999, "text": dup_text},
+            {"doc_id": 998, "text": " ".join(f"z{j}" for j in range(30))},
+        ])
+        after = {r.doc_id for r in sink.read_corpus(spark).collect()}
+        assert 998 in after and 999 not in after
+
+    def test_torn_compaction_recovers(self, spark, tmp_path):
+        import shutil
+
+        from tidb_cdc_spark.streaming import NearDupAdmissionSink
+
+        sink = NearDupAdmissionSink(str(tmp_path / "store"))
+        self._run_batch(spark, tmp_path, sink, "c0.jsonl", [
+            {"doc_id": 1, "text": " ".join(f"a{j}" for j in range(30))},
+        ])
+        bands = str(tmp_path / "store" / "bands")
+        # simulate a crash between the two renames: table dir gone,
+        # .compact.old holds the intact data
+        os.rename(bands, bands + ".compact.old")
+        assert not os.path.exists(bands)
+        stats = sink.compact(spark, files_per_table=1)
+        assert os.path.exists(bands)
+        assert spark.read.parquet(bands).count() > 0
+        assert not os.path.exists(bands + ".compact.old")
+        assert "bands" in stats

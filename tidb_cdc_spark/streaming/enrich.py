@@ -169,6 +169,70 @@ class NearDupAdmissionSink:
             ),
         )
 
+    def compact(self, spark, files_per_table: int | None = None) -> dict:
+        """Small-files maintenance: every micro-batch appends one
+        file set per store table, so a week of 30 s batches is ~20k
+        tiny files per table — at that point directory listing and
+        per-file open overhead dominate every screening join. Rewrite
+        each table into ~128 MB files (or exactly ``files_per_table``)
+        and swap the directory in. Returns
+        ``{table: (files_before, files_after)}``.
+
+        Run while the stream is STOPPED — the store is single-writer
+        and compaction is the maintenance-window kind of write (same
+        discipline as a copy-on-write vacuum). Directory swap is
+        rename-based: a crash between the two renames leaves a
+        ``<table>.compact.old`` next to a missing table, which both
+        ``compact`` and ``process`` detect and restore before doing
+        anything else — no torn state survives past the next call.
+        At 100 TB the same logic targets a transactional format's
+        OPTIMIZE/rewrite_data_files instead.
+        """
+        import glob
+        import os
+        import shutil
+
+        stats: dict[str, tuple[int, int]] = {}
+        for name in ("corpus", "bands", "candidates"):
+            p = self._path(name)
+            self._recover_compact(name)
+            if not os.path.exists(p):
+                continue
+            files = glob.glob(os.path.join(p, "*.parquet"))
+            nbytes = sum(os.path.getsize(f) for f in files)
+            n = files_per_table or max(1, -(-nbytes // (128 << 20)))
+            tmp, old = p + ".compact.tmp", p + ".compact.old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.read.parquet(p).repartition(n).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            os.rename(p, old)
+            os.rename(tmp, p)
+            shutil.rmtree(old)
+            stats[name] = (
+                len(files),
+                len(glob.glob(os.path.join(p, "*.parquet"))),
+            )
+        return stats
+
+    def _recover_compact(self, name: str) -> None:
+        """Heal a crash between compaction's two renames: the table
+        dir is gone but ``.compact.old`` (the intact pre-compaction
+        data) is still there — put it back. A leftover ``.old``
+        NEXT TO a live table dir means the crash happened after the
+        second rename; the compacted dir is complete, drop the old."""
+        import os
+        import shutil
+
+        p = self._path(name)
+        old = p + ".compact.old"
+        if os.path.exists(old):
+            if os.path.exists(p):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, p)
+        shutil.rmtree(p + ".compact.tmp", ignore_errors=True)
+
     def process(self, batch: DataFrame, batch_id: int) -> None:
         import os
 
@@ -176,6 +240,8 @@ class NearDupAdmissionSink:
 
         if guard_batch_watermark(self._last_batch_id(), batch_id, "band store"):
             return  # at-least-once re-delivery
+        for name in ("corpus", "bands", "candidates"):
+            self._recover_compact(name)  # heal any torn compaction
         from tidb_cdc_spark.functions.dedup import near_dup_ingest
 
         spark = batch.sparkSession
