@@ -742,3 +742,43 @@ class TestBootstrap:
             ("a", 1, 1, 5, 10, False),
             ("a", 2, 2, 10, None, True),
         }
+
+    def test_scd2_bootstrap_drops_pre_asof_replay(self, spark, tmp_path):
+        # a change stream started BEFORE the export point replays a
+        # pre-export update; append-based history must drop it (the
+        # export already reflects it) — otherwise the seeded interval
+        # inverts (valid_to < valid_from) and a stale image becomes
+        # current
+        from tidb_cdc_spark.streaming import Scd2HistorySink
+
+        initial = spark.createDataFrame([("a", 7)], "k string, v int")
+        sink = Scd2HistorySink(str(tmp_path / "hist"))
+        sink.bootstrap(initial, SPEC, as_of=100)
+
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [
+            _msg("update", "a", 3, 50),   # pre-export: must be dropped
+            _msg("update", "a", 9, 120),  # post-export: applies
+        ])
+        conn = _connector(tmp_path, [sink], maxwell_file_stream(spark, str(events_dir)))
+        conn.start(spark, available_now=True)
+        conn.await_termination()
+        hist = {
+            (r.k, r.v, r.version, r.valid_from, r.valid_to, r.is_current)
+            for r in sink.read_current(spark).collect()
+        }
+        assert hist == {
+            ("a", 7, 1, 100, 120, False),
+            ("a", 9, 2, 120, None, True),
+        }
+        # no inverted intervals anywhere
+        bad = sink.read_current(spark).filter("valid_to < valid_from").count()
+        assert bad == 0
+
+    def test_rate_sanitizes_non_finite(self):
+        from tidb_cdc_spark.streaming.metrics import StreamMetrics
+
+        assert StreamMetrics._rate(float("nan")) is None
+        assert StreamMetrics._rate(float("inf")) is None
+        assert StreamMetrics._rate(None) is None
+        assert StreamMetrics._rate(3.5) == 3.5

@@ -30,6 +30,24 @@ from tidb_cdc_spark.cdc.schema import CDCType
 from tidb_cdc_spark.cdc.spec import TableSpec
 
 
+def align_to_spec(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Project ``df`` onto the spec's resolved columns: surviving
+    columns cast explicitly to the spec dtype (a no-op cast is
+    eliminated by Catalyst), missing columns backfilled as typed
+    NULL. Used for pre-evolution snapshot bases and for bootstrap
+    seeds — one definition, so the two cannot drift."""
+    return df.select(
+        *[
+            (
+                F.col(c.source).cast(c.dtype)
+                if c.source in df.columns
+                else F.lit(None).cast(c.dtype)
+            ).alias(c.source)
+            for c in spec.resolved_columns()
+        ]
+    )
+
+
 def conflate_latest(
     changes: DataFrame,
     pk_cols: list[str],
@@ -93,23 +111,12 @@ def apply_changes(
     upserts = latest.filter(F.col("op") != CDCType.DELETE).select("after.*")
     if base is None:
         return upserts
-    # Align the base to the CURRENT spec unconditionally: missing
-    # columns backfill NULL, surviving columns cast explicitly to the
-    # spec dtype (a no-op cast is eliminated by Catalyst). Gating this
-    # on column-SET mismatch would make a same-names/wider-type evolve
+    # Align the base to the CURRENT spec unconditionally: gating on
+    # column-SET mismatch would make a same-names/wider-type evolve
     # rely on union's implicit type coercion — correct today, but the
     # snapshot dtype should be the spec's by construction, not by
     # coercion accident.
-    base = base.select(
-        *[
-            (
-                F.col(c.source).cast(c.dtype)
-                if c.source in base.columns
-                else F.lit(None).cast(c.dtype)
-            ).alias(c.source)
-            for c in spec.resolved_columns()
-        ]
-    )
+    base = align_to_spec(base, spec)
     touched = latest.select("_pk.*")
     survivors = base.join(touched, on=pk, how="left_anti")
     return survivors.unionByName(upserts)

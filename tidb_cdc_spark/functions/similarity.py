@@ -46,11 +46,14 @@ def as_double(vec: Column) -> Column:
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
-    k: int,
+    k: int | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
+    """Exact top-k cosine neighbors for each query vector
+    (``k=None`` ranks the WHOLE corpus per query — the full-ranking
+    mode rank-fusion consumers need; only sensible for small corpora
+    or when a downstream cap follows).
 
     Plan: broadcast the (small) query set against the corpus scan —
     no shuffle of the corpus — then a window top-k on query_id. This
@@ -70,13 +73,14 @@ def knn_bruteforce(
         .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
         .select("query_id", "neighbor_id", "score")
     )
-    return topk_per_group(
+    ranked = topk_per_group(
         scored,
         ["query_id"],
         [F.col("score").desc(), F.col("neighbor_id").asc()],
-        k,
+        k if k is not None else (1 << 62),
         rank_col="rank",
-    ).select("query_id", "neighbor_id", "rank")
+    )
+    return ranked.select("query_id", "neighbor_id", "rank")
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:

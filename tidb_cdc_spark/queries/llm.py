@@ -90,12 +90,23 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("_n"),
         )
     )
+    # NULL-source handling pinned to match ANSI/DuckDB: an explicit
+    # leading null flag makes null sources sort LAST (Spark's struct
+    # min would otherwise sort the null field FIRST and elect a
+    # null-provenance copy), and n_sources counts non-null sources
+    # only (= COUNT(DISTINCT source) semantics, which ignores NULL).
     return (
         per_source.groupBy("_fp")
         .agg(
-            F.min(F.struct("source", "_min_id")).alias("_k"),
+            F.min(
+                F.struct(
+                    F.col("source").isNull().alias("_null_last"),
+                    F.col("source").alias("source"),
+                    F.col("_min_id").alias("_min_id"),
+                )
+            ).alias("_k"),
             F.sum("_n").alias("n_dups"),
-            F.count(F.lit(1)).alias("n_sources"),
+            F.count("source").alias("n_sources"),
         )
         .filter(F.col("n_dups") > 1)
         .select(
@@ -115,7 +126,8 @@ WITH g AS (
   FROM documents
 ), r AS (
   SELECT fp, doc_id, source,
-         row_number() OVER (PARTITION BY fp ORDER BY source, doc_id) AS rn
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY (source IS NULL), source, doc_id) AS rn
   FROM g
 ), s AS (
   SELECT fp, COUNT(*) AS n_dups, COUNT(DISTINCT source) AS n_sources

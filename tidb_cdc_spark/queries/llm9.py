@@ -229,30 +229,16 @@ def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_cdc_spark.operators import topk_per_group
     from tidb_cdc_spark.queries.llm import _embs
 
-    e = _embs(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 3)
-    c = e.select(
-        F.col("vec_id").alias("doc_id"),
-        S.as_double(F.col("embedding")).alias("_cv"),
-    )
-    qv = q.select(
-        F.col("vec_id").alias("query_id"),
-        S.as_double(F.col("embedding")).alias("_qv"),
-    )
     from pyspark.sql import Window
 
-    dense = (
-        c.join(F.broadcast(qv), F.col("query_id") != F.col("doc_id"))
-        .withColumn("_score", S.cosine(F.col("_qv"), F.col("_cv")))
-        .withColumn(
-            "_vr",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("_score").desc(), F.col("doc_id")
-                )
-            ),
-        )
-        .select("query_id", "doc_id", "_vr")
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 3)
+    # full-corpus ranking (k=None) from the SAME broadcast-cosine
+    # operator the plain retrieval path uses — one shape to maintain
+    dense = S.knn_bruteforce(q, e, k=None).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("_vr"),
     )
     toks = _docs(spark, sf_dir).select(
         "doc_id",

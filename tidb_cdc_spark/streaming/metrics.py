@@ -24,6 +24,7 @@ batch, not per row) — this is observability, not a data path.
 from __future__ import annotations
 
 import json
+import math
 import threading
 from collections import deque
 from typing import Any
@@ -67,6 +68,19 @@ class StreamMetrics(StreamingQueryListener):
     def onQueryStarted(self, event: Any) -> None:  # noqa: N802
         pass
 
+    @staticmethod
+    def _rate(x: Any) -> float | None:
+        """Spark reports NaN for the first batch's input rate (no
+        previous trigger) and can report Infinity for zero-duration
+        batches; ``x or 0.0`` passes both through (NaN is truthy) and
+        ``json.dumps`` would then emit bare ``NaN``/``Infinity``
+        tokens that strict JSON consumers (jq, log collectors)
+        reject. Non-finite → None (JSON null, SQL NULL)."""
+        if x is None:
+            return None
+        v = float(x)
+        return v if math.isfinite(v) else None
+
     def onQueryProgress(self, event: Any) -> None:  # noqa: N802
         p = event.progress
         dur = p.durationMs or {}
@@ -82,9 +96,9 @@ class StreamMetrics(StreamingQueryListener):
             "name": p.name,
             "batch_id": p.batchId,
             "num_input_rows": p.numInputRows,
-            "input_rows_per_second": float(p.inputRowsPerSecond or 0.0),
-            "processed_rows_per_second": float(
-                p.processedRowsPerSecond or 0.0
+            "input_rows_per_second": self._rate(p.inputRowsPerSecond),
+            "processed_rows_per_second": self._rate(
+                p.processedRowsPerSecond
             ),
             "batch_duration_ms": int(dur.get("triggerExecution", 0)),
             "add_batch_ms": int(dur.get("addBatch", 0)),
@@ -118,10 +132,9 @@ class StreamMetrics(StreamingQueryListener):
         Empty-safe: returns an empty frame with the right schema so
         downstream aggregations work before the first batch lands.
         """
-        rows = self.rows()
-        return spark.createDataFrame(
-            [tuple(r.values()) for r in rows], METRICS_SCHEMA
-        )
+        # dicts bind by NAME against the schema — a tuple build would
+        # silently couple dict insertion order to column order
+        return spark.createDataFrame(self.rows(), METRICS_SCHEMA)
 
 
 def attach_metrics(

@@ -14,6 +14,7 @@ sink here fails the batch and BLOCKS the offset commit).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Callable
@@ -22,7 +23,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tidb_cdc_spark.cdc.apply import apply_changes, conflate_latest
+from tidb_cdc_spark.cdc.apply import (
+    align_to_spec,
+    apply_changes,
+    conflate_latest,
+)
 from tidb_cdc_spark.cdc.schema import CDCType
 from tidb_cdc_spark.cdc.spec import TableSpec
 
@@ -144,17 +149,7 @@ class ParquetSnapshotSink(Sink):
                 "targets a fresh path (re-seeding live state would "
                 "discard applied changes)"
             )
-        aligned = initial.select(
-            *[
-                (
-                    F.col(c.source).cast(c.dtype)
-                    if c.source in initial.columns
-                    else F.lit(None).cast(c.dtype)
-                ).alias(c.source)
-                for c in spec.resolved_columns()
-            ]
-        )
-        self._commit_version(aligned, -1)
+        self._commit_version(align_to_spec(initial, spec), -1)
 
     def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
         spark = changes.sparkSession
@@ -194,9 +189,18 @@ class Scd2HistorySink(ParquetSnapshotSink):
         snapshot, so the export's consistent point is where recorded
         history begins. ``as_of`` (required) must use the change
         stream's ts representation (``ts_dtype``, default epoch
-        ``long`` to match the Maxwell envelope); the first post-
-        bootstrap change to a key closes its seeded interval via the
-        normal ``merge_scd2`` path."""
+        ``long`` to match the Maxwell envelope); the first change to
+        a key AFTER ``as_of`` closes its seeded interval via the
+        normal ``merge_scd2`` path.
+
+        Overlap handling differs from the snapshot sink: latest-wins
+        absorbs a replayed pre-export change, but ``merge_scd2``
+        would close the seeded ``[as_of, null)`` interval at the
+        stale change's EARLIER ts — an inverted interval plus a
+        duplicate version carrying a pre-export image. So ``as_of``
+        is persisted next to the pointer and ``process`` drops
+        change rows with ts < as_of: they are already reflected in
+        the export by definition of its consistent point."""
         if self._pointer() is not None:
             raise RuntimeError(
                 f"history at {self.path} already exists — bootstrap "
@@ -207,29 +211,42 @@ class Scd2HistorySink(ParquetSnapshotSink):
                 "as_of (the export's consistent point) is required for "
                 "an SCD2 bootstrap — seeded intervals start there"
             )
-        aligned = initial.select(
-            *[
-                (
-                    F.col(c.source).cast(c.dtype)
-                    if c.source in initial.columns
-                    else F.lit(None).cast(c.dtype)
-                ).alias(c.source)
-                for c in spec.resolved_columns()
-            ]
-        )
         seeded = (
-            aligned.withColumn("version", F.lit(1).cast("long"))
+            align_to_spec(initial, spec)
+            .withColumn("version", F.lit(1).cast("long"))
             .withColumn("valid_from", F.lit(as_of).cast(ts_dtype))
             .withColumn("valid_to", F.lit(None).cast(ts_dtype))
             .withColumn("is_current", F.lit(True))
         )
         self._commit_version(seeded, -1)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "_BOOTSTRAP.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"as_of": as_of, "ts_dtype": ts_dtype}, f)
+        os.replace(tmp, os.path.join(self.path, "_BOOTSTRAP"))
+
+    def _bootstrap_as_of(self) -> tuple[object, str] | None:
+        p = os.path.join(self.path, "_BOOTSTRAP")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = json.load(f)
+        return d["as_of"], d["ts_dtype"]
 
     def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
         from tidb_cdc_spark.cdc.scd import merge_scd2
 
         if guard_batch_watermark(self._last_batch_id(), batch_id, "history"):
             return  # at-least-once replay of an already-applied batch
+        boot = self._bootstrap_as_of()
+        if boot is not None:
+            # pre-export changes are already in the seeded state; for
+            # history (unlike latest-wins) replaying them is not
+            # idempotent — see bootstrap()
+            as_of, ts_dtype = boot
+            changes = changes.filter(
+                F.col("ts") >= F.lit(as_of).cast(ts_dtype)
+            )
         spark = changes.sparkSession
         base = self.read_current(spark)
         merged = merge_scd2(base, changes, spec)
