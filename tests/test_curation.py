@@ -238,3 +238,41 @@ class TestPiiScrub:
         df = spark.createDataFrame([(0, txt)], "id long, text string")
         red = df.select(T.redact_pii(F.col("text")).alias("r")).collect()[0].r
         assert red == "go [PII] now"
+
+
+class TestSplitAssign:
+    def test_fractions_validated(self, spark):
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="sum to 1"):
+            SA.split_assign(df, "doc_id", {"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match="non-negative"):
+            SA.split_assign(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+    def test_deterministic_and_partitioned(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+        s1 = SA.split_assign(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+        got = {r.k: r.split for r in s1.collect()}
+        # rerun = identical assignment
+        s2 = SA.split_assign(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+        assert {r.k: r.split for r in s2.collect()} == got
+        # every key assigned, fractions roughly honored
+        from collections import Counter
+
+        c = Counter(got.values())
+        assert sum(c.values()) == 2000
+        assert 0.75 < c["train"] / 2000 < 0.85
+        assert 0.06 < c["val"] / 2000 < 0.14
+
+    def test_cluster_keyed_split_keeps_dups_together(self, spark):
+        # near-dup family split by CLUSTER id never straddles splits:
+        # the leakage guarantee is structural (one key → one split)
+        docs = spark.createDataFrame(
+            [(i, i // 4) for i in range(100)], "doc_id long, cluster_id long"
+        )
+        out = SA.split_assign(docs, "cluster_id", {"train": 0.7, "test": 0.3})
+        per_cluster = (
+            out.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("n"))
+            .collect()
+        )
+        assert all(r.n == 1 for r in per_cluster)

@@ -116,3 +116,41 @@ def stratified_sample(
             .otherwise(thresh)
         )
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic named splits (train/val/test) keyed on
+    ``key_col``: bucket = ``hash_bucket(key, salt)``, cumulative
+    fraction thresholds carve [0, 2³²) into one interval per split.
+    Scan-only CASE expression — no shuffle, reproducible across
+    engines, reruns, and partition layouts.
+
+    The KEY is the leakage contract: split on ``doc_id`` and
+    near-duplicates land on both sides of the train/eval fence —
+    the classic self-contamination bug (one reason dedup-before-
+    split matters, Lee et al. 2021). Pass a dup-CLUSTER id instead
+    and every duplicate family moves as one unit; see
+    ``corpus_cluster_safe_split``.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    bucket = hash_bucket(F.col(key_col), salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])  # remainder absorbs rounding
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append((int(cum * _BUCKET_SPACE), name))
+    for thresh, name in reversed(cases):
+        expr = F.when(bucket < F.lit(thresh), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -255,8 +255,71 @@ _PII_SQL = (
 )
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+# thresholds via the SAME float accumulation split_assign performs
+# (0.8 + 0.1 != 0.9 in IEEE doubles — an independently-written 0.9
+# threshold could disagree by one bucket on a boundary key)
+_SPLIT_T_TRAIN = int(0.8 * 4294967296)
+_SPLIT_T_VAL = int((0.8 + 0.1) * 4294967296)
+
+
+def corpus_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment unit is the
+    duplicate CLUSTER, not the document — splitting on doc_id puts
+    near-identical docs on both sides of the train/eval fence and
+    silently inflates eval scores (the self-contamination failure
+    mode dedup-before-split exists to prevent, cf. Lee et al. 2021).
+    Cluster id = min doc id per exact-dup fingerprint group (swap in
+    the fuzzy CC labels for near-dup-safe splits — same shape, no SQL
+    oracle); split = md5-bucketed cumulative fractions on cluster_id.
+
+    Plan: one fingerprint hash-agg (map-side combined) + one keyed
+    join to attach cluster ids, then the split CASE is a pure scan
+    expression and the final per-split rollup is a 3-row aggregate.
+    Shuffles carry (fp, id)-sized rows only — text never moves.
+    """
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id", T.fingerprint(F.col("text")).alias("_fp"))
+    roots = fp.groupBy("_fp").agg(F.min("doc_id").alias("cluster_id"))
+    labeled = fp.join(roots, "_fp")
+    split = SA.split_assign(labeled, "cluster_id", _SPLIT_FRACTIONS)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_SQL = rf"""
+WITH fp AS (
+  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+  FROM documents
+), lab AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS cluster_id
+  FROM fp
+), assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE
+           WHEN {_md5_bucket_sql("cluster_id", "split")}
+                < {_SPLIT_T_TRAIN} THEN 'train'
+           WHEN {_md5_bucket_sql("cluster_id", "split")}
+                < {_SPLIT_T_VAL} THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM lab
+)
+SELECT split, COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "sample_hash_docs": sample_hash_docs,
+    "corpus_cluster_safe_split": corpus_cluster_safe_split,
     "sample_stratified_lang": sample_stratified_lang,
     "sample_weighted_docs": sample_weighted_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -267,6 +330,7 @@ QUERIES = {
 
 ORACLE = {
     "sample_hash_docs": _SAMPLE_SQL,
+    "corpus_cluster_safe_split": _SPLIT_SQL,
     "sample_stratified_lang": _STRATIFIED_SQL,
     "sample_weighted_docs": _WEIGHTED_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
