@@ -1,0 +1,171 @@
+"""SemDeDup (functions/semdedup.py) and distributed PCA
+(functions/pca.py): brute-force twins, chunk/block boundary behavior,
+and numpy-reference parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import pca as P
+from tidb_cdc_spark.functions import semdedup as SD
+
+
+def _vec_df(spark, vecs: np.ndarray):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(vecs), dtype=np.int64),
+                "embedding": [row.astype(float).tolist() for row in vecs],
+            }
+        )
+    )
+
+
+def _brute_semdedup(vecs: np.ndarray, threshold: float) -> dict[int, int]:
+    """id → dup_of for the single-cell case: dup iff any lower-id
+    vector has cosine ≥ threshold; keeper = most-similar, ties to
+    lowest id."""
+    M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    out = {}
+    for i in range(1, len(M)):
+        sims = M[:i] @ M[i]
+        j = int(sims.argmax())
+        if sims[j] >= threshold:
+            out[i] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+class TestSemanticDedup:
+    def test_matches_bruteforce_single_cell(self, spark, rng):
+        # 40 random vectors + 15 perturbed near-copies ⇒ nontrivial
+        # dup structure; n_cells=1 removes the k-means variable so
+        # the pandas prune is pinned EXACTLY against brute force.
+        base = rng.normal(size=(40, 8))
+        near = base[:15] + rng.normal(scale=1e-3, size=(15, 8))
+        vecs = np.vstack([base, near])
+        res = (
+            SD.semantic_dedup(
+                _vec_df(spark, vecs), n_cells=1, threshold=0.99
+            )
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        expected = _brute_semdedup(vecs, 0.99)
+        got = {
+            int(r.vec_id): int(r.dup_of)
+            for r in res.itertuples()
+            if r.is_dup
+        }
+        assert got == expected
+        assert not res.truncated.any()
+        # every near-copy must be flagged (cosine to its base ≈ 1)
+        assert set(range(40, 55)) <= set(got)
+
+    def test_chunk_boundaries(self, spark, rng, monkeypatch):
+        # tiny gemm chunk forces many chunk boundaries through the
+        # same corpus — identical result proves the chunked masked
+        # argmax stitches correctly.
+        base = rng.normal(size=(30, 6))
+        vecs = np.vstack([base, base[:10] + 1e-4])
+        df = _vec_df(spark, vecs)
+        full = (
+            SD.semantic_dedup(df, n_cells=1, threshold=0.99)
+            .toPandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        monkeypatch.setattr(SD, "_CHUNK", 3)
+        chunked = (
+            SD.semantic_dedup(df, n_cells=1, threshold=0.99)
+            .toPandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(full, chunked)
+
+    def test_oversized_cell_blocks(self, spark, rng):
+        # cap smaller than the cell ⇒ deterministic id-order blocks,
+        # flagged truncated; a dup WITHIN a block is still caught, a
+        # dup pair SPLIT across blocks is (documented) missed.
+        base = rng.normal(size=(6, 5))
+        # ids: 0..5 originals, 6 = copy of 5 (same block of 8),
+        # 15 = copy of 0 (different block)
+        vecs = np.vstack(
+            [base, base[5:6] + 1e-5, rng.normal(size=(8, 5)), base[0:1]]
+        )
+        res = (
+            SD.semantic_dedup(
+                _vec_df(spark, vecs),
+                n_cells=1,
+                threshold=0.99,
+                max_cell_rows=8,
+            )
+            .toPandas()
+            .set_index("vec_id")
+        )
+        assert res.truncated.all()
+        assert bool(res.loc[6, "is_dup"]) and res.loc[6, "dup_of"] == 5
+        assert not bool(res.loc[15, "is_dup"])  # split across blocks
+
+    def test_zero_vector_safe(self, spark):
+        vecs = np.vstack([np.zeros((2, 4)), np.eye(4)[:2]])
+        res = SD.semantic_dedup(
+            _vec_df(spark, vecs), n_cells=1, threshold=0.5
+        ).toPandas()
+        # zero vectors normalize to zero rows (guarded divide): they
+        # pair with each other at cos 0, below threshold — kept
+        assert len(res) == 4 and res.is_dup.sum() == 0
+
+
+class TestPca:
+    def test_matches_numpy_reference(self, spark, rng):
+        X = rng.normal(size=(200, 6)) @ np.diag([5, 3, 2, 1, 0.5, 0.1])
+        model = P.fit_pca(_vec_df(spark, X), k=6)
+        # reference: eigh of the population covariance
+        cov = np.cov(X.T, bias=True)
+        w_ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+        assert np.allclose(model.explained_variance, w_ref, atol=1e-8)
+        assert np.allclose(model.mean, X.mean(axis=0), atol=1e-10)
+        # components orthonormal, rows = axes
+        G = model.components @ model.components.T
+        assert np.abs(G - np.eye(6)).max() < 1e-10
+        # projection reproduces centered data up to rotation: with
+        # k=d, reconstruction is exact
+        proj = (
+            P.project(_vec_df(spark, X), model)
+            .orderBy("vec_id")
+            .select("pca")
+            .toPandas()
+        )
+        Pm = np.stack(proj["pca"].to_numpy())
+        recon = Pm @ model.components + model.mean
+        assert np.abs(recon - X).max() < 1e-8
+
+    def test_variance_concentrates(self, spark, rng):
+        # data on a dominant axis: first ratio ≫ rest
+        t = rng.normal(size=(300, 1))
+        X = t @ np.array([[3.0, 1.0, 0.0, 0.0]]) + rng.normal(
+            scale=0.01, size=(300, 4)
+        )
+        model = P.fit_pca(_vec_df(spark, X), k=4)
+        r = model.explained_ratio
+        assert r[0] > 0.99 and np.all(np.diff(model.explained_variance) <= 1e-12)
+
+    def test_sign_convention_deterministic(self, spark, rng):
+        X = rng.normal(size=(50, 4))
+        m1 = P.fit_pca(_vec_df(spark, X), k=4)
+        m2 = P.fit_pca(_vec_df(spark, X), k=4)
+        assert np.allclose(m1.components, m2.components, atol=1e-12)
+        for row in m1.components:
+            assert row[int(np.argmax(np.abs(row)))] > 0
+
+    def test_empty_input_raises(self, spark):
+        df = _vec_df(spark, np.zeros((1, 3))).filter(F.col("vec_id") < 0)
+        with pytest.raises(ValueError, match="empty"):
+            P.fit_pca(df)
