@@ -96,6 +96,9 @@ def main() -> None:
         "events_sliding_1h",
         "corpus_curation_pipeline",
         "rag_hybrid_rrf",
+        "semantic_dedup_prune",
+        "embedding_covariance",
+        "embedding_pca_project",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

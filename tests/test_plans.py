@@ -321,3 +321,40 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestSemdedupPcaPlans:
+    def test_covariance_scan_only(self, spark):
+        # one scalar aggregate of 21 partial sums: the data never
+        # hash-shuffles — only the 1-row partial-agg collect moves
+        from tidb_cdc_spark.queries.llm13 import embedding_covariance
+
+        df = embedding_covariance(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "BatchEvalPython" not in plan  # codegen, no Python
+
+    def test_pca_projection_arrow_batched(self, spark):
+        from tidb_cdc_spark.queries.llm13 import embedding_pca_project
+
+        df = embedding_pca_project(spark, SF)
+        plan = explain_str(df, mode="simple")
+        # Arrow-batched pandas UDF, never row-at-a-time Python
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        # projection itself is shuffle-free (sort adds one range
+        # exchange; fit's reduction ran eagerly, outside this plan)
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+
+    def test_semantic_dedup_single_cell_shuffle(self, spark):
+        from tidb_cdc_spark.functions.semdedup import semantic_dedup
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        df = semantic_dedup(e, n_cells=4, threshold=0.95)
+        plan = explain_str(df, mode="simple")
+        # exactly the groupBy(cell) exchange feeding the pandas
+        # group map — no second data-sized shuffle
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "FlatMapGroupsInPandas" in plan

@@ -67,10 +67,36 @@ def build(spark, src: str, out: str) -> None:
         big_ev = big_ev.unionByName(p)
     big_ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
+    # embeddings: replica 0 = originals, replica 1 = EXACT copies
+    # (corpus-wide planted semantic-dup pairs for semdedup/PCA-audit
+    # style ops), replicas 2+ perturbed by deterministic per-(id,
+    # replica, dim) pseudo-noise so they stay mostly unique
+    emb = read_table(spark, src, "embeddings")
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    vparts = []
+    for k in range(REPLICAS):
+        v = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_vec))
+        if k >= 2:
+            v = v.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> CAST(x + "
+                    f"((abs(hash(vec_id, {k}, i)) % 1000) / 1000.0 - 0.5) "
+                    "* 0.2 AS FLOAT))"
+                ),
+            )
+        vparts.append(v)
+    big_emb = vparts[0]
+    for p in vparts[1:]:
+        big_emb = big_emb.unionByName(p)
+    big_emb.repartition(8).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
     # lineitem is read by cdc_decimal_agg's synthesis; link the sf0.1
     # original (rehearsal targets the documents/events-heavy ops)
     for t in ("lineitem", "region", "nation", "customer", "supplier",
-              "part", "orders", "embeddings"):
+              "part", "orders"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{src}/{t}.parquet", dst)
@@ -86,6 +112,8 @@ HEAVY = [
     "quality_budget_head",
     "repeated_spans_top",
     "span_dup_coverage",
+    "semantic_dedup_prune",
+    "embedding_pca_project",
 ]
 
 
@@ -140,7 +168,10 @@ def main() -> None:
 
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{out}/documents.parquet"):
+    stale_emb = os.path.islink(f"{out}/embeddings.parquet")  # pre-r6 cache
+    if stale_emb:
+        os.unlink(f"{out}/embeddings.parquet")
+    if not os.path.exists(f"{out}/documents.parquet") or stale_emb:
         t0 = time.perf_counter()
         build(spark, src, out)
         print(f"# built {out} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
