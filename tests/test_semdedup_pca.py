@@ -169,3 +169,104 @@ class TestPca:
         df = _vec_df(spark, np.zeros((1, 3))).filter(F.col("vec_id") < 0)
         with pytest.raises(ValueError, match="empty"):
             P.fit_pca(df)
+
+
+class TestOpq:
+    def _clustered(self, spark, n_clusters=10, per=12, dim=32):
+        import random
+
+        rng = random.Random(13)
+        rows = []
+        for c in range(n_clusters):
+            base = [rng.gauss(0, 1) for _ in range(dim)]
+            for i in range(per):
+                rows.append(
+                    (c * 100 + i, [b + rng.gauss(0, 0.05) for b in base])
+                )
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_allocation_balances_subspace_variance(self, spark, rng):
+        from tidb_cdc_spark.functions import pq as PQ
+
+        # strongly anisotropic data: eigenvalues span 4 decades
+        scales = np.array([100, 50, 20, 10, 5, 2, 1, 0.5])
+        X = rng.normal(size=(400, 8)) * scales
+        model = P.fit_pca(_vec_df(spark, X), k=8)
+        R = PQ.opq_eigenvalue_allocation(model, m=4)
+        # R is a permutation of the PCA basis: orthonormal, same rows
+        assert np.abs(R @ R.T - np.eye(8)).max() < 1e-10
+        # per-subspace log-variance sums must be tighter than the
+        # naive contiguous PCA split (which pairs the two largest)
+        ev = model.explained_variance
+        logs = np.log(ev)
+
+        def spread(perm):
+            s = [logs[perm[2 * j : 2 * j + 2]].sum() for j in range(4)]
+            return max(s) - min(s)
+
+        # recover the permutation R applies to the PCA axes
+        perm = np.array(
+            [int(np.argmax(np.abs(model.components @ r))) for r in R]
+        )
+        assert sorted(perm.tolist()) == list(range(8))
+        assert spread(perm) < spread(np.arange(8)) - 1e-6
+
+    def test_rotation_preserves_distances(self, spark, rng):
+        from tidb_cdc_spark.functions import pq as PQ
+        from tidb_cdc_spark.functions.pca import PcaModel, project
+
+        X = rng.normal(size=(60, 8))
+        model = P.fit_pca(_vec_df(spark, X), k=8)
+        R = PQ.opq_eigenvalue_allocation(model, m=4)
+        rot = PcaModel(model.mean, R, model.explained_variance,
+                       model.total_variance)
+        Y = np.stack(
+            project(_vec_df(spark, X), rot)
+            .orderBy("vec_id")
+            .select("pca")
+            .toPandas()["pca"]
+            .to_numpy()
+        )
+        def pdist2(M):
+            sq = (M * M).sum(1)
+            return sq[:, None] - 2.0 * (M @ M.T) + sq[None, :]
+
+        assert np.allclose(pdist2(X), pdist2(Y), atol=1e-8)
+
+    def test_opq_cluster_recall(self, spark):
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions import pq as PQ
+        from tidb_cdc_spark.functions import similarity as S2
+
+        embs = self._clustered(spark)
+        q = embs.filter(F.col("vec_id") % 100 == 0)
+        bf = S2.knn_bruteforce(q, embs, k=5)
+        opq = PQ.opq_knn_adc(q, embs, k=5, m=4, n_codes=16)
+        bf_rows = bf.collect()
+        assert all(r.query_id // 100 == r.neighbor_id // 100 for r in bf_rows)
+        opq_rows = opq.collect()
+        in_cluster = sum(
+            r.query_id // 100 == r.neighbor_id // 100 for r in opq_rows
+        )
+        assert len(opq_rows) == len(bf_rows)
+        recall = in_cluster / len(opq_rows)
+        assert recall >= 0.95, f"OPQ cluster recall {recall} too low"
+
+    def test_dim_not_divisible_raises(self, spark, rng):
+        from tidb_cdc_spark.functions import pq as PQ
+
+        X = rng.normal(size=(30, 6))
+        model = P.fit_pca(_vec_df(spark, X), k=6)
+        with pytest.raises(ValueError, match="divisible"):
+            PQ.opq_eigenvalue_allocation(model, m=4)
+
+    def test_low_rank_model_rejected(self, spark, rng):
+        from tidb_cdc_spark.functions import pq as PQ
+
+        X = rng.normal(size=(30, 8))
+        model = P.fit_pca(_vec_df(spark, X), k=4)
+        with pytest.raises(ValueError, match="full-rank"):
+            PQ.opq_eigenvalue_allocation(model, m=2)

@@ -434,3 +434,89 @@ def ivfpq_probe_index(
     return _ivfpq_search(
         queries, codes, centers, books, k, n_probe, id_col, vec_col, probed=qd
     )
+
+
+# --------------------------------------------------- parametric OPQ
+def opq_eigenvalue_allocation(model, m: int) -> "np.ndarray":
+    """Parametric OPQ rotation (Ge et al., "Optimized Product
+    Quantization", CVPR'13 §4 — the non-iterative OPQ_P variant):
+    permute the PCA-rotated axes so each of the ``m`` PQ subspaces
+    receives a balanced PRODUCT of eigenvalues. PQ's per-subspace
+    quantization error tracks subspace variance; plain PCA rotation
+    concentrates variance in the first subspace (the worst possible
+    allocation), so axes are dealt greedily — descending eigenvalue,
+    each to the non-full subspace with the smallest current
+    log-variance sum (log turns the product balance into a sum
+    balance).
+
+    ``model`` is a FULL-RANK ``pca.PcaModel`` (k = d). Returns the
+    (d, d) rotation matrix R, rows = permuted principal axes. R is
+    orthonormal (a permutation of an orthonormal basis), so rotation
+    preserves L2 distances exactly — ADC in the rotated space ranks
+    against the same true distances, just with better-conditioned
+    codebooks.
+    """
+    comps = model.components
+    ev = np.asarray(model.explained_variance, dtype=np.float64)
+    d = comps.shape[0]
+    if comps.shape != (d, ev.shape[0]) or d != comps.shape[1]:
+        raise ValueError(
+            f"opq_eigenvalue_allocation needs a full-rank model; got "
+            f"components {comps.shape}"
+        )
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m {m}")
+    cap = d // m
+    logs = np.log(np.maximum(ev, 1e-12))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = np.zeros(m)
+    for axis in range(d):  # ev already sorted descending by fit_pca
+        open_ = [b for b in range(m) if len(buckets[b]) < cap]
+        b = min(open_, key=lambda i: sums[i])
+        buckets[b].append(axis)
+        sums[b] += logs[axis]
+    perm = [a for b in buckets for a in b]
+    return np.ascontiguousarray(comps[perm, :])
+
+
+def opq_knn_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """PQ/ADC search in the OPQ_P-rotated space: full-rank PCA fit
+    (one pass), eigenvalue-allocated rotation, Arrow-batched rotate
+    of both sides, then the standard train/encode/ADC pipeline.
+    Same output contract as ``pq_knn_adc``. The rotation is an
+    orthonormal map shipped in the UDF closures (d² doubles ≈ 32 KB
+    at d=64); at 100 TB the rotated codes are what you persist
+    (``ivfpq_write_index`` applies unchanged to rotated input)."""
+    from tidb_cdc_spark.functions.pca import PcaModel, fit_pca, project
+
+    head = corpus.select(as_double(F.col(vec_col))).first()
+    if head is None or head[0] is None:
+        raise ValueError(f"opq_knn_adc: corpus empty or {vec_col!r} null")
+    d = len(head[0])
+    model = fit_pca(corpus, vec_col=vec_col, k=d)
+    R = opq_eigenvalue_allocation(model, m)
+    rot = PcaModel(
+        mean=model.mean,
+        components=R,
+        explained_variance=model.explained_variance,
+        total_variance=model.total_variance,
+    )
+
+    def rotate(df: DataFrame) -> DataFrame:
+        return project(df, rot, vec_col=vec_col, out_col="_rv").select(
+            F.col(id_col), F.col("_rv").alias(vec_col)
+        )
+
+    rc, rq = rotate(corpus), rotate(queries)
+    books = pq_train(rc, m=m, k=n_codes, vec_col=vec_col, seed=seed)
+    codes = pq_encode(rc, books, id_col=id_col, vec_col=vec_col)
+    return pq_knn_adc(rq, codes, books, k, id_col=id_col, vec_col=vec_col)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tidb_cdc_spark.functions import pca as P
+from tidb_cdc_spark.functions import pq as PQF
 from tidb_cdc_spark.functions import semdedup as SD
 from tidb_cdc_spark.functions.centroids import SCALE
 from tidb_cdc_spark.queries.audits import _N_VECS, _embs_with_copies
@@ -271,16 +272,55 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
 """
 
 
+# ------------------------------------------------ parametric OPQ
+
+
+def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via OPQ_P (Ge et al. CVPR'13): eigenvalue-allocated
+    PCA rotation balances per-subspace variance before the standard
+    4×16 PQ/ADC pipeline. Rows-only (KMeans + eigh); retrieval is
+    pinned by the clustered-recall test and ``knn_opq_audit``."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5)
+    return PQF.opq_knn_adc(q, e, k=5).orderBy("query_id", "rank")
+
+
+def knn_opq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-copy retrieval contract for OPQ: rotation is a pure
+    per-vector map, so an exact copy rotates to the same point,
+    encodes to a (near-)identical code, and sits at the minimal ADC
+    distance ⇒ must appear in the audit top-k."""
+    from tidb_cdc_spark.queries.audits import (
+        _AUDIT_K,
+        _knn_planted_report,
+        _vec_spine,
+    )
+
+    e, off = _embs_with_copies(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_VECS)
+    approx = PQF.opq_knn_adc(q, e.select("vec_id", "embedding"), k=_AUDIT_K)
+    return _knn_planted_report(approx, _vec_spine(spark, sf_dir), off)
+
+
+_OPQ_AUDIT_SQL = """
+SELECT vec_id AS query_id, TRUE AS planted_found
+FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+"""
+
+
 QUERIES = {
     "semantic_dedup_prune": semantic_dedup_prune,
     "semantic_dedup_audit": semantic_dedup_audit,
     "embedding_covariance": embedding_covariance,
     "embedding_pca_project": embedding_pca_project,
     "embedding_pca_audit": embedding_pca_audit,
+    "knn_opq_adc": knn_opq_adc,
+    "knn_opq_audit": knn_opq_audit,
 }
 
 ORACLE = {
     "semantic_dedup_audit": _SEMDEDUP_AUDIT_SQL,
     "embedding_covariance": _COVARIANCE_SQL,
     "embedding_pca_audit": _PCA_AUDIT_SQL,
+    "knn_opq_audit": _OPQ_AUDIT_SQL,
 }
