@@ -1,0 +1,75 @@
+"""Count-Min sketch (functions/sketch.py): the never-under-count
+invariant, mergeability, and the screen+verify heavy-hitter
+pipeline's exactness under forced collisions."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import sketch as SK
+
+
+def _skewed(spark, n_keys=50, heavy=3, heavy_n=200, light_n=5):
+    rows = []
+    for k in range(n_keys):
+        n = heavy_n if k < heavy else light_n
+        rows += [(k,)] * n
+    return spark.createDataFrame(rows, "k long")
+
+
+class TestCountMin:
+    def test_never_undercounts(self, spark):
+        df = _skewed(spark)
+        # deliberately tiny width → guaranteed collisions
+        sk = SK.count_min_table(df, "k", depth=3, width=16)
+        est = SK.count_min_estimates(
+            sk, df.select("k").distinct(), "k", depth=3, width=16
+        )
+        exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        j = est.join(exact, "k").toPandas()
+        assert len(j) == 50
+        assert (j.cms_est >= j.n).all()
+
+    def test_table_bounded_and_mass_preserved(self, spark):
+        df = _skewed(spark)
+        sk = SK.count_min_table(df, "k", depth=3, width=16).toPandas()
+        assert len(sk) <= 3 * 16
+        n = df.count()
+        # each depth row partitions the full mass
+        assert (sk.groupby("row").cnt.sum() == n).all()
+
+    def test_merge_equals_single_build(self, spark):
+        a = _skewed(spark, n_keys=20)
+        b = _skewed(spark, n_keys=35)
+        whole = SK.count_min_table(a.unionAll(b), "k", depth=4, width=32)
+        merged = (
+            SK.count_min_table(a, "k", depth=4, width=32)
+            .unionAll(SK.count_min_table(b, "k", depth=4, width=32))
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        wp = whole.toPandas().sort_values(["row", "bucket"], ignore_index=True)
+        mp = merged.toPandas().sort_values(["row", "bucket"], ignore_index=True)
+        pd.testing.assert_frame_equal(wp, mp)
+
+    def test_heavy_hitters_exact_under_collisions(self, spark):
+        df = _skewed(spark, n_keys=200, heavy=4, heavy_n=100, light_n=2)
+        # width 8: light keys collide into heavy-looking buckets, so
+        # the screen WILL produce false positives — the verify pass
+        # must still return exactly the true heavy set
+        hh = (
+            SK.heavy_hitters(df, "k", min_count=50, depth=3, width=8)
+            .orderBy("k")
+            .collect()
+        )
+        assert [(r.k, r.n_events) for r in hh] == [
+            (0, 100), (1, 100), (2, 100), (3, 100)
+        ]
+
+    def test_absent_key_estimate_nonnegative(self, spark):
+        df = _skewed(spark)
+        sk = SK.count_min_table(df, "k", depth=4, width=64)
+        probe = spark.createDataFrame([(999999,)], "k long")
+        est = SK.count_min_estimates(sk, probe, "k", depth=4, width=64)
+        assert est.collect()[0].cms_est >= 0

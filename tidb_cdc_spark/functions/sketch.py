@@ -1,0 +1,135 @@
+"""Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+frequency sketch a streaming/100 TB pipeline uses when the key space
+is too large to hold exact counts, plus the classic two-pass
+heavy-hitter pipeline built on it.
+
+Spark shape: the sketch IS a DataFrame — (row, bucket, cnt) with
+depth × width cells. Build = one explode to ``depth`` tagged rows per
+record + a map-side-combining groupBy: the shuffle carries at most
+depth × width cells per partition regardless of input size, and two
+sketches (two days, two sources) merge by unioning tables and
+re-summing — the mergeability that makes CMS the distributed choice.
+
+Estimates never under-count (each cell ≥ the key's true count since
+collisions only ADD), so screening candidates at a threshold has
+guaranteed 100% recall; an exact verify pass over only the
+candidates removes collision false-positives. For batch corpora
+where keys fit in memory a direct groupBy is cheaper — CMS is the
+bounded-memory / streaming / cross-partition-merge shape, and the
+heavy-hitter query demonstrates the guarantee end-to-end.
+
+Reference scope note: the reference engine has no sketch surface;
+north-star addition in the style of ``sketch_approx`` (HLL++/GK).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, row: int, width: int, seed: int) -> Column:
+    """Row-``row`` hash bucket: xxhash64 seeded per row, non-negative
+    mod width (pmod — Spark's % keeps the sign)."""
+    h = F.xxhash64(key, F.lit(seed + row))
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def count_min_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """(row, bucket, cnt): the CMS cell table — ≤ depth × width rows
+    total. One explode + one combining groupBy; merge two sketches
+    built with identical (depth, width, seed) by union + re-sum."""
+    tagged = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(F.col(key_col), r, width, seed).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.*")
+    return tagged.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def count_min_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """Append ``cms_est`` to ``keys``: min over the depth cells each
+    key hashes to. The sketch table is broadcast (≤ depth × width
+    rows); keys never shuffle. ``cms_est ≥ true count`` always."""
+    tagged = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(F.col(key_col), r, width, seed).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select("*", "_c.*").drop("_c")
+    return (
+        tagged.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(*keys.columns)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """Exact heavy hitters via CMS screen + exact verify: keys whose
+    TRUE frequency exceeds ``min_count``, with exact counts.
+
+    Pass 1 screens distinct keys against the sketch (est > threshold
+    — no false negatives, CMS never under-counts); pass 2 exactly
+    counts ONLY the screened candidates (a broadcast semi-join on
+    the scan) and drops collision false-positives. Note the batch
+    screen still enumerates distinct keys; the sketch's real scale
+    win is in a STREAM (maintain table + candidate set per
+    micro-batch, constant state) or when merging per-partition/
+    per-day sketches — in one-shot batch a direct groupBy(key) has
+    the same cost and this pipeline demonstrates the
+    guaranteed-recall contract.
+    """
+    sketch = count_min_table(df, key_col, depth, width, seed)
+    cands = count_min_estimates(
+        sketch, df.select(key_col).distinct(), key_col, depth, width, seed
+    ).filter(F.col("cms_est") > min_count)
+    exact = (
+        df.join(F.broadcast(cands.select(key_col)), key_col, "leftsemi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > min_count)
+    )
+    return exact

@@ -660,6 +660,27 @@ ORDER BY e.event_type, e.event_id
 """
 
 
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy users (> 80 events) via Count-Min sketch screen + exact
+    verify (functions/sketch.py). End-to-end oracle-checkable
+    DESPITE the sketch: CMS never under-counts, so the screen has
+    guaranteed 100% recall and the exact verify pass drops collision
+    false-positives — the output is exactly SQL's HAVING COUNT(*) >
+    80, with the plan shape a streaming/mergeable pipeline uses."""
+    from tidb_cdc_spark.functions.sketch import heavy_hitters
+    from tidb_cdc_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", min_count=80).orderBy("user_id")
+
+
+_CMS_HH_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id HAVING COUNT(*) > 80
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_value_outliers": events_value_outliers,
@@ -674,9 +695,11 @@ QUERIES = {
     "array_map_functions_showcase": array_map_functions_showcase,
     "events_transition_matrix": events_transition_matrix,
     "events_zorder_buckets": events_zorder_buckets,
+    "events_heavy_hitters_cms": events_heavy_hitters_cms,
 }
 
 ORACLE = {
+    "events_heavy_hitters_cms": _CMS_HH_SQL,
     "events_value_outliers": _OUTLIERS_SQL,
     "events_value_mad_outliers": _MAD_SQL,
     "events_rolling_features": _ROLLING_SQL,
