@@ -270,3 +270,18 @@ class TestOpq:
         model = P.fit_pca(_vec_df(spark, X), k=4)
         with pytest.raises(ValueError, match="full-rank"):
             PQ.opq_eigenvalue_allocation(model, m=2)
+
+
+def test_train_fraction_sampled_centroids_still_exhaustive(spark):
+    # k-means trained on a 30% sample: every vector still gets a
+    # cell and every planted exact copy is still pruned (the audit
+    # contract holds for ANY centroid set — copies share the cell by
+    # identical-argmin, whatever the centroids are)
+    rng2 = np.random.default_rng(7)
+    base = rng2.normal(size=(80, 8))
+    vecs = np.vstack([base, base[:10]])
+    res = SD.semantic_dedup(
+        _vec_df(spark, vecs), n_cells=4, threshold=0.99, train_fraction=0.3
+    ).toPandas()
+    assert len(res) == 90  # assignment covers everything
+    assert set(res[res.is_dup].vec_id) >= set(range(80, 90))

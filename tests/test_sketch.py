@@ -73,3 +73,98 @@ class TestCountMin:
         probe = spark.createDataFrame([(999999,)], "k long")
         est = SK.count_min_estimates(sk, probe, "k", depth=4, width=64)
         assert est.collect()[0].cms_est >= 0
+
+
+class TestCountMinSink:
+    def _run_batch(self, spark, tmp_path, name, rows):
+        import json
+        import os
+
+        from tidb_cdc_spark.streaming import CountMinSink
+
+        d = tmp_path / "cms_in"
+        os.makedirs(d, exist_ok=True)
+        tmp = d / f".{name}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.replace(tmp, d / name)
+        sink = CountMinSink(str(tmp_path / "store"), "k", depth=3, width=32)
+        stream = spark.readStream.format("json").schema("k long").load(str(d))
+        q = (
+            stream.writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    def test_stream_matches_one_shot_and_never_undercounts(
+        self, spark, tmp_path
+    ):
+        from tidb_cdc_spark.functions import sketch as SK
+
+        b1 = [{"k": i % 5} for i in range(40)]
+        b2 = [{"k": i % 7} for i in range(35)]
+        self._run_batch(spark, tmp_path, "b1.jsonl", b1)
+        sink = self._run_batch(spark, tmp_path, "b2.jsonl", b2)
+        whole = spark.createDataFrame(
+            [(r["k"],) for r in b1 + b2], "k long"
+        )
+        one_shot = (
+            SK.count_min_table(whole, "k", depth=3, width=32)
+            .toPandas()
+            .sort_values(["row", "bucket"], ignore_index=True)
+        )
+        streamed = (
+            sink.read_table(spark)
+            .toPandas()
+            .sort_values(["row", "bucket"], ignore_index=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(one_shot, streamed)
+        est = sink.estimates(spark, whole.distinct()).toPandas()
+        exact = whole.groupBy("k").count().toPandas()
+        j = est.merge(exact, on="k")
+        assert (j.cms_est >= j["count"]).all()
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import CountMinSink
+
+        sink = CountMinSink(str(tmp_path / "store"), "k", depth=3, width=32)
+        batch = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+        sink.process(batch, 0)
+        sink.process(batch, 0)  # at-least-once re-delivery
+        est = sink.estimates(
+            spark, spark.createDataFrame([(1,)], "k long")
+        ).collect()
+        assert est[0].cms_est == 2  # not doubled
+
+    def test_empty_store_estimates_zero(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import CountMinSink
+
+        sink = CountMinSink(str(tmp_path / "store"), "k")
+        est = sink.estimates(
+            spark, spark.createDataFrame([(7,)], "k long")
+        ).collect()
+        assert est[0].cms_est == 0
+
+    def test_torn_swap_recovers(self, spark, tmp_path):
+        import os
+
+        from tidb_cdc_spark.streaming import CountMinSink
+
+        sink = CountMinSink(str(tmp_path / "store"), "k", depth=3, width=32)
+        batch = spark.createDataFrame([(1,), (2,)], "k long")
+        sink.process(batch, 0)
+        # simulate a crash between the two renames: live dir gone,
+        # .swap.old holds the intact table
+        p = str(tmp_path / "store" / "cells")
+        os.rename(p, p + ".swap.old")
+        assert sink.read_table(spark).count() > 0  # healed
+        sink.process(spark.createDataFrame([(3,)], "k long"), 1)
+        est = sink.estimates(
+            spark, spark.createDataFrame([(1,), (3,)], "k long")
+        ).toPandas().set_index("k")
+        assert est.loc[1, "cms_est"] >= 1 and est.loc[3, "cms_est"] >= 1

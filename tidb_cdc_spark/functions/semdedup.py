@@ -52,11 +52,18 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 7,
     max_cell_rows: int = 65536,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """(id, cell, is_dup, dup_of, max_sim, truncated) — one row per
     input vector. ``dup_of``/``max_sim`` are null for kept vectors
     with no ≥-threshold lower-id neighbor; ``truncated`` marks rows
-    deduped inside an oversized-cell sub-block (see module doc)."""
+    deduped inside an oversized-cell sub-block (see module doc).
+
+    ``train_fraction`` < 1 fits the k-means on a deterministic
+    sample (seeded) — at 100 TB centroids converge on a tiny
+    fraction of the corpus and full-data training would dominate the
+    job; assignment still covers EVERY vector, so prune results stay
+    exhaustive (cell boundaries just come from sampled centroids)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -69,9 +76,12 @@ def semantic_dedup(
         assigned = c.withColumn("_cell", F.lit(0))
     else:
         c = c.withColumn("_fv", array_to_vector(F.col("_v")))
+        train = c if train_fraction >= 1.0 else c.sample(
+            fraction=train_fraction, seed=seed
+        )
         km = KMeans(
             k=n_cells, seed=seed, maxIter=10, featuresCol="_fv"
-        ).fit(c)
+        ).fit(train)
         assigned = km.transform(c).select(
             "_id", "_v", F.col(km.getPredictionCol()).alias("_cell")
         )

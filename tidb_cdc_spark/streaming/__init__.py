@@ -11,12 +11,13 @@ from tidb_cdc_spark.streaming.sinks import (
     Sink,
 )
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
-from tidb_cdc_spark.streaming.enrich import NearDupAdmissionSink
+from tidb_cdc_spark.streaming.enrich import CountMinSink, NearDupAdmissionSink
 from tidb_cdc_spark.streaming.metrics import StreamMetrics, attach_metrics
 
 __all__ = [
     "Connector",
     "ConnectorConfig",
+    "CountMinSink",
     "NearDupAdmissionSink",
     "StreamMetrics",
     "attach_metrics",

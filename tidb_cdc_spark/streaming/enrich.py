@@ -268,3 +268,119 @@ class NearDupAdmissionSink:
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, self._path("_BATCH"))
+
+
+class CountMinSink:
+    """foreachBatch body maintaining a persistent Count-Min cell
+    table (functions/sketch.py) over a stream — the sketch's real
+    habitat: per-batch work is one combining groupBy of the BATCH
+    plus a merge with a ≤ depth × width cell table, so sink state is
+    CONSTANT-size no matter how many events or distinct keys flow
+    through (contrast an exact streaming count, whose state grows
+    with key cardinality).
+
+    The cell table is copy-on-write (merge = union + re-sum →
+    rewrite), swapped in by the same two-rename discipline as
+    ``NearDupAdmissionSink.compact`` — a crash between the renames
+    leaves ``cells.swap.old``, healed before the next merge. The
+    batch-id watermark (written LAST, atomic rename) makes
+    at-least-once re-delivery a no-op; a fresh checkpoint against an
+    existing root raises (guard_batch_watermark lineage rule).
+
+    Attach with ``stream.writeStream.foreachBatch(sink.process)``;
+    query any time with ``estimates(spark, keys)`` — estimates never
+    under-count, so downstream screening keeps guaranteed recall.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        key_col: str,
+        depth: int = 4,
+        width: int = 2048,
+        seed: int = 7,
+    ):
+        self.root = root
+        self.key_col = key_col
+        self.depth, self.width, self.seed = depth, width, seed
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        import os
+
+        p = self._path("_BATCH")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _recover_swap(self) -> None:
+        import os
+        import shutil
+
+        p = self._path("cells")
+        old = p + ".swap.old"
+        if os.path.exists(old):
+            if os.path.exists(p):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, p)
+        shutil.rmtree(p + ".swap.tmp", ignore_errors=True)
+
+    def read_table(self, spark) -> "DataFrame | None":
+        import os
+
+        self._recover_swap()
+        p = self._path("cells")
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    def estimates(self, spark, keys: DataFrame) -> DataFrame:
+        """``keys`` + ``cms_est`` from the current persisted table
+        (0 for every key if no batch has committed yet)."""
+        from tidb_cdc_spark.functions.sketch import count_min_estimates
+
+        table = self.read_table(spark)
+        if table is None:
+            return keys.withColumn("cms_est", F.lit(0).cast("long"))
+        return count_min_estimates(
+            table, keys, self.key_col, self.depth, self.width, self.seed
+        )
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        from tidb_cdc_spark.functions.sketch import count_min_table
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(self._last_batch_id(), batch_id, "CMS store"):
+            return  # at-least-once re-delivery
+        spark = batch.sparkSession
+        merged = count_min_table(
+            batch, self.key_col, self.depth, self.width, self.seed
+        )
+        existing = self.read_table(spark)  # heals any torn swap
+        if existing is not None:
+            merged = (
+                merged.unionByName(existing)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        p = self._path("cells")
+        tmp, old = p + ".swap.tmp", p + ".swap.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # ≤ depth×width rows — one file is the right layout
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(p):
+            os.rename(p, old)
+        os.rename(tmp, p)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+        wtmp = self._path("_BATCH.tmp")
+        with open(wtmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(wtmp, self._path("_BATCH"))
