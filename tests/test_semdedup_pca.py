@@ -285,3 +285,28 @@ def test_train_fraction_sampled_centroids_still_exhaustive(spark):
     ).toPandas()
     assert len(res) == 90  # assignment covers everything
     assert set(res[res.is_dup].vec_id) >= set(range(80, 90))
+
+
+def test_allocation_balances_with_subunit_eigenvalues(spark, rng):
+    # unit-scale embeddings: ALL eigenvalues < 1 (logs negative) —
+    # the greedy must stay scale-invariant and still beat the
+    # contiguous split (regression: un-shifted greedy degenerates
+    # to identity exactly in this regime)
+    from tidb_cdc_spark.functions import pq as PQ
+
+    scales = np.array([100, 50, 20, 10, 5, 2, 1, 0.5]) / 150.0
+    X = rng.normal(size=(400, 8)) * scales
+    model = P.fit_pca(_vec_df(spark, X), k=8)
+    assert (model.explained_variance < 1).all()
+    R = PQ.opq_eigenvalue_allocation(model, m=4)
+    logs = np.log(model.explained_variance)
+    perm = np.array(
+        [int(np.argmax(np.abs(model.components @ r))) for r in R]
+    )
+
+    def spread(p):
+        s = [logs[p[2 * j: 2 * j + 2]].sum() for j in range(4)]
+        return max(s) - min(s)
+
+    assert sorted(perm.tolist()) == list(range(8))
+    assert spread(perm) < spread(np.arange(8)) - 1e-6

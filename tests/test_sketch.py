@@ -168,3 +168,38 @@ class TestCountMinSink:
             spark, spark.createDataFrame([(1,), (3,)], "k long")
         ).toPandas().set_index("k")
         assert est.loc[1, "cms_est"] >= 1 and est.loc[3, "cms_est"] >= 1
+
+
+class TestReviewRegressions:
+    def test_null_key_heavy_hitter_kept(self, spark):
+        # SQL's GROUP BY/HAVING includes the NULL group — so must we
+        rows = [(None,)] * 60 + [(1,)] * 60 + [(2,)] * 3
+        df = spark.createDataFrame(rows, "k long")
+        hh = SK.heavy_hitters(df, "k", min_count=50, depth=3, width=32)
+        got = {(r.k, r.n_events) for r in hh.collect()}
+        assert got == {(None, 60), (1, 60)}
+
+    def test_estimates_preserve_duplicate_rows(self, spark):
+        df = _skewed(spark, n_keys=10)
+        sk = SK.count_min_table(df, "k", depth=3, width=32)
+        dup_keys = spark.createDataFrame([(0,), (0,), (1,)], "k long")
+        est = SK.count_min_estimates(sk, dup_keys, "k", depth=3, width=32)
+        assert est.count() == 3  # row-preserving, no grouping
+
+    def test_watermark_commits_atomically_with_table(self, spark, tmp_path):
+        import os
+
+        from tidb_cdc_spark.streaming import CountMinSink
+
+        sink = CountMinSink(str(tmp_path / "store"), "k", depth=3, width=32)
+        sink.process(spark.createDataFrame([(1,), (1,)], "k long"), 0)
+        # the watermark lives inside the swapped directory
+        assert os.path.exists(tmp_path / "store" / "cells" / "_BATCH")
+        assert sink._last_batch_id() == 0
+        # crash BETWEEN the two renames: live dir missing, .old holds
+        # the previous state — watermark rolls back WITH the table,
+        # so redelivering the lost batch re-applies it exactly once
+        p = str(tmp_path / "store" / "cells")
+        sink.process(spark.createDataFrame([(2,)], "k long"), 1)
+        os.rename(p + "", p + ".swap.old")  # undo batch 1's swap
+        assert sink._last_batch_id() == 1  # healed: old state restored

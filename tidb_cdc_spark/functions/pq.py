@@ -468,6 +468,14 @@ def opq_eigenvalue_allocation(model, m: int) -> "np.ndarray":
         raise ValueError(f"dim {d} not divisible by m {m}")
     cap = d // m
     logs = np.log(np.maximum(ev, 1e-12))
+    # Shift logs to be non-negative before the greedy: every bucket
+    # holds exactly `cap` axes, so adding a constant to every item
+    # shifts every bucket sum by cap·c — the balance objective is
+    # shift-invariant, but the GREEDY is not: with all-negative logs
+    # (eigenvalues < 1, the NORMAL case for unit-normalized
+    # embeddings) "smallest sum" chases the bucket just appended to
+    # and the allocation degenerates to the contiguous PCA split.
+    logs = logs - logs.min()
     buckets: list[list[int]] = [[] for _ in range(m)]
     sums = np.zeros(m)
     for axis in range(d):  # ev already sorted descending by fit_pca
@@ -516,7 +524,12 @@ def opq_knn_adc(
             F.col(id_col), F.col("_rv").alias(vec_col)
         )
 
-    rc, rq = rotate(corpus), rotate(queries)
+    from tidb_cdc_spark.session import materialize
+
+    # the rotated corpus feeds m KMeans fits + the encode scan:
+    # materialized so the full-corpus rotation UDF runs once, not
+    # m+1 times (same discipline as _ivfpq_build's residuals)
+    rc, rq = materialize(rotate(corpus)), rotate(queries)
     books = pq_train(rc, m=m, k=n_codes, vec_col=vec_col, seed=seed)
     codes = pq_encode(rc, books, id_col=id_col, vec_col=vec_col)
     return pq_knn_adc(rq, codes, books, k, id_col=id_col, vec_col=vec_col)

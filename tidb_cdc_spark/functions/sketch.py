@@ -74,30 +74,24 @@ def count_min_estimates(
     seed: int = 7,
 ) -> DataFrame:
     """Append ``cms_est`` to ``keys``: min over the depth cells each
-    key hashes to. The sketch table is broadcast (≤ depth × width
-    rows); keys never shuffle. ``cms_est ≥ true count`` always."""
-    tagged = keys.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _bucket(F.col(key_col), r, width, seed).alias(
-                            "bucket"
-                        ),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_c"),
-    ).select("*", "_c.*").drop("_c")
-    return (
-        tagged.join(F.broadcast(sketch), ["row", "bucket"], "left")
-        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
-        .groupBy(*keys.columns)
-        .agg(F.min("cnt").alias("cms_est"))
-    )
+    key hashes to — row-preserving (duplicate key rows each get the
+    estimate; no grouping happens). One broadcast left-join per
+    depth row against a ≤ width-row slice of the cell table; keys
+    never shuffle. ``cms_est ≥ true count`` always."""
+    out = keys
+    parts = []
+    for r in range(depth):
+        b = f"__cms_b{r}"
+        c = f"__cms_c{r}"
+        cells = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias(b), F.col("cnt").alias(c)
+        )
+        out = out.withColumn(b, _bucket(F.col(key_col), r, width, seed))
+        out = out.join(F.broadcast(cells), b, "left")
+        parts.append(F.coalesce(F.col(c), F.lit(0)))
+    return out.withColumn(
+        "cms_est", F.least(*parts).cast("long") if depth > 1 else parts[0].cast("long")
+    ).drop(*[f"__cms_b{r}" for r in range(depth)], *[f"__cms_c{r}" for r in range(depth)])
 
 
 def heavy_hitters(
@@ -126,8 +120,17 @@ def heavy_hitters(
     cands = count_min_estimates(
         sketch, df.select(key_col).distinct(), key_col, depth, width, seed
     ).filter(F.col("cms_est") > min_count)
+    # NULL-SAFE semi join: SQL's GROUP BY ... HAVING includes the
+    # NULL-key group, and the CMS screen keeps it (xxhash64 hashes a
+    # null deterministically) — a null-rejecting equi-join would
+    # silently drop a null heavy hitter here
+    cand_keys = cands.select(F.col(key_col).alias("__cms_k"))
     exact = (
-        df.join(F.broadcast(cands.select(key_col)), key_col, "leftsemi")
+        df.join(
+            F.broadcast(cand_keys),
+            F.col(key_col).eqNullSafe(F.col("__cms_k")),
+            "leftsemi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .filter(F.col("n_events") > min_count)

@@ -283,9 +283,13 @@ class CountMinSink:
     rewrite), swapped in by the same two-rename discipline as
     ``NearDupAdmissionSink.compact`` — a crash between the renames
     leaves ``cells.swap.old``, healed before the next merge. The
-    batch-id watermark (written LAST, atomic rename) makes
-    at-least-once re-delivery a no-op; a fresh checkpoint against an
-    existing root raises (guard_batch_watermark lineage rule).
+    batch-id watermark lives INSIDE the swapped directory
+    (``cells/_BATCH``, written before the rename; parquet readers
+    ignore ``_``-prefixed files), so table and watermark commit in
+    the SAME atomic rename — there is no window where the merge
+    landed but the watermark didn't, and at-least-once re-delivery
+    is a true no-op. A fresh checkpoint against an existing root
+    raises (guard_batch_watermark lineage rule).
 
     Attach with ``stream.writeStream.foreachBatch(sink.process)``;
     query any time with ``estimates(spark, keys)`` — estimates never
@@ -312,7 +316,8 @@ class CountMinSink:
     def _last_batch_id(self) -> int | None:
         import os
 
-        p = self._path("_BATCH")
+        self._recover_swap()
+        p = self._path(os.path.join("cells", "_BATCH"))
         if not os.path.exists(p):
             return None
         with open(p) as f:
@@ -375,12 +380,13 @@ class CountMinSink:
         shutil.rmtree(tmp, ignore_errors=True)
         # ≤ depth×width rows — one file is the right layout
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # watermark INSIDE the new directory: the rename below
+        # commits table + watermark atomically (no double-merge
+        # window on a crash between "table swapped" and "watermark
+        # written")
+        with open(os.path.join(tmp, "_BATCH"), "w") as f:
+            f.write(str(batch_id))
         if os.path.exists(p):
             os.rename(p, old)
         os.rename(tmp, p)
         shutil.rmtree(old, ignore_errors=True)
-        os.makedirs(self.root, exist_ok=True)
-        wtmp = self._path("_BATCH.tmp")
-        with open(wtmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(wtmp, self._path("_BATCH"))
