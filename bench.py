@@ -99,6 +99,8 @@ def main() -> None:
         "semantic_dedup_prune",
         "embedding_covariance",
         "embedding_pca_project",
+        "knn_opq_adc",
+        "events_heavy_hitters_cms",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

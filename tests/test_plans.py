@@ -358,3 +358,20 @@ class TestSemdedupPcaPlans:
         # group map — no second data-sized shuffle
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "FlatMapGroupsInPandas" in plan
+
+
+class TestCmsPlan:
+    def test_heavy_hitters_broadcast_screen_and_verify(self, spark):
+        from tidb_cdc_spark.functions.sketch import heavy_hitters
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = heavy_hitters(ev, "user_id", min_count=80)
+        plan = explain_str(df, mode="simple")
+        # the cell table and candidate set reach the probe/verify
+        # sides as broadcasts — the event rows themselves never
+        # shuffle except the final combining count by key
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        # exchanges: candidate distinct + final exact count (+AQE
+        # variance) — but never a data-sized join exchange
+        assert "SortMergeJoin" not in plan

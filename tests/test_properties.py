@@ -138,3 +138,53 @@ def test_bpe_merge_sequence_equals_reference(spark, docs_words):
         for r in B.bpe_train(df, n_merges=6).orderBy("rank").collect()
     ]
     assert got == ref_bpe(texts, 6)
+
+
+class TestSemanticDedupProperties:
+    """SemDeDup invariants vs a brute-force twin, hypothesis-swept
+    over random corpora (Spark job per example — tight caps)."""
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.data())
+    def test_single_cell_matches_bruteforce(self, spark, data):
+        import numpy as np
+
+        from tidb_cdc_spark.functions.semdedup import semantic_dedup
+
+        n = data.draw(st.integers(5, 25), label="n")
+        dim = data.draw(st.integers(2, 6), label="dim")
+        n_dups = data.draw(st.integers(0, 4), label="n_dups")
+        seed = data.draw(st.integers(0, 2**16), label="seed")
+        thr = data.draw(st.sampled_from([0.9, 0.99, 0.999]), label="thr")
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(n, dim))
+        dups = base[:n_dups] + rng.normal(scale=1e-4, size=(n_dups, dim))
+        vecs = np.vstack([base, dups])
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(len(vecs), dtype=np.int64),
+                    "embedding": [r.tolist() for r in vecs],
+                }
+            )
+        )
+        res = semantic_dedup(df, n_cells=1, threshold=thr).toPandas()
+        # brute force
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        M = vecs / norms
+        for r in res.itertuples():
+            i = int(r.vec_id)
+            sims = M[:i] @ M[i] if i else np.array([])
+            has_dup = bool(len(sims) and sims.max() >= thr)
+            assert bool(r.is_dup) == has_dup, (i, thr)
+            if has_dup:
+                j = int(sims.argmax())
+                assert int(r.dup_of) == j
+                assert r.dup_of < r.vec_id  # keeper is older

@@ -62,7 +62,11 @@ for _mod in (
 #   IN q3/q5/q8/q9/q18 + sessionize/funnel/trailing-30m/zorder/salted
 #   + the new text_unigram_surprisal, OUT twelve single-scan text/
 #   sampling queries (still mirror-checked in
-#   tests/test_queries_oracle.py, driver-identical compare).
+#   tests/test_queries_oracle.py, driver-identical compare).  Late-r6
+#   additions take five more slots (semantic-dedup audit, covariance,
+#   PCA audit, OPQ audit, CMS heavy hitters) from five r5-green
+#   single-scan rows (multimodal/tfidf/int8/token-histogram/vocab —
+#   each keeps its r5 driver row + the mirror).
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -79,8 +83,8 @@ GATE = [
     "dedup_clusters_exact",
     # LLM curation surface
     "text_unigram_surprisal",
-    "multimodal_doc_features",
-    "tfidf_top_terms",
+    "semantic_dedup_audit",
+    "embedding_covariance",
     "corpus_quality_filter",
     "contamination_eval_overlap",
     "pack_sequences",
@@ -89,10 +93,10 @@ GATE = [
     "corpus_mix_plan",
     "corpus_mix_t2",
     "batch_padding_waste",
-    "token_length_histogram",
-    "vocab_top_terms",
+    "knn_opq_audit",
+    "events_heavy_hitters_cms",
     "source_overlap_matrix",
-    "embedding_int8_quantize",
+    "embedding_pca_audit",
     "quality_budget_head",
     "corpus_snapshot_diff",
     "doc_chunk_spans",
