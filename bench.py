@@ -101,6 +101,7 @@ def main() -> None:
         "embedding_pca_project",
         "knn_opq_adc",
         "events_heavy_hitters_cms",
+        "rag_hard_negatives",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -308,6 +308,77 @@ FROM embeddings WHERE vec_id < 5 ORDER BY query_id
 """
 
 
+# ------------------------------------------- hard-negative mining
+
+
+def rag_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training: for
+    each query vector, the top-5 most-similar corpus vectors with a
+    DIFFERENT label — near-misses that teach the margin (random
+    negatives are trivially separable). Plan = the knn_bruteforce
+    shape (broadcast queries over an unshuffled corpus scan + window
+    top-k) with the label-mismatch predicate applied pre-rank; at
+    100 TB the brute-force arm swaps for ``knn_lsh``/IVF with a
+    post-filter, same contract."""
+    from tidb_cdc_spark.functions.similarity import as_double, cosine
+    from tidb_cdc_spark.operators.windows import topk_per_group
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("_qv"),
+        F.col("label").alias("_qlabel"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("_cv"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("neg_label") != F.col("_qlabel"))
+        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "neighbor_id", "neg_label", "score")
+    )
+    return (
+        topk_per_group(
+            scored,
+            ["query_id"],
+            [F.col("score").desc(), F.col("neighbor_id").asc()],
+            5,
+            rank_col="rank",
+        )
+        .select("query_id", "neighbor_id", "neg_label", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_HARD_NEG_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, c.label AS neg_label,
+         list_inner_product(qv, cv)
+           / (sqrt(list_inner_product(qv, qv))
+              * sqrt(list_inner_product(cv, cv))) AS score
+  FROM q, c
+  WHERE query_id <> neighbor_id AND q.label <> c.label
+), ranked AS (
+  SELECT query_id, neighbor_id, neg_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neg_label, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "semantic_dedup_prune": semantic_dedup_prune,
     "semantic_dedup_audit": semantic_dedup_audit,
@@ -316,9 +387,11 @@ QUERIES = {
     "embedding_pca_audit": embedding_pca_audit,
     "knn_opq_adc": knn_opq_adc,
     "knn_opq_audit": knn_opq_audit,
+    "rag_hard_negatives": rag_hard_negatives,
 }
 
 ORACLE = {
+    "rag_hard_negatives": _HARD_NEG_SQL,
     "semantic_dedup_audit": _SEMDEDUP_AUDIT_SQL,
     "embedding_covariance": _COVARIANCE_SQL,
     "embedding_pca_audit": _PCA_AUDIT_SQL,
