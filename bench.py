@@ -102,6 +102,8 @@ def main() -> None:
         "knn_opq_adc",
         "events_heavy_hitters_cms",
         "rag_hard_negatives",
+        "doc_hashed_tf",
+        "doc_semantic_dedup",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -310,3 +310,46 @@ def test_allocation_balances_with_subunit_eigenvalues(spark, rng):
 
     assert sorted(perm.tolist()) == list(range(8))
     assert spread(perm) < spread(np.arange(8)) - 1e-6
+
+
+class TestFeatureHash:
+    def _docs(self, spark):
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),  # exact copy of 0
+            (2, "a completely different sentence here"),
+            (3, "The CAT sat ON the mat"),  # case-folds to 0's tokens
+            (4, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_sparse_properties(self, spark):
+        from tidb_cdc_spark.functions.feature_hash import hashed_tf
+
+        tf = hashed_tf(self._docs(spark), dim=16).toPandas()
+        assert ((tf.bucket >= 0) & (tf.bucket < 16)).all()
+        # doc 0 has 6 tokens; tf mass preserved
+        assert tf[tf.doc_id == 0].tf.sum() == 6
+        # exact copy and case-variant hash identically
+        a = tf[tf.doc_id == 0].set_index("bucket").tf
+        for twin in (1, 3):
+            b = tf[tf.doc_id == twin].set_index("bucket").tf
+            assert a.sort_index().equals(b.sort_index())
+        # empty doc contributes no rows
+        assert (tf.doc_id != 4).all()
+
+    def test_dense_matches_sparse(self, spark):
+        import numpy as np
+
+        from tidb_cdc_spark.functions.feature_hash import (
+            hashed_tf,
+            hashed_tf_dense,
+        )
+
+        docs = self._docs(spark)
+        sparse = hashed_tf(docs, dim=16).toPandas()
+        dense = hashed_tf_dense(docs, dim=16).toPandas().set_index("doc_id")
+        for doc_id, grp in sparse.groupby("doc_id"):
+            v = np.zeros(16)
+            v[grp.bucket.to_numpy()] = grp.tf.to_numpy()
+            assert np.array_equal(np.array(dense.loc[doc_id, "embedding"]), v)

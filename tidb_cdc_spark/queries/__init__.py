@@ -36,6 +36,7 @@ from tidb_cdc_spark.queries import (
     llm11,
     llm12,
     llm13,
+    llm14,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -43,7 +44,7 @@ ORACLE: dict[str, str] = {}
 
 for _mod in (
     llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10,
-    audits, cdcq, llm11, llm12, llm13, batch, batch2, batch3, batch4,
+    audits, cdcq, llm11, llm12, llm13, llm14, batch, batch2, batch3, batch4,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
