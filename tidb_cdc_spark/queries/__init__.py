@@ -67,7 +67,10 @@ for _mod in (
 #   additions take five more slots (semantic-dedup audit, covariance,
 #   PCA audit, OPQ audit, CMS heavy hitters) from five r5-green
 #   single-scan rows (multimodal/tfidf/int8/token-histogram/vocab —
-#   each keeps its r5 driver row + the mirror).
+#   each keeps its r5 driver row + the mirror); the feature-hash
+#   wave takes two more (doc_hashed_tf, doc_semantic_dedup_audit)
+#   from source_overlap_matrix / quality_budget_head (same r5-green
+#   reasoning).
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -96,9 +99,9 @@ GATE = [
     "batch_padding_waste",
     "knn_opq_audit",
     "events_heavy_hitters_cms",
-    "source_overlap_matrix",
+    "doc_hashed_tf",
     "embedding_pca_audit",
-    "quality_budget_head",
+    "doc_semantic_dedup_audit",
     "corpus_snapshot_diff",
     "doc_chunk_spans",
     "corpus_curation_pipeline",

@@ -114,6 +114,8 @@ HEAVY = [
     "span_dup_coverage",
     "semantic_dedup_prune",
     "embedding_pca_project",
+    "doc_semantic_dedup",
+    "events_heavy_hitters_cms",
 ]
 
 
