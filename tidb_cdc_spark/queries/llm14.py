@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from tidb_cdc_spark.functions import semdedup as SD
 from tidb_cdc_spark.functions.feature_hash import hashed_tf, hashed_tf_dense
-from tidb_cdc_spark.queries.audits import _N_DOCS, _docs_with_copies
+from tidb_cdc_spark.queries.audits import (
+    _DOC_AUDIT_SQL,
+    _N_DOCS,
+    _doc_spine,
+    _docs_with_copies,
+)
 from tidb_cdc_spark.queries.llm import _docs
 from tidb_cdc_spark.queries.llm3 import _md5_bucket_sql
 
@@ -87,11 +92,8 @@ def doc_semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_dup").alias("_d"),
         )
     )
-    spine = (
-        _docs(spark, sf_dir).filter(F.col("doc_id") < _N_DOCS).select("doc_id")
-    )
     return (
-        spine.join(copies, "doc_id", "left")
+        _doc_spine(spark, sf_dir).join(copies, "doc_id", "left")
         .select(
             "doc_id",
             F.col("_d").isNotNull().alias("found"),
@@ -99,12 +101,6 @@ def doc_semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-
-
-_DOC_SEMDEDUP_AUDIT_SQL = """
-SELECT doc_id, TRUE AS found, TRUE AS planted_pruned
-FROM documents WHERE doc_id < 20 ORDER BY doc_id
-"""
 
 
 QUERIES = {
@@ -115,5 +111,5 @@ QUERIES = {
 
 ORACLE = {
     "doc_hashed_tf": _HASHED_TF_SQL,
-    "doc_semantic_dedup_audit": _DOC_SEMDEDUP_AUDIT_SQL,
+    "doc_semantic_dedup_audit": _DOC_AUDIT_SQL.format(flag="planted_pruned"),
 }
