@@ -104,6 +104,7 @@ def main() -> None:
         "rag_hard_negatives",
         "doc_hashed_tf",
         "doc_semantic_dedup",
+        "winnow_overlap_pairs",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

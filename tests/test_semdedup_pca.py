@@ -353,3 +353,58 @@ class TestFeatureHash:
             v = np.zeros(16)
             v[grp.bucket.to_numpy()] = grp.tf.to_numpy()
             assert np.array_equal(np.array(dense.loc[doc_id, "embedding"]), v)
+
+
+class TestWinnowing:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_guarantee_shared_run_detected(self, spark):
+        # the winnowing guarantee: a shared run of >= w+k-1 tokens
+        # (k=8, w=4 -> 11) MUST yield a shared fingerprint, wherever
+        # it sits in each document
+        from tidb_cdc_spark.functions.winnow import winnow_overlap
+
+        run = " ".join(f"s{i}" for i in range(11))
+        a = "a1 a2 a3 " + run + " a4 a5"
+        b = " ".join(f"b{i}" for i in range(20)) + " " + run
+        c = " ".join(f"c{i}" for i in range(25))  # no overlap
+        pairs = winnow_overlap(
+            self._docs(spark, [(0, a), (1, b), (2, c)]), min_shared=1
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got
+        assert not any(2 in p for p in got)
+
+    def test_identical_docs_share_all_fingerprints(self, spark):
+        from tidb_cdc_spark.functions.winnow import winnow_fingerprints
+
+        text = " ".join(f"w{i}" for i in range(40))
+        fps = winnow_fingerprints(
+            self._docs(spark, [(0, text), (1, text)])
+        ).toPandas()
+        s0 = set(fps[fps.doc_id == 0].fp)
+        s1 = set(fps[fps.doc_id == 1].fp)
+        assert s0 == s1 and len(s0) > 0
+        # density: winnowing stores ~2/(w+1) of the 33 shingles
+        assert len(s0) < 33
+
+    def test_short_doc_single_fingerprint(self, spark):
+        from tidb_cdc_spark.functions.winnow import winnow_fingerprints
+
+        fps = winnow_fingerprints(
+            self._docs(spark, [(0, "just three tokens")])
+        ).toPandas()
+        assert len(fps) == 1
+
+    def test_viral_fingerprint_capped(self, spark):
+        # a fingerprint present in > max_doc_freq docs is dropped
+        # from the pair join (boilerplate guard)
+        from tidb_cdc_spark.functions.winnow import winnow_overlap
+
+        boiler = " ".join(f"x{i}" for i in range(12))
+        docs = [(i, boiler) for i in range(8)]
+        pairs = winnow_overlap(
+            self._docs(spark, docs), min_shared=1, max_doc_freq=4
+        ).collect()
+        assert pairs == []  # every fp is in 8 > 4 docs -> all capped

@@ -103,13 +103,76 @@ def doc_semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- winnowing (MOSS)
+
+_WK, _WW = 8, 4  # shingle tokens, winnow window
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥ 2 winnowed fingerprints (Schleimer
+    et al. SIGMOD'03 — functions/winnow.py): position-robust local-
+    overlap detection with the structural guarantee that any shared
+    run of ≥ w+k−1 = 11 tokens surfaces the pair. Fully integral and
+    md5-hash-based ⇒ bit-exact DuckDB oracle."""
+    from tidb_cdc_spark.functions.winnow import winnow_overlap
+
+    return winnow_overlap(
+        _docs(spark, sf_dir), k=_WK, w=_WW, min_shared=2
+    ).orderBy("id_a", "id_b")
+
+
+_WINNOW_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), tln AS (SELECT doc_id, l, len(l) AS n FROM tl),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_md5_bucket_sql(f"array_to_string(l[i : i + {_WK} - 1], ' ')")} AS h
+  FROM (
+    SELECT doc_id, l, unnest(range(1, n - {_WK} + 2)) AS i
+    FROM tln WHERE n >= {_WK}
+  )
+  UNION ALL
+  SELECT doc_id, 0 AS pos,
+         {_md5_bucket_sql("array_to_string(l, ' ')")} AS h
+  FROM tln WHERE n > 0 AND n < {_WK}
+),
+keyed AS (
+  SELECT doc_id, pos,
+         h * 2147483648 + (2147483647 - pos) AS key
+  FROM sh
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WW - 1} FOLLOWING) // 2147483648 AS fp
+  FROM keyed
+),
+freq AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM fp a
+JOIN fp b USING (fp)
+JOIN freq USING (fp)
+WHERE a.doc_id < b.doc_id AND freq.df <= 1000
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "doc_hashed_tf": doc_hashed_tf,
     "doc_semantic_dedup": doc_semantic_dedup,
     "doc_semantic_dedup_audit": doc_semantic_dedup_audit,
+    "winnow_overlap_pairs": winnow_overlap_pairs,
 }
 
 ORACLE = {
     "doc_hashed_tf": _HASHED_TF_SQL,
+    "winnow_overlap_pairs": _WINNOW_SQL,
     "doc_semantic_dedup_audit": _DOC_AUDIT_SQL.format(flag="planted_pruned"),
 }
