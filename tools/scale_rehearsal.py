@@ -116,6 +116,7 @@ HEAVY = [
     "embedding_pca_project",
     "doc_semantic_dedup",
     "events_heavy_hitters_cms",
+    "winnow_overlap_pairs",
 ]
 
 
