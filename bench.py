@@ -105,6 +105,7 @@ def main() -> None:
         "doc_hashed_tf",
         "doc_semantic_dedup",
         "winnow_overlap_pairs",
+        "vocab_drift_top",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

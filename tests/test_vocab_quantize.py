@@ -149,3 +149,29 @@ class TestInt8Quantize:
         # window shuffle on vec_id is reused by the final agg — the
         # plan must not exchange a second time
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestTermDrift:
+    def test_drift_directions_and_exactness(self, spark):
+        from tidb_cdc_spark.functions.vocab import term_drift
+
+        old = spark.createDataFrame(
+            [(0, "alpha beta beta gamma"), (1, "alpha beta delta")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha zeta zeta zeta")],
+            "doc_id long, text string",
+        )
+        out = term_drift(old, new, k=10).toPandas().set_index("token")
+        # old totals: 7 tokens; new: 6
+        assert out.loc["zeta", "ppm_old"] == 0
+        assert out.loc["zeta", "ppm_new"] == 3 * 1_000_000 // 6
+        assert out.loc["delta", "ppm_new"] == 0
+        assert out.loc["delta", "ppm_old"] == 1 * 1_000_000 // 7
+        assert (
+            out.delta_ppm == out.ppm_new - out.ppm_old
+        ).all()
+        # ranked by |delta| descending
+        d = out.delta_ppm.abs().to_numpy()
+        assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))

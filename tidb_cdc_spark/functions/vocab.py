@@ -209,3 +209,52 @@ def length_quantile_bounds(
             F.first("hi_bound").alias("hi_bound"),
         )
     )
+
+
+def term_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus-drift terms between two snapshots: (token,
+    ppm_old, ppm_new, delta_ppm) ranked by |delta| — the
+    distribution-shift monitor a training pipeline runs per snapshot
+    (a crawl that suddenly over-represents a template shows up as
+    ppm risers before it poisons a mixture).
+
+    Exactness: per-snapshot ppm = cnt·10⁶ div total — integral,
+    order-independent, identical in any engine. Plan: two
+    map-side-combining term aggregates, a full-outer equi-join on
+    the token (vocabulary-sized, not corpus-sized), TakeOrdered
+    top-k. A vanished/new term contributes its full ppm as delta.
+    """
+    def ppm(docs: DataFrame) -> DataFrame:
+        tc = term_counts(docs, text_col)
+        tot = tc.agg(F.sum("cnt").cast("long").alias("_t"))
+        # cnt·10⁶ through decimal: a BIGINT product would overflow
+        # once one token exceeds ~9×10¹² occurrences (possible at
+        # 100 TB); DuckDB's COUNT(*)·10⁶ widens to HUGEINT the same
+        # way, so the oracle stays exact
+        return tc.crossJoin(F.broadcast(tot)).select(
+            "token",
+            F.expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div _t AS BIGINT)").alias(
+                "ppm"
+            ),
+        )
+
+    o = ppm(old_docs).withColumnRenamed("ppm", "ppm_old")
+    n = ppm(new_docs).withColumnRenamed("ppm", "ppm_new")
+    j = (
+        o.join(n, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("ppm_old", F.lit(0)).alias("ppm_old"),
+            F.coalesce("ppm_new", F.lit(0)).alias("ppm_new"),
+        )
+        .withColumn("delta_ppm", F.col("ppm_new") - F.col("ppm_old"))
+    )
+    return (
+        j.orderBy(F.abs(F.col("delta_ppm")).desc(), F.col("token"))
+        .limit(k)
+    )

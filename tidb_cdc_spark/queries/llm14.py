@@ -24,6 +24,7 @@ from tidb_cdc_spark.queries.audits import (
 )
 from tidb_cdc_spark.queries.llm import _docs
 from tidb_cdc_spark.queries.llm3 import _md5_bucket_sql
+from tidb_cdc_spark.queries.llm8 import _V2_CTE
 
 _DIM = 64
 
@@ -164,14 +165,64 @@ ORDER BY id_a, id_b
 """
 
 
+# ----------------------------------------- corpus drift monitor
+
+
+def vocab_drift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 drifting terms between the corpus and its synthesized
+    v2 snapshot (llm8's versioning convention): (token, ppm_old,
+    ppm_new, delta_ppm) by |delta| — the distribution-shift monitor
+    that catches a template flooding a crawl before it skews a
+    training mixture. Integral ppm (cnt·10⁶ div total) — exact in
+    both engines."""
+    from tidb_cdc_spark.functions.vocab import term_drift
+    from tidb_cdc_spark.queries.llm8 import _v2
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return term_drift(d, _v2(d), k=50)
+
+
+_DRIFT_SQL = (
+    "WITH " + _V2_CTE + r"""
+, tok_o AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), tok_n AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM v2
+), o AS (
+  SELECT token, COUNT(*) * 1000000
+           // (SELECT COUNT(*) FROM tok_o) AS ppm_old
+  FROM tok_o GROUP BY token
+), n AS (
+  SELECT token, COUNT(*) * 1000000
+           // (SELECT COUNT(*) FROM tok_n) AS ppm_new
+  FROM tok_n GROUP BY token
+)
+SELECT token,
+       CAST(COALESCE(ppm_old, 0) AS BIGINT) AS ppm_old,
+       CAST(COALESCE(ppm_new, 0) AS BIGINT) AS ppm_new,
+       CAST(COALESCE(ppm_new, 0) - COALESCE(ppm_old, 0) AS BIGINT)
+         AS delta_ppm
+FROM o FULL OUTER JOIN n USING (token)
+ORDER BY ABS(COALESCE(ppm_new, 0) - COALESCE(ppm_old, 0)) DESC, token
+LIMIT 50
+"""
+)
+
+
 QUERIES = {
     "doc_hashed_tf": doc_hashed_tf,
     "doc_semantic_dedup": doc_semantic_dedup,
     "doc_semantic_dedup_audit": doc_semantic_dedup_audit,
     "winnow_overlap_pairs": winnow_overlap_pairs,
+    "vocab_drift_top": vocab_drift_top,
 }
 
 ORACLE = {
+    "vocab_drift_top": _DRIFT_SQL,
     "doc_hashed_tf": _HASHED_TF_SQL,
     "winnow_overlap_pairs": _WINNOW_SQL,
     "doc_semantic_dedup_audit": _DOC_AUDIT_SQL.format(flag="planted_pruned"),

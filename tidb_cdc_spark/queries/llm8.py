@@ -91,15 +91,20 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VER.snapshot_diff(d, _v2(d)).orderBy("id")
 
 
-_DIFF_SQL = """
-WITH v2 AS (
+# SQL twin of _v2 — single home; llm14's drift oracle reuses it
+_V2_CTE = """
+v2 AS (
   SELECT doc_id,
          CASE WHEN doc_id % 10 = 2 THEN text || ' [rev2]' ELSE text END AS text
   FROM documents WHERE doc_id % 10 <> 1
   UNION ALL
   SELECT doc_id + 10000000 AS doc_id, 'new ' || CAST(doc_id AS VARCHAR) AS text
   FROM documents WHERE doc_id % 10 = 3
-), o AS (SELECT doc_id AS id, md5(text) AS old_fp FROM documents),
+)"""
+
+_DIFF_SQL = (
+    "WITH " + _V2_CTE + """
+, o AS (SELECT doc_id AS id, md5(text) AS old_fp FROM documents),
 n AS (SELECT doc_id AS id, md5(text) AS new_fp FROM v2)
 SELECT COALESCE(o.id, n.id) AS id,
        CASE WHEN old_fp IS NULL THEN 'added'
@@ -109,6 +114,7 @@ SELECT COALESCE(o.id, n.id) AS id,
        old_fp, new_fp
 FROM o FULL OUTER JOIN n USING (id) ORDER BY id
 """
+)
 
 
 _CW, _CS = 32, 24  # window/stride sized to the testdata's 10-99-token docs
