@@ -106,6 +106,7 @@ def main() -> None:
         "doc_semantic_dedup",
         "winnow_overlap_pairs",
         "vocab_drift_top",
+        "text_bigram_surprisal",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -147,3 +147,51 @@ class TestUnigramSurprisal:
             [(0, "some text"), (1, "   "), (2, "")], "doc_id long, text string"
         )
         assert {r.doc_id for r in L.unigram_surprisal(docs).collect()} == {0}
+
+
+class TestBigramSurprisal:
+    def test_hand_computed_example(self, spark):
+        import math
+
+        from tidb_cdc_spark.functions.lm import bigram_surprisal
+
+        # corpus: "a b a b" and "a c"
+        # unigrams: a=3, b=2, c=1; bigrams: (a,b)=2, (b,a)=1, (a,c)=1
+        docs = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+        )
+        out = bigram_surprisal(docs).toPandas().set_index("doc_id")
+
+        def bits(c1, c12):
+            return int(math.log2(c1)) - int(math.log2(c12))
+
+        # doc 0: bigrams (a,b)x2 + (b,a)x1
+        d0 = 2 * bits(3, 2) + 1 * bits(2, 1)
+        assert out.loc[0, "n_bigrams"] == 3
+        assert out.loc[0, "sum_bits"] == d0
+        assert out.loc[0, "mean_mbits"] == d0 * 1_000_000 // 3
+        # doc 1: one bigram (a,c): bits(3,1)=1
+        assert out.loc[1, "n_bigrams"] == 1
+        assert out.loc[1, "sum_bits"] == bits(3, 1)
+
+    def test_single_token_doc_drops(self, spark):
+        from tidb_cdc_spark.functions.lm import bigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(0, "solo"), (1, "two tokens")], "doc_id long, text string"
+        )
+        out = bigram_surprisal(docs).toPandas()
+        assert set(out.doc_id) == {1}
+
+    def test_word_salad_scores_above_natural_order(self, spark):
+        from tidb_cdc_spark.functions.lm import bigram_surprisal
+
+        # corpus dominated by the phrase "the quick fox"; a doc with
+        # the same WORDS in scrambled order has rarer bigrams ⇒ more
+        # conditional bits despite identical unigram profile
+        base = [(i, "the quick fox") for i in range(20)]
+        docs = spark.createDataFrame(
+            base + [(100, "fox the quick")], "doc_id long, text string"
+        )
+        out = bigram_surprisal(docs).toPandas().set_index("doc_id")
+        assert out.loc[100, "mean_mbits"] > out.loc[0, "mean_mbits"]

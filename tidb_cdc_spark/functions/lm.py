@@ -65,3 +65,64 @@ def unigram_surprisal(
             "mean_mbits"
         ),
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, sum_bits, mean_mbits) — the CONDITIONAL
+    extension of ``unigram_surprisal``: each bigram occurrence
+    (w1, w2) scores ``floor_log2(c(w1)) − floor_log2(c(w1, w2))``
+    bits ≈ −log2(c12/c1), the bigram-LM conditional surprisal in the
+    same exact whole-bit quantization (c12 ≤ c1 always, so bits ≥ 0).
+    A document of common words in UNCOMMON order — word salad, shuffled
+    boilerplate — scores high here while passing the unigram screen;
+    together they bracket what a real LM perplexity filter catches.
+
+    Docs with < 2 tokens have no bigrams and drop (both engines).
+    Scale: one extra window-lead over the token scan (clustered on
+    doc), per-(doc, bigram) counts map-side combine; the corpus
+    bigram table joins co-partitioned on the bigram key.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "_pos", "_t"
+        ),
+    ).filter(F.col("_t") != "")
+    uc = tok.groupBy(F.col("_t").alias("w1")).agg(
+        F.count(F.lit(1)).alias("_c1")
+    )
+    dw = Window.partitionBy("doc_id").orderBy("_pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.col("_t").alias("w1"),
+            F.lead("_t", 1).over(dw).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    btf = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    bc = btf.groupBy("w1", "w2").agg(F.sum("tf").alias("_c12"))
+    bits = F.length(F.bin(F.col("_c1"))) - F.length(F.bin(F.col("_c12")))
+    per_doc = (
+        btf.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * bits).cast("long").alias("sum_bits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_bits",
+        F.expr("CAST((sum_bits * 1000000) DIV n_bigrams AS BIGINT)").alias(
+            "mean_mbits"
+        ),
+    )

@@ -213,16 +213,69 @@ LIMIT 50
 )
 
 
+# -------------------------------------- conditional LM surprisal
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document integer BIGRAM (conditional) surprisal —
+    complements ``text_unigram_surprisal``: high bits here with low
+    unigram bits = common words in uncommon order (word salad,
+    shuffled boilerplate). Exact whole-bit arithmetic, hash-green in
+    both engines (functions/lm.py)."""
+    from tidb_cdc_spark.functions.lm import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_BIGRAM_SQL = r"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), tln AS (SELECT doc_id, l, len(l) AS n FROM tl),
+uc AS (
+  SELECT t AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(l) AS t FROM tl) GROUP BY t
+),
+bg AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(range(1, n)) AS i
+        FROM tln WHERE n >= 2)
+),
+btf AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bg GROUP BY doc_id, w1, w2
+),
+bc AS (
+  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12
+  FROM btf GROUP BY w1, w2
+)
+SELECT btf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf * (length(bin(c1)) - length(bin(c12))))
+            AS BIGINT) AS sum_bits,
+       CAST((CAST(SUM(tf * (length(bin(c1)) - length(bin(c12))))
+                  AS BIGINT) * 1000000)
+            // CAST(SUM(tf) AS BIGINT) AS BIGINT) AS mean_mbits
+FROM btf JOIN bc USING (w1, w2) JOIN uc USING (w1)
+GROUP BY btf.doc_id
+ORDER BY btf.doc_id
+"""
+
+
 QUERIES = {
     "doc_hashed_tf": doc_hashed_tf,
     "doc_semantic_dedup": doc_semantic_dedup,
     "doc_semantic_dedup_audit": doc_semantic_dedup_audit,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "vocab_drift_top": vocab_drift_top,
+    "text_bigram_surprisal": text_bigram_surprisal,
 }
 
 ORACLE = {
     "vocab_drift_top": _DRIFT_SQL,
+    "text_bigram_surprisal": _BIGRAM_SQL,
     "doc_hashed_tf": _HASHED_TF_SQL,
     "winnow_overlap_pairs": _WINNOW_SQL,
     "doc_semantic_dedup_audit": _DOC_AUDIT_SQL.format(flag="planted_pruned"),
