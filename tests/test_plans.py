@@ -375,3 +375,34 @@ class TestCmsPlan:
         # exchanges: candidate distinct + final exact count (+AQE
         # variance) — but never a data-sized join exchange
         assert "SortMergeJoin" not in plan
+
+
+class TestLateR6Plans:
+    def test_winnow_no_python_no_cartesian(self, spark):
+        from tidb_cdc_spark.functions.winnow import winnow_overlap
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = winnow_overlap(docs)
+        plan = explain_str(df, mode="simple")
+        assert "BatchEvalPython" not in plan  # all codegen
+        assert "CartesianProduct" not in plan
+        # viral-cap side arrives broadcast (anti-join), pair join is
+        # an equi-join on fp
+        assert "BroadcastHashJoin" in plan
+
+    def test_drift_vocabulary_sized_join(self, spark):
+        from tidb_cdc_spark.queries.llm14 import vocab_drift_top
+
+        df = vocab_drift_top(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert "BatchEvalPython" not in plan
+        # top-k via per-partition heaps, not a global sort of the
+        # vocabulary (TakeOrderedAndProject)
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bigram_surprisal_codegen(self, spark):
+        from tidb_cdc_spark.queries.llm14 import text_bigram_surprisal
+
+        df = text_bigram_surprisal(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert "BatchEvalPython" not in plan
