@@ -107,6 +107,7 @@ def main() -> None:
         "winnow_overlap_pairs",
         "vocab_drift_top",
         "text_bigram_surprisal",
+        "quality_classifier_eval",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -408,3 +408,45 @@ class TestWinnowing:
             self._docs(spark, docs), min_shared=1, max_doc_freq=4
         ).collect()
         assert pairs == []  # every fp is in 8 > 4 docs -> all capped
+
+
+class TestSourceClassifier:
+    def test_separable_sources_near_perfect(self, spark):
+        from tidb_cdc_spark.functions.classifier import (
+            source_classifier_eval,
+        )
+
+        # two sources with disjoint vocabularies -> linearly
+        # separable in hashed-TF space
+        rows = []
+        for i in range(60):
+            rows.append((i, "alpha beta gamma delta", "wiki"))
+            rows.append((1000 + i, "zeta eta theta iota", "crawl"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = (
+            source_classifier_eval(docs, dim=32)
+            .toPandas()
+            .set_index("label")
+        )
+        assert out.loc["__all__", "accuracy_ppm"] >= 990_000
+        assert out.loc["__all__", "n_eval"] > 0
+
+    def test_no_signal_stays_near_baseline(self, spark):
+        # labels independent of text: the classifier must NOT
+        # hallucinate signal — accuracy stays in the chance band
+        # (sanity check against leakage through the split or the
+        # label indexer). The synthetic corpus's `source` column is
+        # exactly such a label (text is source-independent).
+        from tidb_cdc_spark.functions.classifier import (
+            source_classifier_eval,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        ).select("doc_id", "text", "source")
+        out = source_classifier_eval(docs).toPandas().set_index("label")
+        # 20 uniform sources -> chance ~5%; anything over 30% would
+        # mean information is leaking from somewhere
+        assert out.loc["__all__", "accuracy_ppm"] < 300_000

@@ -264,6 +264,46 @@ ORDER BY btf.doc_id
 """
 
 
+# -------------------------------------- quality classifier (CCNet)
+
+
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/GPT-3 quality-filter archetype demonstrated on a
+    planted contrast (the synthetic corpus has no natural text↔label
+    signal — same convention as the planted dedup demos): class
+    'real' = the corpus, class 'salad' = md5-derived token soup with
+    a disjoint vocabulary. Held-out per-class metrics; the planted
+    contrast is linearly separable so accuracy ≈ 1, pinned rows-only
+    (LBFGS is iterative; the operator itself is exact-tested in
+    tests/test_semdedup_pca.py incl. a no-signal-stays-at-chance
+    sanity check)."""
+    from tidb_cdc_spark.functions.classifier import source_classifier_eval
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    real = d.withColumn("label", F.lit("real"))
+    salad = d.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(i))),
+                    1,
+                    8,
+                )
+                for i in range(12)
+            ],
+        ).alias("text"),
+        F.lit("salad").alias("label"),
+    )
+    return (
+        source_classifier_eval(
+            real.unionByName(salad), dim=64, label_col="label"
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "doc_hashed_tf": doc_hashed_tf,
     "doc_semantic_dedup": doc_semantic_dedup,
@@ -271,6 +311,7 @@ QUERIES = {
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "vocab_drift_top": vocab_drift_top,
     "text_bigram_surprisal": text_bigram_surprisal,
+    "quality_classifier_eval": quality_classifier_eval,
 }
 
 ORACLE = {
