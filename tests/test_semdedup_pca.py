@@ -450,3 +450,14 @@ class TestSourceClassifier:
         # 20 uniform sources -> chance ~5%; anything over 30% would
         # mean information is leaking from somewhere
         assert out.loc["__all__", "accuracy_ppm"] < 300_000
+
+
+def test_semantic_dedup_empty_input(spark):
+    import numpy as np
+
+    df = _vec_df(spark, np.zeros((1, 4))).filter(F.col("vec_id") < 0)
+    out = SD.semantic_dedup(df, n_cells=4).toPandas()
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "vec_id", "cell", "is_dup", "dup_of", "max_sim", "truncated"
+    ]

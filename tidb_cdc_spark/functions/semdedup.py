@@ -70,6 +70,14 @@ def semantic_dedup(
     c = embs.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     )
+    if n_cells > 1 and c.isEmpty():
+        # KMeans.fit errors on an empty frame; an empty corpus has a
+        # well-defined answer (no rows) — return it with the schema
+        schema = (
+            f"{id_col} long, cell int, is_dup boolean, dup_of long, "
+            "max_sim double, truncated boolean"
+        )
+        return embs.sparkSession.createDataFrame([], schema)
     if n_cells <= 1:
         # exact mode: one cell, no k-means (MLlib requires k ≥ 2) —
         # the brute-force twin used by tests and tiny corpora
