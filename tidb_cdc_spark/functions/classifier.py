@@ -46,10 +46,17 @@ def source_classifier_eval(
     from pyspark.ml.feature import StringIndexer
     from pyspark.ml.functions import array_to_vector
 
+    from tidb_cdc_spark.session import materialize
+
     feats = hashed_tf_dense(docs, dim, id_col, text_col).join(
         docs.select(id_col, label_col), id_col
     )
-    feats = feats.withColumn("_fv", array_to_vector(F.col("embedding")))
+    # materialized: the indexer fit, the LBFGS iterations, and the
+    # held-out transform would each re-execute the tokenize+hash+
+    # densify pipeline otherwise
+    feats = materialize(
+        feats.withColumn("_fv", array_to_vector(F.col("embedding")))
+    )
     idx = StringIndexer(
         inputCol=label_col, outputCol="_y", stringOrderType="alphabetAsc"
     ).fit(feats)
@@ -57,7 +64,7 @@ def source_classifier_eval(
     is_train = hash_bucket(F.col(id_col)) < int(_TRAIN_FRACTION * (1 << 32))
     train, test = feats.filter(is_train), feats.filter(~is_train)
     lr = LogisticRegression(
-        featuresCol="_fv", labelCol="_y", maxIter=50, regParam=0.01
+        featuresCol="_fv", labelCol="_y", maxIter=20, regParam=0.01
     )
     model = lr.fit(train)
     pred = model.transform(test).select(
