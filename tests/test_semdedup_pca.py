@@ -443,8 +443,10 @@ class TestSourceClassifier:
             source_classifier_eval,
         )
 
+        from tests.conftest import SF_CORRECT
+
         docs = spark.read.parquet(
-            "/root/testdata/sf0.01/documents.parquet"
+            f"{SF_CORRECT}/documents.parquet"
         ).select("doc_id", "text", "source")
         out = source_classifier_eval(docs).toPandas().set_index("label")
         # 20 uniform sources -> chance ~5%; anything over 30% would

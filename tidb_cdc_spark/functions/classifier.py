@@ -63,6 +63,15 @@ def source_classifier_eval(
     feats = idx.transform(feats)
     is_train = hash_bucket(F.col(id_col)) < int(_TRAIN_FRACTION * (1 << 32))
     train, test = feats.filter(is_train), feats.filter(~is_train)
+    # an empty side would make lr.fit raise opaquely (train) or the
+    # '__all__' row read 0 div 0 = NULL (eval) — fail loudly instead;
+    # feats is materialized, so these counts reread cached blocks
+    if train.isEmpty() or test.isEmpty():
+        raise ValueError(
+            "source_classifier_eval: the deterministic hash split left "
+            "the train or eval side empty — corpus too small for an "
+            "80/20 split"
+        )
     lr = LogisticRegression(
         featuresCol="_fv", labelCol="_y", maxIter=20, regParam=0.01
     )

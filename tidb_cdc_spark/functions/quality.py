@@ -171,19 +171,18 @@ def quality_filter(
     )
 
 
-def shingle_string_rows(
+def positional_string_shingles(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
 ) -> DataFrame:
-    """(doc_id, _g) DISTINCT string k-token shingles per document —
-    the cross-engine shingle unit for contamination checks (hash
-    shingles from ``text.shingle_hash_rows`` are xxhash64-specific;
-    an overlap CONTRACT against an external eval set must be
-    reproducible in whatever engine audits it). Same semantics:
-    n ≥ k tokens → n−k+1 shingles, 0 < n < k → one all-token
-    shingle; codegen posexplode + window-lead shape."""
+    """(doc_id, pos, _g) POSITIONAL string k-token shingles — dense
+    0-based shingle index; n ≥ k tokens → n−k+1 rows, 0 < n < k →
+    one all-token shingle at pos 0. The single home of the string-
+    shingle convention (``shingle_string_rows`` is its DISTINCT
+    projection; functions/winnow.py consumes the positional form).
+    Codegen posexplode + window-lead shape."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
@@ -198,10 +197,28 @@ def shingle_string_rows(
     return (
         tok.select(
             "doc_id",
+            (F.row_number().over(w) - 1).alias("pos"),
             F.concat_ws(" ", F.col("_t"), *leads).alias("_g"),
             keep.alias("_keep"),
         )
         .filter(F.col("_keep"))
+        .select("doc_id", "pos", "_g")
+    )
+
+
+def shingle_string_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, _g) DISTINCT string k-token shingles per document —
+    the cross-engine shingle unit for contamination checks (hash
+    shingles from ``text.shingle_hash_rows`` are xxhash64-specific;
+    an overlap CONTRACT against an external eval set must be
+    reproducible in whatever engine audits it)."""
+    return (
+        positional_string_shingles(docs, id_col, text_col, k)
         .select("doc_id", "_g")
         .distinct()
     )

@@ -70,14 +70,6 @@ def semantic_dedup(
     c = embs.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     )
-    if n_cells > 1 and c.isEmpty():
-        # KMeans.fit errors on an empty frame; an empty corpus has a
-        # well-defined answer (no rows) — return it with the schema
-        schema = (
-            f"{id_col} long, cell int, is_dup boolean, dup_of long, "
-            "max_sim double, truncated boolean"
-        )
-        return embs.sparkSession.createDataFrame([], schema)
     if n_cells <= 1:
         # exact mode: one cell, no k-means (MLlib requires k ≥ 2) —
         # the brute-force twin used by tests and tiny corpora
@@ -87,9 +79,21 @@ def semantic_dedup(
         train = c if train_fraction >= 1.0 else c.sample(
             fraction=train_fraction, seed=seed
         )
-        km = KMeans(
-            k=n_cells, seed=seed, maxIter=10, featuresCol="_fv"
-        ).fit(train)
+        try:
+            km = KMeans(
+                k=n_cells, seed=seed, maxIter=10, featuresCol="_fv"
+            ).fit(train)
+        except Exception:
+            # KMeans.fit errors on an empty frame; an empty corpus
+            # has a well-defined answer (no rows) — checked only on
+            # the failure path so the happy path stays one job
+            if c.isEmpty():
+                schema = (
+                    f"{id_col} long, cell int, is_dup boolean, "
+                    "dup_of long, max_sim double, truncated boolean"
+                )
+                return embs.sparkSession.createDataFrame([], schema)
+            raise
         assigned = km.transform(c).select(
             "_id", "_v", F.col(km.getPredictionCol()).alias("_cell")
         )

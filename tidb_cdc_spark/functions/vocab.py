@@ -234,8 +234,9 @@ def term_drift(
         tot = tc.agg(F.sum("cnt").cast("long").alias("_t"))
         # cnt·10⁶ through decimal: a BIGINT product would overflow
         # once one token exceeds ~9×10¹² occurrences (possible at
-        # 100 TB); DuckDB's COUNT(*)·10⁶ widens to HUGEINT the same
-        # way, so the oracle stays exact
+        # 100 TB); DuckDB BIGINT multiplication ERRORS on overflow
+        # (verified — it does not auto-widen), so the SQL twin
+        # carries an explicit HUGEINT cast to stay exact
         return tc.crossJoin(F.broadcast(tot)).select(
             "token",
             F.expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div _t AS BIGINT)").alias(

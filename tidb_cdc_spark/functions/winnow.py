@@ -54,40 +54,34 @@ def winnow_fingerprints(
     text_col: str = "text",
 ) -> DataFrame:
     """DISTINCT (doc_id, fp) winnowed fingerprints (fp = 32-bit
-    shingle-hash value selected by some window)."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
-            "_tpos", "_t"
-        ),
-    ).filter(F.col("_t") != "")
-    dw = Window.partitionBy("doc_id").orderBy("_tpos")
-    leads = [F.lead("_t", j).over(dw) for j in range(1, k)]
-    keep = (leads[-1].isNotNull()) | (F.row_number().over(dw) == 1)
-    sh = (
-        tok.select(
-            "doc_id",
-            "_tpos",
-            F.concat_ws(" ", F.col("_t"), *leads).alias("_g"),
-            keep.alias("_keep"),
-        )
-        .filter(F.col("_keep"))
-        .select(
-            "doc_id",
-            (F.row_number().over(dw) - 1).alias("pos"),
-            hash_bucket(F.col("_g")).alias("h"),
-        )
+    shingle-hash value selected by some window).
+
+    Only COMPLETE w-wide windows select (window starts at shingle
+    positions 0 .. n_shingles − w) — partial tail windows would make
+    the last shingle of every document an unconditional fingerprint,
+    pairing unrelated documents on short shared suffixes and
+    breaking the ~2/(w+1) density bound. A document with fewer than
+    w shingles keeps its single all-shingle window (global min),
+    the paper's degenerate case.
+    """
+    from tidb_cdc_spark.functions.quality import positional_string_shingles
+
+    sh = positional_string_shingles(docs, id_col, text_col, k).select(
+        "doc_id", "pos", hash_bucket(F.col("_g")).alias("h")
     )
     key = F.col("h") * F.lit(_POS_SPACE) + (
         F.lit(_POS_SPACE - 1) - F.col("pos")
     )
-    fw = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
+    dw = Window.partitionBy("doc_id")
+    fw = dw.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
     return (
-        sh.select("doc_id", F.min(key).over(fw).alias("_wkey"))
+        sh.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(dw).alias("_n"),
+            F.min(key).over(fw).alias("_wkey"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
         .select("doc_id", F.expr(f"_wkey div {_POS_SPACE}").alias("fp"))
         .distinct()
     )
@@ -97,15 +91,19 @@ def winnow_overlap(
     docs: DataFrame,
     k: int = 8,
     w: int = 4,
-    min_shared: int = 2,
+    min_shared: int = 1,
     max_doc_freq: int = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """(id_a, id_b, shared): document pairs sharing ≥ ``min_shared``
-    winnowed fingerprints — guaranteed to include every pair sharing
-    a ≥ (w+k−1)-token substring whose fingerprints survive the
-    ``max_doc_freq`` boilerplate cap."""
+    winnowed fingerprints. The structural guarantee — every pair
+    sharing a ≥ (w+k−1)-token substring surfaces (provided its
+    fingerprints survive the ``max_doc_freq`` boilerplate cap) —
+    holds only at the default ``min_shared=1``: an exactly-
+    (w+k−1)-token shared run guarantees exactly ONE complete shared
+    window, hence one shared fingerprint. Raise ``min_shared`` to
+    trade that guarantee for precision on longer overlaps."""
     from tidb_cdc_spark.session import materialize
 
     fp = materialize(winnow_fingerprints(docs, k, w, id_col, text_col))

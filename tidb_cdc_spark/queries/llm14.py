@@ -110,15 +110,17 @@ _WK, _WW = 8, 4  # shingle tokens, winnow window
 
 
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document pairs sharing ≥ 2 winnowed fingerprints (Schleimer
+    """Document pairs sharing a winnowed fingerprint (Schleimer
     et al. SIGMOD'03 — functions/winnow.py): position-robust local-
     overlap detection with the structural guarantee that any shared
-    run of ≥ w+k−1 = 11 tokens surfaces the pair. Fully integral and
-    md5-hash-based ⇒ bit-exact DuckDB oracle."""
+    run of ≥ w+k−1 = 11 tokens surfaces the pair (min_shared=1 — the
+    guarantee's setting; an 11-token run promises exactly one shared
+    fingerprint). Fully integral and md5-hash-based ⇒ bit-exact
+    DuckDB oracle."""
     from tidb_cdc_spark.functions.winnow import winnow_overlap
 
     return winnow_overlap(
-        _docs(spark, sf_dir), k=_WK, w=_WW, min_shared=2
+        _docs(spark, sf_dir), k=_WK, w=_WW, min_shared=1
     ).orderBy("id_a", "id_b")
 
 
@@ -147,11 +149,16 @@ keyed AS (
   FROM sh
 ),
 fp AS (
-  SELECT DISTINCT doc_id,
-         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW
-                        AND {_WW - 1} FOLLOWING) // 2147483648 AS fp
-  FROM keyed
+  SELECT DISTINCT doc_id, wkey // 2147483648 AS fp
+  FROM (
+    SELECT doc_id, pos,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n,
+           MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WW - 1} FOLLOWING) AS wkey
+    FROM keyed
+  )
+  WHERE pos <= GREATEST(n - {_WW}, 0)
 ),
 freq AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -160,7 +167,7 @@ FROM fp a
 JOIN fp b USING (fp)
 JOIN freq USING (fp)
 WHERE a.doc_id < b.doc_id AND freq.df <= 1000
-GROUP BY 1, 2 HAVING COUNT(*) >= 2
+GROUP BY 1, 2 HAVING COUNT(*) >= 1
 ORDER BY id_a, id_b
 """
 
@@ -193,11 +200,15 @@ _DRIFT_SQL = (
                             x -> x <> '')) AS token
   FROM v2
 ), o AS (
-  SELECT token, COUNT(*) * 1000000
+  -- HUGEINT cast before the ×10⁶: DuckDB BIGINT multiplication
+  -- ERRORS on overflow (it does not widen), and a single token can
+  -- exceed ~9×10¹² occurrences at the design scale — mirrors the
+  -- Spark side's DECIMAL(38,0) route (functions/vocab.py)
+  SELECT token, CAST(COUNT(*) AS HUGEINT) * 1000000
            // (SELECT COUNT(*) FROM tok_o) AS ppm_old
   FROM tok_o GROUP BY token
 ), n AS (
-  SELECT token, COUNT(*) * 1000000
+  SELECT token, CAST(COUNT(*) AS HUGEINT) * 1000000
            // (SELECT COUNT(*) FROM tok_n) AS ppm_new
   FROM tok_n GROUP BY token
 )
@@ -278,11 +289,13 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_semdedup_pca.py incl. a no-signal-stays-at-chance
     sanity check)."""
     from tidb_cdc_spark.functions.classifier import source_classifier_eval
+    from tidb_cdc_spark.queries.audits import _planting_offset
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    off = _planting_offset(d, "doc_id")  # id-space-safe at any SF
     real = d.withColumn("label", F.lit("real"))
     salad = d.filter(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
         F.concat_ws(
             " ",
             *[
