@@ -188,3 +188,66 @@ class TestSemanticDedupProperties:
                 j = int(sims.argmax())
                 assert int(r.dup_of) == j
                 assert r.dup_of < r.vec_id  # keeper is older
+
+
+def _ref_winnow(texts: dict[int, str], k: int, w: int) -> dict[int, set]:
+    """Pure-Python reference winnower (Schleimer et al. '03):
+    md5-bucket shingle hashes, min of every complete w-window
+    (rightmost tie), short docs -> single all-token shingle."""
+    import hashlib
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    out = {}
+    for doc, text in texts.items():
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            continue
+        if len(toks) < k:
+            shingles = [" ".join(toks)]
+        else:
+            shingles = [
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            ]
+        hs = [bucket(g) for g in shingles]
+        fps = set()
+        n = len(hs)
+        for start in range(max(n - w, 0) + 1):
+            win = hs[start : start + w]
+            fps.add(min(win))  # fingerprint is the hash VALUE
+        out[doc] = fps
+    return out
+
+
+class TestWinnowProperties:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.data())
+    def test_matches_python_reference(self, spark, data):
+        from tidb_cdc_spark.functions.winnow import winnow_fingerprints
+
+        n_docs = data.draw(st.integers(1, 6), label="n_docs")
+        seed = data.draw(st.integers(0, 2**16), label="seed")
+        k = data.draw(st.integers(2, 5), label="k")
+        w = data.draw(st.integers(2, 4), label="w")
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(15)]  # small vocab -> hash ties
+        texts = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 30))
+            )
+            for d in range(n_docs)
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {}
+        for r in winnow_fingerprints(df, k=k, w=w).collect():
+            got.setdefault(r.doc_id, set()).add(r.fp)
+        assert got == _ref_winnow(texts, k, w)
