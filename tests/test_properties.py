@@ -251,3 +251,50 @@ class TestWinnowProperties:
         for r in winnow_fingerprints(df, k=k, w=w).collect():
             got.setdefault(r.doc_id, set()).add(r.fp)
         assert got == _ref_winnow(texts, k, w)
+
+
+class TestFeatureHashProperties:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.data())
+    def test_matches_python_reference(self, spark, data):
+        # the md5-bucket contract verified in a THIRD implementation
+        # (Spark expr == DuckDB SQL == hashlib) — the portability the
+        # module docstring promises
+        import hashlib
+        from collections import Counter
+
+        from tidb_cdc_spark.functions.feature_hash import hashed_tf
+
+        seed = data.draw(st.integers(0, 2**16), label="seed")
+        dim = data.draw(st.sampled_from([8, 16, 64]), label="dim")
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)] + ["ümlaut", "汉字", "a.b"]
+        texts = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(0, 25))
+            )
+            for d in range(data.draw(st.integers(1, 5), label="n"))
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r.doc_id, r.bucket): r.tf
+            for r in hashed_tf(df, dim=dim).collect()
+        }
+        ref = {}
+        for d, text in texts.items():
+            c = Counter(
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+                for t in text.lower().split()
+                if t
+            )
+            for b, tf in c.items():
+                ref[(d, b)] = tf
+        assert got == ref
