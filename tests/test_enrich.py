@@ -290,3 +290,59 @@ class TestBandStoreCompaction:
         assert spark.read.parquet(bands).count() > 0
         assert not os.path.exists(bands + ".compact.old")
         assert "bands" in stats
+
+
+class TestWinnowOverlapSink:
+    def _run(self, spark, tmp_path, name, rows):
+        from tidb_cdc_spark.streaming import WinnowOverlapSink
+
+        d = tmp_path / "win_in"
+        os.makedirs(d, exist_ok=True)
+        tmp = d / f".{name}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.replace(tmp, d / name)
+        sink = WinnowOverlapSink(str(tmp_path / "store"), k=4, w=2)
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .load(str(d))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    def test_cross_batch_overlap_reported(self, spark, tmp_path):
+        run = " ".join(f"s{i}" for i in range(8))
+        self._run(spark, tmp_path, "b1.jsonl", [
+            {"doc_id": 1, "text": "a1 a2 " + run},
+            {"doc_id": 2, "text": " ".join(f"b{i}" for i in range(12))},
+        ])
+        sink = self._run(spark, tmp_path, "b2.jsonl", [
+            # doc 10 quotes doc 1's run (>= w+k-1 = 5 tokens shared)
+            {"doc_id": 10, "text": run + " c1 c2 c3"},
+            {"doc_id": 11, "text": " ".join(f"d{i}" for i in range(12))},
+        ])
+        ov = sink.read_overlaps(spark).collect()
+        pairs = {(r.new_id, r.corpus_id) for r in ov}
+        assert (10, 1) in pairs
+        assert not any(n == 11 for n, _ in pairs)
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import WinnowOverlapSink
+
+        sink = WinnowOverlapSink(str(tmp_path / "store"), k=4, w=2)
+        b = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        sink.process(b, 0)
+        sink.process(b, 0)  # re-delivery
+        fps = spark.read.parquet(str(tmp_path / "store" / "fps"))
+        # fingerprints appended once, not twice
+        assert fps.count() == fps.distinct().count()

@@ -11,7 +11,11 @@ from tidb_cdc_spark.streaming.sinks import (
     Sink,
 )
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
-from tidb_cdc_spark.streaming.enrich import CountMinSink, NearDupAdmissionSink
+from tidb_cdc_spark.streaming.enrich import (
+    CountMinSink,
+    NearDupAdmissionSink,
+    WinnowOverlapSink,
+)
 from tidb_cdc_spark.streaming.metrics import StreamMetrics, attach_metrics
 
 __all__ = [
@@ -19,6 +23,7 @@ __all__ = [
     "ConnectorConfig",
     "CountMinSink",
     "NearDupAdmissionSink",
+    "WinnowOverlapSink",
     "StreamMetrics",
     "attach_metrics",
     "Sink",

@@ -390,3 +390,101 @@ class CountMinSink:
             os.rename(p, old)
         os.rename(tmp, p)
         shutil.rmtree(old, ignore_errors=True)
+
+
+class WinnowOverlapSink:
+    """foreachBatch body that maintains a persistent winnowing
+    fingerprint index (functions/winnow.py) and emits a local-overlap
+    report per micro-batch — the streaming "does this new document
+    quote/plagiarize anything already ingested" alert, with the
+    winnowing guarantee (any shared ≥ w+k−1-token run vs the indexed
+    corpus surfaces) carried over to ingest time.
+
+    Per batch: winnow the batch docs (cost ∝ batch), equi-join the
+    batch fingerprints against the stored ``fps`` table (bucketed by
+    fingerprint value; per-fp fan-out capped by ``max_doc_freq`` on
+    the store side), append matches to ``overlaps`` and the batch's
+    own fingerprints to ``fps``. Batch-id watermark (written LAST,
+    atomic rename) makes at-least-once re-delivery a no-op; plain-
+    parquet append caveats are as documented on
+    ``NearDupAdmissionSink`` (transactional formats at scale).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 8,
+        w: int = 4,
+        max_doc_freq: int = 1000,
+    ):
+        self.root = root
+        self.id_col, self.text_col = id_col, text_col
+        self.k, self.w = k, w
+        self.max_doc_freq = max_doc_freq
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        import os
+
+        p = self._path("_BATCH")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def read_overlaps(self, spark) -> "DataFrame | None":
+        import os
+
+        p = self._path("overlaps")
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        from tidb_cdc_spark.functions.winnow import winnow_fingerprints
+        from tidb_cdc_spark.session import materialize
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(
+            self._last_batch_id(), batch_id, "winnow store"
+        ):
+            return  # at-least-once re-delivery
+        spark = batch.sparkSession
+        # one winnow pass serves the overlap join AND the index append
+        fps = materialize(
+            winnow_fingerprints(
+                batch, self.k, self.w, self.id_col, self.text_col
+            )
+        )
+        store_p = self._path("fps")
+        if os.path.exists(store_p):
+            store = spark.read.parquet(store_p)
+            # boilerplate guard on the STORE side: a fingerprint
+            # already in > max_doc_freq corpus docs is template noise
+            viral = (
+                store.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > self.max_doc_freq)
+                .select("fp")
+            )
+            kept = store.join(F.broadcast(viral), "fp", "left_anti")
+            overlaps = (
+                fps.withColumnRenamed("doc_id", "new_id")
+                .join(kept.withColumnRenamed("doc_id", "corpus_id"), "fp")
+                .groupBy("new_id", "corpus_id")
+                .agg(F.count(F.lit(1)).alias("shared"))
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            overlaps.write.mode("append").parquet(self._path("overlaps"))
+        fps.write.mode("append").parquet(store_p)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path("_BATCH.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._path("_BATCH"))
