@@ -298,3 +298,98 @@ class TestFeatureHashProperties:
             for b, tf in c.items():
                 ref[(d, b)] = tf
         assert got == ref
+
+
+class TestLmDriftProperties:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.data())
+    def test_bigram_surprisal_matches_python(self, spark, data):
+        import math
+        from collections import Counter
+
+        from tidb_cdc_spark.functions.lm import bigram_surprisal
+
+        import random
+
+        rng = random.Random(data.draw(st.integers(0, 2**16), label="seed"))
+        vocab = [f"w{i}" for i in range(8)]
+        texts = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 20))
+            )
+            for d in range(data.draw(st.integers(1, 5), label="n"))
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.sum_bits, r.mean_mbits)
+            for r in bigram_surprisal(df).collect()
+        }
+        toks = {d: t.lower().split() for d, t in texts.items()}
+        uni = Counter(w for ts in toks.values() for w in ts)
+        big = Counter(
+            (ts[i], ts[i + 1])
+            for ts in toks.values()
+            for i in range(len(ts) - 1)
+        )
+        ref = {}
+        for d, ts in toks.items():
+            pairs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+            if not pairs:
+                continue
+            sb = sum(
+                int(math.log2(uni[a])) - int(math.log2(big[(a, b)]))
+                for a, b in pairs
+            )
+            ref[d] = (len(pairs), sb, sb * 1_000_000 // len(pairs))
+        assert got == ref
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.data())
+    def test_term_drift_matches_python(self, spark, data):
+        from collections import Counter
+
+        from tidb_cdc_spark.functions.vocab import term_drift
+
+        import random
+
+        rng = random.Random(data.draw(st.integers(0, 2**16), label="seed"))
+        vocab = [f"w{i}" for i in range(10)]
+
+        def corpus(n):
+            return {
+                d: " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 15))
+                )
+                for d in range(n)
+            }
+
+        old, new = corpus(4), corpus(4)
+        mk = lambda t: spark.createDataFrame(
+            list(t.items()), "doc_id long, text string"
+        )
+        got = {
+            r.token: (r.ppm_old, r.ppm_new, r.delta_ppm)
+            for r in term_drift(mk(old), mk(new), k=100).collect()
+        }
+
+        def ppms(texts):
+            c = Counter(w for t in texts.values() for w in t.lower().split())
+            tot = sum(c.values())
+            return {w: n * 1_000_000 // tot for w, n in c.items()}
+
+        po, pn = ppms(old), ppms(new)
+        ref = {
+            w: (po.get(w, 0), pn.get(w, 0), pn.get(w, 0) - po.get(w, 0))
+            for w in set(po) | set(pn)
+        }
+        assert got == ref
