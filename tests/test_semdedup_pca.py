@@ -463,3 +463,43 @@ def test_semantic_dedup_empty_input(spark):
     assert list(out.columns) == [
         "vec_id", "cell", "is_dup", "dup_of", "max_sim", "truncated"
     ]
+
+
+class TestPcaMomentSink:
+    def test_stream_equals_one_shot(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import PcaMomentSink
+
+        rng2 = np.random.default_rng(3)
+        a, b = rng2.normal(size=(60, 5)), rng2.normal(size=(40, 5))
+        sink = PcaMomentSink(str(tmp_path / "store"))
+        sink.process(_vec_df(spark, a), 0)
+        sink.process(
+            _vec_df(spark, b).withColumn(
+                "vec_id", F.col("vec_id") + 60
+            ),
+            1,
+        )
+        streamed = sink.fit(spark, k=5)
+        whole = P.fit_pca(_vec_df(spark, np.vstack([a, b])), k=5)
+        assert np.allclose(
+            streamed.explained_variance, whole.explained_variance, atol=1e-9
+        )
+        assert np.allclose(streamed.mean, whole.mean, atol=1e-10)
+        assert np.allclose(
+            streamed.components, whole.components, atol=1e-8
+        )
+
+    def test_replay_is_noop_and_empty_fit_none(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import PcaMomentSink
+
+        sink = PcaMomentSink(str(tmp_path / "store"))
+        assert sink.fit(spark) is None
+        X = np.eye(3)
+        sink.process(_vec_df(spark, X), 0)
+        m1 = sink.fit(spark, k=3)
+        sink.process(_vec_df(spark, X), 0)  # re-delivery
+        m2 = sink.fit(spark, k=3)
+        assert np.allclose(m1.mean, m2.mean)  # not doubled
+        assert np.allclose(
+            m1.explained_variance, m2.explained_variance
+        )

@@ -53,8 +53,13 @@ class PcaModel:
         return self.explained_variance / self.total_variance
 
 
-def fit_pca(embs: DataFrame, vec_col: str = "embedding", k: int = 16) -> PcaModel:
-    """One-pass distributed moment aggregation + driver-side eigh."""
+def moment_partials(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The distributed moment stage as a reusable (pos, val) frame:
+    per-Arrow-batch partials of (n, Σx, Σxxᵀ) reduced in-Spark to
+    exactly d²+d+1 scalar rows. Moments are exactly ADDITIVE — union
+    two moment tables and re-sum by pos to get the moments of the
+    concatenated corpora (the incremental/streaming PCA primitive;
+    streaming/enrich.py::PcaMomentSink persists this table)."""
     src = embs.select(as_double(F.col(vec_col)).alias("_v"))
 
     def partials(batches):
@@ -70,13 +75,23 @@ def fit_pca(embs: DataFrame, vec_col: str = "embedding", k: int = 16) -> PcaMode
                 {"pos": np.arange(len(flat), dtype=np.int64), "val": flat}
             )
 
-    summed = (
+    return (
         src.mapInPandas(partials, "pos long, val double")
         .groupBy("pos")
         .agg(F.sum("val").alias("val"))
-        .collect()  # exactly d²+d+1 scalars — metadata, not data
     )
+
+
+def fit_pca(embs: DataFrame, vec_col: str = "embedding", k: int = 16) -> PcaModel:
+    """One-pass distributed moment aggregation + driver-side eigh."""
+    summed = moment_partials(embs, vec_col).collect()
+    # exactly d²+d+1 scalars — metadata, not data
     vals = {r["pos"]: r["val"] for r in summed}
+    return _model_from_moments(vals, k)
+
+
+def _model_from_moments(vals: dict, k: int) -> PcaModel:
+    """Driver-side model build from the (pos → val) moment scalars."""
     if not vals:
         raise ValueError("fit_pca: empty input")
     d = int(round((-1 + np.sqrt(1 + 4 * (len(vals) - 1))) / 2))

@@ -14,6 +14,7 @@ from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
 from tidb_cdc_spark.streaming.enrich import (
     CountMinSink,
     NearDupAdmissionSink,
+    PcaMomentSink,
     WinnowOverlapSink,
 )
 from tidb_cdc_spark.streaming.metrics import StreamMetrics, attach_metrics
@@ -23,6 +24,7 @@ __all__ = [
     "ConnectorConfig",
     "CountMinSink",
     "NearDupAdmissionSink",
+    "PcaMomentSink",
     "WinnowOverlapSink",
     "StreamMetrics",
     "attach_metrics",

@@ -488,3 +488,103 @@ class WinnowOverlapSink:
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, self._path("_BATCH"))
+
+
+class PcaMomentSink:
+    """foreachBatch body that maintains the PCA moment table
+    (functions/pca.py: n, Σx, Σxxᵀ as d²+d+1 (pos, val) scalars)
+    over a vector stream — INCREMENTAL PCA with constant state:
+    moments are exactly additive, so per batch the sink computes the
+    batch's partial sums (one scan) and adds them into a ≤ d²+d+1-row
+    cell table; ``fit(spark)`` eigendecomposes the CURRENT moments at
+    any time, giving the same model a one-shot ``fit_pca`` over
+    everything seen so far would (pinned by test up to float
+    addition order).
+
+    Same commit discipline as ``CountMinSink``: copy-on-write swap,
+    watermark INSIDE the swapped directory (table + batch id commit
+    in one rename — replay-safe with no double-merge window).
+    """
+
+    def __init__(self, root: str, vec_col: str = "embedding"):
+        self.root = root
+        self.vec_col = vec_col
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        import os
+
+        self._recover_swap()
+        p = self._path(os.path.join("moments", "_BATCH"))
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _recover_swap(self) -> None:
+        import os
+        import shutil
+
+        p = self._path("moments")
+        old = p + ".swap.old"
+        if os.path.exists(old):
+            if os.path.exists(p):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, p)
+        shutil.rmtree(p + ".swap.tmp", ignore_errors=True)
+
+    def read_moments(self, spark) -> "DataFrame | None":
+        import os
+
+        self._recover_swap()
+        p = self._path("moments")
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    def fit(self, spark, k: int = 8):
+        """PcaModel from the current persisted moments (None before
+        the first batch)."""
+        import numpy as np
+
+        from tidb_cdc_spark.functions.pca import _model_from_moments
+
+        table = self.read_moments(spark)
+        if table is None:
+            return None
+        vals = {r["pos"]: r["val"] for r in table.collect()}
+        return _model_from_moments(vals, k)
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        from tidb_cdc_spark.functions.pca import moment_partials
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(
+            self._last_batch_id(), batch_id, "PCA moment store"
+        ):
+            return  # at-least-once re-delivery
+        spark = batch.sparkSession
+        merged = moment_partials(batch, self.vec_col)
+        existing = self.read_moments(spark)
+        if existing is not None:
+            merged = (
+                merged.unionByName(existing)
+                .groupBy("pos")
+                .agg(F.sum("val").alias("val"))
+            )
+        p = self._path("moments")
+        tmp, old = p + ".swap.tmp", p + ".swap.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_BATCH"), "w") as f:
+            f.write(str(batch_id))
+        if os.path.exists(p):
+            os.rename(p, old)
+        os.rename(tmp, p)
+        shutil.rmtree(old, ignore_errors=True)
