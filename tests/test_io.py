@@ -146,3 +146,58 @@ class TestZorder:
         assert zx < 0.6 and zy < 0.6, (zx, zy)
         # roundtrip: no rows lost, curve key preserved
         assert spark.read.parquet(zpath).count() == 64 * 64
+
+
+class TestTrainingShards:
+    def _docs(self, spark, n=120):
+        # skewed lengths: doc i has (i % 17) * 50 tokens
+        return spark.createDataFrame(
+            [(i, f"d{i}", (i % 17) * 50) for i in range(n)],
+            "doc_id long, text string, n_tokens long",
+        )
+
+    def test_shards_partition_pruned_and_ordered(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "shards")
+        IO.write_training_shards(
+            self._docs(spark), path, budget=512, n_shards=4
+        )
+        # partitioned layout: one directory per shard
+        dirs = {os.path.basename(p) for p in glob.glob(f"{path}/shard=*")}
+        assert dirs == {f"shard={i}" for i in range(4)}
+        # a single-shard read prunes to that directory (the loader's
+        # contract): plan carries the partition filter
+        df = spark.read.parquet(path).filter(F.col("shard") == 2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "shard" in plan
+        rows = df.orderBy("start_tok").collect()
+        assert len(rows) > 0
+        # within the shard, file order == stream order (sorted write)
+        got = [r.doc_id for r in rows]
+        assert got == [r.doc_id for r in sorted(rows, key=lambda r: r.start_tok)]
+
+    def test_shard_token_mass_balanced(self, spark, tmp_path):
+        path = str(tmp_path / "shards2")
+        IO.write_training_shards(
+            self._docs(spark, n=300), path, budget=256, n_shards=4
+        )
+        back = spark.read.parquet(path)
+        mass = {
+            r.shard: r.t
+            for r in back.groupBy("shard")
+            .agg(IO.F.sum("n_tokens").alias("t"))
+            .collect()
+        }
+        tot = sum(mass.values())
+        # round-robin chunk striping: no shard should dwarf the rest
+        # despite 0..800-token doc skew
+        assert max(mass.values()) < 0.5 * tot
+
+    def test_deterministic_rerun(self, spark, tmp_path):
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        IO.write_training_shards(self._docs(spark), a, budget=512, n_shards=4)
+        IO.write_training_shards(self._docs(spark), b, budget=512, n_shards=4)
+        da = spark.read.parquet(a).orderBy("doc_id").collect()
+        db = spark.read.parquet(b).orderBy("doc_id").collect()
+        assert da == db

@@ -192,3 +192,48 @@ def corpus_layout_stats(
         F.min("_rows").cast("long").alias("rows_per_file_min"),
         F.max("_rows").cast("long").alias("rows_per_file_max"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    mode: str = "error",
+) -> None:
+    """Materialize the training layout ``packing.pack_chunks`` plans:
+    the corpus partitioned into ``n_shards`` directories a trainer's
+    data loader reads independently (one partition-pruned directory
+    scan per worker), each shard's documents sorted by their global
+    stream offset.
+
+    Shard assignment is ``chunk_first mod n_shards`` — contiguous
+    ``budget``-token chunks stripe round-robin, so shard token mass
+    is balanced to within one chunk per stripe regardless of
+    document-length skew, and the mapping is a pure function of the
+    pack layout (reproducible; a re-run with the same corpus writes
+    identical shards). Documents stay WHOLE in their first chunk's
+    shard; the loader's concat-and-chunk handles the (≤ budget-token)
+    tail a document carries past its last full chunk, exactly as in
+    single-machine packing. Zero-token documents go to shard 0.
+    """
+    from tidb_cdc_spark.functions.packing import pack_chunks
+
+    layout = pack_chunks(
+        docs.select(id_col, tokens_col), budget, id_col, tokens_col
+    ).select(id_col, "start_tok", "chunk_first")
+    out = docs.join(layout, id_col).withColumn(
+        "shard",
+        F.coalesce(
+            F.pmod(F.col("chunk_first"), F.lit(n_shards)), F.lit(0)
+        ).cast("int"),
+    )
+    write_corpus(
+        out,
+        path,
+        partition_by=("shard",),
+        sort_within=("start_tok",),
+        mode=mode,
+    )
