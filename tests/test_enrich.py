@@ -346,3 +346,66 @@ class TestWinnowOverlapSink:
         fps = spark.read.parquet(str(tmp_path / "store" / "fps"))
         # fingerprints appended once, not twice
         assert fps.count() == fps.distinct().count()
+
+
+class TestWinnowSinkRegressions:
+    def test_intra_batch_overlap_reported_once(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import WinnowOverlapSink
+
+        sink = WinnowOverlapSink(str(tmp_path / "store"), k=4, w=2)
+        run = " ".join(f"s{i}" for i in range(8))
+        b = spark.createDataFrame(
+            [
+                (1, "x1 x2 " + run),
+                (2, run + " y1 y2"),  # same-batch partner
+                (3, " ".join(f"z{i}" for i in range(10))),
+            ],
+            "doc_id long, text string",
+        )
+        sink.process(b, 0)
+        ov = sink.read_overlaps(spark).collect()
+        pairs = {(r.new_id, r.corpus_id) for r in ov}
+        assert (2, 1) in pairs  # reported once, smaller id = corpus
+        assert (1, 2) not in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_redelivered_doc_id_no_self_pair(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import WinnowOverlapSink
+
+        sink = WinnowOverlapSink(str(tmp_path / "store"), k=4, w=2)
+        text = " ".join(f"w{i}" for i in range(10))
+        sink.process(
+            spark.createDataFrame([(5, text)], "doc_id long, text string"), 0
+        )
+        # batch 1 carries an UPDATE of doc 5 (same id, similar text)
+        sink.process(
+            spark.createDataFrame(
+                [(5, text + " tail")], "doc_id long, text string"
+            ),
+            1,
+        )
+        ov = sink.read_overlaps(spark)
+        if ov is not None:
+            assert not any(
+                r.new_id == r.corpus_id for r in ov.collect()
+            )
+
+
+class TestPcaMomentSinkRegression:
+    def test_empty_first_batch_fit_returns_none(self, spark, tmp_path):
+        import numpy as np
+
+        from tidb_cdc_spark.streaming import PcaMomentSink
+
+        sink = PcaMomentSink(str(tmp_path / "store"))
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        sink.process(empty, 0)  # commits a zero-row moment table
+        assert sink.fit(spark) is None
+        # a later real batch recovers normally
+        X = np.eye(3)
+        rows = [(int(i), [float(v) for v in X[i]]) for i in range(3)]
+        sink.process(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            1,
+        )
+        assert sink.fit(spark, k=3) is not None

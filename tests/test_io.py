@@ -201,3 +201,17 @@ class TestTrainingShards:
         da = spark.read.parquet(a).orderBy("doc_id").collect()
         db = spark.read.parquet(b).orderBy("doc_id").collect()
         assert da == db
+
+
+    def test_systematic_lengths_no_empty_shards(self, spark, tmp_path):
+        # regression: every doc exactly 2*budget tokens ⇒ plain
+        # chunk_first mod n left half the shards empty; hash-striped
+        # assignment must populate all of them
+        docs = spark.createDataFrame(
+            [(i, f"d{i}", 1024) for i in range(200)],
+            "doc_id long, text string, n_tokens long",
+        )
+        path = str(tmp_path / "shards3")
+        IO.write_training_shards(docs, path, budget=512, n_shards=4)
+        dirs = {os.path.basename(p) for p in glob.glob(f"{path}/shard=*")}
+        assert dirs == {f"shard={i}" for i in range(4)}

@@ -209,10 +209,13 @@ def write_training_shards(
     scan per worker), each shard's documents sorted by their global
     stream offset.
 
-    Shard assignment is ``chunk_first mod n_shards`` — contiguous
-    ``budget``-token chunks stripe round-robin, so shard token mass
-    is balanced to within one chunk per stripe regardless of
-    document-length skew, and the mapping is a pure function of the
+    Shard assignment is ``xxhash64(chunk_first) mod n_shards`` — a
+    hash of the chunk index, NOT ``chunk_first mod n`` directly: a
+    plain modulus degenerates when document lengths are systematic
+    (e.g. every doc exactly 2×budget tokens ⇒ chunk_first always
+    even ⇒ half the shards never written and the loader's workers
+    starve). The hash mixes any length pattern into a statistically
+    token-balanced assignment while staying a pure function of the
     pack layout (reproducible; a re-run with the same corpus writes
     identical shards). Documents stay WHOLE in their first chunk's
     shard; the loader's concat-and-chunk handles the (≤ budget-token)
@@ -227,7 +230,8 @@ def write_training_shards(
     out = docs.join(layout, id_col).withColumn(
         "shard",
         F.coalesce(
-            F.pmod(F.col("chunk_first"), F.lit(n_shards)), F.lit(0)
+            F.pmod(F.xxhash64(F.col("chunk_first")), F.lit(n_shards)),
+            F.lit(0),
         ).cast("int"),
     )
     write_corpus(

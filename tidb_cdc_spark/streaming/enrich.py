@@ -270,6 +270,61 @@ class NearDupAdmissionSink:
         os.replace(tmp, self._path("_BATCH"))
 
 
+# ------------------------------------------------ swap-store helpers
+# shared by the copy-on-write sinks (CountMinSink, PcaMomentSink):
+# a table directory committed by a two-rename swap with the batch-id
+# watermark INSIDE the directory (table + watermark commit in one
+# atomic rename — no double-merge window), plus torn-swap healing.
+
+
+def _swap_recover(path: str) -> None:
+    """Heal a crash between the two renames: live dir missing +
+    ``.swap.old`` intact → restore; both present → drop old."""
+    import os
+    import shutil
+
+    old = path + ".swap.old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    shutil.rmtree(path + ".swap.tmp", ignore_errors=True)
+
+
+def _swap_read(spark, path: str) -> "DataFrame | None":
+    import os
+
+    _swap_recover(path)
+    return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+def _swap_batch_id(path: str) -> int | None:
+    import os
+
+    _swap_recover(path)
+    p = os.path.join(path, "_BATCH")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _swap_commit(df: DataFrame, path: str, batch_id: int) -> None:
+    import os
+    import shutil
+
+    tmp, old = path + ".swap.tmp", path + ".swap.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_BATCH"), "w") as f:
+        f.write(str(batch_id))
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class CountMinSink:
     """foreachBatch body maintaining a persistent Count-Min cell
     table (functions/sketch.py) over a stream — the sketch's real
@@ -314,34 +369,10 @@ class CountMinSink:
         return os.path.join(self.root, name)
 
     def _last_batch_id(self) -> int | None:
-        import os
-
-        self._recover_swap()
-        p = self._path(os.path.join("cells", "_BATCH"))
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return int(f.read().strip())
-
-    def _recover_swap(self) -> None:
-        import os
-        import shutil
-
-        p = self._path("cells")
-        old = p + ".swap.old"
-        if os.path.exists(old):
-            if os.path.exists(p):
-                shutil.rmtree(old)
-            else:
-                os.rename(old, p)
-        shutil.rmtree(p + ".swap.tmp", ignore_errors=True)
+        return _swap_batch_id(self._path("cells"))
 
     def read_table(self, spark) -> "DataFrame | None":
-        import os
-
-        self._recover_swap()
-        p = self._path("cells")
-        return spark.read.parquet(p) if os.path.exists(p) else None
+        return _swap_read(spark, self._path("cells"))
 
     def estimates(self, spark, keys: DataFrame) -> DataFrame:
         """``keys`` + ``cms_est`` from the current persisted table
@@ -356,9 +387,6 @@ class CountMinSink:
         )
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
         from tidb_cdc_spark.functions.sketch import count_min_table
         from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
 
@@ -375,21 +403,8 @@ class CountMinSink:
                 .groupBy("row", "bucket")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        p = self._path("cells")
-        tmp, old = p + ".swap.tmp", p + ".swap.old"
-        shutil.rmtree(tmp, ignore_errors=True)
         # ≤ depth×width rows — one file is the right layout
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        # watermark INSIDE the new directory: the rename below
-        # commits table + watermark atomically (no double-merge
-        # window on a crash between "table swapped" and "watermark
-        # written")
-        with open(os.path.join(tmp, "_BATCH"), "w") as f:
-            f.write(str(batch_id))
-        if os.path.exists(p):
-            os.rename(p, old)
-        os.rename(tmp, p)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_commit(merged, self._path("cells"), batch_id)
 
 
 class WinnowOverlapSink:
@@ -400,14 +415,23 @@ class WinnowOverlapSink:
     winnowing guarantee (any shared ≥ w+k−1-token run vs the indexed
     corpus surfaces) carried over to ingest time.
 
-    Per batch: winnow the batch docs (cost ∝ batch), equi-join the
-    batch fingerprints against the stored ``fps`` table (bucketed by
-    fingerprint value; per-fp fan-out capped by ``max_doc_freq`` on
-    the store side), append matches to ``overlaps`` and the batch's
-    own fingerprints to ``fps``. Batch-id watermark (written LAST,
-    atomic rename) makes at-least-once re-delivery a no-op; plain-
-    parquet append caveats are as documented on
-    ``NearDupAdmissionSink`` (transactional formats at scale).
+    Per batch: winnow the batch docs (cost ∝ batch), then equi-join
+    the batch fingerprints against the stored ``fps`` table AND the
+    batch itself (intra-batch pairs reported once, smaller id as
+    ``corpus_id``; a re-delivered doc_id never pairs with itself),
+    with a ``max_doc_freq`` viral-fingerprint cap on the store side.
+    Matches append to ``overlaps``, the batch's fingerprints to
+    ``fps``. Batch-id watermark (written LAST, atomic rename) makes
+    at-least-once re-delivery a no-op; plain-parquet append caveats
+    as on ``NearDupAdmissionSink``.
+
+    Cost note: the store is plain per-batch parquet appends, so each
+    batch re-scans the accumulated fingerprint table once (join +
+    viral cap share one persisted read) — per-batch cost grows with
+    corpus size. At scale the store belongs in a bucketed/
+    transactional table (bucket by fp ⇒ the batch join touches only
+    matching buckets) — same plan, different storage, the standing
+    ingest-store note.
     """
 
     def __init__(
@@ -448,7 +472,6 @@ class WinnowOverlapSink:
         import os
 
         from tidb_cdc_spark.functions.winnow import winnow_fingerprints
-        from tidb_cdc_spark.session import materialize
         from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
 
         if guard_batch_watermark(
@@ -456,33 +479,73 @@ class WinnowOverlapSink:
         ):
             return  # at-least-once re-delivery
         spark = batch.sparkSession
-        # one winnow pass serves the overlap join AND the index append
-        fps = materialize(
-            winnow_fingerprints(
-                batch, self.k, self.w, self.id_col, self.text_col
-            )
-        )
+        # one winnow pass serves the overlap join AND the index
+        # append; persisted with an explicit unpersist — a leaked
+        # per-batch cache entry outlives the micro-batch (same
+        # discipline as NearDupAdmissionSink)
+        fps = winnow_fingerprints(
+            batch, self.k, self.w, self.id_col, self.text_col
+        ).persist()
         store_p = self._path("fps")
-        if os.path.exists(store_p):
-            store = spark.read.parquet(store_p)
-            # boilerplate guard on the STORE side: a fingerprint
-            # already in > max_doc_freq corpus docs is template noise
-            viral = (
-                store.groupBy("fp")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") > self.max_doc_freq)
-                .select("fp")
+        store = (
+            spark.read.parquet(store_p).persist()
+            if os.path.exists(store_p)
+            else None
+        )
+        try:
+            # index = capped store + the batch itself (intra-batch
+            # pairs must surface — they would otherwise be missed
+            # forever once both docs are indexed)
+            new = fps.withColumnRenamed("doc_id", "new_id")
+            parts = [
+                fps.select(
+                    F.col("doc_id").alias("corpus_id"),
+                    "fp",
+                    F.lit("batch").alias("_src"),
+                )
+            ]
+            if store is not None:
+                # viral-fp cap and the join share ONE persisted read
+                viral = (
+                    store.groupBy("fp")
+                    .agg(F.count(F.lit(1)).alias("_df"))
+                    .filter(F.col("_df") > self.max_doc_freq)
+                    .select("fp")
+                )
+                parts.append(
+                    store.join(F.broadcast(viral), "fp", "left_anti")
+                    .select(
+                        F.col("doc_id").alias("corpus_id"),
+                        "fp",
+                        F.lit("store").alias("_src"),
+                    )
+                )
+            index = parts[0] if len(parts) == 1 else parts[0].unionByName(
+                parts[1]
             )
-            kept = store.join(F.broadcast(viral), "fp", "left_anti")
+            # store matches: any distinct partner (a re-delivered
+            # doc_id never pairs with itself); intra-batch matches:
+            # report once, smaller id as corpus_id
+            keep_pair = (
+                (F.col("_src") == "store")
+                & (F.col("corpus_id") != F.col("new_id"))
+            ) | (
+                (F.col("_src") == "batch")
+                & (F.col("corpus_id") < F.col("new_id"))
+            )
             overlaps = (
-                fps.withColumnRenamed("doc_id", "new_id")
-                .join(kept.withColumnRenamed("doc_id", "corpus_id"), "fp")
+                new.join(index, "fp")
+                .filter(keep_pair)
                 .groupBy("new_id", "corpus_id")
                 .agg(F.count(F.lit(1)).alias("shared"))
                 .withColumn("batch_id", F.lit(batch_id))
             )
             overlaps.write.mode("append").parquet(self._path("overlaps"))
-        fps.write.mode("append").parquet(store_p)
+            fps.write.mode("append").parquet(store_p)
+        finally:
+            fps.unpersist()
+            if store is not None:
+                store.unpersist()
         os.makedirs(self.root, exist_ok=True)
         tmp = self._path("_BATCH.tmp")
         with open(tmp, "w") as f:
@@ -516,52 +579,26 @@ class PcaMomentSink:
         return os.path.join(self.root, name)
 
     def _last_batch_id(self) -> int | None:
-        import os
-
-        self._recover_swap()
-        p = self._path(os.path.join("moments", "_BATCH"))
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return int(f.read().strip())
-
-    def _recover_swap(self) -> None:
-        import os
-        import shutil
-
-        p = self._path("moments")
-        old = p + ".swap.old"
-        if os.path.exists(old):
-            if os.path.exists(p):
-                shutil.rmtree(old)
-            else:
-                os.rename(old, p)
-        shutil.rmtree(p + ".swap.tmp", ignore_errors=True)
+        return _swap_batch_id(self._path("moments"))
 
     def read_moments(self, spark) -> "DataFrame | None":
-        import os
-
-        self._recover_swap()
-        p = self._path("moments")
-        return spark.read.parquet(p) if os.path.exists(p) else None
+        return _swap_read(spark, self._path("moments"))
 
     def fit(self, spark, k: int = 8):
         """PcaModel from the current persisted moments (None before
-        the first batch)."""
-        import numpy as np
-
+        the first NON-EMPTY batch — an empty committed batch leaves
+        a zero-row moment table, which has no model)."""
         from tidb_cdc_spark.functions.pca import _model_from_moments
 
         table = self.read_moments(spark)
         if table is None:
             return None
         vals = {r["pos"]: r["val"] for r in table.collect()}
+        if not vals:
+            return None
         return _model_from_moments(vals, k)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
         from tidb_cdc_spark.functions.pca import moment_partials
         from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
 
@@ -578,13 +615,4 @@ class PcaMomentSink:
                 .groupBy("pos")
                 .agg(F.sum("val").alias("val"))
             )
-        p = self._path("moments")
-        tmp, old = p + ".swap.tmp", p + ".swap.old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_BATCH"), "w") as f:
-            f.write(str(batch_id))
-        if os.path.exists(p):
-            os.rename(p, old)
-        os.rename(tmp, p)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_commit(merged, self._path("moments"), batch_id)
