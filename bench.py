@@ -68,16 +68,13 @@ def main() -> None:
         "cdc_decimal_agg",
         "dedup_exact_docs",
         "dedup_exact_keep_best",
-        "text_token_stats",
         "text_lang_id",
         "knn_bruteforce_cosine",
         "knn_lsh_cosine",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "sample_hash_docs",
         "tfidf_top_terms",
         "dedup_clusters_exact",
-        "pii_scrub_stats",
         "corpus_quality_filter",
         "contamination_eval_overlap",
         "repeated_spans_top",
@@ -89,11 +86,7 @@ def main() -> None:
         "embedding_int8_quantize",
         "quality_budget_head",
         "corpus_snapshot_diff",
-        "events_funnel",
-        "events_cohort_retention",
         "events_value_mad_outliers",
-        "events_trailing_30m",
-        "events_sliding_1h",
         "corpus_curation_pipeline",
         "rag_hybrid_rrf",
         "semantic_dedup_prune",
@@ -102,7 +95,6 @@ def main() -> None:
         "knn_opq_adc",
         "events_heavy_hitters_cms",
         "rag_hard_negatives",
-        "doc_hashed_tf",
         "doc_semantic_dedup",
         "winnow_overlap_pairs",
         "vocab_drift_top",
@@ -139,8 +131,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # NOTE: keep this stdout line compact (< ~4 KiB) —
+                # the driver's tail capture truncates longer lines
+                # and records parsed:null (raw per-run arrays already
+                # stream to stderr as "# name: ..." lines above).
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "tail": raw,
             }
         )
     )

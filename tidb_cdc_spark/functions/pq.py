@@ -41,12 +41,30 @@ from tidb_cdc_spark.functions.similarity import as_double
 from tidb_cdc_spark.operators.windows import topk_per_group
 
 
+def _sampled_train(
+    df: DataFrame, train_fraction: float, min_rows: int, seed: int
+) -> DataFrame:
+    """Deterministic training sample for iterative fits (k-means
+    converges on far less data than the corpus — at 100 TB the fit
+    would otherwise dominate the job). Falls back to the full frame
+    when the Bernoulli sample lands under ``min_rows`` (tiny-corpus
+    guard; the limit() probe stops scanning once min_rows are seen).
+    Same discipline as ``semdedup.semantic_dedup``."""
+    if train_fraction >= 1.0:
+        return df
+    s = df.sample(fraction=train_fraction, seed=seed)
+    if s.limit(min_rows).count() < min_rows:
+        return df
+    return s
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 4,
     k: int = 16,
     vec_col: str = "embedding",
     seed: int = 7,
+    train_fraction: float = 1.0,
 ) -> np.ndarray:
     """Train per-subvector codebooks: ``m`` independent KMeans fits
     over the corpus's subvector blocks, submitted CONCURRENTLY —
@@ -54,9 +72,12 @@ def pq_train(
     slices), and Spark schedules jobs from multiple driver threads
     side by side, so wall-clock is the slowest single fit instead of
     the sum (the dominant cost of the OPQ/PQ pipelines on small-job
-    latency, and free overlap on a real cluster). Returns the
-    codebook tensor of shape (m, k, dim/m) — kilobytes, held
-    driver-side and broadcast into encode/search closures."""
+    latency, and free overlap on a real cluster). ``train_fraction``
+    < 1 fits every codebook on a deterministic seeded sample (encode
+    still covers every vector) — the 100 TB shape, where codebooks
+    converge on a sliver of the corpus. Returns the codebook tensor
+    of shape (m, k, dim/m) — kilobytes, held driver-side and
+    broadcast into encode/search closures."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.ml.clustering import KMeans
@@ -69,7 +90,12 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    base = corpus.select(as_double(F.col(vec_col)).alias("_v"))
+    base = _sampled_train(
+        corpus.select(as_double(F.col(vec_col)).alias("_v")),
+        train_fraction,
+        k,
+        seed,
+    )
 
     def fit_block(j: int) -> "np.ndarray":
         sub = base.select(
@@ -189,6 +215,7 @@ def _ivfpq_build(
     m: int,
     k_codes: int,
     seed: int,
+    train_fraction: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray, DataFrame]:
     """Shared IVF-PQ build phase: coarse k-means cells, RESIDUAL
     encoding (vector − cell centroid — the classic accuracy trick:
@@ -203,7 +230,9 @@ def _ivfpq_build(
     c = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_fv", array_to_vector(F.col("_cv")))
-    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_fv").fit(c)
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_fv").fit(
+        _sampled_train(c, train_fraction, n_cells, seed)
+    )
     centers = np.stack([np.asarray(ctr) for ctr in km.clusterCenters()])
 
     assigned = km.transform(c).select(
@@ -227,7 +256,14 @@ def _ivfpq_build(
             residual(F.col("_cv"), F.col("_cell")).alias(vec_col),
         )
     )
-    books = pq_train(residuals, m=m, k=k_codes, vec_col=vec_col, seed=seed)
+    books = pq_train(
+        residuals,
+        m=m,
+        k=k_codes,
+        vec_col=vec_col,
+        seed=seed,
+        train_fraction=train_fraction,
+    )
     codes = pq_encode(residuals, books, id_col=id_col, vec_col=vec_col).join(
         residuals.select(id_col, "_cell"), id_col
     )
@@ -326,6 +362,7 @@ def ivfpq_knn(
     m: int = 4,
     k_codes: int = 16,
     seed: int = 7,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """The literal 100 TB ANN layout — IVF-PQ: coarse k-means cells
     prune the candidate set (probe ``n_probe`` of ``n_cells``), and
@@ -336,7 +373,7 @@ def ivfpq_knn(
     (query_id, neighbor_id, rank).
     """
     centers, books, codes = _ivfpq_build(
-        corpus, id_col, vec_col, n_cells, m, k_codes, seed
+        corpus, id_col, vec_col, n_cells, m, k_codes, seed, train_fraction
     )
     return _ivfpq_search(
         queries, codes, centers, books, k, n_probe, id_col, vec_col
@@ -352,6 +389,7 @@ def ivfpq_write_index(
     m: int = 4,
     k_codes: int = 16,
     seed: int = 7,
+    train_fraction: float = 1.0,
 ) -> None:
     """Persist the full IVF-PQ index:
 
@@ -367,7 +405,7 @@ def ivfpq_write_index(
     all — only codes + kilobytes of metadata.
     """
     centers, books, codes = _ivfpq_build(
-        corpus, id_col, vec_col, n_cells, m, k_codes, seed
+        corpus, id_col, vec_col, n_cells, m, k_codes, seed, train_fraction
     )
     spark = corpus.sparkSession
     (
@@ -506,6 +544,7 @@ def opq_knn_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """PQ/ADC search in the OPQ_P-rotated space: full-rank PCA fit
     (one pass), eigenvalue-allocated rotation, Arrow-batched rotate
@@ -540,6 +579,13 @@ def opq_knn_adc(
     # materialized so the full-corpus rotation UDF runs once, not
     # m+1 times (same discipline as _ivfpq_build's residuals)
     rc, rq = materialize(rotate(corpus)), rotate(queries)
-    books = pq_train(rc, m=m, k=n_codes, vec_col=vec_col, seed=seed)
+    books = pq_train(
+        rc,
+        m=m,
+        k=n_codes,
+        vec_col=vec_col,
+        seed=seed,
+        train_fraction=train_fraction,
+    )
     codes = pq_encode(rc, books, id_col=id_col, vec_col=vec_col)
     return pq_knn_adc(rq, codes, books, k, id_col=id_col, vec_col=vec_col)

@@ -76,9 +76,15 @@ def semantic_dedup(
         assigned = c.withColumn("_cell", F.lit(0))
     else:
         c = c.withColumn("_fv", array_to_vector(F.col("_v")))
-        train = c if train_fraction >= 1.0 else c.sample(
-            fraction=train_fraction, seed=seed
-        )
+        if train_fraction >= 1.0:
+            train = c
+        else:
+            train = c.sample(fraction=train_fraction, seed=seed)
+            # tiny-corpus guard: Bernoulli sampling is approximate, and
+            # a fit needs ≥ n_cells points; limit() makes the probe
+            # stop scanning as soon as n_cells rows are found
+            if train.limit(n_cells).count() < n_cells:
+                train = c
         try:
             km = KMeans(
                 k=n_cells, seed=seed, maxIter=10, featuresCol="_fv"

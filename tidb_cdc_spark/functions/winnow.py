@@ -87,6 +87,46 @@ def winnow_fingerprints(
     )
 
 
+def winnow_cap_report(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_doc_freq: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row audit of what ``winnow_overlap``'s ``max_doc_freq``
+    boilerplate cap EXCLUDES: ``(capped_fps, affected_docs,
+    total_fps, max_df)``. Silent truncation reads as full coverage
+    (the repo's no-silent-caps rule, COVERAGE.md) — a crawl run
+    reads this row next to the pair list to see how much shared
+    boilerplate was ruled out of overlap detection, and for which
+    slice of the corpus the structural guarantee is weakened.
+    Fully integral (counts over md5-hash fingerprints) ⇒ bit-exact
+    DuckDB oracle. Cost: the same fingerprint + doc-frequency pass
+    the overlap join already runs — the viral list is tiny at any
+    scale, so the affected-docs join is a broadcast semi-join."""
+    from tidb_cdc_spark.session import materialize
+
+    fp = materialize(winnow_fingerprints(docs, k, w, id_col, text_col))
+    freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    stats = freq.agg(
+        F.count(
+            F.when(F.col("_df") > max_doc_freq, F.lit(1))
+        ).alias("capped_fps"),
+        F.count(F.lit(1)).alias("total_fps"),
+        F.coalesce(F.max("_df"), F.lit(0)).alias("max_df"),
+    )
+    viral = freq.filter(F.col("_df") > max_doc_freq).select("fp")
+    affected = (
+        fp.join(F.broadcast(viral), "fp", "left_semi")
+        .agg(F.count_distinct("doc_id").alias("affected_docs"))
+    )
+    return stats.crossJoin(affected).select(
+        "capped_fps", "affected_docs", "total_fps", "max_df"
+    )
+
+
 def winnow_overlap(
     docs: DataFrame,
     k: int = 8,

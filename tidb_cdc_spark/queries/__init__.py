@@ -51,26 +51,28 @@ for _mod in (
 
 # Registry order is load-bearing: the driver's correctness gate checks
 # the FIRST 50 entries in insertion order.  GATE names them explicitly.
-# Composition (round 6):
-# - every gate entry is oracle-checkable (the 7 rows-only LSH/IVF ops
-#   that held gate slots through r5 are replaced by their audit twins
-#   from queries/audits.py — planted-copy contracts DuckDB can verify;
-#   the raw pair/top-k forms stay declared right after the window);
-# - ~10 slots rotate per round between the long-stable LLM scans and
-#   the plan-complex TPC-H/events queries, so every declared query
-#   re-acquires a fresh driver row within a few rounds (the r5 finding:
-#   51 non-gate queries had only stale driver rows).  Round 6 rotates
-#   IN q3/q5/q8/q9/q18 + sessionize/funnel/trailing-30m/zorder/salted
-#   + the new text_unigram_surprisal, OUT twelve single-scan text/
-#   sampling queries (still mirror-checked in
-#   tests/test_queries_oracle.py, driver-identical compare).  Late-r6
-#   additions take five more slots (semantic-dedup audit, covariance,
-#   PCA audit, OPQ audit, CMS heavy hitters) from five r5-green
-#   single-scan rows (multimodal/tfidf/int8/token-histogram/vocab —
-#   each keeps its r5 driver row + the mirror); the feature-hash
-#   wave takes two more (doc_hashed_tf, doc_semantic_dedup_audit)
-#   from source_overlap_matrix / quality_budget_head (same r5-green
-#   reasoning).
+# Composition (round 7):
+# - every gate entry is oracle-checkable (rows-only LSH/IVF/PQ/LBFGS
+#   ops are represented by their audit twins from queries/audits.py /
+#   llm14.py — planted-copy or planted-contrast contracts DuckDB can
+#   verify; the raw forms stay declared right after the window);
+# - ~10-16 slots rotate per round, never-gated entries first, so every
+#   declared query re-acquires a fresh driver row within a few rounds
+#   (the r5 finding: 51 non-gate queries had only stale driver rows).
+#   Round 7 rotates IN the ENTIRE never-gated oracle-checkable backlog
+#   (dedup_exact_keep_best, dedup_keep_best_audit,
+#   corpus_cluster_safe_split, rag_hybrid_rrf, rag_hard_negatives,
+#   winnow_overlap_pairs, vocab_drift_top, text_bigram_surprisal,
+#   events_value_outliers, events_value_mad_outliers), the two new r7
+#   audits (winnow_cap_report, quality_classifier_audit), and four
+#   r4-stale rows named by the r6 verdict (events_rolling_features,
+#   table_profile_lineitem, events_transition_matrix,
+#   events_pivot_by_type); OUT sixteen r6-green single-scan rows
+#   (unigram surprisal, quality filter, contamination, pack/mix/
+#   padding, centroids ×2, snapshot diff, chunk spans, rag topk,
+#   repeated spans ×2, hashed-tf... funnel, trailing-30m) — each
+#   keeps its r6 driver row + the strict mirror in
+#   tests/test_queries_oracle.py (driver-identical compare).
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -85,29 +87,32 @@ GATE = [
     "knn_pq_audit",
     "knn_ivfpq_audit",
     "dedup_clusters_exact",
-    # LLM curation surface
-    "text_unigram_surprisal",
+    # round-7 rotation: never-gated backlog + new audits
+    "dedup_exact_keep_best",
+    "dedup_keep_best_audit",
+    "corpus_cluster_safe_split",
+    "rag_hybrid_rrf",
+    "rag_hard_negatives",
+    "winnow_overlap_pairs",
+    "winnow_cap_report",
+    "vocab_drift_top",
+    "text_bigram_surprisal",
+    "events_value_outliers",
+    "events_value_mad_outliers",
+    "quality_classifier_audit",
+    "events_rolling_features",
+    "table_profile_lineitem",
+    "events_transition_matrix",
+    "events_pivot_by_type",
+    # LLM curation surface (audit twins kept from r6)
     "semantic_dedup_audit",
     "embedding_covariance",
-    "corpus_quality_filter",
-    "contamination_eval_overlap",
-    "pack_sequences",
-    "embedding_centroids",
-    "knn_centroid_assign",
-    "corpus_mix_plan",
-    "corpus_mix_t2",
-    "batch_padding_waste",
     "knn_opq_audit",
     "events_heavy_hitters_cms",
     "doc_hashed_tf",
     "embedding_pca_audit",
     "doc_semantic_dedup_audit",
-    "corpus_snapshot_diff",
-    "doc_chunk_spans",
     "corpus_curation_pipeline",
-    "rag_retrieve_topk",
-    "repeated_spans_top",
-    "span_dup_coverage",
     # CDC consumers
     "cdc_parse_typed",
     "cdc_apply_latest",
@@ -115,15 +120,13 @@ GATE = [
     "cdc_incremental_agg",
     "cdc_schema_drift",
     "cdc_decimal_agg",
-    # round-6 rotation: plan-complex TPC-H/events queries
+    # plan-complex TPC-H/events (kept from r6 rotation)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q8_market_share",
     "q9_product_type_profit",
     "q18_large_volume_customers",
     "events_sessions",
-    "events_funnel",
-    "events_trailing_30m",
     "events_zorder_buckets",
     "skew_salted_agg",
 ]

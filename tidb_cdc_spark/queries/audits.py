@@ -301,7 +301,7 @@ def knn_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's own quantization distance, the minimum possible ⇒ copy in the audit top-k (_AUDIT_K
     absorbs same-code ties, which rank lower ids first)."""
     e, off = _embs_with_copies(spark, sf_dir)
-    books = PQ.pq_train(e, m=4, k=16)
+    books = PQ.pq_train(e, m=4, k=16, train_fraction=0.25)
     codes = PQ.pq_encode(e, books)
     q = e.filter(F.col("vec_id") < _N_VECS)
     approx = PQ.pq_knn_adc(q, codes, books, k=_AUDIT_K)
@@ -314,7 +314,9 @@ def knn_ivfpq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimal ADC distance ⇒ copy in the audit top-k (_AUDIT_K)."""
     e, off = _embs_with_copies(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_VECS)
-    approx = PQ.ivfpq_knn(q, e, k=_AUDIT_K, n_cells=16, n_probe=4)
+    approx = PQ.ivfpq_knn(
+        q, e, k=_AUDIT_K, n_cells=16, n_probe=4, train_fraction=0.25
+    )
     return _knn_planted_report(approx, _vec_spine(spark, sf_dir), off)
 
 

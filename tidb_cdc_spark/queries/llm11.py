@@ -24,7 +24,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + map-side-combining (query, vector) sum — is the point at
     scale: no corpus-side float vectors move."""
     e = _embs(spark, sf_dir)
-    books = PQ.pq_train(e, m=4, k=16)
+    books = PQ.pq_train(e, m=4, k=16, train_fraction=0.25)
     codes = PQ.pq_encode(e, books)
     q = e.filter(F.col("vec_id") < 5)
     return PQ.pq_knn_adc(q, codes, books, k=5).orderBy("query_id", "rank")
@@ -37,7 +37,9 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank them by ADC. The canonical billion-vector index shape."""
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5)
-    return PQ.ivfpq_knn(q, e, k=5, n_cells=16, n_probe=4).orderBy(
+    return PQ.ivfpq_knn(
+        q, e, k=5, n_cells=16, n_probe=4, train_fraction=0.25
+    ).orderBy(
         "query_id", "rank"
     )
 

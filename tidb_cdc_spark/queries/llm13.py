@@ -282,7 +282,9 @@ def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by the clustered-recall test and ``knn_opq_audit``."""
     e = _embs(spark, sf_dir).select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") < 5)
-    return PQF.opq_knn_adc(q, e, k=5).orderBy("query_id", "rank")
+    return PQF.opq_knn_adc(q, e, k=5, train_fraction=0.25).orderBy(
+        "query_id", "rank"
+    )
 
 
 def knn_opq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +300,9 @@ def knn_opq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e, off = _embs_with_copies(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_VECS)
-    approx = PQF.opq_knn_adc(q, e.select("vec_id", "embedding"), k=_AUDIT_K)
+    approx = PQF.opq_knn_adc(
+        q, e.select("vec_id", "embedding"), k=_AUDIT_K, train_fraction=0.25
+    )
     return _knn_planted_report(approx, _vec_spine(spark, sf_dir), off)
 
 

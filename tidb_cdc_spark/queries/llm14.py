@@ -62,7 +62,9 @@ def doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = hashed_tf_dense(_docs(spark, sf_dir), dim=_DIM).withColumnRenamed(
         "doc_id", "vec_id"
     )
-    res = SD.semantic_dedup(vecs, n_cells=16, threshold=0.9)
+    res = SD.semantic_dedup(
+        vecs, n_cells=32, threshold=0.9, train_fraction=0.1
+    )
     return (
         res.filter(F.col("is_dup"))
         .select(
@@ -84,7 +86,9 @@ def doc_semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = hashed_tf_dense(d, dim=_DIM).withColumnRenamed(
         "doc_id", "vec_id"
     )
-    res = SD.semantic_dedup(vecs, n_cells=16, threshold=0.9)
+    res = SD.semantic_dedup(
+        vecs, n_cells=32, threshold=0.9, train_fraction=0.1
+    )
     copies = (
         res.filter(F.col("vec_id") >= F.lit(off))
         .filter(F.col("vec_id") < F.lit(off) + _N_DOCS)
@@ -124,7 +128,7 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_WINNOW_SQL = rf"""
+_WINNOW_FP_CTE = rf"""
 WITH tl AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -161,6 +165,9 @@ fp AS (
   WHERE pos <= GREATEST(n - {_WW}, 0)
 ),
 freq AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+"""
+
+_WINNOW_SQL = _WINNOW_FP_CTE + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(COUNT(*) AS BIGINT) AS shared
 FROM fp a
@@ -169,6 +176,34 @@ JOIN freq USING (fp)
 WHERE a.doc_id < b.doc_id AND freq.df <= 1000
 GROUP BY 1, 2 HAVING COUNT(*) >= 1
 ORDER BY id_a, id_b
+"""
+
+_WINNOW_CAP = 2  # demo cap: testdata max df is 3, so the row is non-trivial
+
+
+def winnow_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps audit row for ``winnow_overlap``'s
+    ``max_doc_freq`` boilerplate cap (functions/winnow.py): one row
+    ``(capped_fps, affected_docs, total_fps, max_df)`` saying how
+    many fingerprints the cap excluded and how many documents lose
+    the structural guarantee for those fingerprints. Declared at a
+    cap the testdata actually exceeds so the numbers are non-zero;
+    production runs emit it at the same cap as the pair query.
+    Fully integral ⇒ bit-exact DuckDB oracle."""
+    from tidb_cdc_spark.functions.winnow import winnow_cap_report as wcr
+
+    return wcr(
+        _docs(spark, sf_dir), k=_WK, w=_WW, max_doc_freq=_WINNOW_CAP
+    )
+
+
+_WINNOW_CAP_SQL = _WINNOW_FP_CTE + f"""
+SELECT
+  (SELECT COUNT(*) FROM freq WHERE df > {_WINNOW_CAP}) AS capped_fps,
+  (SELECT COUNT(DISTINCT doc_id) FROM fp JOIN freq USING (fp)
+    WHERE df > {_WINNOW_CAP}) AS affected_docs,
+  (SELECT COUNT(*) FROM freq) AS total_fps,
+  (SELECT CAST(COALESCE(MAX(df), 0) AS BIGINT) FROM freq) AS max_df
 """
 
 
@@ -304,7 +339,10 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                     8,
                 )
-                for i in range(12)
+                # 32 tokens: at 12 the small-norm salad vectors sat
+                # close to the LR bias and one held-out row flipped;
+                # 24+ separates perfectly (probed at sf0.01/sf0.1)
+                for i in range(32)
             ],
         ).alias("text"),
         F.lit("salad").alias("label"),
@@ -317,20 +355,52 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-contrast contract for the LBFGS classifier path as a
+    DuckDB-checkable boolean row per class: the curated-vs-salad
+    contrast is linearly separable in hashed-TF space (disjoint
+    vocabularies, probed perfectly separable at 24+ salad tokens),
+    so held-out accuracy must clear 90% per class — the threshold
+    leaves one-mistake headroom on the smallest eval class (14 rows
+    at sf0.01) while still certifying the train/score pipeline
+    end-to-end. Converts the rows-only eval into a hash-green gate
+    row (the audits.py pattern)."""
+    ev = quality_classifier_eval(spark, sf_dir)
+    return ev.select(
+        "label",
+        (F.col("n_eval") > 0).alias("has_eval_rows"),
+        (F.col("accuracy_ppm") >= 900000).alias("separable_ok"),
+    ).orderBy("label")
+
+
+_CLASSIFIER_AUDIT_SQL = """
+SELECT * FROM (VALUES
+  ('__all__', TRUE, TRUE),
+  ('real', TRUE, TRUE),
+  ('salad', TRUE, TRUE)
+) t(label, has_eval_rows, separable_ok)
+ORDER BY label
+"""
+
+
 QUERIES = {
     "doc_hashed_tf": doc_hashed_tf,
     "doc_semantic_dedup": doc_semantic_dedup,
     "doc_semantic_dedup_audit": doc_semantic_dedup_audit,
     "winnow_overlap_pairs": winnow_overlap_pairs,
+    "winnow_cap_report": winnow_cap_report,
     "vocab_drift_top": vocab_drift_top,
     "text_bigram_surprisal": text_bigram_surprisal,
     "quality_classifier_eval": quality_classifier_eval,
+    "quality_classifier_audit": quality_classifier_audit,
 }
 
 ORACLE = {
+    "quality_classifier_audit": _CLASSIFIER_AUDIT_SQL,
     "vocab_drift_top": _DRIFT_SQL,
     "text_bigram_surprisal": _BIGRAM_SQL,
     "doc_hashed_tf": _HASHED_TF_SQL,
     "winnow_overlap_pairs": _WINNOW_SQL,
+    "winnow_cap_report": _WINNOW_CAP_SQL,
     "doc_semantic_dedup_audit": _DOC_AUDIT_SQL.format(flag="planted_pruned"),
 }
