@@ -409,3 +409,70 @@ class TestPcaMomentSinkRegression:
             1,
         )
         assert sink.fit(spark, k=3) is not None
+
+
+class TestPcaMomentSinkParamGuard:
+    def test_mismatched_dim_refuses_merge(self, spark, tmp_path):
+        import pytest
+
+        from tidb_cdc_spark.streaming import PcaMomentSink
+
+        sink = PcaMomentSink(str(tmp_path / "store"))
+        sink.process(
+            spark.createDataFrame(
+                [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+            ),
+            0,
+        )
+        with pytest.raises(ValueError, match="different parameters"):
+            sink.process(
+                spark.createDataFrame(
+                    [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+                ),
+                1,
+            )
+        # an empty batch carries no dim and must not trip the guard
+        sink.process(
+            spark.createDataFrame(
+                [], "vec_id long, embedding array<double>"
+            ),
+            1,
+        )
+        # nor reset the stored dim: the mismatch still raises after it
+        with pytest.raises(ValueError, match="different parameters"):
+            sink.process(
+                spark.createDataFrame(
+                    [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+                ),
+                2,
+            )
+
+
+class TestWinnowSinkTornBatchRedelivery:
+    def test_crash_between_fps_and_watermark_no_double_pairs(
+        self, spark, tmp_path
+    ):
+        """The r6-advice scenario: fps/overlaps written, crash before
+        the watermark — redelivery must not pair the batch against
+        its own torn fingerprints (doubled + reversed intra-batch
+        pairs) nor leave two copies of the batch's fps rows."""
+        import os
+
+        from tidb_cdc_spark.streaming import WinnowOverlapSink
+
+        root = str(tmp_path / "store")
+        sink = WinnowOverlapSink(root, k=4, w=2)
+        run = " ".join(f"s{i}" for i in range(8))
+        b0 = spark.createDataFrame(
+            [(1, "x1 x2 " + run), (2, run + " y1 y2")],
+            "doc_id long, text string",
+        )
+        sink.process(b0, 0)
+        # simulate the crash: drop the watermark, keep fps/overlaps
+        os.remove(os.path.join(root, "_BATCH"))
+        sink.process(b0, 0)  # redelivery re-runs the batch
+        ov = sink.read_overlaps(spark).collect()
+        pairs = [(r.new_id, r.corpus_id) for r in ov]
+        assert pairs == [(2, 1)]  # once, small id as corpus, no reverse
+        fps = spark.read.parquet(os.path.join(root, "fps"))
+        assert fps.count() == fps.distinct().count()

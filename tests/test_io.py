@@ -215,3 +215,20 @@ class TestTrainingShards:
         IO.write_training_shards(docs, path, budget=512, n_shards=4)
         dirs = {os.path.basename(p) for p in glob.glob(f"{path}/shard=*")}
         assert dirs == {f"shard={i}" for i in range(4)}
+
+    def test_zero_token_docs_land_in_shard_zero(self, spark, tmp_path):
+        # regression: xxhash64(NULL) is NOT NULL (it returns the
+        # seed-derived value), so the old coalesce fallback was dead
+        # code and zero-token docs landed in an arbitrary shard;
+        # the explicit isNull branch pins them to shard 0
+        docs = spark.createDataFrame(
+            [(0, "a", 100), (1, "", 0), (2, "b", 100), (3, "", 0)],
+            "doc_id long, text string, n_tokens long",
+        )
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "shards4")
+        IO.write_training_shards(docs, path, budget=64, n_shards=8)
+        out = spark.read.parquet(path)
+        zeros = out.filter(F.col("doc_id").isin(1, 3)).select("shard")
+        assert {r.shard for r in zeros.collect()} == {0}

@@ -203,3 +203,24 @@ class TestReviewRegressions:
         sink.process(spark.createDataFrame([(2,)], "k long"), 1)
         os.rename(p + "", p + ".swap.old")  # undo batch 1's swap
         assert sink._last_batch_id() == 1  # healed: old state restored
+
+
+class TestCountMinSinkParamGuard:
+    def test_mismatched_params_refuse_merge(self, spark, tmp_path):
+        import pytest
+
+        from tidb_cdc_spark.streaming import CountMinSink
+
+        b = spark.createDataFrame([(1,), (2,)], "k long")
+        CountMinSink(str(tmp_path / "store"), "k", depth=3, width=32).process(
+            b, 0
+        )
+        # same root, different width: the cell tables would union
+        # without any schema error but every estimate would be junk
+        bad = CountMinSink(str(tmp_path / "store"), "k", depth=3, width=64)
+        with pytest.raises(ValueError, match="different parameters"):
+            bad.process(b, 1)
+        # matching params continue fine
+        CountMinSink(str(tmp_path / "store"), "k", depth=3, width=32).process(
+            b, 1
+        )

@@ -227,12 +227,15 @@ def write_training_shards(
     layout = pack_chunks(
         docs.select(id_col, tokens_col), budget, id_col, tokens_col
     ).select(id_col, "start_tok", "chunk_first")
+    # explicit NULL branch: xxhash64 does NOT return NULL on NULL
+    # input (it hashes to the seed-derived value), so a coalesce
+    # fallback would be dead code and zero-token docs would land in
+    # an arbitrary-but-fixed shard instead of shard 0
     out = docs.join(layout, id_col).withColumn(
         "shard",
-        F.coalesce(
-            F.pmod(F.xxhash64(F.col("chunk_first")), F.lit(n_shards)),
-            F.lit(0),
-        ).cast("int"),
+        F.when(F.col("chunk_first").isNull(), F.lit(0))
+        .otherwise(F.pmod(F.xxhash64(F.col("chunk_first")), F.lit(n_shards)))
+        .cast("int"),
     )
     write_corpus(
         out,

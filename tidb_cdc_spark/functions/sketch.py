@@ -29,8 +29,11 @@ from pyspark.sql import functions as F
 
 
 def _bucket(key: Column, row: int, width: int, seed: int) -> Column:
-    """Row-``row`` hash bucket: xxhash64 seeded per row, non-negative
-    mod width (pmod — Spark's % keeps the sign)."""
+    """Row-``row`` hash bucket: xxhash64 of (key, seed + row) — the
+    row index is mixed in as a hashed second value under xxhash64's
+    fixed default seed, NOT as the hash seed itself — non-negative
+    mod width (pmod — Spark's % keeps the sign). Deterministic and
+    row-distinct; reproduce in another engine by hashing the pair."""
     h = F.xxhash64(key, F.lit(seed + row))
     return F.pmod(h, F.lit(width)).cast("int")
 

@@ -310,7 +310,10 @@ def _swap_batch_id(path: str) -> int | None:
         return int(f.read().strip())
 
 
-def _swap_commit(df: DataFrame, path: str, batch_id: int) -> None:
+def _swap_commit(
+    df: DataFrame, path: str, batch_id: int, params: dict | None = None
+) -> None:
+    import json
     import os
     import shutil
 
@@ -319,10 +322,56 @@ def _swap_commit(df: DataFrame, path: str, batch_id: int) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_BATCH"), "w") as f:
         f.write(str(batch_id))
+    if params is not None:
+        # sink parameters ride inside the swapped directory (same
+        # atomic rename as table + watermark) so a restart can verify
+        # compatibility before merging — see _check_swap_params
+        with open(os.path.join(tmp, "_PARAMS"), "w") as f:
+            json.dump(params, f, sort_keys=True)
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _swap_params(path: str) -> dict | None:
+    import json
+    import os
+
+    _swap_recover(path)
+    p = os.path.join(path, "_PARAMS")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _check_swap_params(path: str, expected: dict, what: str) -> None:
+    """Raise before a merge would silently union incompatible state:
+    a persisted sketch/moment table built under different parameters
+    (CMS depth/width/seed, PCA vector dim) merges without any schema
+    error but corrupts every later estimate. Stores written before
+    params were recorded (no ``_PARAMS``) are tolerated and stamped
+    at the next commit."""
+    stored = _swap_params(path)
+    if stored is None:
+        return
+    mismatched = {
+        k: (stored[k], v)
+        for k, v in expected.items()
+        if k in stored and stored[k] is not None and stored[k] != v
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{k}: stored={s!r} vs sink={v!r}"
+            for k, (s, v) in sorted(mismatched.items())
+        )
+        raise ValueError(
+            f"{what}: persisted state at {path!r} was built with "
+            f"different parameters ({detail}) — merging would corrupt "
+            "every later estimate; use a fresh root or matching "
+            "parameters"
+        )
 
 
 class CountMinSink:
@@ -392,6 +441,8 @@ class CountMinSink:
 
         if guard_batch_watermark(self._last_batch_id(), batch_id, "CMS store"):
             return  # at-least-once re-delivery
+        params = {"depth": self.depth, "width": self.width, "seed": self.seed}
+        _check_swap_params(self._path("cells"), params, "CountMinSink")
         spark = batch.sparkSession
         merged = count_min_table(
             batch, self.key_col, self.depth, self.width, self.seed
@@ -404,7 +455,7 @@ class CountMinSink:
                 .agg(F.sum("cnt").alias("cnt"))
             )
         # ≤ depth×width rows — one file is the right layout
-        _swap_commit(merged, self._path("cells"), batch_id)
+        _swap_commit(merged, self._path("cells"), batch_id, params)
 
 
 class WinnowOverlapSink:
@@ -420,10 +471,17 @@ class WinnowOverlapSink:
     batch itself (intra-batch pairs reported once, smaller id as
     ``corpus_id``; a re-delivered doc_id never pairs with itself),
     with a ``max_doc_freq`` viral-fingerprint cap on the store side.
-    Matches append to ``overlaps``, the batch's fingerprints to
-    ``fps``. Batch-id watermark (written LAST, atomic rename) makes
-    at-least-once re-delivery a no-op; plain-parquet append caveats
-    as on ``NearDupAdmissionSink``.
+    Matches land in ``overlaps``, the batch's fingerprints in
+    ``fps`` — both PARTITIONED BY batch_id and written with dynamic
+    partition overwrite, so a re-delivered batch REPLACES its own
+    partition instead of appending a second copy. Batch-id watermark
+    (written LAST, atomic rename) makes at-least-once re-delivery a
+    no-op; and a crash BETWEEN the partition writes and the
+    watermark is healed structurally: the store join reads only
+    ``batch_id < current`` partitions (partition-pruned), so a torn
+    batch's own fingerprints never pair against the re-run, and
+    ``read_overlaps`` serves only partitions at or below the
+    committed watermark.
 
     Cost note: the store is plain per-batch parquet appends, so each
     batch re-scans the accumulated fingerprint table once (join +
@@ -466,7 +524,12 @@ class WinnowOverlapSink:
         import os
 
         p = self._path("overlaps")
-        return spark.read.parquet(p) if os.path.exists(p) else None
+        wm = self._last_batch_id()
+        if wm is None or not os.path.exists(p):
+            return None
+        # exclude any torn partition written by a batch that crashed
+        # before committing its watermark (partition-pruned filter)
+        return spark.read.parquet(p).filter(F.col("batch_id") <= wm)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         import os
@@ -487,11 +550,19 @@ class WinnowOverlapSink:
             batch, self.k, self.w, self.id_col, self.text_col
         ).persist()
         store_p = self._path("fps")
+        # batch_id < current: a torn partition from a crashed run of
+        # THIS batch must not join against its own re-run (it would
+        # emit the intra-batch pairs a second time via the store
+        # path, in both orientations)
         store = (
-            spark.read.parquet(store_p).persist()
+            spark.read.parquet(store_p)
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+            .persist()
             if os.path.exists(store_p)
             else None
         )
+        overlaps = None
         try:
             # index = capped store + the batch itself (intra-batch
             # pairs must surface — they would otherwise be missed
@@ -539,11 +610,33 @@ class WinnowOverlapSink:
                 .groupBy("new_id", "corpus_id")
                 .agg(F.count(F.lit(1)).alias("shared"))
                 .withColumn("batch_id", F.lit(batch_id))
+                .persist()
             )
-            overlaps.write.mode("append").parquet(self._path("overlaps"))
-            fps.write.mode("append").parquet(store_p)
+            # dynamic partition overwrite: a re-delivered batch
+            # REPLACES its own partition (idempotent) instead of
+            # appending a duplicate copy.  Empty frames are skipped —
+            # partitionBy on zero rows leaves a _SUCCESS-only
+            # directory that a later read cannot infer a schema from,
+            # and an empty write has nothing to make idempotent.
+            if not overlaps.isEmpty():
+                (
+                    overlaps.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(self._path("overlaps"))
+                )
+            if not fps.isEmpty():
+                (
+                    fps.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(store_p)
+                )
         finally:
             fps.unpersist()
+            if overlaps is not None:
+                overlaps.unpersist()
             if store is not None:
                 store.unpersist()
         os.makedirs(self.root, exist_ok=True)
@@ -606,6 +699,20 @@ class PcaMomentSink:
             self._last_batch_id(), batch_id, "PCA moment store"
         ):
             return  # at-least-once re-delivery
+        # dim compat: moments of different vector dims union without
+        # any schema error (both are (pos, val)) but the sums are
+        # garbage — peek the batch's dim and refuse the merge early.
+        # An empty batch has no dim; the stored value carries forward.
+        head = batch.select(self.vec_col).first()
+        dim = (
+            len(head[0]) if head is not None and head[0] is not None else None
+        )
+        stored = _swap_params(self._path("moments")) or {}
+        if dim is not None:
+            _check_swap_params(
+                self._path("moments"), {"dim": dim}, "PcaMomentSink"
+            )
+        params = {"dim": dim if dim is not None else stored.get("dim")}
         spark = batch.sparkSession
         merged = moment_partials(batch, self.vec_col)
         existing = self.read_moments(spark)
@@ -615,4 +722,4 @@ class PcaMomentSink:
                 .groupBy("pos")
                 .agg(F.sum("val").alias("val"))
             )
-        _swap_commit(merged, self._path("moments"), batch_id)
+        _swap_commit(merged, self._path("moments"), batch_id, params)
