@@ -782,3 +782,57 @@ class TestBootstrap:
         assert StreamMetrics._rate(float("inf")) is None
         assert StreamMetrics._rate(None) is None
         assert StreamMetrics._rate(3.5) == 3.5
+
+
+class TestSharedConnectorWidth:
+    def test_routes_twenty_tables_sparse_batch(self, spark, tmp_path):
+        """Width rehearsal shape (tools/shared_width_rehearsal.py):
+        20 registrations, one shared stream, messages for only a
+        subset — the presence prefilter must skip absent tables and
+        every active table's snapshot must converge."""
+        specs = [
+            TableSpec(
+                database="d",
+                table=f"w{i:02d}",
+                columns=(
+                    ColumnSpec("K", "string", column="k", pk=True),
+                    ColumnSpec("V", "int"),
+                ),
+            )
+            for i in range(20)
+        ]
+        events_dir = tmp_path / "in"
+        msgs = []
+        for i in (0, 7, 19):  # sparse: 3 of 20 active
+            msgs.append(
+                _msg_for("d", f"w{i:02d}", "insert", {"k": "a", "v": i}, 10)
+            )
+            msgs.append(
+                _msg_for("d", f"w{i:02d}", "update", {"k": "a", "v": i + 100}, 11)
+            )
+        _write_batch(events_dir, "b1.jsonl", msgs)
+        conn = Connector(
+            ConnectorConfig(
+                server_name="srv", checkpoint_root=str(tmp_path / "ck")
+            )
+        )
+        sinks = []
+        for s in specs:
+            sink = ParquetSnapshotSink(str(tmp_path / "snap" / s.table))
+            sinks.append(sink)
+            conn.register(s, [sink])
+        q = conn.start_shared(
+            spark,
+            source=maxwell_file_stream(spark, str(events_dir)),
+            available_now=True,
+        )
+        q.awaitTermination()
+        for i, sink in enumerate(sinks):
+            cur = sink.read_current(spark)
+            if i in (0, 7, 19):
+                assert {(r.k, r.v) for r in cur.collect()} == {
+                    ("a", i + 100)
+                }
+            else:
+                # absent tables skipped entirely — no snapshot dir
+                assert cur is None or cur.count() == 0

@@ -182,6 +182,8 @@ class Connector:
         has_offset = "offset" in source.columns
 
         def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+            from concurrent.futures import ThreadPoolExecutor
+
             # ONE slim routing parse per row, cached with the batch:
             # separate get_json_object calls each re-parse the whole
             # JSON document and would run 2× per registration; a
@@ -195,16 +197,55 @@ class Connector:
                     "database string, table string",
                 ),
             ).persist()
+
+            def handle(r: _Registration) -> None:
+                sub = routed.filter(
+                    (F.col("_route.database") == r.spec.database)
+                    & (F.col("_route.table") == r.spec.table)
+                ).drop("_route")
+                seq = F.col("offset").cast("long") if has_offset else None
+                changes = parse_cdc(sub, r.spec, seq_col=seq)
+                for sink in r.sinks:
+                    sink.process(changes, batch_id, r.spec)
+
+            # CONCURRENT routed passes: a sequential loop serializes
+            # N small Spark jobs per batch and loses to per-table
+            # mode's N independent trigger loops by ~N/parallelism
+            # (tools/shared_width_rehearsal.py measured 2.7× slower
+            # at 24 tables before this).  Driver threads submit jobs
+            # Spark schedules side by side over the SAME cached
+            # batch; sinks of one registration still run in order.
+            # Any failure propagates out of .result() and fails the
+            # whole batch — offsets never commit past a lost table.
+            #
+            # Presence prefilter: at hundreds of registrations a
+            # micro-batch usually carries rows for a FRACTION of the
+            # tables; one tiny distinct-collect over the cached batch
+            # (bounded by #tables, not #rows) skips every absent
+            # registration's filter+parse+sink jobs.  A skipped sink
+            # sees nothing — identical to processing an empty frame,
+            # which every Sink treats as a no-op merge.
             try:
-                for r in regs:
-                    sub = routed.filter(
-                        (F.col("_route.database") == r.spec.database)
-                        & (F.col("_route.table") == r.spec.table)
-                    ).drop("_route")
-                    seq = F.col("offset").cast("long") if has_offset else None
-                    changes = parse_cdc(sub, r.spec, seq_col=seq)
-                    for sink in r.sinks:
-                        sink.process(changes, batch_id, r.spec)
+                present = {
+                    (r["database"], r["table"])
+                    for r in routed.select(
+                        F.col("_route.database").alias("database"),
+                        F.col("_route.table").alias("table"),
+                    )
+                    .distinct()
+                    .collect()
+                }
+                live = [
+                    r
+                    for r in regs
+                    if (r.spec.database, r.spec.table) in present
+                ]
+                if live:
+                    with ThreadPoolExecutor(
+                        max_workers=min(32, len(live))
+                    ) as ex:
+                        for fut in [ex.submit(handle, r) for r in live]:
+                            fut.result()
             finally:
                 routed.unpersist()
 
