@@ -99,6 +99,7 @@ def main() -> None:
         "winnow_overlap_pairs",
         "vocab_drift_top",
         "text_bigram_surprisal",
+        "corpus_perplexity_buckets",
         "quality_classifier_eval",
     ]
     timings: dict[str, float] = {}

@@ -195,3 +195,81 @@ class TestBigramSurprisal:
         )
         out = bigram_surprisal(docs).toPandas().set_index("doc_id")
         assert out.loc[100, "mean_mbits"] > out.loc[0, "mean_mbits"]
+
+
+class TestSurprisalBuckets:
+    def test_equal_thirds_total_order_and_head_is_fluent(self, spark):
+        from tidb_cdc_spark.functions.lm import surprisal_buckets
+
+        # 12 docs over a SHARED 10-word vocabulary (the conditional
+        # measure scores common-words-in-uncommon-ORDER; unique-token
+        # gibberish has c1 = c12 = 1 ⇒ 0 bits and reads as fluent):
+        # 4 fluent (one sequence repeated), 4 middling (fluent runs +
+        # one shuffled run), 4 salad (only shuffled runs, distinct
+        # stride permutation per doc) — bucket sizes must be exactly
+        # equal (12 div 3) and the bands must match the construction
+        W = [f"w{i}" for i in range(10)]
+        fluent = " ".join(W) + " "
+        rows = []
+        for i in range(4):
+            rows.append((i, fluent * 5))
+        for i in range(4, 8):
+            stride = [W[(j * (i - 1)) % 10] for j in range(10)]
+            rows.append((i, fluent * 2 + " ".join(stride)))
+        for i in range(8, 12):
+            stride = [W[(j * (i - 4)) % 10] for j in range(10)]
+            rows.append(
+                (i, " ".join(stride) + " " + " ".join(stride[::-1]))
+            )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = surprisal_buckets(docs, n_buckets=3).collect()
+        assert sorted(r.rank for r in out) == list(range(1, 13))
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r.doc_id)
+        assert {b: len(v) for b, v in by_bucket.items()} == {0: 4, 1: 4, 2: 4}
+        assert set(by_bucket[0]) == {0, 1, 2, 3}    # head = fluent
+        assert set(by_bucket[2]) == {8, 9, 10, 11}  # tail = shuffled
+
+    def test_matches_single_window_reference(self, spark):
+        """The banded two-level rank must equal the naive global
+        row_number formula exactly (the DuckDB oracle's form)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from tidb_cdc_spark.functions.lm import (
+            bigram_surprisal,
+            surprisal_buckets,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        got = {
+            (r.doc_id, r.rank, r.bucket)
+            for r in surprisal_buckets(docs, n_buckets=3).collect()
+        }
+        s = bigram_surprisal(docs)
+        n = s.count()
+        w = Window.orderBy("mean_mbits", "doc_id")
+        ref = {
+            (r.doc_id, r.rank, r.bucket)
+            for r in s.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            )
+            .withColumn(
+                "bucket",
+                F.expr(f"CAST(((rank - 1) * 3) DIV {n}L AS INT)"),
+            )
+            .select("doc_id", "rank", "bucket")
+            .collect()
+        }
+        assert got == ref
+
+    def test_empty_corpus(self, spark):
+        from tidb_cdc_spark.functions.lm import surprisal_buckets
+
+        out = surprisal_buckets(
+            spark.createDataFrame([], "doc_id long, text string")
+        )
+        assert out.count() == 0

@@ -126,3 +126,79 @@ def bigram_surprisal(
             "mean_mbits"
         ),
     )
+
+
+def surprisal_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 256,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 —
+    public literature: rank every document by LM perplexity, cut the
+    ranking into equal thirds, train preferentially on the fluent
+    head): ``(doc_id, mean_mbits, rank, bucket)`` with ``rank`` the
+    1-based position in (mean_mbits ASC, doc_id ASC) order — a total
+    deterministic order — and ``bucket = ((rank−1)·n_buckets) div N``
+    (0 = head = LOWEST surprisal). The score is the exact whole-bit
+    bigram surprisal (``bigram_surprisal``), so the whole split is
+    integral and hash-exact cross-engine; docs with < 2 tokens have
+    no score and drop (both engines).
+
+    Scale shape: the global rank over a total order is the prefix
+    problem of ``selection.budget_head`` — one unbounded window
+    would serialize the corpus onto one task, so it runs as the same
+    two-level scan, sharded by SCORE BAND (contiguous score ranges
+    are contiguous rank spans): per-band counts (≤ n_shards rows)
+    are exclusive-prefix-summed on a tiny window, within-band ranks
+    run partitioned BY BAND, global rank = band offset + within-band
+    row_number. The band width comes from one 1-row min/max
+    aggregate (bounded driver traffic at any corpus size)."""
+    from pyspark.sql.window import Window
+
+    from tidb_cdc_spark.session import materialize
+
+    s = materialize(
+        bigram_surprisal(docs, id_col, text_col).select(
+            "doc_id", "mean_mbits"
+        )
+    )
+    head = s.agg(
+        F.min("mean_mbits").alias("lo"),
+        F.max("mean_mbits").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if head["n"] == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, mean_mbits long, rank long, bucket int"
+        )
+    lo, n = int(head["lo"]), int(head["n"])
+    width = max(1, -(-(int(head["hi"]) - lo + 1) // n_shards))
+    sharded = s.withColumn(
+        "_shard", F.expr(f"(mean_mbits - {lo}L) div {width}L")
+    )
+    counts = sharded.groupBy("_shard").agg(F.count(F.lit(1)).alias("_c"))
+    w_sh = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_shard",
+        F.coalesce(F.sum("_c").over(w_sh), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_shard").orderBy("mean_mbits", "doc_id")
+    return (
+        sharded.join(F.broadcast(offsets), "_shard")
+        .withColumn(
+            "rank",
+            (F.col("_off") + F.row_number().over(w_in)).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "mean_mbits",
+            "rank",
+            F.expr(f"CAST(((rank - 1) * {n_buckets}) DIV {n}L AS INT)").alias(
+                "bucket"
+            ),
+        )
+    )

@@ -67,7 +67,9 @@ for _mod in (
 #   audits (winnow_cap_report, quality_classifier_audit), and four
 #   r4-stale rows named by the r6 verdict (events_rolling_features,
 #   table_profile_lineitem, events_transition_matrix,
-#   events_pivot_by_type); OUT sixteen r6-green single-scan rows
+#   events_pivot_by_type — events_value_outliers yielded its slot to
+#   the new corpus_perplexity_buckets and queues for r8); OUT
+#   sixteen r6-green single-scan rows
 #   (unigram surprisal, quality filter, contamination, pack/mix/
 #   padding, centroids ×2, snapshot diff, chunk spans, rag topk,
 #   repeated spans ×2, hashed-tf... funnel, trailing-30m) — each
@@ -97,7 +99,7 @@ GATE = [
     "winnow_cap_report",
     "vocab_drift_top",
     "text_bigram_surprisal",
-    "events_value_outliers",
+    "corpus_perplexity_buckets",
     "events_value_mad_outliers",
     "quality_classifier_audit",
     "events_rolling_features",

@@ -310,6 +310,48 @@ ORDER BY btf.doc_id
 """
 
 
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank
+    every document by LM surprisal (exact whole-bit bigram variant),
+    cut the ranking into equal thirds — head = most fluent, the
+    slice a pretraining mix up-weights. Fully integral (rank +
+    truncating-division bucket formula shared verbatim with the
+    oracle) ⇒ hash-exact; the rank runs as the two-level banded
+    prefix scan, never a single-task global window
+    (functions/lm.py::surprisal_buckets)."""
+    from tidb_cdc_spark.functions.lm import surprisal_buckets
+
+    b = surprisal_buckets(_docs(spark, sf_dir), n_buckets=3)
+    return b.select(
+        "doc_id",
+        "mean_mbits",
+        "rank",
+        "bucket",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("bucket") + 1,
+        ).alias("band"),
+    ).orderBy("rank")
+
+
+_PPLX_BUCKETS_SQL = f"""
+WITH base AS ({_BIGRAM_SQL}),
+r AS (
+  SELECT doc_id, mean_mbits,
+         CAST(ROW_NUMBER() OVER (ORDER BY mean_mbits, doc_id)
+              AS BIGINT) AS rank,
+         COUNT(*) OVER () AS n
+  FROM base
+)
+SELECT doc_id, mean_mbits, rank,
+       CAST(((rank - 1) * 3) // n AS INTEGER) AS bucket,
+       CASE CAST(((rank - 1) * 3) // n AS INTEGER)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS band
+FROM r ORDER BY rank
+"""
+
+
 # -------------------------------------- quality classifier (CCNet)
 
 
@@ -393,10 +435,12 @@ QUERIES = {
     "text_bigram_surprisal": text_bigram_surprisal,
     "quality_classifier_eval": quality_classifier_eval,
     "quality_classifier_audit": quality_classifier_audit,
+    "corpus_perplexity_buckets": corpus_perplexity_buckets,
 }
 
 ORACLE = {
     "quality_classifier_audit": _CLASSIFIER_AUDIT_SQL,
+    "corpus_perplexity_buckets": _PPLX_BUCKETS_SQL,
     "vocab_drift_top": _DRIFT_SQL,
     "text_bigram_surprisal": _BIGRAM_SQL,
     "doc_hashed_tf": _HASHED_TF_SQL,
