@@ -224,3 +224,52 @@ class TestCountMinSinkParamGuard:
         CountMinSink(str(tmp_path / "store"), "k", depth=3, width=32).process(
             b, 1
         )
+
+
+class TestHllDistinctSink:
+    def test_stream_matches_exact_and_replay_noop(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import HllDistinctSink
+
+        sink = HllDistinctSink(
+            str(tmp_path / "store"), "user_id", ["event_type"]
+        )
+        b1 = spark.createDataFrame(
+            [(i % 7, "click") for i in range(30)]
+            + [(i % 3, "view") for i in range(9)],
+            "user_id long, event_type string",
+        )
+        b2 = spark.createDataFrame(
+            [(100 + (i % 5), "click") for i in range(20)],
+            "user_id long, event_type string",
+        )
+        sink.process(b1, 0)
+        sink.process(b2, 1)
+        est = {
+            r.event_type: r.distinct_est
+            for r in sink.estimates(spark).collect()
+        }
+        # sparse-mode HLL is exact at these cardinalities
+        assert est == {"click": 12, "view": 3}
+        sink.process(b2, 1)  # re-delivery: no double-merge
+        est2 = {
+            r.event_type: r.distinct_est
+            for r in sink.estimates(spark).collect()
+        }
+        assert est2 == est
+
+    def test_mismatched_params_refuse_merge(self, spark, tmp_path):
+        import pytest
+
+        from tidb_cdc_spark.streaming import HllDistinctSink
+
+        b = spark.createDataFrame(
+            [(1, "click")], "user_id long, event_type string"
+        )
+        HllDistinctSink(
+            str(tmp_path / "store"), "user_id", ["event_type"], lgk=12
+        ).process(b, 0)
+        bad = HllDistinctSink(
+            str(tmp_path / "store"), "user_id", ["event_type"], lgk=14
+        )
+        with pytest.raises(ValueError, match="different parameters"):
+            bad.process(b, 1)

@@ -139,3 +139,51 @@ def heavy_hitters(
         .filter(F.col("n_events") > min_count)
     )
     return exact
+
+
+# ---------------------------------------------------- HLL distinct
+
+
+def hll_distinct_table(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    lgk: int = 12,
+) -> DataFrame:
+    """(group cols…, hll binary) — one Datasketches HLL sketch per
+    group over ``key_col`` (Spark's native ``hll_sketch_agg``; the
+    Apache DataSketches HLL, public library). Unlike
+    ``approx_count_distinct`` the SKETCH itself is the output:
+    sketches are mergeable (``hll_merge_tables``), so per-group
+    distinct state is a constant ~2^lgk bytes no matter how many
+    keys flow through — the streaming/partitioned-union shape an
+    exact distinct cannot give. At small cardinalities (< a few
+    hundred) the sketch runs in sparse mode and the estimate is
+    EXACT."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_merge_tables(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge two per-group sketch tables: union + one combining
+    ``hll_union_agg`` per group — the associative reduce that lets
+    per-batch/per-partition sketches roll up without rescanning any
+    raw data."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols)
+        .agg(F.hll_union_agg("hll").alias("hll"))
+    )
+
+
+def hll_distinct_estimates(
+    table: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """(group cols…, distinct_est long) from a sketch table."""
+    return table.select(
+        *group_cols,
+        F.hll_sketch_estimate("hll").alias("distinct_est"),
+    )

@@ -13,6 +13,7 @@ from tidb_cdc_spark.streaming.sinks import (
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
 from tidb_cdc_spark.streaming.enrich import (
     CountMinSink,
+    HllDistinctSink,
     NearDupAdmissionSink,
     PcaMomentSink,
     WinnowOverlapSink,
@@ -23,6 +24,7 @@ __all__ = [
     "Connector",
     "ConnectorConfig",
     "CountMinSink",
+    "HllDistinctSink",
     "NearDupAdmissionSink",
     "PcaMomentSink",
     "WinnowOverlapSink",

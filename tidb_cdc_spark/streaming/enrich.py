@@ -723,3 +723,84 @@ class PcaMomentSink:
                 .agg(F.sum("val").alias("val"))
             )
         _swap_commit(merged, self._path("moments"), batch_id, params)
+
+
+class HllDistinctSink:
+    """foreachBatch body maintaining per-group DataSketches HLL
+    sketches over a stream — unbounded distinct counting ("unique
+    users per event type, ever") with CONSTANT state per group:
+    exact streaming distinct needs state ∝ #distinct keys (unbounded
+    on an unbounded stream); the sketch is ~2^lgk bytes per group
+    forever, and per-batch work is one combining ``hll_sketch_agg``
+    of the BATCH plus one ``hll_union_agg`` merge with the stored
+    table (functions/sketch.py HLL surface).
+
+    Same commit discipline as ``CountMinSink``: copy-on-write swap,
+    batch-id watermark INSIDE the swapped directory (table +
+    watermark commit in one rename — replay-safe, no double-merge
+    window), ``_PARAMS`` compatibility guard (merging sketches built
+    at a different lgk or over a different key column would not
+    error — DataSketches refuses mismatched lgk only sometimes, and
+    a different key silently produces a union of different
+    universes).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        key_col: str,
+        group_cols: list[str],
+        lgk: int = 12,
+    ):
+        self.root = root
+        self.key_col = key_col
+        self.group_cols = list(group_cols)
+        self.lgk = lgk
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        return _swap_batch_id(self._path("sketches"))
+
+    def read_table(self, spark) -> "DataFrame | None":
+        return _swap_read(spark, self._path("sketches"))
+
+    def estimates(self, spark) -> "DataFrame | None":
+        """(group cols…, distinct_est) from the current persisted
+        sketches (None before the first committed batch)."""
+        from tidb_cdc_spark.functions.sketch import hll_distinct_estimates
+
+        table = self.read_table(spark)
+        if table is None:
+            return None
+        return hll_distinct_estimates(table, self.group_cols)
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        from tidb_cdc_spark.functions.sketch import (
+            hll_distinct_table,
+            hll_merge_tables,
+        )
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(
+            self._last_batch_id(), batch_id, "HLL store"
+        ):
+            return  # at-least-once re-delivery
+        params = {
+            "lgk": self.lgk,
+            "key_col": self.key_col,
+            "group_cols": self.group_cols,
+        }
+        _check_swap_params(self._path("sketches"), params, "HllDistinctSink")
+        spark = batch.sparkSession
+        merged = hll_distinct_table(
+            batch, self.key_col, self.group_cols, self.lgk
+        )
+        existing = self.read_table(spark)  # heals any torn swap
+        if existing is not None:
+            merged = hll_merge_tables(merged, existing, self.group_cols)
+        # one sketch row per group — one file is the right layout
+        _swap_commit(merged, self._path("sketches"), batch_id, params)
