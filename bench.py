@@ -95,6 +95,7 @@ def main() -> None:
         "knn_opq_adc",
         "events_heavy_hitters_cms",
         "rag_hard_negatives",
+        "rag_rerank_cascade",
         "doc_semantic_dedup",
         "winnow_overlap_pairs",
         "vocab_drift_top",

@@ -383,6 +383,121 @@ ORDER BY query_id, rank
 """
 
 
+
+
+# --------------------------------------- retrieve-then-rerank cascade
+
+
+def rag_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-encoder SERVING shape (retrieve cheap, rerank
+    expensive): stage 1 retrieves top-20 candidates per query by
+    dense cosine (exact brute force here; at 100 TB this stage swaps
+    for knn_lsh / ivfpq_probe_index — the rerank stage is unchanged),
+    stage 2 re-scores ONLY those 20 pairs with a PAIRWISE scorer over
+    the raw texts and keeps top-5. The scorer is integral token-set
+    Jaccard (|A∩B|·10⁶ div |A∪B|) — a deterministic stand-in with
+    the same data flow as a model cross-encoder (per-pair scoring of
+    query/candidate TEXT, non-factorizable into vector products);
+    a model scorer drops into the same per-pair frame as an Arrow
+    mapInPandas. Cost shape is the point: the expensive scorer
+    touches k·|queries| pairs, never the corpus. Fully exact ⇒
+    DuckDB oracle; ties broken by neighbor_id.
+    """
+    from tidb_cdc_spark.functions.similarity import knn_bruteforce
+    from tidb_cdc_spark.operators.windows import topk_per_group
+    from tidb_cdc_spark.queries.llm import _docs
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5)
+    cand = knn_bruteforce(q, e, k=20).select("query_id", "neighbor_id")
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("ts"),
+    )
+    j = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("query_id"), F.col("ts").alias("_qt")
+            ),
+            "query_id",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("ts").alias("_ct"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CAST(size(array_intersect(_qt, _ct)) * 1000000 "
+                "DIV GREATEST(size(array_union(_qt, _ct)), 1) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return topk_per_group(
+        j,
+        ["query_id"],
+        [F.col("jaccard_ppm").desc(), F.col("neighbor_id").asc()],
+        5,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "jaccard_ppm", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+_RERANK_SQL = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(qv, cv)
+           / (sqrt(list_inner_product(qv, qv))
+              * sqrt(list_inner_product(cv, cv))) AS score
+  FROM q, c WHERE query_id <> neighbor_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS r
+    FROM scored
+  ) WHERE r <= 20
+), tok AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '')) AS ts
+  FROM documents
+), j AS (
+  SELECT query_id, neighbor_id,
+         CAST(len(list_intersect(tq.ts, tc.ts)) * 1000000
+              // GREATEST(len(list_distinct(list_concat(tq.ts, tc.ts))), 1)
+              AS BIGINT) AS jaccard_ppm
+  FROM cand
+  JOIN tok tq ON tq.doc_id = cand.query_id
+  JOIN tok tc ON tc.doc_id = cand.neighbor_id
+), rr AS (
+  SELECT query_id, neighbor_id, jaccard_ppm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY jaccard_ppm DESC, neighbor_id)
+              AS INTEGER) AS rank
+  FROM j
+)
+SELECT query_id, neighbor_id, jaccard_ppm, rank
+FROM rr WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "semantic_dedup_prune": semantic_dedup_prune,
     "semantic_dedup_audit": semantic_dedup_audit,
@@ -392,10 +507,12 @@ QUERIES = {
     "knn_opq_adc": knn_opq_adc,
     "knn_opq_audit": knn_opq_audit,
     "rag_hard_negatives": rag_hard_negatives,
+    "rag_rerank_cascade": rag_rerank_cascade,
 }
 
 ORACLE = {
     "rag_hard_negatives": _HARD_NEG_SQL,
+    "rag_rerank_cascade": _RERANK_SQL,
     "semantic_dedup_audit": _SEMDEDUP_AUDIT_SQL,
     "embedding_covariance": _COVARIANCE_SQL,
     "embedding_pca_audit": _PCA_AUDIT_SQL,
