@@ -117,6 +117,9 @@ HEAVY = [
     "doc_semantic_dedup",
     "events_heavy_hitters_cms",
     "winnow_overlap_pairs",
+    "knn_opq_adc",
+    "corpus_perplexity_buckets",
+    "rag_rerank_cascade",
 ]
 
 
