@@ -406,3 +406,54 @@ class TestLateR6Plans:
         df = text_bigram_surprisal(spark, SF)
         plan = explain_str(df, mode="simple")
         assert "BatchEvalPython" not in plan
+
+
+class TestRound7Plans:
+    def test_perplexity_buckets_rank_is_band_partitioned(self, spark):
+        """The global rank must run partitioned by the score band —
+        a row_number window WITHOUT a partition key serializes the
+        corpus onto one task."""
+        from tidb_cdc_spark.queries.llm14 import corpus_perplexity_buckets
+
+        plan = explain_str(corpus_perplexity_buckets(spark, SF))
+        import re
+
+        rn = [
+            l
+            for l in plan.splitlines()
+            if "row_number" in l and "windowspecdefinition" in l
+        ]
+        assert rn, "rank window missing"
+        # every row_number window spec carries the _shard partition key
+        assert all("_shard" in l for l in rn), rn
+        assert "BatchEvalPython" not in plan
+
+    def test_rerank_cascade_broadcasts_and_stays_jvm(self, spark):
+        """Stage-1 query side broadcast (corpus never shuffles for
+        the cosine scan); the pairwise rerank joins stay JVM-side."""
+        from tidb_cdc_spark.queries.llm13 import rag_rerank_cascade
+
+        df = rag_rerank_cascade(spark, SF)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_winnow_cap_report_single_fp_materialization(self, spark):
+        """freq agg and the affected-docs semi-join must share ONE
+        fingerprint computation (InMemoryTableScan), not recompute
+        the shingle window per consumer."""
+        from tidb_cdc_spark.queries.llm14 import winnow_cap_report
+
+        plan = explain_str(winnow_cap_report(spark, SF))
+        assert "InMemoryTableScan" in plan
+        # the winnow window-min pass appears at most once live (the
+        # cached plan may show it inside the InMemoryRelation only)
+        live = plan.split("InMemoryRelation")[0]
+        assert live.count("windowspecdefinition") <= 1
+
+    def test_hll_audit_no_python_and_single_scan_per_arm(self, spark):
+        from tidb_cdc_spark.queries.batch3 import events_distinct_hll_audit
+
+        plan = explain_str(events_distinct_hll_audit(spark, SF))
+        assert "BatchEvalPython" not in plan
+        assert "hll_sketch_agg" in plan or "hll_union_agg" in plan
