@@ -503,3 +503,40 @@ class TestPcaMomentSink:
         assert np.allclose(
             m1.explained_variance, m2.explained_variance
         )
+
+
+class TestWhiten:
+    def test_whitened_covariance_is_identity(self, spark):
+        import numpy as np
+
+        from tidb_cdc_spark.functions.pca import fit_pca, whiten
+
+        rng = np.random.default_rng(11)
+        # anisotropic: axis scales 10 / 3 / 1 / 0.3
+        X = rng.normal(size=(400, 4)) * np.array([10.0, 3.0, 1.0, 0.3])
+        rows = [(int(i), [float(v) for v in X[i]]) for i in range(400)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        model = fit_pca(e, k=4)
+        W = np.stack(
+            whiten(e, model).orderBy("vec_id").toPandas()["white"].to_numpy()
+        )
+        cov = np.cov(W.T, bias=True)
+        assert np.abs(cov - np.eye(4)).max() < 1e-6
+
+    def test_zero_variance_axis_does_not_blow_up(self, spark):
+        import numpy as np
+
+        from tidb_cdc_spark.functions.pca import fit_pca, whiten
+
+        rng = np.random.default_rng(12)
+        X = np.zeros((100, 3))
+        X[:, 0] = rng.normal(size=100)  # one live axis, two dead
+        rows = [(int(i), [float(v) for v in X[i]]) for i in range(100)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        model = fit_pca(e, k=3)
+        W = np.stack(
+            whiten(e, model).orderBy("vec_id").toPandas()["white"].to_numpy()
+        )
+        assert np.isfinite(W).all()
+        # dead axes stay ~zero instead of amplifying float noise
+        assert np.abs(W[:, 1:]).max() < 1.0

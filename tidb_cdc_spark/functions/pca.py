@@ -135,3 +135,36 @@ def project(
         return pd.Series([row.tolist() for row in P])
 
     return embs.withColumn(out_col, proj(as_double(F.col(vec_col))))
+
+
+def whiten(
+    embs: DataFrame,
+    model: PcaModel,
+    vec_col: str = "embedding",
+    out_col: str = "white",
+    eps: float = 1e-8,
+) -> DataFrame:
+    """Append ``out_col``: PCA whitening — project onto the principal
+    axes and scale each coordinate to unit variance,
+    ``(x − mean) @ componentsᵀ · diag(1/√(λᵢ + eps))``. The standard
+    embedding preprocessing before cosine ANN / k-means when raw
+    dimensions have wildly different variances (decorrelates and
+    equalizes them; Bishop PRML §12.1.3, public literature). A pure
+    per-vector map like ``project`` — one Arrow-batched pass, model
+    broadcast in the closure (k·d + k doubles ≈ KBs) — so a planted
+    exact copy whitens identically (the audit contract). ``eps``
+    guards zero-variance axes; components with λ ≤ eps contribute a
+    ~zero coordinate instead of a blow-up."""
+    from pyspark.sql.functions import pandas_udf
+
+    mean = model.mean
+    scale = 1.0 / np.sqrt(model.explained_variance + eps)
+    comp_w = np.ascontiguousarray(model.components.T * scale)  # (d, k)
+
+    @pandas_udf("array<double>")
+    def wproj(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64) - mean
+        P = M @ comp_w
+        return pd.Series([row.tolist() for row in P])
+
+    return embs.withColumn(out_col, wproj(as_double(F.col(vec_col))))

@@ -272,6 +272,87 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
 """
 
 
+
+
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened top-8 coordinates per vector (decorrelate +
+    unit-variance — the standard preprocessing before cosine ANN /
+    k-means on anisotropic embeddings; functions/pca.py::whiten).
+    Rows-only like ``embedding_pca_project`` (eigenvectors aren't
+    SQL-expressible); the contract is oracle-checked by
+    ``embedding_whiten_audit``."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    model = P.fit_pca(e, k=8)
+    w = P.whiten(e, model)
+    return w.select(
+        "vec_id",
+        *[
+            F.round(F.element_at(F.col("white"), d + 1), 4).alias(f"w{d}")
+            for d in range(4)
+        ],
+    ).orderBy("vec_id")
+
+
+def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening contract, oracle-gated: (a) a planted exact copy
+    whitens to identical coordinates (pure per-vector map, 1e-6 BLAS
+    tolerance); (b) every whitened component has population variance
+    ≈ 1 over the fit corpus — THE whitening property: var along axis
+    i is λᵢ, scaled by 1/(λᵢ+eps) ⇒ λᵢ/(λᵢ+eps) ≈ 1 (checked at
+    1e-3). A regression in the moment pipeline, eigh plumbing, or
+    the scaling flips a boolean and fails the hash."""
+    e, off = _embs_with_copies(spark, sf_dir)
+    e = e.select("vec_id", "embedding")
+    model = P.fit_pca(e, k=8)
+    w = P.whiten(e, model)
+    var_row = (
+        w.select(F.posexplode("white").alias("_d", "_v"))
+        .groupBy("_d")
+        .agg(F.var_pop("_v").alias("_var"))
+        .agg(
+            F.min(
+                (F.abs(F.col("_var") - 1.0) < 1e-3).cast("int")
+            ).alias("_ok")
+        )
+        .collect()
+    )
+    unit_var_ok = bool(var_row[0]["_ok"] == 1)
+
+    ids = w.filter(
+        (F.col("vec_id") < _N_VECS)
+        | (
+            (F.col("vec_id") >= F.lit(off))
+            & (F.col("vec_id") < F.lit(off) + _N_VECS)
+        )
+    )
+    orig = ids.filter(F.col("vec_id") < _N_VECS).select(
+        "vec_id", F.col("white").alias("_wa")
+    )
+    copy = ids.filter(F.col("vec_id") >= F.lit(off)).select(
+        (F.col("vec_id") - F.lit(off)).alias("vec_id"),
+        F.col("white").alias("_wb"),
+    )
+    diff = F.array_max(
+        F.zip_with("_wa", "_wb", lambda x, y: F.abs(x - y))
+    )
+    return (
+        orig.join(copy, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("_wb").isNotNull().alias("found"),
+            F.coalesce(diff < 1e-6, F.lit(False)).alias("white_same"),
+            F.lit(unit_var_ok).alias("unit_var_ok"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_WHITEN_AUDIT_SQL = """
+SELECT vec_id, TRUE AS found, TRUE AS white_same, TRUE AS unit_var_ok
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
+
 # ------------------------------------------------ parametric OPQ
 
 
@@ -504,6 +585,8 @@ QUERIES = {
     "embedding_covariance": embedding_covariance,
     "embedding_pca_project": embedding_pca_project,
     "embedding_pca_audit": embedding_pca_audit,
+    "embedding_whiten": embedding_whiten,
+    "embedding_whiten_audit": embedding_whiten_audit,
     "knn_opq_adc": knn_opq_adc,
     "knn_opq_audit": knn_opq_audit,
     "rag_hard_negatives": rag_hard_negatives,
@@ -516,5 +599,6 @@ ORACLE = {
     "semantic_dedup_audit": _SEMDEDUP_AUDIT_SQL,
     "embedding_covariance": _COVARIANCE_SQL,
     "embedding_pca_audit": _PCA_AUDIT_SQL,
+    "embedding_whiten_audit": _WHITEN_AUDIT_SQL,
     "knn_opq_audit": _OPQ_AUDIT_SQL,
 }
