@@ -476,3 +476,128 @@ class TestWinnowSinkTornBatchRedelivery:
         assert pairs == [(2, 1)]  # once, small id as corpus, no reverse
         fps = spark.read.parquet(os.path.join(root, "fps"))
         assert fps.count() == fps.distinct().count()
+
+
+class TestWinnowSinkLegacyMigration:
+    def test_flat_pre_partitioned_store_upgrades_in_place(
+        self, spark, tmp_path
+    ):
+        """A store written by the pre-r7 append-based code (flat
+        part-files; fps without batch_id) must be migrated to the
+        partitioned layout on the next batch instead of crashing on
+        the batch_id filter / partition discovery."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.streaming import WinnowOverlapSink
+
+        root = tmp_path / "store"
+        run = " ".join(f"s{i}" for i in range(8))
+        # forge the legacy layout: flat appends, no batch_id in fps
+        from tidb_cdc_spark.functions.winnow import winnow_fingerprints
+
+        b0 = spark.createDataFrame(
+            [(1, "x1 x2 " + run)], "doc_id long, text string"
+        )
+        winnow_fingerprints(b0, 4, 2).write.mode("append").parquet(
+            str(root / "fps")
+        )
+        spark.createDataFrame(
+            [], "new_id long, corpus_id long, shared long, batch_id long"
+        ).coalesce(1).write.mode("append").parquet(str(root / "overlaps"))
+        os.makedirs(root, exist_ok=True)
+        with open(root / "_BATCH", "w") as f:
+            f.write("0")
+
+        sink = WinnowOverlapSink(str(root), k=4, w=2)
+        b1 = spark.createDataFrame(
+            [(10, run + " c1 c2")], "doc_id long, text string"
+        )
+        sink.process(b1, 1)  # must migrate, then join doc 10 vs doc 1
+        ov = sink.read_overlaps(spark)
+        pairs = {(r.new_id, r.corpus_id) for r in ov.collect()}
+        assert (10, 1) in pairs
+        # fps store now partitioned: legacy rows under batch_id=-1
+        fps = spark.read.parquet(str(root / "fps"))
+        assert set(
+            r.batch_id for r in fps.select("batch_id").distinct().collect()
+        ) == {-1, 1}
+
+
+class TestSharedSinkSerialization:
+    def test_one_sink_instance_across_registrations_is_safe(
+        self, spark, tmp_path
+    ):
+        """One sink object registered for several tables must not be
+        entered concurrently by the shared router's threads."""
+        import json
+        import os
+        import threading
+
+        from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
+        from tidb_cdc_spark.sources.files import maxwell_file_stream
+        from tidb_cdc_spark.streaming.connector import (
+            Connector,
+            ConnectorConfig,
+        )
+
+        class ConcurrencyProbe:
+            def __init__(self):
+                self.active = 0
+                self.max_active = 0
+                self.calls = 0
+                self._m = threading.Lock()
+
+            def process(self, changes, batch_id, spec):
+                with self._m:
+                    self.active += 1
+                    self.max_active = max(self.max_active, self.active)
+                changes.count()  # do real work while "inside"
+                with self._m:
+                    self.active -= 1
+                    self.calls += 1
+
+        probe = ConcurrencyProbe()
+        specs = [
+            TableSpec(
+                database="d",
+                table=f"s{i}",
+                columns=(
+                    ColumnSpec("K", "string", column="k", pk=True),
+                    ColumnSpec("V", "int"),
+                ),
+            )
+            for i in range(6)
+        ]
+        events_dir = tmp_path / "in"
+        os.makedirs(events_dir, exist_ok=True)
+        msgs = [
+            json.dumps(
+                {
+                    "database": "d",
+                    "table": f"s{i}",
+                    "type": "insert",
+                    "ts": 1,
+                    "data": {"k": "a", "v": i},
+                }
+            )
+            for i in range(6)
+        ]
+        with open(events_dir / "b1.jsonl", "w") as f:
+            f.write("\n".join(msgs))
+        conn = Connector(
+            ConnectorConfig(
+                server_name="srv", checkpoint_root=str(tmp_path / "ck")
+            )
+        )
+        for s in specs:
+            conn.register(s, [probe])
+        q = conn.start_shared(
+            spark,
+            source=maxwell_file_stream(spark, str(events_dir)),
+            available_now=True,
+        )
+        q.awaitTermination()
+        assert probe.calls == 6
+        assert probe.max_active == 1  # never entered concurrently

@@ -37,25 +37,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tidb_cdc_spark.functions.sampling import sampled_train as _sampled_train
 from tidb_cdc_spark.functions.similarity import as_double
 from tidb_cdc_spark.operators.windows import topk_per_group
-
-
-def _sampled_train(
-    df: DataFrame, train_fraction: float, min_rows: int, seed: int
-) -> DataFrame:
-    """Deterministic training sample for iterative fits (k-means
-    converges on far less data than the corpus — at 100 TB the fit
-    would otherwise dominate the job). Falls back to the full frame
-    when the Bernoulli sample lands under ``min_rows`` (tiny-corpus
-    guard; the limit() probe stops scanning once min_rows are seen).
-    Same discipline as ``semdedup.semantic_dedup``."""
-    if train_fraction >= 1.0:
-        return df
-    s = df.sample(fraction=train_fraction, seed=seed)
-    if s.limit(min_rows).count() < min_rows:
-        return df
-    return s
 
 
 def pq_train(

@@ -154,3 +154,19 @@ def split_assign(
     for thresh, name in reversed(cases):
         expr = F.when(bucket < F.lit(thresh), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def sampled_train(df, train_fraction: float, min_rows: int, seed: int):
+    """Deterministic training sample for iterative fits (k-means
+    converges on far less data than the corpus — at 100 TB a
+    full-data fit would dominate the job). Falls back to the full
+    frame when the Bernoulli sample lands under ``min_rows``
+    (tiny-corpus guard; the limit() probe stops scanning once
+    min_rows rows are seen). Shared by ``semdedup.semantic_dedup``
+    and the PQ/OPQ codebook fits (functions/pq.py)."""
+    if train_fraction >= 1.0:
+        return df
+    sample = df.sample(fraction=train_fraction, seed=seed)
+    if sample.limit(min_rows).count() < min_rows:
+        return df
+    return sample

@@ -76,15 +76,9 @@ def semantic_dedup(
         assigned = c.withColumn("_cell", F.lit(0))
     else:
         c = c.withColumn("_fv", array_to_vector(F.col("_v")))
-        if train_fraction >= 1.0:
-            train = c
-        else:
-            train = c.sample(fraction=train_fraction, seed=seed)
-            # tiny-corpus guard: Bernoulli sampling is approximate, and
-            # a fit needs ≥ n_cells points; limit() makes the probe
-            # stop scanning as soon as n_cells rows are found
-            if train.limit(n_cells).count() < n_cells:
-                train = c
+        from tidb_cdc_spark.functions.sampling import sampled_train
+
+        train = sampled_train(c, train_fraction, n_cells, seed)
         try:
             km = KMeans(
                 k=n_cells, seed=seed, maxIter=10, featuresCol="_fv"

@@ -275,7 +275,8 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
 
 
 def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA-whitened top-8 coordinates per vector (decorrelate +
+    """First 4 (rounded) of the 8 PCA-whitened coordinates per
+    vector (same emit shape as ``embedding_pca_project``; decorrelate +
     unit-variance — the standard preprocessing before cosine ANN /
     k-means on anisotropic embeddings; functions/pca.py::whiten).
     Rows-only like ``embedding_pca_project`` (eigenvectors aren't
@@ -517,9 +518,11 @@ def rag_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
+            # BIGINT before the ×10⁶: size() is INT and Spark runs
+            # ANSI — a pair sharing ≥2148 tokens would overflow INT
             F.expr(
-                "CAST(size(array_intersect(_qt, _ct)) * 1000000 "
-                "DIV GREATEST(size(array_union(_qt, _ct)), 1) AS BIGINT)"
+                "CAST(size(array_intersect(_qt, _ct)) AS BIGINT) * 1000000 "
+                "DIV GREATEST(size(array_union(_qt, _ct)), 1)"
             ).alias("jaccard_ppm"),
         )
     )

@@ -163,9 +163,22 @@ class Connector:
         so a sink error fails the batch for EVERY table (no partial
         commit; same no-silent-loss stance as ``start``).
         """
+        import threading
+
         regs = list(self._registrations.values())
         if not regs:
             raise ValueError("no registrations")
+        # a sink INSTANCE may back several registrations (one metrics
+        # sink for every table); the concurrent routing below must not
+        # let two threads run its process() at once — per-instance
+        # locks restore the sequential-loop guarantee for shared
+        # sinks. (Distinct sink instances pointed at one output path
+        # were never safe in either mode — per-table `start` always
+        # ran them concurrently.)
+        sink_locks: dict[int, threading.Lock] = {}
+        for _r in regs:
+            for _s in _r.sinks:
+                sink_locks.setdefault(id(_s), threading.Lock())
         if source is None:
             cfg = KafkaSourceConfig(
                 brokers=self.config.brokers,
@@ -206,7 +219,8 @@ class Connector:
                 seq = F.col("offset").cast("long") if has_offset else None
                 changes = parse_cdc(sub, r.spec, seq_col=seq)
                 for sink in r.sinks:
-                    sink.process(changes, batch_id, r.spec)
+                    with sink_locks[id(sink)]:
+                        sink.process(changes, batch_id, r.spec)
 
             # CONCURRENT routed passes: a sequential loop serializes
             # N small Spark jobs per batch and loses to per-table

@@ -520,6 +520,38 @@ class WinnowOverlapSink:
         with open(p) as f:
             return int(f.read().strip())
 
+    @staticmethod
+    def _migrate_flat_store(spark, path: str) -> None:
+        """One-time upgrade of a pre-partitioned-layout store (flat
+        part-files appended by the old code, fps without a batch_id
+        column): rewrite it PARTITIONED BY batch_id (legacy rows get
+        batch_id=-1 — always below any live batch, i.e. committed
+        history), swapped in by two renames with crash recovery.
+        Mixing flat files with batch_id=N directories would break
+        Spark partition discovery entirely."""
+        import os
+        import shutil
+
+        old_p, tmp = path + ".migrate.old", path + ".migrate.tmp"
+        if os.path.exists(old_p):  # crashed mid-migration: heal
+            if os.path.exists(path):
+                shutil.rmtree(old_p)
+            else:
+                os.rename(old_p, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(path):
+            return
+        flat = any(f.startswith("part-") for f in os.listdir(path))
+        if not flat:
+            return
+        df = spark.read.parquet(path)
+        if "batch_id" not in df.columns:
+            df = df.withColumn("batch_id", F.lit(-1))
+        df.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        os.rename(path, old_p)
+        os.rename(tmp, path)
+        shutil.rmtree(old_p)
+
     def read_overlaps(self, spark) -> "DataFrame | None":
         import os
 
@@ -527,6 +559,7 @@ class WinnowOverlapSink:
         wm = self._last_batch_id()
         if wm is None or not os.path.exists(p):
             return None
+        self._migrate_flat_store(spark, p)
         # exclude any torn partition written by a batch that crashed
         # before committing its watermark (partition-pruned filter)
         return spark.read.parquet(p).filter(F.col("batch_id") <= wm)
@@ -550,6 +583,8 @@ class WinnowOverlapSink:
             batch, self.k, self.w, self.id_col, self.text_col
         ).persist()
         store_p = self._path("fps")
+        self._migrate_flat_store(spark, store_p)
+        self._migrate_flat_store(spark, self._path("overlaps"))
         # batch_id < current: a torn partition from a crashed run of
         # THIS batch must not join against its own re-run (it would
         # emit the intra-batch pairs a second time via the store
@@ -701,28 +736,38 @@ class PcaMomentSink:
             return  # at-least-once re-delivery
         # dim compat: moments of different vector dims union without
         # any schema error (both are (pos, val)) but the sums are
-        # garbage — peek the batch's dim and refuse the merge early.
-        # An empty batch has no dim; the stored value carries forward.
-        head = batch.select(self.vec_col).first()
-        dim = (
-            len(head[0]) if head is not None and head[0] is not None else None
-        )
-        stored = _swap_params(self._path("moments")) or {}
-        if dim is not None:
-            _check_swap_params(
-                self._path("moments"), {"dim": dim}, "PcaMomentSink"
-            )
-        params = {"dim": dim if dim is not None else stored.get("dim")}
+        # garbage — refuse the merge early. dim comes from the moment
+        # table itself (max pos = d²+d, and the partials are cached so
+        # the probe costs no extra pass over the batch); an empty
+        # batch has no dim and the stored value carries forward.
+        import math
+
         spark = batch.sparkSession
-        merged = moment_partials(batch, self.vec_col)
-        existing = self.read_moments(spark)
-        if existing is not None:
-            merged = (
-                merged.unionByName(existing)
-                .groupBy("pos")
-                .agg(F.sum("val").alias("val"))
+        partials = moment_partials(batch, self.vec_col).persist()
+        try:
+            m = partials.agg(F.max("pos")).collect()[0][0]
+            dim = (
+                None
+                if m is None
+                else int((math.isqrt(4 * int(m) + 1) - 1) // 2)
             )
-        _swap_commit(merged, self._path("moments"), batch_id, params)
+            stored = _swap_params(self._path("moments")) or {}
+            if dim is not None:
+                _check_swap_params(
+                    self._path("moments"), {"dim": dim}, "PcaMomentSink"
+                )
+            params = {"dim": dim if dim is not None else stored.get("dim")}
+            merged = partials
+            existing = self.read_moments(spark)
+            if existing is not None:
+                merged = (
+                    merged.unionByName(existing)
+                    .groupBy("pos")
+                    .agg(F.sum("val").alias("val"))
+                )
+            _swap_commit(merged, self._path("moments"), batch_id, params)
+        finally:
+            partials.unpersist()
 
 
 class HllDistinctSink:
