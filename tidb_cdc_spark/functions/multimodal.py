@@ -77,14 +77,68 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 64, 64 + h[1] % 64
 
 
+def parse_image_header(payload: bytes) -> "tuple[str, int, int] | None":
+    """REAL pure-Python container-header sniffing — no codec library
+    needed: the pixel dimensions of PNG / GIF / JPEG / BMP live in
+    fixed header fields (PNG IHDR big-endian at offset 16, GIF
+    logical-screen little-endian at 6, BMP info-header at 18) or a
+    bounded marker scan (JPEG SOFn segments). Returns
+    ``(mime, width, height)`` or None for unrecognized bytes. This
+    is the decode a crawl-scale metadata pass actually needs — full
+    pixel decode stays behind ``decode_image_dims``'s PIL branch."""
+    p = payload
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+        return (
+            "image/png",
+            int.from_bytes(p[16:20], "big"),
+            int.from_bytes(p[20:24], "big"),
+        )
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "image/gif",
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+        )
+    if len(p) >= 26 and p[:2] == b"BM":
+        return (
+            "image/bmp",
+            int.from_bytes(p[18:22], "little", signed=True),
+            abs(int.from_bytes(p[22:26], "little", signed=True)),
+        )
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                return None  # desynchronized marker stream
+            marker = p[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dims
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(p):
+                    return None
+                return (
+                    "image/jpeg",
+                    int.from_bytes(p[i + 7 : i + 9], "big"),
+                    int.from_bytes(p[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+    return None
+
+
 def decode_image_dims(payload: bytes) -> tuple[int, int]:
-    """THE stub boundary, kept to one function: real decode when a
+    """The decode boundary, kept to one function: full decode when a
     codec library is importable (PIL — a container with codecs uses
-    it automatically), deterministic fake otherwise. A payload PIL
-    cannot parse also falls back to the fake (keeps the pipeline
-    total; a production deployment wanting dead-lettering instead
-    swaps this one function). Everything around it — schema, Arrow
-    batching, partitioning — is real either way."""
+    it automatically), REAL header parsing for the common containers
+    otherwise (``parse_image_header``), deterministic fake only for
+    unrecognized bytes (keeps the pipeline total; a production
+    deployment wanting dead-lettering instead swaps this one
+    function). Everything around it — schema, Arrow batching,
+    partitioning — is real either way."""
     if _PIL_Image is not None:
         import io
 
@@ -92,7 +146,10 @@ def decode_image_dims(payload: bytes) -> tuple[int, int]:
             with _PIL_Image.open(io.BytesIO(payload)) as im:
                 return int(im.size[0]), int(im.size[1])
         except Exception:
-            return _decode_image_stub(payload)
+            pass
+    hdr = parse_image_header(payload)
+    if hdr is not None:
+        return hdr[1], hdr[2]
     return _decode_image_stub(payload)
 
 
