@@ -705,3 +705,49 @@ class TestImageHeaderParsing:
         assert out[2] == (1920, 1080)
         # unknown bytes still total (deterministic fake, in-range)
         assert 64 <= out[3][0] < 128 and 64 <= out[3][1] < 128
+
+
+class TestMediaHeaderParsing:
+    def _wav(self, seconds, rate=16000, channels=1, bits=16):
+        import struct
+
+        byte_rate = rate * channels * bits // 8
+        data = b"\x00" * (byte_rate * seconds)
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, byte_rate, channels * bits // 8, bits
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _mp4(self, duration_s, timescale=600):
+        import struct
+
+        mvhd = (
+            b"\x00\x00\x00\x00"          # version 0 + flags
+            + b"\x00" * 8                 # creation/modification
+            + struct.pack(">I", timescale)
+            + struct.pack(">I", duration_s * timescale)
+            + b"\x00" * 80
+        )
+        mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+        moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        return ftyp + moov
+
+    def test_wav_and_mp4_durations_parse_exactly(self):
+        from tidb_cdc_spark.functions.multimodal import parse_media_header
+
+        assert parse_media_header(self._wav(3)) == ("audio/wav", 3000)
+        assert parse_media_header(self._mp4(42)) == ("video/mp4", 42000)
+        assert parse_media_header(b"junk bytes") is None
+        assert parse_media_header(b"") is None
+        # truncated RIFF / short boxes must not crash or loop
+        assert parse_media_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+        assert (
+            parse_media_header(b"\x00\x00\x00\x04ftypisom\x00\x00\x00\x00")
+            is None
+        )

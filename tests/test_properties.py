@@ -393,3 +393,72 @@ class TestLmDriftProperties:
             for w in set(po) | set(pn)
         }
         assert got == ref
+
+
+class TestSurprisalBucketProperties:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from([f"w{i}" for i in range(12)]),
+                min_size=2,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(min_value=2, max_value=5),
+    )
+    def test_rank_is_total_and_buckets_partition(self, spark, docs, k):
+        """For ANY corpus: ranks are exactly 1..N, bucket sizes
+        differ by at most 1 (the floor((r−1)k/N) formula's balance
+        property), and bucket is monotone in rank."""
+        from tidb_cdc_spark.functions.lm import surprisal_buckets
+
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = surprisal_buckets(df, n_buckets=k).collect()
+        n = len(out)
+        assert sorted(r.rank for r in out) == list(range(1, n + 1))
+        by_rank = sorted(out, key=lambda r: r.rank)
+        assert all(
+            a.bucket <= b.bucket for a, b in zip(by_rank, by_rank[1:])
+        )
+        if n:
+            sizes = [sum(1 for r in out if r.bucket == b) for b in range(k)]
+            assert max(sizes) - min(sizes) <= 1
+            assert sum(sizes) == n
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from([f"t{i}" for i in range(8)]),
+                min_size=1,
+                max_size=20,
+            ),
+            min_size=1,
+            max_size=15,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    def test_winnow_cap_report_consistency(self, spark, docs, cap):
+        """capped_fps == 0 iff max_df <= cap; affected_docs == 0 iff
+        capped_fps == 0; total_fps bounds both."""
+        from tidb_cdc_spark.functions.winnow import winnow_cap_report
+
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = winnow_cap_report(df, k=4, w=2, max_doc_freq=cap).collect()[0]
+        assert (r.capped_fps == 0) == (r.max_df <= cap)
+        assert (r.affected_docs == 0) == (r.capped_fps == 0)
+        assert r.capped_fps <= r.total_fps
+        assert r.affected_docs <= len(docs)

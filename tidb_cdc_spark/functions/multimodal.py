@@ -193,6 +193,63 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(resize, schema=media.schema)
 
 
+def parse_media_header(
+    payload: bytes,
+) -> "tuple[str, int] | None":
+    """REAL pure-Python audio/video container sniffing — the
+    duration a crawl-scale metadata pass needs, without ffmpeg:
+
+    - WAV (RIFF): duration = data-chunk bytes / byte-rate, both in
+      fixed ``fmt ``/``data`` chunk fields (chunk walk, bounded);
+    - MP4/ISO-BMFF: duration = mvhd duration/timescale — box walk to
+      ``moov``→``mvhd`` (version 0 and 1 layouts).
+
+    Returns ``(mime, duration_ms)`` or None for unrecognized bytes.
+    Full sample/frame decode stays out of scope (codec territory)."""
+    p = payload
+    if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        i, byte_rate, data_len = 12, None, None
+        while i + 8 <= len(p):
+            cid = p[i : i + 4]
+            clen = int.from_bytes(p[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 16 + 8 <= len(p):
+                byte_rate = int.from_bytes(p[i + 16 : i + 20], "little")
+            elif cid == b"data":
+                data_len = clen
+            if byte_rate and data_len is not None:
+                return ("audio/wav", data_len * 1000 // max(byte_rate, 1))
+            i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+        return None
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        i = 0
+        while i + 8 <= len(p):
+            blen = int.from_bytes(p[i : i + 4], "big")
+            btype = p[i + 4 : i + 8]
+            if blen < 8:
+                return None
+            if btype == b"moov":
+                j = i + 8
+                end = min(i + blen, len(p))
+                while j + 8 <= end:
+                    slen = int.from_bytes(p[j : j + 4], "big")
+                    stype = p[j + 4 : j + 8]
+                    if slen < 8:
+                        return None
+                    if stype == b"mvhd" and j + 32 <= len(p):
+                        ver = p[j + 8]
+                        if ver == 1:  # 64-bit times
+                            ts = int.from_bytes(p[j + 28 : j + 32], "big")
+                            dur = int.from_bytes(p[j + 32 : j + 40], "big")
+                        else:
+                            ts = int.from_bytes(p[j + 20 : j + 24], "big")
+                            dur = int.from_bytes(p[j + 24 : j + 28], "big")
+                        return ("video/mp4", dur * 1000 // max(ts, 1))
+                    j += slen
+                return None
+            i += blen
+    return None
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled frame
     timestamp (pure expressions — the frame EXTRACTION would join
