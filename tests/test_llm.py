@@ -751,3 +751,31 @@ class TestMediaHeaderParsing:
             parse_media_header(b"\x00\x00\x00\x04ftypisom\x00\x00\x00\x00")
             is None
         )
+
+
+class TestProbeMedia:
+    def test_fills_null_metadata_from_real_headers(self, spark):
+        from tidb_cdc_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            probe_media,
+        )
+
+        png = TestImageHeaderParsing()._png(640, 480)
+        wav = TestMediaHeaderParsing()._wav(3)
+        rows = [
+            (1, "image", None, None, None, None, bytearray(png)),
+            (2, "audio", None, None, None, None, bytearray(wav)),
+            # pre-set metadata must win over the probe
+            (3, "image", "image/custom", 10, 20, None, bytearray(png)),
+            (4, "image", None, None, None, None, bytearray(b"junk")),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: r for r in probe_media(media).collect()}
+        assert (out[1].mime, out[1].width, out[1].height) == (
+            "image/png", 640, 480,
+        )
+        assert (out[2].mime, out[2].duration_ms) == ("audio/wav", 3000)
+        assert (out[3].mime, out[3].width, out[3].height) == (
+            "image/custom", 10, 20,
+        )
+        assert out[4].mime is None and out[4].width is None

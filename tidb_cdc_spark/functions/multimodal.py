@@ -290,3 +290,50 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Fill NULL metadata (mime, width, height, duration_ms) from the
+    payload's REAL container headers (``parse_image_header`` /
+    ``parse_media_header``) — the ingest-time probe a crawl runs
+    before any decode fleet exists: one Arrow-batched pass, bytes
+    never survive into the shuffle beyond their own column, existing
+    non-null metadata wins (the probe never overrides a source of
+    truth). Unrecognized payloads pass through unchanged."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            for idx in pdf.index:
+                need_dims = (
+                    pd.isna(pdf.at[idx, "width"])
+                    or pd.isna(pdf.at[idx, "height"])
+                )
+                need_mime = (
+                    pdf.at[idx, "mime"] is None
+                    or pd.isna(pdf.at[idx, "mime"])
+                )
+                need_dur = pd.isna(pdf.at[idx, "duration_ms"])
+                if not (need_dims or need_mime or need_dur):
+                    continue
+                payload = bytes(pdf.at[idx, "payload"])
+                img = parse_image_header(payload)
+                if img is not None:
+                    mime, w, h = img
+                    if need_mime:
+                        pdf.at[idx, "mime"] = mime
+                    if pd.isna(pdf.at[idx, "width"]):
+                        pdf.at[idx, "width"] = w
+                    if pd.isna(pdf.at[idx, "height"]):
+                        pdf.at[idx, "height"] = h
+                    continue
+                av = parse_media_header(payload)
+                if av is not None:
+                    mime, dur = av
+                    if need_mime:
+                        pdf.at[idx, "mime"] = mime
+                    if need_dur:
+                        pdf.at[idx, "duration_ms"] = dur
+            yield pdf
+
+    return media.mapInPandas(probe, schema=media.schema)
