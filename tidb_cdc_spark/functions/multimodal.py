@@ -2,12 +2,16 @@
 columns with typed metadata structs, processed via Arrow-batched
 ``mapInPandas``.
 
-North-star operator (BASELINE.json). The image/audio codec libraries
-are not in this container, so the DECODE step is stubbed behind
-``_decode_image_stub`` (deterministic fake, clearly marked); the
+North-star operator (BASELINE.json). Metadata extraction is REAL:
+``parse_image_header`` / ``parse_media_header`` read exact
+dimensions and durations from PNG/GIF/JPEG/BMP/WAV/MP4 container
+headers in pure Python (no codec libraries needed — the pass a
+crawl-scale metadata probe actually runs). Only full PIXEL/SAMPLE
+decode is stubbed behind ``_decode_image_stub`` (deterministic
+fake, clearly marked; PIL is used automatically when importable) —
+swapping it for PIL/libvips/ffmpeg is a one-function change. The
 Spark-side plumbing — schema, batch iteration, partition sizing,
-UDF signatures — is real and tested. Swapping the stub for
-PIL/libvips/ffmpeg is a one-function change.
+UDF signatures — is real and tested throughout.
 
 Scale notes:
 - media bytes travel ONCE per stage: mapInPandas streams Arrow
