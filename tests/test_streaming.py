@@ -836,3 +836,39 @@ class TestSharedConnectorWidth:
             else:
                 # absent tables skipped entirely — no snapshot dir
                 assert cur is None or cur.count() == 0
+
+
+class TestTransformWithStateTwin:
+    def test_tws_matches_applyinpandaswithstate(self, spark, tmp_path):
+        """The transformWithState form of running_totals must emit
+        the same lifetime totals as the applyInPandasWithState form
+        over the same two-batch stream — the migration-path pin.
+        Guarded like the Kafka e2e: the TWS state-server protocol
+        needs protobuf, absent in this container."""
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState needs protobuf (not in container)",
+        )
+        from tidb_cdc_spark.streaming.stateful import running_totals_tws
+
+        helper = TestStatefulOperators()
+        out = running_totals_tws(
+            helper._two_batch_stream(spark, tmp_path)
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("run_tot_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("select * from run_tot_tws").collect()
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+                latest[r.user_id] = (r.n_events, r.total)
+        assert latest[1] == (3, 7.0)
+        assert latest[2] == (2, 110.0)
+        assert latest[3] == (2, 2.0)

@@ -113,3 +113,67 @@ def stateful_latest(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def running_totals_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    key_type: str = "bigint",
+) -> DataFrame:
+    """``running_totals`` on the transformWithState API (Spark 4's
+    successor to ``applyInPandasWithState``: named state variables on
+    a handle, per-state TTL, timers, RocksDB-only). Same contract —
+    one row per key present in the batch with the lifetime
+    count/sum — so the two implementations are interchangeable and
+    the equality test pins the migration path. Prefer this form for
+    NEW operators: multiple independent state variables per key
+    (value/list/map) beat packing everything into one tuple, and
+    state-variable TTL replaces hand-rolled timeout plumbing.
+
+    Requires ``protobuf`` (the transformWithState state-server
+    protocol speaks it); raises ImportError with a clear message in
+    environments without it — ``running_totals`` is the
+    dependency-free equivalent."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(state-server protocol); use running_totals() instead in "
+            "environments without it"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} {key_type}, n_events bigint, total double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
