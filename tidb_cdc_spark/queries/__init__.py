@@ -75,6 +75,17 @@ for _mod in (
 #   repeated spans ×2, hashed-tf... funnel, trailing-30m) — each
 #   keeps its r6 driver row + the strict mirror in
 #   tests/test_queries_oracle.py (driver-identical compare).
+#
+# ROUND-8 ROTATION QUEUE (oracled, driver row r4 or older after this
+# round — never-gated first): embedding_whiten_audit,
+# events_distinct_hll_audit, events_value_outliers,
+# rag_rerank_cascade; then the r4 block — q1/q4/q6/q7/q10/q13/q14/
+# q15/q16/q17/q19/q20/q22, rollup_revenue, topk_orders_per_customer,
+# cube/grouping-sets/setops, events asof/hourly/sliding/cohort/
+# gapfill/percentiles/json, sketch_percentiles, sketch_approx,
+# price_band_pairs, full_outer_nation_presence,
+# suppliers_of_large_parts, scalar/window/date/array showcases.
+# Swap ~12-16 in for this round's single-scan text/audit rows.
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
