@@ -655,7 +655,8 @@ class TestImageHeaderParsing:
 
         return (
             b"BM"
-            + b"\x00" * 16
+            + b"\x00" * 12
+            + struct.pack("<I", 40)      # BITMAPINFOHEADER size field
             + struct.pack("<ii", w, -h)  # top-down bmp: negative height
             + b"\x00" * 4
         )
@@ -779,3 +780,76 @@ class TestProbeMedia:
             "image/custom", 10, 20,
         )
         assert out[4].mime is None and out[4].width is None
+
+
+class TestHeaderParserEdgeCases:
+    """Crafted payloads from the r7 review: truncated MP4s, JPEG
+    fill bytes, OS/2 core-header BMPs, NULL payloads."""
+
+    def test_truncated_mp4_returns_none_not_garbage(self):
+        import struct
+
+        from tidb_cdc_spark.functions.multimodal import parse_media_header
+
+        # v1 mvhd truncated right after the timescale
+        mvhd_v1 = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(">I", 600)
+        box = struct.pack(">I", 8 + len(mvhd_v1) + 100) + b"mvhd" + mvhd_v1
+        moov = struct.pack(">I", 8 + len(box)) + b"moov" + box
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        assert parse_media_header(ftyp + moov) is None
+        # v0 mvhd truncated 3 bytes into the duration
+        mvhd_v0 = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">I", 600)
+        mvhd_v0 += b"\x00"  # 1 of 4 duration bytes
+        box = struct.pack(">I", 8 + len(mvhd_v0) + 3) + b"mvhd" + mvhd_v0
+        moov = struct.pack(">I", 8 + len(box)) + b"moov" + box
+        assert parse_media_header(ftyp + moov) is None
+
+    def test_jpeg_fill_bytes_before_marker(self):
+        import struct
+
+        from tidb_cdc_spark.functions.multimodal import parse_image_header
+
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", 480, 640)
+            + b"\x01\x01\x11\x00"
+        )
+        # legal 0xFF padding before the SOF marker
+        jpeg = b"\xff\xd8" + b"\xff" * 3 + sof0 + b"\xff\xd9"
+        assert parse_image_header(jpeg) == ("image/jpeg", 640, 480)
+
+    def test_os2_core_header_bmp(self):
+        import struct
+
+        from tidb_cdc_spark.functions.multimodal import parse_image_header
+
+        core = (
+            b"BM" + b"\x00" * 12
+            + struct.pack("<I", 12)           # BITMAPCOREHEADER size
+            + struct.pack("<HHHH", 100, 200, 1, 24)
+            + b"\x00" * 8
+        )
+        assert parse_image_header(core) == ("image/bmp", 100, 200)
+        # unknown DIB header size: refuse, don't guess a layout
+        weird = b"BM" + b"\x00" * 12 + struct.pack("<I", 20) + b"\x00" * 12
+        assert parse_image_header(weird) is None
+
+    def test_probe_media_null_payload_passes_through(self, spark):
+        from tidb_cdc_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            probe_media,
+        )
+
+        rows = [
+            (1, "image", None, None, None, None, None),  # NULL payload
+            (2, "image", None, None, None, None,
+             bytearray(TestImageHeaderParsing()._png(32, 16))),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: r for r in probe_media(media).collect()}
+        assert out[1].mime is None and out[1].width is None
+        assert (out[2].mime, out[2].width, out[2].height) == (
+            "image/png", 32, 16,
+        )

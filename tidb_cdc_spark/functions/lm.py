@@ -178,14 +178,9 @@ def surprisal_buckets(
     sharded = s.withColumn(
         "_shard", F.expr(f"(mean_mbits - {lo}L) div {width}L")
     )
-    counts = sharded.groupBy("_shard").agg(F.count(F.lit(1)).alias("_c"))
-    w_sh = Window.orderBy("_shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "_shard",
-        F.coalesce(F.sum("_c").over(w_sh), F.lit(0)).alias("_off"),
-    )
+    from tidb_cdc_spark.operators.windows import banded_offsets
+
+    offsets = banded_offsets(sharded, "_shard")
     w_in = Window.partitionBy("_shard").orderBy("mean_mbits", "doc_id")
     return (
         sharded.join(F.broadcast(offsets), "_shard")

@@ -104,16 +104,31 @@ def parse_image_header(payload: bytes) -> "tuple[str, int, int] | None":
             int.from_bytes(p[8:10], "little"),
         )
     if len(p) >= 26 and p[:2] == b"BM":
-        return (
-            "image/bmp",
-            int.from_bytes(p[18:22], "little", signed=True),
-            abs(int.from_bytes(p[22:26], "little", signed=True)),
-        )
+        hdr_size = int.from_bytes(p[14:18], "little")
+        if hdr_size == 12:  # BITMAPCOREHEADER (OS/2): 16-bit dims
+            return (
+                "image/bmp",
+                int.from_bytes(p[18:20], "little"),
+                int.from_bytes(p[20:22], "little"),
+            )
+        if hdr_size >= 40:  # BITMAPINFOHEADER family: int32 dims
+            return (
+                "image/bmp",
+                int.from_bytes(p[18:22], "little", signed=True),
+                abs(int.from_bytes(p[22:26], "little", signed=True)),
+            )
+        return None  # unknown DIB header size
     if len(p) >= 4 and p[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(p):
             if p[i] != 0xFF:
                 return None  # desynchronized marker stream
+            # JPEG permits any number of 0xFF fill bytes before the
+            # marker id — skip them instead of reading one as the id
+            while i + 1 < len(p) and p[i + 1] == 0xFF:
+                i += 1
+            if i + 9 >= len(p):
+                return None
             marker = p[i + 1]
             if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                 i += 2  # standalone markers carry no length
@@ -239,12 +254,21 @@ def parse_media_header(
                     stype = p[j + 4 : j + 8]
                     if slen < 8:
                         return None
-                    if stype == b"mvhd" and j + 32 <= len(p):
+                    if stype == b"mvhd":
+                        if j + 9 > len(p):
+                            return None
                         ver = p[j + 8]
+                        # exact bounds per version — int.from_bytes on
+                        # a short slice would silently fabricate a
+                        # duration for a truncated payload
                         if ver == 1:  # 64-bit times
+                            if j + 40 > len(p):
+                                return None
                             ts = int.from_bytes(p[j + 28 : j + 32], "big")
                             dur = int.from_bytes(p[j + 32 : j + 40], "big")
                         else:
+                            if j + 28 > len(p):
+                                return None
                             ts = int.from_bytes(p[j + 20 : j + 24], "big")
                             dur = int.from_bytes(p[j + 24 : j + 28], "big")
                         return ("video/mp4", dur * 1000 // max(ts, 1))
@@ -320,7 +344,10 @@ def probe_media(media: DataFrame) -> DataFrame:
                 need_dur = pd.isna(pdf.at[idx, "duration_ms"])
                 if not (need_dims or need_mime or need_dur):
                     continue
-                payload = bytes(pdf.at[idx, "payload"])
+                raw = pdf.at[idx, "payload"]
+                if raw is None:  # payload-less row: pass through
+                    continue
+                payload = bytes(raw)
                 img = parse_image_header(payload)
                 if img is not None:
                     mime, w, h = img

@@ -73,14 +73,9 @@ def budget_head(
         )
     )
     sharded = df.withColumn("_shard", shard)
-    totals = sharded.groupBy("_shard").agg(
-        F.sum(F.col(tokens_col)).alias("_tot")
-    )
-    w_sh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_shard",
-        F.coalesce(F.sum("_tot").over(w_sh), F.lit(0)).alias("_off"),
-    )
+    from tidb_cdc_spark.operators.windows import banded_offsets
+
+    offsets = banded_offsets(sharded, "_shard", weight=F.col(tokens_col))
     w_in = (
         Window.partitionBy("_shard")
         .orderBy(F.desc(quality_col), F.asc(id_col))

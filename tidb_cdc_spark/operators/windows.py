@@ -72,3 +72,29 @@ def sessionize(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def banded_offsets(
+    sharded: DataFrame,
+    shard_col: str = "_shard",
+    weight: "Column | None" = None,
+    out_col: str = "_off",
+) -> DataFrame:
+    """Step 2 of the banded two-level prefix scan (the repo's pattern
+    for global running sums/ranks without a single-task unbounded
+    window — functions/selection.py module doc): per-shard totals
+    (≤ n_shards rows) exclusive-prefix-summed on a TINY window.
+    Broadcast-join the returned ``(shard_col, out_col)`` frame back,
+    then run the within-shard window PARTITIONED BY the shard;
+    global position = offset + within-shard value. ``weight=None``
+    counts rows (rank scans); pass a column for weighted running
+    sums (token budgets)."""
+    agg = (F.count(F.lit(1)) if weight is None else F.sum(weight)).alias(
+        "_tot"
+    )
+    totals = sharded.groupBy(shard_col).agg(agg)
+    w = Window.orderBy(shard_col).rowsBetween(Window.unboundedPreceding, -1)
+    return totals.select(
+        shard_col,
+        F.coalesce(F.sum("_tot").over(w), F.lit(0)).alias(out_col),
+    )

@@ -102,7 +102,17 @@ class Connector:
         ``available_now=True`` drains what exists and stops (batch
         replay / tests); default is continuous micro-batches. Task
         parallelism per query = source partitions (the reference's
-        NumOfConsumers goroutines, automatic here)."""
+        NumOfConsumers goroutines, automatic here). A sink INSTANCE
+        registered for several tables is serialized by a
+        per-instance lock — each table's query runs its foreachBatch
+        on its own thread, so without it a shared metrics/snapshot
+        sink object would race (same guard as ``start_shared``)."""
+        import threading
+
+        sink_locks: dict[int, threading.Lock] = {}
+        for _r in self._registrations.values():
+            for _s in _r.sinks:
+                sink_locks.setdefault(id(_s), threading.Lock())
         for reg in self._registrations.values():
             raw = self._source_for(spark, reg)
             seq = F.col("offset").cast("long") if "offset" in raw.columns else None
@@ -116,7 +126,8 @@ class Connector:
                         # but a sink error FAILS the batch (no silent
                         # offset commit past lost data)
                         for sink in r.sinks:
-                            sink.process(batch_df, batch_id, r.spec)
+                            with sink_locks[id(sink)]:
+                                sink.process(batch_df, batch_id, r.spec)
                     finally:
                         batch_df.unpersist()
 
