@@ -201,3 +201,49 @@ class TestStreamCompat:
         assert {r.doc_id: r.fail_reasons for r in results if not r.keep} == {
             2: "top_token,dup_2gram"
         }
+
+
+class TestMojibake:
+    def test_repairs_classic_latin1_misread(self, spark):
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.text import fix_mojibake, is_mojibake
+
+        orig = ["caf\u00e9 au lait", "curly\u2019s \u2014 dash", "plain"]
+        corrupted = [o.encode("utf-8").decode("iso-8859-1") for o in orig]
+        df = spark.createDataFrame([(c,) for c in corrupted], "text string")
+        out = df.select(
+            fix_mojibake(F.col("text")).alias("fx"),
+            is_mojibake(F.col("text")).alias("m"),
+        ).collect()
+        assert [r.fx for r in out] == orig
+        assert [r.m for r in out] == [True, True, False]  # ascii untouched
+
+    def test_legitimate_marker_chars_left_alone(self, spark):
+        """Uppercase "S\u00c3O PAULO" contains a marker char but its
+        Latin-1 bytes are NOT valid UTF-8 — the guard must refuse."""
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.text import fix_mojibake, is_mojibake
+
+        s = "S\u00c3O PAULO"
+        df = spark.createDataFrame([(s,)], "text string")
+        r = df.select(
+            fix_mojibake(F.col("text")).alias("fx"),
+            is_mojibake(F.col("text")).alias("m"),
+        ).collect()[0]
+        assert r.fx == s and not r.m
+
+    def test_ansi_safe_on_clean_rows(self, spark):
+        """CaseWhen must evaluate the decode lazily: a frame of clean
+        rows (whose Latin-1 bytes are NOT valid UTF-8) must not raise
+        MALFORMED_CHARACTER_CODING under ANSI mode."""
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.text import fix_mojibake
+
+        df = spark.createDataFrame(
+            [("S\u00c3O",), ("caf\u00e9 already fine",)], "text string"
+        )
+        out = df.select(fix_mojibake(F.col("text")).alias("fx")).collect()
+        assert [r.fx for r in out] == ["S\u00c3O", "caf\u00e9 already fine"]

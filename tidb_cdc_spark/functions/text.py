@@ -207,3 +207,37 @@ def shingles(text: Column, k: int = 5) -> Column:
         n >= k,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+#: Latin-1-mojibake signature: the UTF-8 lead bytes 0xC2/0xC3
+#: (\u00c2/\u00c3) or the 0xE2 lead of curly-punctuation sequences
+#: (\u00e2) surfacing as characters.
+_MOJIBAKE_MARKERS = "[\u00c2\u00c3\u00e2]"
+
+
+def is_mojibake(text: Column) -> Column:
+    """True when ``text`` shows the classic UTF-8-bytes-read-as-
+    Latin-1 corruption AND re-reading its Latin-1 bytes as UTF-8 is
+    valid (``is_valid_utf8`` guard): legitimate text that merely
+    contains the marker characters (e.g. uppercase "S\u00c3O") fails
+    the byte-validity check — the following byte is not a UTF-8
+    continuation — and is left alone."""
+    return text.rlike(_MOJIBAKE_MARKERS) & F.is_valid_utf8(
+        F.encode(text, "ISO-8859-1")
+    )
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair UTF-8-as-Latin-1 mojibake ("caf\u00c3\u00a9" →
+    "caf\u00e9") entirely in JVM expressions: re-encode the
+    characters as Latin-1 bytes and decode them as the UTF-8 they
+    originally were — exactly inverse to the corruption. Applied
+    ONLY when :func:`is_mojibake` holds (CaseWhen evaluates the
+    decode lazily per row, so ANSI mode's
+    MALFORMED_CHARACTER_CODING can never fire on clean rows);
+    everything else passes through unchanged. The ftfy archetype's
+    dominant case, as a curation-scan column op."""
+    return F.when(
+        is_mojibake(text),
+        F.decode(F.encode(text, "ISO-8859-1"), "UTF-8"),
+    ).otherwise(text)

@@ -352,6 +352,44 @@ FROM r ORDER BY rank
 """
 
 
+
+
+# ------------------------------------------------ mojibake repair
+
+
+def corpus_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-corruption contract for the mojibake repair
+    (functions/text.py::fix_mojibake — the ftfy archetype's dominant
+    UTF-8-read-as-Latin-1 case, pure JVM encode/decode): append a
+    known accented tail to each specimen doc, corrupt it exactly the
+    way a Latin-1 misread does, and require the repair to restore
+    the original bit-for-bit while leaving the CLEAN text untouched
+    (accented characters alone are not the corruption signature).
+    Booleans TRUE by construction (the repair is the corruption's
+    inverse and the is_valid_utf8 guard admits the planted bytes) —
+    DuckDB-checkable."""
+    from tidb_cdc_spark.functions.text import fix_mojibake
+
+    tail = "\u00a0caf\u00e9 \u2014 na\u00efve r\u00e9sum\u00e9"
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.concat(F.col("text"), F.lit(tail)).alias("_t"))
+    )
+    corrupted = F.decode(F.encode(F.col("_t"), "UTF-8"), "ISO-8859-1")
+    return d.select(
+        "doc_id",
+        (fix_mojibake(corrupted) == F.col("_t")).alias("restored"),
+        (fix_mojibake(F.col("_t")) == F.col("_t")).alias("clean_untouched"),
+    ).orderBy("doc_id")
+
+
+_MOJIBAKE_AUDIT_SQL = """
+SELECT doc_id, TRUE AS restored, TRUE AS clean_untouched
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+"""
+
+
 # -------------------------------------- quality classifier (CCNet)
 
 
@@ -436,11 +474,13 @@ QUERIES = {
     "quality_classifier_eval": quality_classifier_eval,
     "quality_classifier_audit": quality_classifier_audit,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
+    "corpus_mojibake_audit": corpus_mojibake_audit,
 }
 
 ORACLE = {
     "quality_classifier_audit": _CLASSIFIER_AUDIT_SQL,
     "corpus_perplexity_buckets": _PPLX_BUCKETS_SQL,
+    "corpus_mojibake_audit": _MOJIBAKE_AUDIT_SQL,
     "vocab_drift_top": _DRIFT_SQL,
     "text_bigram_surprisal": _BIGRAM_SQL,
     "doc_hashed_tf": _HASHED_TF_SQL,
