@@ -247,3 +247,34 @@ class TestMojibake:
         )
         out = df.select(fix_mojibake(F.col("text")).alias("fx")).collect()
         assert [r.fx for r in out] == ["S\u00c3O", "caf\u00e9 already fine"]
+
+
+class TestNormalizeText:
+    def test_nfc_composes_and_nfkc_folds_compat(self, spark):
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.text import normalize_text
+
+        decomposed = "cafe\u0301"        # e + combining acute
+        compat = "\ufb01le \u2460"      # fi-ligature, circled one
+        df = spark.createDataFrame(
+            [(decomposed,), (compat,), (None,)], "text string"
+        )
+        out = df.select(
+            normalize_text(F.col("text"), "NFC").alias("nfc"),
+            normalize_text(F.col("text"), "NFKC").alias("nfkc"),
+        ).collect()
+        assert out[0].nfc == "caf\u00e9"
+        assert out[0].nfkc == "caf\u00e9"
+        assert out[1].nfc == compat          # NFC keeps compat chars
+        assert out[1].nfkc == "file 1"       # NFKC folds them
+        assert out[2].nfc is None            # null passes through
+
+    def test_rejects_unknown_form(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.text import normalize_text
+
+        with pytest.raises(ValueError, match="unknown normalization"):
+            normalize_text(F.col("text"), "NFX")

@@ -9,6 +9,7 @@ scale linearly to 100 TB of documents.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -241,3 +242,32 @@ def fix_mojibake(text: Column) -> Column:
         is_mojibake(text),
         F.decode(F.encode(text, "ISO-8859-1"), "UTF-8"),
     ).otherwise(text)
+
+
+def normalize_text(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical
+    tokenizer prep step (decomposed accents, compatibility forms,
+    width variants all map to one representation, so "cafe\u0301"
+    and "caf\u00e9" stop being distinct tokens). Arrow-batched
+    pandas UDF over Python's unicodedata (UAX #15 reference
+    implementation); Spark has no built-in normalizer, and a
+    per-row JVM call via reflection would not beat the vectorized
+    Arrow path. Cross-engine exact: DuckDB's nfc_normalize
+    (utf8proc) agrees with unicodedata on NFC — pinned by the
+    ``doc_nfc_normalize`` oracle query."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t)
+            if t is not None
+            else None
+        )
+
+    return norm(text)

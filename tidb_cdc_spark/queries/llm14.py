@@ -354,6 +354,39 @@ FROM r ORDER BY rank
 
 
 
+
+
+def doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization with a DIRECT cross-engine string oracle:
+    each specimen doc gets a planted tail of decomposed / unusual
+    forms (combining acute, combining tilde, angstrom sign), and the
+    normalized output strings are hash-compared verbatim against
+    DuckDB's utf8proc ``nfc_normalize`` — two independent UAX #15
+    implementations agreeing bit-for-bit
+    (functions/text.py::normalize_text)."""
+    from tidb_cdc_spark.functions.text import normalize_text
+
+    tail = (
+        " cafe\u0301 a\u0303 \u212bngstrom"  # e+acute, a+tilde, angstrom sign
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.concat(F.col("text"), F.lit(tail)).alias("_t"))
+    )
+    return d.select(
+        "doc_id", normalize_text(F.col("_t"), "NFC").alias("text_nfc")
+    ).orderBy("doc_id")
+
+
+_NFC_SQL = """
+SELECT doc_id,
+       nfc_normalize(text || ' cafe' || chr(769) || ' a' || chr(771)
+                     || ' ' || chr(8491) || 'ngstrom') AS text_nfc
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------ mojibake repair
 
 
@@ -475,12 +508,14 @@ QUERIES = {
     "quality_classifier_audit": quality_classifier_audit,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
     "corpus_mojibake_audit": corpus_mojibake_audit,
+    "doc_nfc_normalize": doc_nfc_normalize,
 }
 
 ORACLE = {
     "quality_classifier_audit": _CLASSIFIER_AUDIT_SQL,
     "corpus_perplexity_buckets": _PPLX_BUCKETS_SQL,
     "corpus_mojibake_audit": _MOJIBAKE_AUDIT_SQL,
+    "doc_nfc_normalize": _NFC_SQL,
     "vocab_drift_top": _DRIFT_SQL,
     "text_bigram_surprisal": _BIGRAM_SQL,
     "doc_hashed_tf": _HASHED_TF_SQL,
