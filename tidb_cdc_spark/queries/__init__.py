@@ -86,6 +86,10 @@ for _mod in (
 # price_band_pairs, full_outer_nation_presence,
 # suppliers_of_large_parts, scalar/window/date/array showcases.
 # Swap ~12-16 in for this round's single-scan text/audit rows.
+# (Late-r7: corpus_mojibake_audit and doc_nfc_normalize took the
+# doc_hashed_tf / events_heavy_hitters_cms slots — both r6-green,
+# both still mirror-checked — so the two newest ops get driver rows
+# this round; doc_hashed_tf and the CMS row queue for r8.)
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -121,8 +125,8 @@ GATE = [
     "semantic_dedup_audit",
     "embedding_covariance",
     "knn_opq_audit",
-    "events_heavy_hitters_cms",
-    "doc_hashed_tf",
+    "doc_nfc_normalize",
+    "corpus_mojibake_audit",
     "embedding_pca_audit",
     "doc_semantic_dedup_audit",
     "corpus_curation_pipeline",
