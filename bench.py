@@ -101,6 +101,7 @@ def main() -> None:
         "vocab_drift_top",
         "text_bigram_surprisal",
         "corpus_perplexity_buckets",
+        "doc_nfc_normalize",
         "quality_classifier_eval",
     ]
     timings: dict[str, float] = {}

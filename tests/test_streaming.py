@@ -872,3 +872,48 @@ class TestTransformWithStateTwin:
         assert latest[1] == (3, 7.0)
         assert latest[2] == (2, 110.0)
         assert latest[3] == (2, 2.0)
+
+
+class TestSharedSinkErrorPropagation:
+    def test_one_failing_sink_fails_the_whole_batch(self, spark, tmp_path):
+        """The driver-thread fan-out must not swallow a sink error:
+        offsets may never commit past a lost table (the no-silent-
+        loss stance), so the query itself must fail."""
+
+        class BoomSink:
+            def process(self, changes, batch_id, spec):
+                raise RuntimeError("boom: sink failure")
+
+        good = ParquetSnapshotSink(str(tmp_path / "snap_ok"))
+        specs = []
+        for i in range(3):
+            specs.append(
+                TableSpec(
+                    database="d",
+                    table=f"e{i}",
+                    columns=(
+                        ColumnSpec("K", "string", column="k", pk=True),
+                        ColumnSpec("V", "int"),
+                    ),
+                )
+            )
+        events_dir = tmp_path / "in"
+        _write_batch(events_dir, "b1.jsonl", [
+            _msg_for("d", f"e{i}", "insert", {"k": "a", "v": i}, 10)
+            for i in range(3)
+        ])
+        conn = Connector(
+            ConnectorConfig(
+                server_name="srv", checkpoint_root=str(tmp_path / "ck")
+            )
+        )
+        conn.register(specs[0], [good])
+        conn.register(specs[1], [BoomSink()])
+        conn.register(specs[2], [ParquetSnapshotSink(str(tmp_path / "s2"))])
+        q = conn.start_shared(
+            spark,
+            source=maxwell_file_stream(spark, str(events_dir)),
+            available_now=True,
+        )
+        with pytest.raises(Exception, match="boom: sink failure"):
+            q.awaitTermination()
