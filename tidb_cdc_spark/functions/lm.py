@@ -128,6 +128,46 @@ def bigram_surprisal(
     )
 
 
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_terms, sum_bits, mean_mbits) — WITHIN-doc
+    token self-entropy in the same exact whole-bit quantization:
+    a term occurring ``c`` times in an ``n``-token document
+    contributes ``c·(floor_log2(n) − floor_log2(c))`` bits, so
+    ``mean_mbits ≈ H(token distribution)·10⁶`` bits/token. The
+    repetitiveness screen that needs NO corpus pass (contrast
+    ``unigram_surprisal``'s corpus-rarity signal): template spam and
+    keyword stuffing score near 0, diverse prose near log2(n).
+    Used alongside the Gopher repetition ratios (functions/quality.py)
+    — entropy catches many-distinct-but-skewed vocabularies that
+    top-n-gram ratios miss. Zero-token docs drop (both engines).
+
+    Scale: per-(doc, term) counts map-side combine; the doc total is
+    a second aggregate over that output clustered on the SAME doc
+    key — zero extra shuffles after the tf count. No joins, no
+    corpus-wide state."""
+    tf = term_frequencies(docs, id_col, text_col)
+    from pyspark.sql.window import Window
+
+    n = F.sum("tf").over(Window.partitionBy("doc_id"))
+    bits = F.length(F.bin(n)) - F.length(F.bin(F.col("tf")))
+    per_term = tf.select(
+        "doc_id",
+        F.col("tf"),
+        n.alias("_n"),
+        (F.col("tf") * bits).alias("_b"),
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.max("_n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_b").cast("long").alias("sum_bits"),
+        F.expr(
+            "CAST((CAST(SUM(_b) AS BIGINT) * 1000000) DIV MAX(_n) AS BIGINT)"
+        ).alias("mean_mbits"),
+    )
+
+
 def surprisal_buckets(
     docs: DataFrame,
     n_buckets: int = 3,

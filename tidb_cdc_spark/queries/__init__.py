@@ -37,6 +37,7 @@ from tidb_cdc_spark.queries import (
     llm12,
     llm13,
     llm14,
+    llm15,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -44,7 +45,8 @@ ORACLE: dict[str, str] = {}
 
 for _mod in (
     llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10,
-    audits, cdcq, llm11, llm12, llm13, llm14, batch, batch2, batch3, batch4,
+    audits, cdcq, llm11, llm12, llm13, llm14, llm15,
+    batch, batch2, batch3, batch4,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
@@ -89,7 +91,12 @@ for _mod in (
 # (Late-r7: corpus_mojibake_audit and doc_nfc_normalize took the
 # doc_hashed_tf / events_heavy_hitters_cms slots — both r6-green,
 # both still mirror-checked — so the two newest ops get driver rows
-# this round; doc_hashed_tf and the CMS row queue for r8.)
+# this round; doc_hashed_tf and the CMS row queue for r8.
+# Late-r7 second wave: the four new hash-exact ops
+# (corpus_dsir_weights, corpus_dsir_select, rag_bm25_topk,
+# text_token_entropy — queries/llm15.py) take the q3/q5/q8/q9 slots;
+# those four TPC-H heads are r6-green with r6 driver rows, stay
+# mirror-checked, and queue for r8 alongside the r4 block below.)
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -137,11 +144,12 @@ GATE = [
     "cdc_incremental_agg",
     "cdc_schema_drift",
     "cdc_decimal_agg",
+    # late-r7 second wave: new hash-exact selection/retrieval ops
+    "corpus_dsir_weights",
+    "corpus_dsir_select",
+    "rag_bm25_topk",
+    "text_token_entropy",
     # plan-complex TPC-H/events (kept from r6 rotation)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
     "q18_large_volume_customers",
     "events_sessions",
     "events_zorder_buckets",
