@@ -103,6 +103,11 @@ def main() -> None:
         "corpus_perplexity_buckets",
         "doc_nfc_normalize",
         "quality_classifier_eval",
+        # late-r7 second wave (corpus_dsir_weights is subsumed by
+        # the select, which computes the weights as its first pass)
+        "corpus_dsir_select",
+        "rag_bm25_topk",
+        "text_token_entropy",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

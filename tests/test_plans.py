@@ -457,3 +457,61 @@ class TestRound7Plans:
         plan = explain_str(events_distinct_hll_audit(spark, SF))
         assert "BatchEvalPython" not in plan
         assert "hll_sketch_agg" in plan or "hll_union_agg" in plan
+
+
+class TestLateR7Plans:
+    def test_dsir_weights_bits_table_broadcasts(self, spark):
+        """The dim-row log-ratio table must arrive broadcast — a
+        hash-exchange join on bucket would shuffle the whole sparse
+        TF table against a 64-row side."""
+        from tidb_cdc_spark.queries.llm15 import corpus_dsir_weights
+
+        plan = explain_str(corpus_dsir_weights(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dsir_select_rank_is_band_partitioned(self, spark):
+        """Selection rank must run partitioned by the weight band —
+        an unpartitioned row_number serializes the corpus onto one
+        task (the corpus_perplexity_buckets contract)."""
+        from tidb_cdc_spark.queries.llm15 import corpus_dsir_select
+
+        plan = explain_str(corpus_dsir_select(spark, SF))
+        rn = [
+            l
+            for l in plan.splitlines()
+            if "row_number" in l and "windowspecdefinition" in l
+        ]
+        assert rn, "rank window missing"
+        assert all("_shard" in l for l in rn), rn
+        assert "BatchEvalPython" not in plan
+
+    def test_bm25_query_side_broadcasts(self, spark):
+        """Postings stay put: the query-term×idf table broadcasts
+        onto the corpus tf table; nothing corpus-sized crosses a
+        broadcast threshold, no cartesian pair generation."""
+        from tidb_cdc_spark.queries.llm15 import rag_bm25_topk
+
+        plan = explain_str(rag_bm25_topk(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_token_entropy_single_doc_exchange(self, spark):
+        """tf groupBy(doc, term), the per-doc window, and the final
+        groupBy(doc) must all reuse the doc_id fan-out distribution:
+        exactly ONE hash exchange in the whole plan, and the window
+        carries the doc_id partition key."""
+        from tidb_cdc_spark.queries.llm15 import text_token_entropy
+
+        plan = explain_str(text_token_entropy(spark, SF))
+        assert "BatchEvalPython" not in plan
+        win = [
+            l for l in plan.splitlines() if "windowspecdefinition" in l
+        ]
+        assert win and all("doc_id" in l for l in win), win
+        import re
+
+        hashx = re.findall(r"Exchange hashpartitioning", plan)
+        assert len(hashx) <= 1, plan

@@ -120,6 +120,9 @@ HEAVY = [
     "knn_opq_adc",
     "corpus_perplexity_buckets",
     "rag_rerank_cascade",
+    "corpus_dsir_select",
+    "rag_bm25_topk",
+    "text_token_entropy",
 ]
 
 
