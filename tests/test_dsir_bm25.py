@@ -126,9 +126,12 @@ def _bm25_pure(rows, queries, k=5):
             for did in dl:
                 if (did, t) not in tf or did == qid:
                     continue
-                c = tf[(did, t)]
-                mu = (idf * 1_000_000 * 44 * c * avgdl) // (
-                    20 * c * avgdl + 6 * avgdl + 18 * dl[did]
+                c = min(tf[(did, t)], 1_000_000)
+                a = min(avgdl, 100_000)
+                d = min(dl[did], 10**15)
+                mu = idf * (
+                    (1_000_000 * 44 * c * a)
+                    // (20 * c * a + 6 * a + 18 * d)
                 )
                 out[(qid, did)] = out.get((qid, did), 0) + mu
     ranked = {}
@@ -228,3 +231,28 @@ def test_token_entropy_bounds(spark, n):
     out = token_entropy(_mk_docs(spark, [(0, text)])).collect()[0]
     assert out["n_tokens"] == n
     assert 0 <= out["mean_mbits"] <= (len(bin(n)) - 2) * 1_000_000
+
+
+def test_bm25_degenerate_repeated_token_doc_no_overflow(spark):
+    """r7 advice (low): a multi-million-repetition single-token doc
+    drove the unclamped µ-numerator past int64 (tf·avgdl ≳ 10¹⁰) and
+    ANSI mode raised ARITHMETIC_OVERFLOW, failing the whole query.
+    The TF_CAP/AVGDL_CAP clamps must score it finitely — and still
+    agree with the pure-Python twin, which mirrors the clamps."""
+    from tidb_cdc_spark.functions.bm25 import bm25_topk
+
+    giant = "z " * 1_200_000  # tf(z)=1.2e6 pushes avgdl to ~4e5
+    rows = [
+        (0, "z needle hay"),
+        (1, giant.strip()),
+        (2, "needle hay stack"),
+    ]
+    docs = _mk_docs(spark, rows)
+    q = spark.createDataFrame([(9, "z needle")], "query_id long, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score_mu"], r["rank"])
+        for r in bm25_topk(docs, q, k=3).collect()
+    }
+    expect = _bm25_pure(rows, [(9, "z needle")], k=3)
+    assert got == expect
+    assert all(s >= 0 for s, _ in got.values())

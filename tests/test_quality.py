@@ -248,6 +248,47 @@ class TestMojibake:
         out = df.select(fix_mojibake(F.col("text")).alias("fx")).collect()
         assert [r.fx for r in out] == ["S\u00c3O", "caf\u00e9 already fine"]
 
+    def test_marker_plus_non_latin1_does_not_crash(self, spark):
+        """r7 advice (high): a marker char ("ch\u00e2teau") plus ANY
+        non-Latin-1 char (curly quote, em dash, CJK, emoji) used to
+        evaluate encode(text,'ISO-8859-1') and fail the whole scan
+        with MALFORMED_CHARACTER_CODING under ANSI. Such rows cannot
+        be UTF-8-as-Latin-1 mojibake; they must pass through
+        untouched."""
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.text import fix_mojibake, is_mojibake
+
+        rows = [
+            "ch\u00e2teau \u2014 tasting menu",        # marker + em dash
+            "ch\u00e2teau\u2019s cellar",              # marker + curly quote
+            "\u00c2 plus \u4e2d\u6587 text",           # marker + CJK
+            "\u00c3 and emoji \U0001f600",             # marker + emoji
+        ]
+        df = spark.createDataFrame([(t,) for t in rows], "text string")
+        out = df.select(
+            fix_mojibake(F.col("text")).alias("fx"),
+            is_mojibake(F.col("text")).alias("m"),
+        ).collect()
+        assert [r.fx for r in out] == rows
+        assert [r.m for r in out] == [False] * 4
+
+    def test_mixed_frame_still_repairs_latin1_rows(self, spark):
+        """The guard must not stop repair of genuinely corrupted rows
+        sharing a frame with non-Latin-1 clean rows."""
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.text import fix_mojibake
+
+        orig = "na\u00efve caf\u00e9"
+        corrupted = orig.encode("utf-8").decode("iso-8859-1")
+        clean = "ch\u00e2teau \u2014 \u4e2d\u6587 \U0001f600"
+        df = spark.createDataFrame(
+            [(corrupted,), (clean,)], "text string"
+        )
+        out = df.select(fix_mojibake(F.col("text")).alias("fx")).collect()
+        assert [r.fx for r in out] == [orig, clean]
+
 
 class TestNormalizeText:
     def test_nfc_composes_and_nfkc_folds_compat(self, spark):

@@ -19,11 +19,18 @@ length-normalized saturation quotient. The engine quantizes both:
       tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     = 44·tf·avgdl / (20·tf·avgdl + 6·avgdl + 18·dl)      (exact)
 
-  so ``term_score_µ = (idf_bits · 10⁶ · 44 · tf · avgdl)
-  div (20·tf·avgdl + 6·avgdl + 18·dl)``. Every factor is corpus-
-  size-independent except idf_bits ≤ 64, so the product stays far
-  inside int64 at ANY corpus size (avgdl ~10³, tf ~10⁴ worst case
-  → ~10¹⁶).
+  so ``term_score_µ = idf_bits · ((10⁶ · 44 · tf · avgdl)
+  div (20·tf·avgdl + 6·avgdl + 18·dl))`` — idf multiplies the
+  already-divided saturation quotient, so the µ-numerator excludes
+  the one corpus-dependent factor. Degenerate inputs are clamped
+  BEFORE scoring (r7 advice: the unclamped numerator overflows
+  int64 at tf·avgdl ≳ 10¹⁰, and ANSI mode turns that into
+  ARITHMETIC_OVERFLOW failing the whole query): ``tf ≤ 10⁶``
+  (saturation is flat there: the quotient is within 1e-5 of its
+  tf→∞ limit), ``avgdl ≤ 10⁵``, ``dl ≤ 10¹⁵``. Worst-case
+  numerator 10⁶·44·10⁶·10⁵ = 4.4·10¹⁸ < 2⁶³−1, denominator
+  < 2·10¹⁶, per-term score ≤ 63·2.2·10⁶ — int64-safe at ANY
+  corpus size and ANY adversarial document, by construction.
 
 Scale shape (100 TB): corpus (doc, term, tf) + per-doc lengths are
 one map-side-combining aggregate each; df is an aggregate OVER the
@@ -45,6 +52,14 @@ from tidb_cdc_spark.functions.tfidf import term_frequencies
 
 #: µ-unit scale shared with functions/quality.py / selection.py.
 PPM = 1_000_000
+
+#: Degenerate-input clamps keeping the µ-score numerator inside
+#: int64 under ANSI mode (see module docstring for the bound).
+#: Mirrored verbatim in the DuckDB oracle (queries/llm15.py) and the
+#: pure-Python twin (tests/test_dsir_bm25.py).
+TF_CAP = 1_000_000
+AVGDL_CAP = 100_000
+DL_CAP = 10**15
 
 
 def bm25_scores(
@@ -104,8 +119,13 @@ def bm25_scores(
         .withColumn(
             "_term_mu",
             F.expr(
-                f"(_idf_bits * {PPM}L * 44L * tf * _avgdl) div "
-                "(20L * tf * _avgdl + 6L * _avgdl + 18L * _dl)"
+                f"_idf_bits * (({PPM}L * 44L"
+                f" * least(tf, {TF_CAP}L)"
+                f" * least(_avgdl, {AVGDL_CAP}L)) div "
+                f"(20L * least(tf, {TF_CAP}L)"
+                f" * least(_avgdl, {AVGDL_CAP}L)"
+                f" + 6L * least(_avgdl, {AVGDL_CAP}L)"
+                f" + 18L * least(_dl, {DL_CAP}L)))"
             ),
         )
     )

@@ -215,6 +215,15 @@ def shingles(text: Column, k: int = 5) -> Column:
 #: (\u00e2) surfacing as characters.
 _MOJIBAKE_MARKERS = "[\u00c2\u00c3\u00e2]"
 
+#: Any character OUTSIDE the Latin-1 repertoire. A row containing one
+#: cannot be pure UTF-8-read-as-Latin-1 mojibake (the misread only
+#: ever yields U+0000-U+00FF) — and, load-bearing: Spark 4's ANSI
+#: ``encode(_, 'ISO-8859-1')`` raises MALFORMED_CHARACTER_CODING on
+#: such a char, so the encode below must never evaluate for those
+#: rows ("ch\u00e2teau" plus an em dash / CJK / emoji is realistic
+#: clean text, not corruption).
+_NON_LATIN1 = r"[^\x00-\xff]"
+
 
 def is_mojibake(text: Column) -> Column:
     """True when ``text`` shows the classic UTF-8-bytes-read-as-
@@ -222,10 +231,20 @@ def is_mojibake(text: Column) -> Column:
     valid (``is_valid_utf8`` guard): legitimate text that merely
     contains the marker characters (e.g. uppercase "S\u00c3O") fails
     the byte-validity check — the following byte is not a UTF-8
-    continuation — and is left alone."""
-    return text.rlike(_MOJIBAKE_MARKERS) & F.is_valid_utf8(
-        F.encode(text, "ISO-8859-1")
-    )
+    continuation — and is left alone.
+
+    The byte check runs under a CaseWhen whose condition first
+    rejects any row containing a non-Latin-1 char: such rows cannot
+    be this corruption (and could crash the scan — ANSI ``encode``
+    raises MALFORMED_CHARACTER_CODING on unmappable chars, so
+    realistic text like "ch\u00e2teau \u2014 tasting menu" would
+    otherwise fail the whole job). Only CaseWhen — not ``&``, which
+    does not promise per-row short-circuit — guarantees the encode
+    never evaluates for those rows."""
+    return text.rlike(_MOJIBAKE_MARKERS) & F.when(
+        ~text.rlike(_NON_LATIN1),
+        F.is_valid_utf8(F.encode(text, "ISO-8859-1")),
+    ).otherwise(F.lit(False))
 
 
 def fix_mojibake(text: Column) -> Column:

@@ -404,21 +404,34 @@ def corpus_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_cdc_spark.functions.text import fix_mojibake
 
     tail = "\u00a0caf\u00e9 \u2014 na\u00efve r\u00e9sum\u00e9"
+    # r7-advice pin: a marker char PLUS non-Latin-1 chars (em dash,
+    # CJK, emoji) is realistic clean text that the unguarded encode
+    # used to crash on (ANSI MALFORMED_CHARACTER_CODING) — it must
+    # pass through untouched, and the scan must not fail.
+    mixed = (
+        "ch\u00e2teau \u2014 \u4e2d\u6587 menu \U0001f600 \u2019quoted\u2019"
+    )
     d = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < 20)
-        .select("doc_id", F.concat(F.col("text"), F.lit(tail)).alias("_t"))
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(tail)).alias("_t"),
+            F.concat(F.col("text"), F.lit(mixed)).alias("_mx"),
+        )
     )
     corrupted = F.decode(F.encode(F.col("_t"), "UTF-8"), "ISO-8859-1")
     return d.select(
         "doc_id",
         (fix_mojibake(corrupted) == F.col("_t")).alias("restored"),
         (fix_mojibake(F.col("_t")) == F.col("_t")).alias("clean_untouched"),
+        (fix_mojibake(F.col("_mx")) == F.col("_mx")).alias("mixed_untouched"),
     ).orderBy("doc_id")
 
 
 _MOJIBAKE_AUDIT_SQL = """
-SELECT doc_id, TRUE AS restored, TRUE AS clean_untouched
+SELECT doc_id, TRUE AS restored, TRUE AS clean_untouched,
+       TRUE AS mixed_untouched
 FROM documents WHERE doc_id < 20 ORDER BY doc_id
 """
 

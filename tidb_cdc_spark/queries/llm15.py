@@ -161,10 +161,17 @@ WITH tok AS (
          tot.avgdl
   FROM q JOIN dfreq USING (term), tot
 ), scored AS (
+  -- clamps + idf-outside-the-div mirror functions/bm25.py exactly
+  -- (int64-safety restructure; see TF_CAP/AVGDL_CAP/DL_CAP there)
   SELECT qidf.query_id, tf.doc_id,
-         CAST(SUM((qidf.idf_bits * 1000000 * 44 * tf.tf * qidf.avgdl)
-                  // (20 * tf.tf * qidf.avgdl + 6 * qidf.avgdl
-                      + 18 * dl.dl)) AS BIGINT) AS score_mu
+         CAST(SUM(qidf.idf_bits *
+                  ((1000000 * 44 * LEAST(tf.tf, 1000000)
+                    * LEAST(qidf.avgdl, 100000))
+                   // (20 * LEAST(tf.tf, 1000000)
+                       * LEAST(qidf.avgdl, 100000)
+                       + 6 * LEAST(qidf.avgdl, 100000)
+                       + 18 * LEAST(dl.dl, 1000000000000000))))
+              AS BIGINT) AS score_mu
   FROM tf JOIN qidf USING (term) JOIN dl USING (doc_id)
   WHERE tf.doc_id <> qidf.query_id
   GROUP BY qidf.query_id, tf.doc_id
