@@ -515,3 +515,45 @@ class TestLateR7Plans:
 
         hashx = re.findall(r"Exchange hashpartitioning", plan)
         assert len(hashx) <= 1, plan
+
+
+class TestFinalTpchPlans:
+    """q2/q11/q12/q21 (batch5) — the shapes that close the 22-query
+    TPC-H set. Pins: single fact scan where the design says one,
+    broadcast dims, no Python in any plan."""
+
+    def test_q2_single_lineitem_scan_and_window_min(self, spark):
+        from tidb_cdc_spark.queries.batch5 import q2_min_cost_supplier
+
+        plan = explain_str(q2_min_cost_supplier(spark, SF))
+        # window-min decorrelation: the self-join variant scans and
+        # aggregates lineitem twice; the window must keep it at one
+        assert plan.count("lineitem.parquet") == 1
+        assert "windowspecdefinition" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_q11_scalar_subquery_stays_in_plan(self, spark):
+        from tidb_cdc_spark.queries.batch5 import q11_important_parts
+
+        plan = explain_str(q11_important_parts(spark, SF))
+        # threshold = broadcast 1-row aggregate, never a collect;
+        # per_part reused for both sides
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_q12_pushdown_and_single_join(self, spark):
+        from tidb_cdc_spark.queries.batch5 import q12_priority_lines
+
+        df = q12_priority_lines(spark, SF)
+        assert has_pushed_filters(df, "l_shipdate")
+        plan = explain_str(df)
+        assert "BatchEvalPython" not in plan
+
+    def test_q21_semi_then_anti_on_orderkey(self, spark):
+        from tidb_cdc_spark.queries.batch5 import q21_waiting_suppliers
+
+        plan = explain_str(q21_waiting_suppliers(spark, SF))
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
