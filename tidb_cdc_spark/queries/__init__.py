@@ -79,25 +79,31 @@ for _mod in (
 #   keeps its r6 driver row + the strict mirror in
 #   tests/test_queries_oracle.py (driver-identical compare).
 #
-# ROUND-8 ROTATION QUEUE (oracled, driver row r4 or older after this
-# round — never-gated first): embedding_whiten_audit,
-# events_distinct_hll_audit, events_value_outliers,
-# rag_rerank_cascade; then the r4 block — q1/q4/q6/q7/q10/q13/q14/
-# q15/q16/q17/q19/q20/q22, rollup_revenue, topk_orders_per_customer,
-# cube/grouping-sets/setops, events asof/hourly/sliding/cohort/
-# gapfill/percentiles/json, sketch_percentiles, sketch_approx,
-# price_band_pairs, full_outer_nation_presence,
-# suppliers_of_large_parts, scalar/window/date/array showcases.
-# Swap ~12-16 in for this round's single-scan text/audit rows.
-# (Late-r7: corpus_mojibake_audit and doc_nfc_normalize took the
-# doc_hashed_tf / events_heavy_hitters_cms slots — both r6-green,
-# both still mirror-checked — so the two newest ops get driver rows
-# this round; doc_hashed_tf and the CMS row queue for r8.
-# Late-r7 second wave: the four new hash-exact ops
-# (corpus_dsir_weights, corpus_dsir_select, rag_bm25_topk,
-# text_token_entropy — queries/llm15.py) take the q3/q5/q8/q9 slots;
-# those four TPC-H heads are r6-green with r6 driver rows, stay
-# mirror-checked, and queue for r8 alongside the r4 block below.)
+# ROUND-8 ROTATION (applied): IN — the whole never-gated backlog
+# (embedding_whiten_audit, events_distinct_hll_audit,
+# events_value_outliers, rag_rerank_cascade), the four new r8 TPC-H
+# shapes (q2/q11/q12/q21, queries/batch5.py), and eleven r4-stale
+# rows (q4/q14/q16/q17/q22, rollup_revenue, topk_orders_per_customer,
+# price_band_pairs, events_daily_gapfill,
+# events_value_percentiles_by_type, sketch_percentiles). OUT —
+# nineteen r7-green rows whose code is unchanged this round
+# (the r7 rotation block: keep_best ×2, cluster_safe_split,
+# rag_hybrid/hard_negatives, winnow ×2, vocab_drift, bigram,
+# perplexity_buckets, mad_outliers, classifier_audit,
+# rolling/table_profile/transition/pivot; plus doc_nfc_normalize and
+# corpus_dsir_weights/select) — each keeps its r7 driver row and the
+# strict mirror in tests/test_queries_oracle.py. Kept despite r7
+# rows: corpus_mojibake_audit and rag_bm25_topk (both ops CHANGED
+# this round — non-Latin-1 guard / int64 clamps — and need fresh
+# driver certification).
+#
+# ROUND-9 ROTATION QUEUE (driver row r4 or older after this round):
+# q1/q3/q5/q6/q7/q8/q9/q10/q13/q15/q19/q20 heads, doc_hashed_tf,
+# events_heavy_hitters_cms, cube/grouping-sets/setops,
+# events asof/hourly/sliding/cohort/json, sketch_approx,
+# full_outer_nation_presence, suppliers_of_large_parts,
+# scalar/window/date/array showcases, events_value_mad_outliers
+# successors per the ~16-slot/round cadence.
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -112,32 +118,37 @@ GATE = [
     "knn_pq_audit",
     "knn_ivfpq_audit",
     "dedup_clusters_exact",
-    # round-7 rotation: never-gated backlog + new audits
-    "dedup_exact_keep_best",
-    "dedup_keep_best_audit",
-    "corpus_cluster_safe_split",
-    "rag_hybrid_rrf",
-    "rag_hard_negatives",
-    "winnow_overlap_pairs",
-    "winnow_cap_report",
-    "vocab_drift_top",
-    "text_bigram_surprisal",
-    "corpus_perplexity_buckets",
-    "events_value_mad_outliers",
-    "quality_classifier_audit",
-    "events_rolling_features",
-    "table_profile_lineitem",
-    "events_transition_matrix",
-    "events_pivot_by_type",
-    # LLM curation surface (audit twins kept from r6)
+    # round-8 rotation: never-gated first, then new ops, then the
+    # r4-stale block (see queue comment above)
+    "embedding_whiten_audit",
+    "events_distinct_hll_audit",
+    "events_value_outliers",
+    "rag_rerank_cascade",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q21_waiting_suppliers",
+    "q4_order_priority",
+    "q14_promo_effect",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q22_customers_without_orders",
+    "rollup_revenue",
+    "topk_orders_per_customer",
+    "price_band_pairs",
+    "events_daily_gapfill",
+    "events_value_percentiles_by_type",
+    "sketch_percentiles",
+    # LLM curation surface (audit twins kept; mojibake_audit kept
+    # because the op changed this round — new mixed_untouched pin)
     "semantic_dedup_audit",
     "embedding_covariance",
     "knn_opq_audit",
-    "doc_nfc_normalize",
     "corpus_mojibake_audit",
     "embedding_pca_audit",
     "doc_semantic_dedup_audit",
     "corpus_curation_pipeline",
+    "text_token_entropy",
     # CDC consumers
     "cdc_parse_typed",
     "cdc_apply_latest",
@@ -145,11 +156,8 @@ GATE = [
     "cdc_incremental_agg",
     "cdc_schema_drift",
     "cdc_decimal_agg",
-    # late-r7 second wave: new hash-exact selection/retrieval ops
-    "corpus_dsir_weights",
-    "corpus_dsir_select",
+    # changed this round (clamped integer formula) — re-certify
     "rag_bm25_topk",
-    "text_token_entropy",
     # plan-complex TPC-H/events (kept from r6 rotation)
     "q18_large_volume_customers",
     "events_sessions",
