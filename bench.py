@@ -108,6 +108,10 @@ def main() -> None:
         "corpus_dsir_select",
         "rag_bm25_topk",
         "text_token_entropy",
+        # r8: the two plan-complex new TPC-H shapes (q11/q12 are
+        # single-join aggs already represented by q14/q4 cost-wise)
+        "q2_min_cost_supplier",
+        "q21_waiting_suppliers",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
