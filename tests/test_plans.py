@@ -557,3 +557,16 @@ class TestFinalTpchPlans:
         assert "LeftSemi" in plan and "LeftAnti" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestProjectionPlan:
+    def test_random_projection_map_only(self, spark):
+        """JL projection is a pure per-row expression: no exchange
+        beyond the final presentation sort, no Python, no broadcast
+        (the sign matrix is literals in the plan)."""
+        from tidb_cdc_spark.queries.llm16 import embedding_random_projection
+
+        plan = explain_str(embedding_random_projection(spark, SF))
+        assert "BatchEvalPython" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "BroadcastExchange" not in plan

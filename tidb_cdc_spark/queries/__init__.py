@@ -39,6 +39,7 @@ from tidb_cdc_spark.queries import (
     llm13,
     llm14,
     llm15,
+    llm16,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -46,7 +47,7 @@ ORACLE: dict[str, str] = {}
 
 for _mod in (
     llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10,
-    audits, cdcq, llm11, llm12, llm13, llm14, llm15,
+    audits, cdcq, llm11, llm12, llm13, llm14, llm15, llm16,
     batch, batch2, batch3, batch4, batch5,
 ):
     QUERIES.update(_mod.QUERIES)
