@@ -112,6 +112,9 @@ def main() -> None:
         # single-join aggs already represented by q14/q4 cost-wise)
         "q2_min_cost_supplier",
         "q21_waiting_suppliers",
+        # r8: the Lee-et-al. span-removal rewrite (full shingle +
+        # reconstruction pipeline — a heavy honest op)
+        "dedup_span_rewrite",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

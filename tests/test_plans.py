@@ -570,3 +570,17 @@ class TestProjectionPlan:
         assert "BatchEvalPython" not in plan
         assert "Exchange hashpartitioning" not in plan
         assert "BroadcastExchange" not in plan
+
+
+class TestSpanRewritePlan:
+    def test_span_rewrite_no_pair_join_no_python(self, spark):
+        """The rewrite never joins doc-to-doc: span stats are one
+        aggregate, coverage is an ids-only anti-join. No cartesian,
+        no Python, and the span string never shuffles — the md5 key
+        does."""
+        from tidb_cdc_spark.queries.llm16 import dedup_span_rewrite
+
+        plan = explain_str(dedup_span_rewrite(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "LeftAnti" in plan

@@ -319,3 +319,59 @@ class TestNormalizeText:
 
         with pytest.raises(ValueError, match="unknown normalization"):
             normalize_text(F.col("text"), "NFX")
+
+
+class TestSpanDedupRewrite:
+    def _run(self, spark, rows, k=12):
+        from tidb_cdc_spark.functions.quality import span_dedup_rewrite
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in span_dedup_rewrite(df, span_tokens=k).collect()
+        }
+
+    def test_keeper_keeps_others_lose_span(self, spark):
+        span = " ".join(f"s{i}" for i in range(12))
+        rows = [
+            (0, f"alpha {span} omega"),
+            (1, f"beta gamma {span} delta"),
+            (2, "unrelated words only here"),
+        ]
+        out = self._run(spark, rows)
+        assert out[0].text_clean == rows[0][1]          # keeper intact
+        assert out[0].n_removed == 0
+        assert out[1].text_clean == "beta gamma delta"  # span excised
+        assert out[1].n_removed == 12
+        assert out[2].text_clean == rows[2][1]
+        assert out[2].n_removed == 0
+
+    def test_exact_duplicate_doc_empties_non_keeper(self, spark):
+        text = " ".join(f"w{i}" for i in range(20))
+        out = self._run(spark, [(5, text), (9, text)])
+        assert out[5].text_clean == text
+        assert out[9].text_clean == "" and out[9].n_removed == 20
+
+    def test_short_doc_duplicate_uses_all_token_shingle(self, spark):
+        out = self._run(spark, [(1, "tiny dup doc"), (2, "tiny dup doc")])
+        assert out[1].text_clean == "tiny dup doc"
+        assert out[2].text_clean == "" and out[2].n_removed == 3
+
+    def test_three_way_dup_keeps_exactly_one(self, spark):
+        span = " ".join(f"x{i}" for i in range(12))
+        out = self._run(spark, [(3, span), (1, span), (2, span)])
+        assert out[1].n_removed == 0
+        assert out[2].text_clean == "" and out[3].text_clean == ""
+
+    def test_output_whitespace_normalized_and_case_preserved(self, spark):
+        out = self._run(spark, [(0, "  Mixed   CASE    tokens  ")])
+        assert out[0].text_clean == "Mixed CASE tokens"
+        assert out[0].n_tokens == 3 and out[0].n_removed == 0
+
+    def test_overlapping_spans_cover_union(self, spark):
+        """13 shared tokens = two overlapping 12-windows; the union
+        (all 13) must be removed from the non-keeper."""
+        shared = " ".join(f"v{i}" for i in range(13))
+        out = self._run(spark, [(0, shared + " tail0"), (1, shared + " zzz")])
+        assert out[1].text_clean == "zzz"
+        assert out[1].n_removed == 13

@@ -298,6 +298,108 @@ def span_dup_coverage(
     )
 
 
+def span_dedup_rewrite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 12,
+) -> DataFrame:
+    """THE Lee et al. 2022 deliverable ("Deduplicating Training Data
+    Makes Language Models Better" — public literature):
+    ``repeated_spans`` finds cross-document duplicated spans,
+    ``span_dup_coverage`` measures them — this op REMOVES them,
+    producing the cleaned corpus a training run actually consumes.
+
+    Semantics (deterministic, oracle-exact): a position is
+    dup-covered when any ``span_tokens``-window containing it occurs
+    in ≥ 2 distinct documents AND this document is not the span's
+    canonical keeper (the minimum doc_id containing it — exactly one
+    copy of every duplicated span survives corpus-wide). Covered
+    positions are dropped; the survivors re-join with single spaces,
+    so the output is whitespace-normalized (the shingle pipeline's
+    token space). Within-doc repetition is untouched
+    (``repetition_stats``' job). Docs shorter than ``span_tokens``
+    participate as their all-token shingle — an exact short-doc
+    duplicate empties every copy but the keeper.
+
+    Output: ``(doc_id, text_clean, n_tokens, n_removed)`` for EVERY
+    input doc (fully-deduplicated docs surface with
+    ``text_clean = ''``, never silently vanish).
+
+    Scale (100 TB): NO doc-doc pair join anywhere — one groupBy on
+    the md5 of the span (slim engine-reproducible 32-hex key, never
+    the 12-token string) for (count ≥ 2, keeper), one join back onto
+    the positional shingles clustered on the same key, one
+    ids-only (doc, pos) anti-join, and per-doc aggregation clustered
+    on doc_id. Viral boilerplate spans cost ONE stats row each (the
+    aggregate is associative); the ×span_tokens coverage explode
+    applies to dup occurrences only."""
+    sh = positional_string_shingles(
+        docs, id_col, text_col, k=span_tokens
+    ).withColumn("_h", F.md5(F.col("_g")))
+    stats = (
+        sh.select("doc_id", "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_nd"),
+            F.min("doc_id").alias("_keeper"),
+        )
+        .filter(F.col("_nd") >= 2)
+    )
+    covered = (
+        sh.join(stats, "_h")
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + F.lit(span_tokens - 1)
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("_pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    tok = tok.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("p"), "tok"
+    )
+    kept = tok.join(covered, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_tok = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(n_tok, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
     eval_rate: float = 0.10,

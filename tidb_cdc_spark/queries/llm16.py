@@ -1,13 +1,18 @@
-"""Sixteenth wave (round 8): fit-free dimensionality reduction.
+"""Sixteenth wave (round 8): fit-free dimensionality reduction and
+the duplicated-span REMOVAL rewrite.
 
-``embedding_random_projection`` — seeded ±1 Johnson-Lindenstrauss
-projection (functions/projection.py), hash-exact cross-engine: the
-sign matrix is md5-derived DRIVER-SIDE into plain literals shared by
-both engines, and the projection is an integer signed sum over the
-2⁻²⁰ fixed-point quantized vector.
+- ``embedding_random_projection`` — seeded ±1 Johnson-Lindenstrauss
+  projection (functions/projection.py), hash-exact cross-engine: the
+  sign matrix is md5-derived DRIVER-SIDE into plain literals shared
+  by both engines, and the projection is an integer signed sum over
+  the 2⁻²⁰ fixed-point quantized vector.
+- ``dedup_span_rewrite`` — Lee et al. 2022 substring dedup as an
+  actual corpus rewrite (functions/quality.py::span_dedup_rewrite):
+  every cross-document duplicated ≥12-token span survives exactly
+  once (minimum-doc_id keeper); hash-exact string oracle.
 
 Reference scope note: the reference engine (dollarkillerx/tidb-cdc)
-has no vector surface; north-star pipeline surface.
+has no corpus/vector surface; north-star pipeline surface.
 """
 
 from __future__ import annotations
@@ -18,9 +23,12 @@ from tidb_cdc_spark.functions.projection import (
     random_project,
     random_project_sql,
 )
+from tidb_cdc_spark.functions.quality import span_dedup_rewrite
+from tidb_cdc_spark.queries.llm import _docs
 
 _DIM = 64
 _K = 8
+_SPAN = 12
 
 
 def embedding_random_projection(
@@ -33,10 +41,81 @@ def embedding_random_projection(
     return random_project(vecs, d=_DIM, k=_K).orderBy("vec_id")
 
 
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus after cross-doc duplicated-span removal — the
+    output artifact of the Lee et al. pipeline step. Fully string-
+    exact cross-engine (md5 span keys, deterministic keeper)."""
+    return span_dedup_rewrite(
+        _docs(spark, sf_dir), span_tokens=_SPAN
+    ).orderBy("doc_id")
+
+
+_SPAN_REWRITE_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '') AS lo,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), tln AS (SELECT doc_id, lo, l, len(l) AS n FROM tl),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(l[i : i + {_SPAN} - 1], ' ')) AS h
+  FROM (
+    SELECT doc_id, l, unnest(range(1, n - {_SPAN} + 2)) AS i
+    FROM tln WHERE n >= {_SPAN}
+  )
+  UNION ALL
+  SELECT doc_id, 0 AS pos, md5(array_to_string(l, ' ')) AS h
+  FROM tln WHERE n > 0 AND n < {_SPAN}
+),
+stats AS (
+  SELECT h, COUNT(*) AS nd, MIN(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, h FROM sh)
+  GROUP BY h HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + {_SPAN})) AS p
+  FROM sh JOIN stats USING (h)
+  WHERE doc_id <> keeper
+),
+tok AS (
+  SELECT doc_id, i - 1 AS p, lo[i] AS tok
+  FROM (
+    SELECT doc_id, lo, unnest(range(1, n + 1)) AS i
+    FROM tln WHERE n > 0
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tok t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+  WHERE c.p IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       CAST(COALESCE(tn.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(tn.n, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM documents d
+LEFT JOIN tln tn USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
+    "dedup_span_rewrite": dedup_span_rewrite,
 }
 
 ORACLE = {
     "embedding_random_projection": random_project_sql(d=_DIM, k=_K),
+    "dedup_span_rewrite": _SPAN_REWRITE_SQL,
 }
