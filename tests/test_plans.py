@@ -584,3 +584,12 @@ class TestSpanRewritePlan:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "LeftAnti" in plan
+
+
+class TestPagerankPlan:
+    def test_pagerank_no_python_no_cartesian(self, spark):
+        from tidb_cdc_spark.queries.llm16 import events_engagement_pagerank
+
+        plan = explain_str(events_engagement_pagerank(spark, SF))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan

@@ -18,6 +18,7 @@ has no corpus/vector surface; north-star pipeline surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tidb_cdc_spark.functions.projection import (
     random_project,
@@ -110,12 +111,63 @@ ORDER BY doc_id
 """
 
 
+def events_engagement_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact integer PageRank (functions/pagerank.py) over the
+    user↔event_type bipartite engagement graph: distinct (user,
+    type) pairs as edges in BOTH directions, 5 iterations, top 25
+    nodes by rank (node string tiebreak). The iterative-algorithm
+    archetype with a fully unrolled hash-exact DuckDB oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("t").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"))
+    )
+    from tidb_cdc_spark.functions.pagerank import pagerank
+
+    return (
+        pagerank(edges, iters=5)
+        .orderBy(F.desc("rank_mu"), "node")
+        .limit(25)
+    )
+
+
+_PAGERANK_EDGES_CTE = """pairs AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+                  't:' || event_type AS t
+  FROM events
+), edges AS (
+  SELECT u AS src, t AS dst FROM pairs
+  UNION ALL
+  SELECT t AS src, u AS dst FROM pairs
+)"""
+
+from tidb_cdc_spark.functions.pagerank import pagerank_sql  # noqa: E402
+
+_PAGERANK_SQL = pagerank_sql(
+    _PAGERANK_EDGES_CTE,
+    iters=5,
+    select=(
+        "SELECT node, rank_mu FROM r{T} "
+        "ORDER BY rank_mu DESC, node LIMIT 25"
+    ),
+)
+
+
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "dedup_span_rewrite": dedup_span_rewrite,
+    "events_engagement_pagerank": events_engagement_pagerank,
 }
 
 ORACLE = {
     "embedding_random_projection": random_project_sql(d=_DIM, k=_K),
     "dedup_span_rewrite": _SPAN_REWRITE_SQL,
+    "events_engagement_pagerank": _PAGERANK_SQL,
 }
