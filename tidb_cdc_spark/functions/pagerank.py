@@ -58,22 +58,25 @@ def pagerank(
     starts at PPM each."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    # loop-invariant tables materialize ONCE (eager): a lazy plan
+    # would replay the edge-build subtree in every iteration's DAG —
+    # measured 9.8 s → ~3 s at the 10× rehearsal
+    ewd = e.join(deg, "src").select("src", "dst", "_outdeg")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if checkpoint:
+        ewd = ewd.localCheckpoint()
+        nodes = nodes.localCheckpoint()
     ranks = nodes.select(
         "node", F.lit(PPM).cast("long").alias("rank_mu")
     )
     for _ in range(iters):
-        contrib = (
-            e.join(deg, "src")
-            .join(ranks, e.src == ranks.node)
-            .select(
-                "dst",
-                F.expr("rank_mu div _outdeg").alias("_c"),
-            )
+        contrib = ewd.join(ranks, ewd.src == ranks.node).select(
+            "dst",
+            F.expr("rank_mu div _outdeg").alias("_c"),
         )
         inbound = contrib.groupBy("dst").agg(
             F.sum("_c").cast("long").alias("_s")

@@ -140,11 +140,14 @@ GATE = [
     "events_daily_gapfill",
     "events_value_percentiles_by_type",
     "sketch_percentiles",
-    # LLM curation surface (audit twins kept; mojibake_audit kept
-    # because the op changed this round — new mixed_untouched pin)
-    "semantic_dedup_audit",
-    "embedding_covariance",
-    "knn_opq_audit",
+    # LLM curation surface (audit twins; mojibake_audit kept because
+    # the op changed this round — new mixed_untouched pin. Late-r8:
+    # the three NEW ops take the semantic_dedup_audit /
+    # embedding_covariance / knn_opq_audit slots — all three r7-green
+    # with unchanged code, still mirror-checked, queued for r9)
+    "embedding_random_projection",
+    "dedup_span_rewrite",
+    "events_engagement_pagerank",
     "corpus_mojibake_audit",
     "embedding_pca_audit",
     "doc_semantic_dedup_audit",

@@ -123,6 +123,10 @@ HEAVY = [
     "corpus_dsir_select",
     "rag_bm25_topk",
     "text_token_entropy",
+    # r8 additions (docs/events scale 10× here; the TPC-H tables are
+    # 1× symlinks, so q2/q21 stay bench-only)
+    "dedup_span_rewrite",
+    "events_engagement_pagerank",
 ]
 
 
