@@ -273,3 +273,65 @@ class TestSurprisalBuckets:
             spark.createDataFrame([], "doc_id long, text string")
         )
         assert out.count() == 0
+
+
+class TestCollocations:
+    def test_matches_pure_python_and_planted_mwe(self, spark):
+        """'san francisco' always co-occurs (planted MWE) — it must
+        out-PMI the incidental pairs; scores match a dict twin."""
+        from tidb_cdc_spark.functions.lm import collocations
+
+        rows = [
+            (i, "san francisco is a city and the fog is a thing " * 2)
+            for i in range(4)
+        ] + [
+            # the function words appear in OTHER contexts too, so
+            # their pairs are less exclusive than the planted MWE
+            (10 + i, "the cat and a dog is so big on top the end and on it so")
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r.w1, r.w2, r.c12, r.pmi_bits)
+            for r in collocations(df, min_count=3, k=50).collect()
+        ]
+
+        # dict twin
+        toks = [t for _, x in rows for t in x.lower().split()]
+        from collections import Counter
+
+        uc = Counter(toks)
+        bc = Counter()
+        for _, x in rows:
+            tl = x.lower().split()
+            for a, b in zip(tl, tl[1:]):
+                bc[(a, b)] += 1
+        n = sum(bc.values())
+        fl = lambda v: len(bin(v)) - 2  # noqa: E731
+        expect = sorted(
+            (
+                (w1, w2, c, fl(c) + fl(n) - fl(uc[w1]) - fl(uc[w2]))
+                for (w1, w2), c in bc.items()
+                if c >= 3
+            ),
+            key=lambda t: (-t[3], t[0], t[1]),
+        )[:50]
+        assert got == expect
+        # whole-bit PMI ties all maximally-exclusive pairs; the
+        # planted MWE must sit in that top band and beat every
+        # function-word pair
+        by_pair = {(w1, w2): p for w1, w2, _c, p in got}
+        top_bits = got[0][3]
+        assert by_pair[("san", "francisco")] == top_bits
+        for pair in (("is", "a"), ("and", "the"), ("a", "city")):
+            if pair in by_pair:
+                assert by_pair[pair] < top_bits
+
+    def test_min_count_floor_drops_one_offs(self, spark):
+        from tidb_cdc_spark.functions.lm import collocations
+
+        df = spark.createDataFrame(
+            [(0, "rare pair here"), (1, "other words only")],
+            "doc_id long, text string",
+        )
+        assert collocations(df, min_count=2, k=10).count() == 0

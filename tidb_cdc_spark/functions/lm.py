@@ -237,3 +237,68 @@ def surprisal_buckets(
             ),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, c12, pmi_bits): top-k collocations by whole-bit
+    pointwise mutual information — the classic collocation-mining
+    statistic (Church & Hanks 1990, "Word Association Norms, Mutual
+    Information, and Lexicography" — public literature), quantized
+    to stay hash-exact:
+
+        pmi_bits = fl2(c12) + fl2(N) − fl2(c1) − fl2(c2)
+
+    (the four fl2 +1 offsets cancel, so raw ``length(bin(·))`` works
+    in both engines). Within 2 bits of true log2 PMI, monotone per
+    factor, and — unlike ``c12·N / (c1·c2)`` — free of the int64
+    overflow a trillion-token corpus would hit in the cross-product.
+    High PMI + high count ⇒ multi-word expressions, named entities,
+    and tokenizer-merge candidates; the ``min_count`` floor drops
+    the unstable one-off pairs PMI is notorious for promoting.
+
+    Scale: one token scan + window-lead (clustered on doc), ONE
+    map-side-combining groupBy on the bigram, two vocabulary-sized
+    co-partitioned joins for c1/c2, broadcast 1-row total, and a
+    TakeOrderedAndProject top-k — no corpus-sized window, no pairs
+    beyond observed bigrams. Ties broken (pmi_bits DESC, w1, w2)."""
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "_pos", "_t"
+        ),
+    ).filter(F.col("_t") != "")
+    uc = tok.groupBy(F.col("_t").alias("_w")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dw = Window.partitionBy("doc_id").orderBy("_pos")
+    bg = tok.select(
+        F.col("_t").alias("w1"),
+        F.lead("_t", 1).over(dw).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    total = bc.agg(F.sum("c12").cast("long").alias("_n"))
+    u1 = uc.select(F.col("_w").alias("w1"), F.col("_c").alias("_c1"))
+    u2 = uc.select(F.col("_w").alias("w2"), F.col("_c").alias("_c2"))
+    pmi = (
+        F.length(F.bin(F.col("c12")))
+        + F.length(F.bin(F.col("_n")))
+        - F.length(F.bin(F.col("_c1")))
+        - F.length(F.bin(F.col("_c2")))
+    ).cast("long")
+    return (
+        bc.filter(F.col("c12") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c12", pmi.alias("pmi_bits"))
+        .orderBy(F.desc("pmi_bits"), "w1", "w2")
+        .limit(k)
+    )

@@ -160,14 +160,56 @@ _PAGERANK_SQL = pagerank_sql(
 )
 
 
+def corpus_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 collocations by whole-bit PMI with a count-5 floor
+    (functions/lm.py::collocations) — multi-word-expression /
+    tokenizer-merge candidates, hash-exact."""
+    from tidb_cdc_spark.functions.lm import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, k=25)
+
+
+_COLLOC_SQL = r"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), tok AS (
+  SELECT doc_id, i, l[i] AS w
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM tl)
+), uc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+), bg AS (
+  SELECT doc_id, i, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM tl)
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bg GROUP BY w1, w2
+), tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM bc)
+SELECT bc.w1, bc.w2, bc.c12,
+       CAST(length(bin(bc.c12)) + length(bin(tot.n))
+            - length(bin(u1.c)) - length(bin(u2.c)) AS BIGINT)
+         AS pmi_bits
+FROM bc
+JOIN uc u1 ON u1.w = bc.w1
+JOIN uc u2 ON u2.w = bc.w2, tot
+WHERE bc.c12 >= 5
+ORDER BY pmi_bits DESC, w1, w2
+LIMIT 25
+"""
+
+
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "dedup_span_rewrite": dedup_span_rewrite,
     "events_engagement_pagerank": events_engagement_pagerank,
+    "corpus_collocations_pmi": corpus_collocations_pmi,
 }
 
 ORACLE = {
     "embedding_random_projection": random_project_sql(d=_DIM, k=_K),
     "dedup_span_rewrite": _SPAN_REWRITE_SQL,
     "events_engagement_pagerank": _PAGERANK_SQL,
+    "corpus_collocations_pmi": _COLLOC_SQL,
 }
