@@ -312,15 +312,19 @@ def span_dedup_rewrite(
 
     Semantics (deterministic, oracle-exact): a position is
     dup-covered when any ``span_tokens``-window containing it occurs
-    in ≥ 2 distinct documents AND this document is not the span's
-    canonical keeper (the minimum doc_id containing it — exactly one
-    copy of every duplicated span survives corpus-wide). Covered
+    in ≥ 2 distinct documents AND this document is not that span's
+    canonical keeper (the minimum doc_id containing it). Covered
     positions are dropped; the survivors re-join with single spaces,
     so the output is whitespace-normalized (the shingle pipeline's
-    token space). Within-doc repetition is untouched
-    (``repetition_stats``' job). Docs shorter than ``span_tokens``
-    participate as their all-token shingle — an exact short-doc
-    duplicate empties every copy but the keeper.
+    token space). A span is never removed from its own keeper ON ITS
+    ACCOUNT — but a DIFFERENT overlapping span with an earlier
+    keeper can still excise tokens inside it, so the contract is the
+    position-coverage rule above, not per-span survival (for
+    non-overlapping spans, exactly one copy survives corpus-wide).
+    Within-doc repetition is untouched (``repetition_stats``' job).
+    Docs shorter than ``span_tokens`` participate as their all-token
+    shingle — an exact short-doc duplicate empties every copy but
+    the keeper.
 
     Output: ``(doc_id, text_clean, n_tokens, n_removed)`` for EVERY
     input doc (fully-deduplicated docs surface with
@@ -329,11 +333,16 @@ def span_dedup_rewrite(
     Scale (100 TB): NO doc-doc pair join anywhere — one groupBy on
     the md5 of the span (slim engine-reproducible 32-hex key, never
     the 12-token string) for (count ≥ 2, keeper), one join back onto
-    the positional shingles clustered on the same key, one
-    ids-only (doc, pos) anti-join, and per-doc aggregation clustered
-    on doc_id. Viral boilerplate spans cost ONE stats row each (the
-    aggregate is associative); the ×span_tokens coverage explode
-    applies to dup occurrences only."""
+    the positional shingles clustered on the same key, one ids-only
+    (doc, pos) flag join onto the token stream, and ONE per-doc
+    aggregation clustered on doc_id producing n_tokens, the cleaned
+    text, and the kept count together (collect_list skips the
+    covered rows' null structs) — the corpus-sized token table
+    crosses two exchanges total instead of the three a separate
+    n_tokens aggregate + anti-join would cost. Viral boilerplate
+    spans cost
+    ONE stats row each (the aggregate is associative); the
+    ×span_tokens coverage explode applies to dup occurrences only."""
     sh = positional_string_shingles(
         docs, id_col, text_col, k=span_tokens
     ).withColumn("_h", F.md5(F.col("_g")))
@@ -368,30 +377,38 @@ def span_dedup_rewrite(
     tok = tok.select(
         "doc_id", (F.row_number().over(w) - 1).alias("p"), "tok"
     )
-    kept = tok.join(covered, ["doc_id", "p"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
+    flagged = tok.join(
+        covered.withColumn("_cov", F.lit(True)), ["doc_id", "p"], "left"
+    )
+    agg = flagged.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                F.array_sort(
+                    # collect_list drops nulls ⇒ covered rows vanish
+                    F.collect_list(
+                        F.when(
+                            F.col("_cov").isNull(), F.struct("p", "tok")
+                        )
+                    )
+                ),
                 lambda s: s["tok"],
             ),
         ).alias("text_clean"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    n_tok = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens")
+        F.count(F.lit(1)).alias("_n_tokens"),
+        F.sum(F.col("_cov").isNull().cast("long")).alias("_n_kept"),
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(n_tok, "doc_id", "left")
         .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("_n_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
             (
-                F.coalesce("n_tokens", F.lit(0))
+                F.coalesce("_n_tokens", F.lit(0))
                 - F.coalesce("_n_kept", F.lit(0))
             )
             .cast("long")

@@ -290,7 +290,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(
-            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 91)
+            # timestamp + interval, NOT date_add (which truncates to
+            # a date): the oracle's `+ INTERVAL 91 DAY` preserves
+            # time-of-day, so the cutoffs must match for non-midnight
+            # timestamps too
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 91 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()
