@@ -115,6 +115,9 @@ def main() -> None:
         # r8: the Lee-et-al. span-removal rewrite (full shingle +
         # reconstruction pipeline — a heavy honest op)
         "dedup_span_rewrite",
+        # r8: iterative graph op + collocation statistic
+        "events_engagement_pagerank",
+        "corpus_collocations_pmi",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
