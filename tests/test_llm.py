@@ -853,3 +853,47 @@ class TestHeaderParserEdgeCases:
         assert (out[2].mime, out[2].width, out[2].height) == (
             "image/png", 32, 16,
         )
+
+
+class TestTokenizerFertility:
+    def test_hand_checked_ratios(self, spark):
+        """'don't stop' = 2 words, 4 subwords (don / ' / t / stop) →
+        fertility 2.0; per-lang grouping and integer µ ratios."""
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.text import (
+            bpe_token_count,
+            token_count,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("en", "don't stop"),
+                ("en", "abc 123"),
+                ("de", "straße!"),
+            ],
+            "lang string, text string",
+        )
+        d = df.select(
+            "lang",
+            token_count(F.col("text")).alias("w"),
+            bpe_token_count(F.col("text")).alias("s"),
+            F.length("text").alias("c"),
+        )
+        rows = {(r.lang, r.w, r.s, r.c) for r in d.collect()}
+        assert ("en", 2, 4, 10) in rows   # don / ' / t / stop
+        assert ("en", 2, 2, 7) in rows    # abc / 123
+        # straße!: word=1; subwords: stra / ß / e / ! (ß is non-ASCII
+        # → single-symbol token); chars=7
+        assert ("de", 1, 4, 7) in rows
+
+        from tidb_cdc_spark.queries.llm16 import (
+            corpus_tokenizer_fertility,
+        )
+
+        # end-to-end ratios on the real table: integral and ordered
+        out = corpus_tokenizer_fertility(spark, "/root/testdata/sf0.001")
+        got = out.collect()
+        assert [r.lang for r in got] == sorted(r.lang for r in got)
+        for r in got:
+            assert r.fertility_ppm == (r.n_subwords * 1_000_000) // max(r.n_words, 1)

@@ -200,11 +200,82 @@ LIMIT 25
 """
 
 
+def corpus_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language tokenizer fertility — the statistic a
+    multilingual pretraining run tracks to budget its vocabulary
+    (languages a tokenizer splits into more sub-words per word cost
+    more sequence length per sentence): words (whitespace tokens),
+    sub-words (the BPE-ish regex segmentation, functions/text.py),
+    chars, and the µ-unit ratios subwords/word and chars/word.
+    All-integer arithmetic — hash-exact.
+
+    Scale: single scan, per-row codegen counting expressions, one
+    map-side-combining groupBy on the #languages-sized key."""
+    from tidb_cdc_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("_w"),
+        bpe_token_count(F.col("text")).cast("long").alias("_s"),
+        F.length("text").cast("long").alias("_c"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_s").alias("n_subwords"),
+            F.sum("_c").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            "n_chars",
+            F.expr("(n_subwords * 1000000L) div greatest(n_words, 1)")
+            .alias("fertility_ppm"),
+            F.expr("(n_chars * 1000000L) div greatest(n_words, 1)")
+            .alias("chars_per_word_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FERTILITY_SQL = r"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS s,
+         CAST(length(text) AS BIGINT) AS c
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(s) AS BIGINT) AS n_subwords,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST((SUM(s) * 1000000) // GREATEST(SUM(w), 1) AS BIGINT)
+         AS fertility_ppm,
+       CAST((SUM(c) * 1000000) // GREATEST(SUM(w), 1) AS BIGINT)
+         AS chars_per_word_ppm
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "dedup_span_rewrite": dedup_span_rewrite,
     "events_engagement_pagerank": events_engagement_pagerank,
     "corpus_collocations_pmi": corpus_collocations_pmi,
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
 }
 
 ORACLE = {
@@ -212,4 +283,5 @@ ORACLE = {
     "dedup_span_rewrite": _SPAN_REWRITE_SQL,
     "events_engagement_pagerank": _PAGERANK_SQL,
     "corpus_collocations_pmi": _COLLOC_SQL,
+    "corpus_tokenizer_fertility": _FERTILITY_SQL,
 }
