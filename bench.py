@@ -118,6 +118,8 @@ def main() -> None:
         # r8: iterative graph op + collocation statistic
         "events_engagement_pagerank",
         "corpus_collocations_pmi",
+        # r8: linear-in-family star-pair LSH (the 100x-curve fix)
+        "dedup_minhash_star",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -897,3 +897,44 @@ class TestTokenizerFertility:
         assert [r.lang for r in got] == sorted(r.lang for r in got)
         for r in got:
             assert r.fertility_ppm == (r.n_subwords * 1_000_000) // max(r.n_words, 1)
+
+
+class TestMinhashStarPairs:
+    def _family(self, spark):
+        text = " ".join(f"tok{i}" for i in range(40))
+        other = " ".join(f"z{i}" for i in range(40))
+        rows = [(i, text) for i in range(5)] + [(10, other), (11, other)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_linear_output_and_hub_choice(self, spark):
+        """A 5-member identical family emits exactly hub→member star
+        pairs (4 rows, hub = min id), not the 10-row clique."""
+        from tidb_cdc_spark.functions.dedup import minhash_lsh_star_pairs
+
+        p = minhash_lsh_star_pairs(self._family(spark)).collect()
+        fam = [(r.id_a, r.id_b) for r in p if r.id_a < 10]
+        assert sorted(fam) == [(0, 1), (0, 2), (0, 3), (0, 4)]
+        assert all(r.est_jaccard == 1.0 for r in p)
+        assert (10, 11) in [(r.id_a, r.id_b) for r in p]
+
+    def test_components_equal_clique_components(self, spark):
+        """The guarantee cluster consumers rely on: CC over star
+        pairs == CC over clique pairs."""
+        from tidb_cdc_spark.functions.clusters import connected_components
+        from tidb_cdc_spark.functions.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_star_pairs,
+        )
+
+        d = self._family(spark)
+
+        def comps(pairs):
+            cc = connected_components(pairs.select("id_a", "id_b"))
+            groups = {}
+            for r in cc.collect():
+                groups.setdefault(r[1], set()).add(r[0])
+            return sorted(frozenset(g) for g in groups.values())
+
+        assert comps(minhash_lsh_star_pairs(d)) == comps(
+            minhash_lsh_pairs(d)
+        )

@@ -181,6 +181,78 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def minhash_lsh_star_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Connectivity-preserving LINEAR alternative to
+    :func:`minhash_lsh_pairs`: each band bucket emits only the STAR
+    (min-id hub → member) pairs instead of the full clique, so
+    output grows linearly in near-dup family size instead of
+    quadratically — b·(b−1)/2 → b−1 rows per b-sized bucket.
+
+    Found by the 1×/10×/100× scaling curve (tools/scale_curve.py):
+    with ~100-member near-dup families the all-pairs op blew up
+    13.7× from 10×→100× on genuinely quadratic output; this variant
+    stays flat. The connected components over star pairs EQUAL the
+    components over clique pairs (within a bucket the star spans
+    every member the clique does), so cluster-consuming pipelines —
+    ``dedup_clusters``, keep-best collapse, leakage-safe splits —
+    lose nothing. Use the clique form only when per-pair scores for
+    ALL pairs are genuinely needed. ``est_jaccard`` attaches per
+    emitted (hub, member) pair exactly as in the clique form."""
+    from pyspark.sql import Window
+
+    rows = num_hashes // bands
+    sig = _materialize(
+        minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
+    )
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("_sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bhash"),
+    )
+    w = Window.partitionBy("_band", "_bhash")
+    banded = banded.withColumn("_bs", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min("_id").over(w)
+    )
+    if max_bucket_size is not None:
+        banded = banded.filter(F.col("_bs") <= max_bucket_size)
+    cand = (
+        banded.filter(F.col("_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b")),
+        "id_b",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
 def minhash_band_rows(
     df: DataFrame,
     id_col: str = "doc_id",

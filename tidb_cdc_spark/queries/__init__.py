@@ -109,7 +109,9 @@ GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
     "knn_bruteforce_cosine",
-    "ann_recall_audit",
+    # late-r8: the new star-pair connectivity audit takes the
+    # ann_recall_audit slot (r7-green, unchanged, mirror-kept)
+    "dedup_minhash_star_audit",
     "dedup_minhash_audit",
     "dedup_simhash_audit",
     "dedup_jaccard_audit",

@@ -320,7 +320,50 @@ def knn_ivfpq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_planted_report(approx, _vec_spine(spark, sf_dir), off)
 
 
+def dedup_minhash_star_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-pair connectivity contract (functions/dedup.py::
+    minhash_lsh_star_pairs): an exact copy shares EVERY band bucket
+    with its original, so either the original IS some shared
+    bucket's min-id hub (⇒ direct pair orig→copy) or a smaller hub
+    r < orig emits both (r, orig) and (r, copy) (⇒ two-hop
+    connection). ``connected`` is therefore TRUE by construction for
+    every planted doc — the clique-equivalent-components guarantee,
+    DuckDB-checkable."""
+    d, off = _docs_with_copies(spark, sf_dir)
+    p = D.minhash_lsh_star_pairs(d).select("id_a", "id_b")
+    direct = p.filter(
+        (F.col("id_b") == F.col("id_a") + F.lit(off))
+        & (F.col("id_a") < _N_DOCS)
+    ).select(F.col("id_a").alias("doc_id"))
+    pa = p.select(F.col("id_a").alias("_hub"), F.col("id_b").alias("_o"))
+    pb = p.select(F.col("id_a").alias("_hub"), F.col("id_b").alias("_c"))
+    two_hop = (
+        pa.join(pb, "_hub")
+        .filter(
+            (F.col("_c") == F.col("_o") + F.lit(off))
+            & (F.col("_o") < _N_DOCS)
+        )
+        .select(F.col("_o").alias("doc_id"))
+    )
+    hit = direct.unionByName(two_hop).distinct()
+    return (
+        _doc_spine(spark, sf_dir)
+        .join(hit.withColumn("_f", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("_f", F.lit(False)).alias("connected")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STAR_AUDIT_SQL = """
+SELECT doc_id, TRUE AS connected
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_minhash_star_audit": dedup_minhash_star_audit,
     "dedup_minhash_audit": dedup_minhash_audit,
     "dedup_simhash_audit": dedup_simhash_audit,
     "dedup_jaccard_audit": dedup_jaccard_audit,
@@ -333,6 +376,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_minhash_star_audit": _STAR_AUDIT_SQL,
     "dedup_minhash_audit": _DOC_AUDIT_SQL.format(flag="est_one"),
     "dedup_simhash_audit": _DOC_AUDIT_SQL.format(flag="hamming_zero"),
     "dedup_jaccard_audit": _DOC_AUDIT_SQL.format(flag="jaccard_one"),

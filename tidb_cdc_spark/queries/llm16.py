@@ -270,12 +270,28 @@ FROM d GROUP BY lang ORDER BY lang
 """
 
 
+def dedup_minhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-pair MinHash-LSH (functions/dedup.py::
+    minhash_lsh_star_pairs): per-bucket hub→member pairs — LINEAR in
+    near-dup family size where the clique form is quadratic (the
+    1×/10×/100× curve's finding), with identical connected
+    components for every cluster consumer. Rows-only (xxhash64
+    signatures, like dedup_minhash_lsh); the connectivity contract
+    is oracle-gated by ``dedup_minhash_star_audit``."""
+    from tidb_cdc_spark.functions import dedup as D
+
+    return D.minhash_lsh_star_pairs(_docs(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "dedup_span_rewrite": dedup_span_rewrite,
     "events_engagement_pagerank": events_engagement_pagerank,
     "corpus_collocations_pmi": corpus_collocations_pmi,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
+    "dedup_minhash_star": dedup_minhash_star,
 }
 
 ORACLE = {

@@ -1,0 +1,87 @@
+"""Scaling curve: run a core-op subset at 1× / 10× / 100× of sf0.1
+and report wall-time ratios — the direct evidence for "would this
+still work at 1000 executors on 100 TB": a shape whose 10×→100×
+ratio stays near the 1×→10× ratio is scaling in data, not blowing up
+in pairs or state.
+
+Usage: python3 tools/scale_curve.py [out100_dir]
+
+Reuses the replica builder from scale_rehearsal (same planted
+exact-copy replica 1, perturbed replicas 2+), with REPLICAS
+overridden to 100 → ~500k docs / 10M events / 200k vectors. Writes
+ONLY under /tmp. The 10× set is taken from the standard rehearsal
+dir (built if absent).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+#: the curve subset: one representative per scale-critical shape —
+#: hash dedup (groupBy), banded pair-join (LSH), span pipeline
+#: (shingle + reassembly), funnel composition, per-doc window, and
+#: the iterative graph loop
+OPS = [
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_star",
+    "dedup_span_rewrite",
+    "corpus_curation_pipeline",
+    "text_token_entropy",
+    "events_engagement_pagerank",
+]
+
+
+def main() -> None:
+    out100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1x100"
+    out10 = "/tmp/spark_graft_sf1x10"
+    src = "/root/testdata/sf0.1"
+
+    import os
+
+    import tools.scale_rehearsal as R
+    from tidb_cdc_spark import get_spark
+    from tidb_cdc_spark.queries import QUERIES
+
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{out10}/documents.parquet"):
+        R.build(spark, src, out10)
+    if not os.path.exists(f"{out100}/documents.parquet"):
+        t0 = time.perf_counter()
+        orig = R.REPLICAS
+        R.REPLICAS = 100
+        try:
+            R.build(spark, src, out100)
+        finally:
+            R.REPLICAS = orig
+        print(
+            f"# built {out100} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    results: dict[str, dict[str, float]] = {}
+    for name in OPS:
+        row: dict[str, float] = {}
+        for label, d in (("1x", src), ("10x", out10), ("100x", out100)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 2)
+        r10 = round(row["10x"] / max(row["1x"], 1e-9), 1)
+        r100 = round(row["100x"] / max(row["10x"], 1e-9), 1)
+        row["ratio_1to10"] = r10
+        row["ratio_10to100"] = r100
+        results[name] = row
+        print(f"# {name}: {row}", file=sys.stderr, flush=True)
+    print(json.dumps({"scale_curve": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
