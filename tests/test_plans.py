@@ -599,3 +599,26 @@ class TestPagerankPlan:
         plan = explain_str(events_engagement_pagerank(spark, SF))
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestGlobalPlanInvariants:
+    def test_no_rowwise_python_or_cartesian_anywhere(self, spark):
+        """Blanket guard over the ENTIRE declared registry: no query
+        may plan a row-at-a-time Python eval (BatchEvalPython) or a
+        cartesian product. Arrow ops (ArrowEvalPython,
+        FlatMapGroupsInPandas, MapInPandas/Arrow) are the sanctioned
+        Python path and remain allowed. Catches a regression in ANY
+        future query without needing a per-query pin."""
+        from tidb_cdc_spark.queries import QUERIES
+
+        offenders = {}
+        for name, fn in QUERIES.items():
+            plan = explain_str(fn(spark, SF))
+            bad = [
+                m
+                for m in ("BatchEvalPython", "CartesianProduct")
+                if m in plan
+            ]
+            if bad:
+                offenders[name] = bad
+        assert not offenders, offenders

@@ -462,3 +462,109 @@ class TestSurprisalBucketProperties:
         assert (r.affected_docs == 0) == (r.capped_fps == 0)
         assert r.capped_fps <= r.total_fps
         assert r.affected_docs <= len(docs)
+
+
+def _span_rewrite_pure(docs, k):
+    """Pure-Python reference of span_dedup_rewrite's position-coverage
+    semantics: lowercased k-shingles (all-token shingle for short
+    docs), min-doc keeper per distinct shingle string, covered
+    positions dropped, original-case tokens rejoined."""
+    toks = {d: t.split() for d, t in docs}
+    low = {d: [w.lower() for w in ts] for d, ts in toks.items()}
+    occ = {}
+    for d in sorted(toks):
+        ts = low[d]
+        if not ts:
+            continue
+        spans = (
+            [(i, " ".join(ts[i : i + k])) for i in range(len(ts) - k + 1)]
+            if len(ts) >= k
+            else [(0, " ".join(ts))]
+        )
+        for i, g in spans:
+            occ.setdefault(g, []).append((d, i))
+    cov = {d: set() for d in toks}
+    for g, hits in occ.items():
+        docs_with = {d for d, _ in hits}
+        if len(docs_with) < 2:
+            continue
+        keeper = min(docs_with)
+        for d, i in hits:
+            if d != keeper:
+                cov[d].update(range(i, i + k))
+    out = {}
+    for d, ts in toks.items():
+        kept = [w for p, w in enumerate(ts) if p not in cov[d]]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+class TestSpanRewriteProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from("a b c d AA Bb".split()),
+                min_size=0,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=2, max_value=4),
+    )
+    def test_matches_pure_reference(self, spark, token_lists, k):
+        from tidb_cdc_spark.functions.quality import span_dedup_rewrite
+
+        docs = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+            for r in span_dedup_rewrite(df, span_tokens=k).collect()
+        }
+        assert got == _span_rewrite_pure(docs, k)
+
+
+class TestPagerankProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),
+                st.integers(min_value=0, max_value=5),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(min_value=0, max_value=3),
+    )
+    def test_matches_pure_recurrence(self, spark, int_edges, iters):
+        from tidb_cdc_spark.functions.pagerank import PPM, pagerank
+
+        edges = [(f"n{a}", f"n{b}") for a, b in int_edges]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["rank_mu"]
+            for r in pagerank(df, iters=iters).collect()
+        }
+        # pure twin (matches tests/test_pagerank.py::_pagerank_pure)
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        nodes = {n for e in edges for n in e}
+        r = dict.fromkeys(nodes, PPM)
+        base = PPM - PPM * 17 // 20
+        for _ in range(iters):
+            s = dict.fromkeys(nodes, 0)
+            for u, v in edges:
+                s[v] += r[u] // outdeg[u]
+            r = {n: base + (s[n] * 17) // 20 for n in nodes}
+        assert got == r
