@@ -67,9 +67,19 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    from tidb_cdc_spark.functions.clusters import _truncate
+
     if checkpoint:
-        ewd = ewd.localCheckpoint()
-        nodes = nodes.localCheckpoint()
+        # loop invariants want EAGER materialization (they are read
+        # in every iteration), but still prefer a reliable checkpoint
+        # when a dir is configured — localCheckpoint blocks die with
+        # their executor mid-loop (clusters.py `_truncate` rationale)
+        sc = ewd.sparkSession.sparkContext
+        reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+        ewd = ewd.checkpoint() if reliable else ewd.localCheckpoint()
+        nodes = (
+            nodes.checkpoint() if reliable else nodes.localCheckpoint()
+        )
     ranks = nodes.select(
         "node", F.lit(PPM).cast("long").alias("rank_mu")
     )
@@ -96,9 +106,11 @@ def pagerank(
             )
         )
         if checkpoint:
-            # truncate lineage every round (clusters.py discipline) —
-            # T iterations must not stack T nested plans
-            ranks = ranks.localCheckpoint(eager=False)
+            # truncate lineage every round (clusters.py discipline,
+            # via its own helper) — T iterations must not stack T
+            # nested plans; lazy here because only the final action
+            # reads the last round
+            ranks = _truncate(ranks)
     return ranks
 
 

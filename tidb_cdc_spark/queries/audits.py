@@ -335,14 +335,18 @@ def dedup_minhash_star_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id_b") == F.col("id_a") + F.lit(off))
         & (F.col("id_a") < _N_DOCS)
     ).select(F.col("id_a").alias("doc_id"))
-    pa = p.select(F.col("id_a").alias("_hub"), F.col("id_b").alias("_o"))
-    pb = p.select(F.col("id_a").alias("_hub"), F.col("id_b").alias("_c"))
+    # pre-filter BOTH sides to the planted docs before the hub join:
+    # an unfiltered self-join on hub is hub-degree-squared — the very
+    # blowup the star op removes (review catch)
+    pa = p.filter(F.col("id_b") < _N_DOCS).select(
+        F.col("id_a").alias("_hub"), F.col("id_b").alias("_o")
+    )
+    pb = p.filter(F.col("id_b") >= F.lit(off)).select(
+        F.col("id_a").alias("_hub"), F.col("id_b").alias("_c")
+    )
     two_hop = (
         pa.join(pb, "_hub")
-        .filter(
-            (F.col("_c") == F.col("_o") + F.lit(off))
-            & (F.col("_o") < _N_DOCS)
-        )
+        .filter(F.col("_c") == F.col("_o") + F.lit(off))
         .select(F.col("_o").alias("doc_id"))
     )
     hit = direct.unionByName(two_hop).distinct()

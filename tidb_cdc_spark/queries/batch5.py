@@ -9,10 +9,11 @@ exist, so the engine now demonstrates all 22 TPC-H query shapes:
   nation→region; top-k ordered output. ``partsupp`` is stood in by
   the (l_partkey, l_suppkey) pairs observed in lineitem with
   supply cost = min unit price.
-- q11 — group-value HAVING against an uncorrelated scalar subquery
-  (a fraction of the global total), kept fully in decimal via an
-  integer cross-multiplication (value·10⁴ > total·5 ⇔
-  value > 0.0005·total, no float threshold).
+- q11 — group-value HAVING against an uncorrelated scalar subquery,
+  kept fully in decimal via an integer cross-multiplication
+  (value·n_parts > total·2 ⇔ value > 2× the mean part value — a
+  DATA-RELATIVE threshold, deliberately not the original's fixed
+  fraction, which empties at scale; see the function docstring).
 - q12 — two-table join + CASE-sum classification; l_linestatus
   stands in for l_shipmode, o_orderpriority drives the CASE exactly
   as in the original.
@@ -35,22 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tidb_cdc_spark.queries.batch3 import _DISC_SQL, _disc_price
 from tidb_cdc_spark.session import read_table as _t
-
-
-def _disc_price():
-    one_minus = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast(
-        "decimal(4,2)"
-    )
-    return (F.col("l_extendedprice").cast("decimal(12,2)") * one_minus).cast(
-        "decimal(18,4)"
-    )
-
-
-_DISC_SQL = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
-    "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))"
-)
 
 
 # ---------------------------------------------------------------- q2

@@ -8,8 +8,10 @@ the duplicated-span REMOVAL rewrite.
   the 2⁻²⁰ fixed-point quantized vector.
 - ``dedup_span_rewrite`` — Lee et al. 2022 substring dedup as an
   actual corpus rewrite (functions/quality.py::span_dedup_rewrite):
-  every cross-document duplicated ≥12-token span survives exactly
-  once (minimum-doc_id keeper); hash-exact string oracle.
+  positions covered by a cross-document duplicated ≥12-token span
+  are removed everywhere except the span's minimum-doc_id keeper
+  (the position-coverage contract — see the function docstring for
+  the overlapping-spans caveat); hash-exact string oracle.
 
 Reference scope note: the reference engine (dollarkillerx/tidb-cdc)
 has no corpus/vector surface; north-star pipeline surface.
