@@ -276,3 +276,52 @@ class TestSplitAssign:
             .collect()
         )
         assert all(r.n == 1 for r in per_cluster)
+
+
+class TestExactStratifiedSplit:
+    def test_exact_quota_floors_and_disjoint(self, spark):
+        from tidb_cdc_spark.functions.sampling import exact_stratified_split
+
+        rows = [(i, "a") for i in range(17)] + [(100 + i, "b") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = exact_stratified_split(df).collect()
+        by = {}
+        for r in out:
+            by.setdefault((r.source, r.split), []).append(r.doc_id)
+        # stratum a (n=17): train floor(13.6)=13, val floor(15.3)-13=2,
+        # test remainder=2
+        assert len(by[("a", "train")]) == 13
+        assert len(by[("a", "val")]) == 2
+        assert len(by[("a", "test")]) == 2
+        # stratum b (n=3): train floor(2.4)=2, val floor(2.7)-2=0, test 1
+        assert len(by[("b", "train")]) == 2
+        assert ("b", "val") not in by
+        assert len(by[("b", "test")]) == 1
+        # ranks are a permutation of 1..n per stratum
+        ranks_a = sorted(r.rank for r in out if r.source == "a")
+        assert ranks_a == list(range(1, 18))
+
+    def test_deterministic_and_layout_independent(self, spark):
+        from tidb_cdc_spark.functions.sampling import exact_stratified_split
+
+        rows = [(i, f"s{i % 3}") for i in range(60)]
+        df1 = spark.createDataFrame(rows, "doc_id long, source string")
+        df2 = spark.createDataFrame(
+            list(reversed(rows)), "doc_id long, source string"
+        ).repartition(7)
+        a = {(r.doc_id, r.split) for r in exact_stratified_split(df1).collect()}
+        b = {(r.doc_id, r.split) for r in exact_stratified_split(df2).collect()}
+        assert a == b
+
+    def test_quota_validation(self, spark):
+        import pytest
+
+        from tidb_cdc_spark.functions.sampling import exact_stratified_split
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError):
+            exact_stratified_split(df, quotas_ppm=(("t", 500_000),))
+        with pytest.raises(ValueError):
+            exact_stratified_split(
+                df, quotas_ppm=(("t", 500_000), ("t", 500_000))
+            )

@@ -170,3 +170,100 @@ def sampled_train(df, train_fraction: float, min_rows: int, seed: int):
     if sample.limit(min_rows).count() < min_rows:
         return df
     return sample
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    quotas_ppm: "tuple[tuple[str, int], ...]" = (
+        ("train", 800_000),
+        ("val", 100_000),
+        ("test", 100_000),
+    ),
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT-quota stratified split: within every stratum, rank rows
+    in deterministic md5 order and carve the ranks by cumulative
+    ppm quotas — split sizes are exact floors of n·quota (the last
+    split absorbs the remainder), unlike :func:`split_assign` whose
+    hash intervals are only proportional in expectation (±√n noise —
+    fine corpus-wide, wrong when a run needs "exactly 10% of EACH
+    source held out").
+
+    Determinism contract: order key = md5(salt:key), tie-broken by
+    the key column — engine-reproducible, layout-independent, and
+    stable under re-runs. The leakage caveat of ``split_assign``
+    applies unchanged: pass a dup-cluster id as ``key_col`` to move
+    duplicate families as one unit.
+
+    Scale (100 TB): the per-stratum rank uses the banded two-level
+    pattern (operators/windows.py::banded_offsets rationale) — the
+    md5 FIRST BYTE is the band (prefix of the order key, so
+    band-major order equals key order), per-(stratum, band) counts
+    prefix-sum on a ≤256·n_strata-row window, and the data-sized
+    row_number runs partitioned by (stratum, band). No single-task
+    unbounded window at any stratum size.
+
+    Output: ``(key, stratum, rank, split)`` with ``rank`` 1-based
+    within the stratum."""
+    from pyspark.sql.window import Window as W
+
+    names = [n for n, _ in quotas_ppm]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate split names")
+    ppms = [p for _, p in quotas_ppm]
+    if any(p < 0 for p in ppms) or sum(ppms) != 1_000_000:
+        raise ValueError("quotas_ppm must be non-negative and sum to 1e6")
+
+    key = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    d = df.select(
+        F.col(key_col).alias("_key"),
+        F.col(strata_col).alias("_stratum"),
+        key.alias("_ord"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_band"),
+    )
+    totals = d.groupBy("_stratum", "_band").agg(
+        F.count(F.lit(1)).alias("_tot")
+    )
+    offs = totals.select(
+        "_stratum",
+        "_band",
+        F.coalesce(
+            F.sum("_tot").over(
+                W.partitionBy("_stratum")
+                .orderBy("_band")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    n = totals.groupBy("_stratum").agg(F.sum("_tot").alias("_n"))
+    within = F.row_number().over(
+        W.partitionBy("_stratum", "_band").orderBy("_ord", "_key")
+    )
+    ranked = (
+        d.join(F.broadcast(offs), ["_stratum", "_band"])
+        .join(F.broadcast(n), "_stratum")
+        .withColumn("_rank", (F.col("_off") + within).cast("long"))
+    )
+    expr = F.lit(names[-1])
+    cum = 0
+    cases = []
+    for name, p in quotas_ppm[:-1]:
+        cum += p
+        cases.append((cum, name))
+    for cum, name in reversed(cases):
+        expr = F.when(
+            F.col("_rank") * F.lit(1_000_000) <= F.col("_n") * F.lit(cum),
+            F.lit(name),
+        ).otherwise(expr)
+    return ranked.select(
+        F.col("_key").alias(key_col),
+        F.col("_stratum").alias(strata_col),
+        F.col("_rank").alias("rank"),
+        expr.alias(split_col),
+    )

@@ -119,7 +119,9 @@ GATE = [
     "dedup_clusters_audit",
     "knn_ivf_audit",
     "knn_pq_audit",
-    "knn_ivfpq_audit",
+    # late-r8: the exact-quota split takes the knn_ivfpq_audit slot
+    # (r7-green, unchanged, mirror-kept)
+    "corpus_stratified_split",
     "dedup_clusters_exact",
     # round-8 rotation: never-gated first, then new ops, then the
     # r4-stale block (see queue comment above)

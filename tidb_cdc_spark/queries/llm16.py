@@ -287,7 +287,38 @@ def dedup_minhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota 80/10/10 per-source split
+    (functions/sampling.py::exact_stratified_split): md5-ordered
+    banded rank within each source, quota boundaries as exact
+    integer floors — hash-exact cross-engine."""
+    from tidb_cdc_spark.functions.sampling import exact_stratified_split
+
+    return exact_stratified_split(_docs(spark, sf_dir)).orderBy(
+        "source", "rank"
+    )
+
+
+_STRAT_SPLIT_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('split-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rank,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, rank,
+       CASE WHEN rank * 1000000 <= n * 800000 THEN 'train'
+            WHEN rank * 1000000 <= n * 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked ORDER BY source, rank
+"""
+
+
 QUERIES = {
+    "corpus_stratified_split": corpus_stratified_split,
     "embedding_random_projection": embedding_random_projection,
     "dedup_span_rewrite": dedup_span_rewrite,
     "events_engagement_pagerank": events_engagement_pagerank,
@@ -297,6 +328,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_stratified_split": _STRAT_SPLIT_SQL,
     "embedding_random_projection": random_project_sql(d=_DIM, k=_K),
     "dedup_span_rewrite": _SPAN_REWRITE_SQL,
     "events_engagement_pagerank": _PAGERANK_SQL,
