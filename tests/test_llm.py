@@ -938,3 +938,54 @@ class TestMinhashStarPairs:
         assert comps(minhash_lsh_star_pairs(d)) == comps(
             minhash_lsh_pairs(d)
         )
+
+
+class TestRetrievalMetrics:
+    def test_hand_checked_scorecard(self, spark):
+        from tidb_cdc_spark.functions.similarity import retrieval_metrics
+
+        results = spark.createDataFrame(
+            [
+                (1, 10, 1), (1, 11, 2), (1, 12, 3),   # q1: hit at rank 2
+                (2, 20, 1), (2, 21, 2),               # q2: hit at rank 1
+                (3, 30, 1),                           # q3: no hits
+            ],
+            "query_id long, neighbor_id long, rank long",
+        )
+        gold = spark.createDataFrame(
+            [
+                (1, 11), (1, 99),        # 2 relevant, 1 found
+                (2, 20),                 # 1 relevant, found at 1
+                (3, 77),                 # 1 relevant, missed
+                (4, 50),                 # q4 retrieved NOTHING
+            ],
+            "query_id long, neighbor_id long",
+        )
+        out = {
+            r.query_id: r
+            for r in retrieval_metrics(results, gold, k=3).collect()
+        }
+        assert out[1].hits_at_k == 1 and out[1].first_hit_rank == 2
+        assert out[1].rr_mu == 500_000
+        assert out[1].recall_mu == 500_000  # 1 of min(3, 2)
+        assert out[2].rr_mu == 1_000_000 and out[2].recall_mu == 1_000_000
+        assert out[3].hits_at_k == 0 and out[3].rr_mu == 0
+        # a query that retrieved nothing still appears with zeros
+        assert out[4].hits_at_k == 0 and out[4].recall_mu == 0
+        assert set(out) == {1, 2, 3, 4}
+
+    def test_recall_bounded_by_k(self, spark):
+        """More relevant docs than k must not deflate recall: 3 hits
+        of min(k=3, n_gold=10) -> recall 1.0."""
+        from tidb_cdc_spark.functions.similarity import retrieval_metrics
+
+        results = spark.createDataFrame(
+            [(1, i, i) for i in range(1, 4)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        gold = spark.createDataFrame(
+            [(1, i) for i in range(1, 11)],
+            "query_id long, neighbor_id long",
+        )
+        r = retrieval_metrics(results, gold, k=3).collect()[0]
+        assert r.recall_mu == 1_000_000 and r.hits_at_k == 3

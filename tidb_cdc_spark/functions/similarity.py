@@ -372,3 +372,73 @@ def knn_lsh(
         k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "rank")
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    gold: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics — the EVAL side of the
+    retrieval surface (standard IR measures, e.g. Manning et al.,
+    "Introduction to Information Retrieval" — public literature) in
+    exact integer µ-units so the whole scorecard is hash-exact:
+
+    - ``n_gold``        relevant docs for the query (from ``gold``)
+    - ``hits_at_k``     retrieved ranks ≤ k that are relevant
+    - ``first_hit_rank`` best relevant rank (0 = no hit)
+    - ``rr_mu``         reciprocal rank, PPM div first_hit_rank
+    - ``recall_mu``     hits·PPM div min(k, n_gold) — the bounded
+      form: a query with more relevant docs than k is not penalized
+      for the physically impossible ones
+
+    Queries present in ``gold`` but retrieving nothing still get a
+    zero row (left join from the gold side), so a broken retriever
+    cannot inflate its mean by vanishing.
+
+    Scale: two id-only joins (results⋈gold on (query, doc), then
+    gold-counts) and one per-query aggregate — nothing embedding-
+    sized moves. Corpus-level MRR/recall roll up from this table
+    with one more 1-row aggregate (sums and counts — associative)."""
+    r = results.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_r"),
+    ).filter(F.col("_r") <= k)
+    g = gold.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    ).distinct()
+    n_gold = g.groupBy("_q").agg(F.count(F.lit(1)).alias("n_gold"))
+    hits = r.join(g, ["_q", "_d"]).groupBy("_q").agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min("_r").alias("_first"),
+    )
+    return (
+        n_gold.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_gold",
+            F.coalesce("hits_at_k", F.lit(0))
+            .cast("long")
+            .alias("hits_at_k"),
+            F.coalesce("_first", F.lit(0))
+            .cast("long")
+            .alias("first_hit_rank"),
+            F.when(
+                F.col("_first").isNotNull(),
+                F.expr("1000000L div _first"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_mu"),
+            F.expr(
+                f"(coalesce(hits_at_k, 0L) * 1000000L) div "
+                f"least(CAST({k} AS BIGINT), n_gold)"
+            )
+            .cast("long")
+            .alias("recall_mu"),
+        )
+    )

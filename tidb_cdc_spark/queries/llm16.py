@@ -317,7 +317,81 @@ FROM ranked ORDER BY source, rank
 """
 
 
+def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval scorecard (functions/similarity.py::
+    retrieval_metrics): exact top-10 cosine retrieval for 20 query
+    vectors, judged against the same-label relevance set — per-query
+    hits@10 / first-hit rank / reciprocal rank / bounded recall, all
+    integer µ. The evaluation harness every retrieval change should
+    re-run; swaps to the LSH/IVF arm unchanged at scale."""
+    from tidb_cdc_spark.functions import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    results = S.knn_bruteforce(q, e, k=10)
+    lab = e.select("vec_id", "label")
+    gold = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            lab.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "label",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return S.retrieval_metrics(results, gold, k=10).orderBy("query_id")
+
+
+_RETR_EVAL_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(qv, cv)
+           / (sqrt(list_inner_product(qv, qv))
+              * sqrt(list_inner_product(cv, cv))) AS score
+  FROM q, c WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM scored
+), res AS (
+  SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+), gold AS (
+  SELECT q.query_id, c.neighbor_id
+  FROM q JOIN c USING (label)
+  WHERE c.neighbor_id <> q.query_id
+), ng AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_gold
+  FROM gold GROUP BY query_id
+), hits AS (
+  SELECT res.query_id,
+         CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+         CAST(MIN(res.rank) AS BIGINT) AS first
+  FROM res JOIN gold USING (query_id, neighbor_id)
+  GROUP BY res.query_id
+)
+SELECT ng.query_id, ng.n_gold,
+       CAST(COALESCE(hits.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(hits.first, 0) AS BIGINT) AS first_hit_rank,
+       CAST(CASE WHEN hits.first IS NOT NULL
+                 THEN 1000000 // hits.first ELSE 0 END AS BIGINT)
+         AS rr_mu,
+       CAST((COALESCE(hits.hits_at_k, 0) * 1000000)
+            // LEAST(10, ng.n_gold) AS BIGINT) AS recall_mu
+FROM ng LEFT JOIN hits USING (query_id)
+ORDER BY query_id
+"""
+
+
 QUERIES = {
+    "rag_retrieval_eval": rag_retrieval_eval,
     "corpus_stratified_split": corpus_stratified_split,
     "embedding_random_projection": embedding_random_projection,
     "dedup_span_rewrite": dedup_span_rewrite,
@@ -328,6 +402,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rag_retrieval_eval": _RETR_EVAL_SQL,
     "corpus_stratified_split": _STRAT_SPLIT_SQL,
     "embedding_random_projection": random_project_sql(d=_DIM, k=_K),
     "dedup_span_rewrite": _SPAN_REWRITE_SQL,
