@@ -118,7 +118,9 @@ GATE = [
     "dedup_embedding_audit",
     "dedup_clusters_audit",
     "knn_ivf_audit",
-    "knn_pq_audit",
+    # late-r8: the retrieval scorecard takes the knn_pq_audit slot
+    # (r7-green, unchanged, mirror-kept)
+    "rag_retrieval_eval",
     # late-r8: the exact-quota split takes the knn_ivfpq_audit slot
     # (r7-green, unchanged, mirror-kept)
     "corpus_stratified_split",
