@@ -211,6 +211,78 @@ class TestScd2History:
             map(tuple, hist.collect())
         )
 
+    def test_split_merge_fold_equals_one_shot(self, spark):
+        """merge_scd2_split contract: head ∪ (all emitted closed
+        rows) after a fold equals scd2_history over the whole log —
+        random log, uneven batch cuts."""
+        import random
+
+        from tidb_cdc_spark.cdc.scd import merge_scd2_split, scd2_history
+
+        rng = random.Random(11)
+        ops, ts = [], 0
+        for _ in range(80):
+            ts += rng.randint(1, 5)
+            k = rng.choice("abcde")
+            op = rng.choice(["insert", "update", "update", "delete"])
+            ops.append(_msg(op, k, rng.randint(0, 99) + 1, ts))
+        one_shot = scd2_history(_parse(spark, ops), SPEC)
+        head, closed_all = None, []
+        for lo, hi in ((0, 7), (7, 30), (30, 31), (31, 60), (60, 80)):
+            head, closed = merge_scd2_split(
+                head, _parse(spark, ops[lo:hi]), SPEC
+            )
+            closed_all.append(closed)
+            # lineage grows across 5 folds; keep plans small the way
+            # the sink does (it writes parquet between folds)
+            head = spark.createDataFrame(head.collect(), head.schema)
+        got = head
+        for c in closed_all:
+            got = got.unionByName(c)
+        assert sorted(map(tuple, one_shot.collect())) == sorted(
+            map(tuple, got.collect())
+        )
+
+    def test_split_merge_head_invariant(self, spark):
+        """head holds exactly one row per key ever seen — its LATEST
+        version — including delete-closed keys (which must keep
+        carrying the version counter for a later re-insert)."""
+        from tidb_cdc_spark.cdc.scd import merge_scd2_split
+
+        b1 = [
+            _msg("insert", "a", 1, 100),
+            _msg("update", "a", 2, 200),
+            _msg("insert", "b", 9, 150),
+        ]
+        head, closed = merge_scd2_split(None, _parse(spark, b1), SPEC)
+        h = {r.k: r for r in head.collect()}
+        assert set(h) == {"a", "b"}
+        assert h["a"].version == 2 and h["a"].is_current
+        assert {(r.k, r.version) for r in closed.collect()} == {("a", 1)}
+
+        # delete-only batch: a's head row closes IN PLACE, no closed
+        # row is emitted, the version counter stays on the head
+        head = spark.createDataFrame(head.collect(), head.schema)
+        b2 = [_msg("delete", "a", 2, 300)]
+        head, closed = merge_scd2_split(head, _parse(spark, b2), SPEC)
+        h = {r.k: r for r in head.collect()}
+        assert set(h) == {"a", "b"}
+        assert h["a"].version == 2 and not h["a"].is_current
+        assert h["a"].valid_to == 300
+        assert closed.count() == 0
+
+        # re-insert after delete: version numbering continues (3);
+        # the delete-closed head row is superseded and moves to the
+        # closed store with its ORIGINAL valid_to (the delete ts)
+        head = spark.createDataFrame(head.collect(), head.schema)
+        b3 = [_msg("insert", "a", 7, 400)]
+        head, closed = merge_scd2_split(head, _parse(spark, b3), SPEC)
+        h = {r.k: r for r in head.collect()}
+        assert h["a"].version == 3 and h["a"].is_current and h["a"].v == 7
+        c = {(r.k, r.version): r for r in closed.collect()}
+        assert set(c) == {("a", 2)}
+        assert c[("a", 2)].valid_to == 300  # NOT re-closed at 400
+
 
 GSPEC = TableSpec(
     database="d",

@@ -41,6 +41,58 @@ def test_every_query_runs(spark):
         assert df.columns
 
 
+# --- SF-independence check (r8 verdict #6): each round's NEW or
+# CHANGED oracle rows re-verify at sf0.1 as well — hash-exact ops can
+# hide SF-dependent constants (q11's data-relative threshold class).
+# Update this list each round to the round's additions.
+SF_LARGE = "/root/testdata/sf0.1"
+ROUND_ADDITIONS = [
+    "winnow_repr_audit",  # r9 new composed-pipeline audit
+    "dedup_minhash_star_audit",  # r9 changed: max_bucket_size=None
+    "corpus_collocations_pmi",  # r9 first driver-gating
+    "corpus_tokenizer_fertility",  # r9 first driver-gating
+    "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
+]
+
+
+@pytest.fixture(scope="module")
+def con_large():
+    return duck_con(SF_LARGE)
+
+
+@pytest.mark.parametrize("name", ROUND_ADDITIONS)
+def test_round_additions_sf_independent(spark, con_large, name):
+    from tidb_cdc_spark.queries import ORACLE, QUERIES
+
+    sdf = QUERIES[name](spark, SF_LARGE)
+    ok, msg = compare(name, sdf, con_large.sql(ORACLE[name]).df())
+    assert ok, msg
+
+
+def test_q21_non_vacuous_at_sf001(spark, con):
+    """ADVICE r8: q21 returns 0 rows at sf0.001, so the sf0.001
+    mirror row is vacuous — assert the sf0.01+ gate rows are NOT
+    (DuckDB side, cheap)."""
+    from tidb_cdc_spark.queries import ORACLE
+
+    c = duck_con("/root/testdata/sf0.01")  # keep a ref: the relation
+    # closes with its connection if the con is garbage-collected
+    n = c.sql(
+        "SELECT COUNT(*) FROM (" + ORACLE["q21_waiting_suppliers"] + ")"
+    ).fetchone()[0]
+    assert n > 0
+
+
+def test_winnow_repr_pipeline_non_vacuous(spark):
+    """The composed rows-only pipeline must produce pairs at sf0.01
+    (k=4 chosen exactly so the output is non-vacuous — see llm17)."""
+    from tidb_cdc_spark.queries import QUERIES
+
+    assert QUERIES["winnow_repr_pipeline"](
+        spark, "/root/testdata/sf0.01"
+    ).count() > 0
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 

@@ -603,6 +603,133 @@ class TestScd2HistorySink:
             sink.process(changes([_msg("update", "a", 1, 30)]), 0, SPEC)
 
 
+class TestScd2SplitHistorySink:
+    """Split-store SCD2 sink: same external contract as the
+    monolithic sink (read_current = the full history), different
+    storage — per-batch cost ∝ batch + live keyspace."""
+
+    def _changes(self, spark, msgs):
+        from tidb_cdc_spark.cdc import parse_cdc
+
+        df = spark.createDataFrame([(m,) for m in msgs], "value string")
+        return parse_cdc(
+            df.withColumn("_s", F.monotonically_increasing_id()),
+            SPEC,
+            seq_col=F.col("_s"),
+        )
+
+    def test_equals_monolithic_sink_batch_by_batch(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import (
+            Scd2HistorySink,
+            Scd2SplitHistorySink,
+        )
+
+        mono = Scd2HistorySink(str(tmp_path / "mono"))
+        split = Scd2SplitHistorySink(str(tmp_path / "split"))
+        batches = [
+            [_msg("insert", "a", 1, 10), _msg("insert", "b", 2, 11),
+             _msg("update", "a", 5, 12)],
+            [_msg("delete", "a", 5, 20)],  # delete-only: head closes in place
+            [_msg("insert", "a", 9, 30), _msg("update", "b", 3, 31),
+             _msg("update", "a", 10, 32)],
+            [_msg("update", "c", 4, 40)],  # brand-new key mid-stream
+        ]
+        for i, b in enumerate(batches):
+            mono.process(self._changes(spark, b), i, SPEC)
+            split.process(self._changes(spark, b), i, SPEC)
+            a = sorted(map(tuple, mono.read_current(spark).collect()))
+            c = split.read_current(spark)
+            s = sorted(map(tuple, c.select(*mono.read_current(spark).columns).collect()))
+            assert a == s, f"divergence after batch {i}"
+
+    def test_replay_noop_and_behind_watermark_raises(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import Scd2SplitHistorySink
+
+        sink = Scd2SplitHistorySink(str(tmp_path / "hist"))
+        b1 = self._changes(
+            spark, [_msg("insert", "a", 1, 10), _msg("update", "a", 5, 12)]
+        )
+        sink.process(b1, 0, SPEC)
+        applied = sorted(map(tuple, sink.read_current(spark).collect()))
+        sink.process(b1, 0, SPEC)  # at-least-once re-delivery
+        assert sorted(map(tuple, sink.read_current(spark).collect())) == applied
+        with pytest.raises(RuntimeError, match="behind the stored watermark"):
+            sink.process(b1, -5, SPEC)
+
+    def test_unpublished_closed_dir_is_invisible_and_retry_overwrites(
+        self, spark, tmp_path
+    ):
+        """Crash window: closed/b=N written but the pointer swap never
+        happened — readers must not see those rows, and the retry
+        must overwrite them (no duplication)."""
+        import os
+        import shutil
+
+        from tidb_cdc_spark.streaming import Scd2SplitHistorySink
+
+        sink = Scd2SplitHistorySink(str(tmp_path / "hist"))
+        sink.process(
+            self._changes(
+                spark, [_msg("insert", "a", 1, 10), _msg("update", "a", 5, 12)]
+            ),
+            0,
+            SPEC,
+        )
+        before = sorted(map(tuple, sink.read_current(spark).collect()))
+        # simulate the crash: write an orphan b=1 dir by copying b=0,
+        # no pointer swap
+        root = os.path.join(str(tmp_path / "hist"), "closed")
+        shutil.copytree(os.path.join(root, "b=0"), os.path.join(root, "b=1"))
+        assert sorted(map(tuple, sink.read_current(spark).collect())) == before
+        # retry of batch 1 overwrites the orphan and publishes cleanly
+        sink.process(
+            self._changes(spark, [_msg("update", "a", 9, 20)]), 1, SPEC
+        )
+        hist = {(r.k, r.version): r for r in sink.read_current(spark).collect()}
+        assert set(hist) == {("a", 1), ("a", 2), ("a", 3)}
+        assert hist[("a", 3)].is_current and hist[("a", 3)].v == 9
+
+    def test_compact_folds_closed_dirs(self, spark, tmp_path):
+        import os
+
+        from tidb_cdc_spark.streaming import Scd2SplitHistorySink
+
+        sink = Scd2SplitHistorySink(str(tmp_path / "hist"))
+        for i in range(4):
+            sink.process(
+                self._changes(spark, [_msg("update", "a", i + 1, 10 * (i + 1))]),
+                i,
+                SPEC,
+            )
+        before = sorted(map(tuple, sink.read_current(spark).collect()))
+        n_before, n_after = sink.compact(spark)
+        assert n_before > 1 and n_after == 1
+        assert sorted(map(tuple, sink.read_current(spark).collect())) == before
+        root = os.path.join(str(tmp_path / "hist"), "closed")
+        assert [d for d in os.listdir(root) if d.startswith("b=")] == ["b=3"]
+
+    def test_bootstrap_then_stream(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import Scd2SplitHistorySink
+
+        sink = Scd2SplitHistorySink(str(tmp_path / "hist"))
+        initial = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        sink.bootstrap(initial, SPEC, as_of=100)
+        # pre-export change (ts < as_of) must be dropped; post-export
+        # change closes the seeded interval
+        sink.process(
+            self._changes(
+                spark, [_msg("update", "a", 0, 50), _msg("update", "a", 7, 200)]
+            ),
+            0,
+            SPEC,
+        )
+        hist = {(r.k, r.version): r for r in sink.read_current(spark).collect()}
+        assert set(hist) == {("a", 1), ("a", 2), ("b", 1)}
+        assert hist[("a", 1)].valid_from == 100 and hist[("a", 1)].valid_to == 200
+        assert hist[("a", 2)].is_current and hist[("a", 2)].v == 7
+        assert hist[("b", 1)].is_current
+
+
 class TestStreamMetrics:
     def test_progress_captured_and_jsonl(self, spark, tmp_path):
         import time

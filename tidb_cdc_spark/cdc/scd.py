@@ -137,3 +137,85 @@ def merge_scd2(
         .drop("_v0")
     )
     return closed.unionByName(shifted)
+
+
+def merge_scd2_split(
+    head: DataFrame | None,
+    changes: DataFrame,
+    spec: TableSpec,
+    ts_col: str = "ts",
+    seq_col: str = "_seq",
+) -> tuple[DataFrame, DataFrame]:
+    """Split-store Type-2 merge: ``(new_head, newly_closed)``.
+
+    ``head`` holds exactly ONE row per key ever seen — the key's
+    LATEST version (open, or closed by a delete with no successor).
+    The invariant makes ``head.version`` the per-key version counter
+    (no max() over full history needed) and makes every other
+    history row immutable forever, so a sink can keep them in an
+    append-only store: per-batch write cost is ∝ batch + live
+    keyspace, NOT ∝ accumulated history, which the monolithic
+    ``merge_scd2`` rewrites in full every batch.
+
+    Equivalence contract (pinned by tests): folding batches through
+    this function and unioning ``new_head`` with all emitted
+    ``newly_closed`` rows equals ``scd2_history`` over the whole log
+    — and therefore equals the monolithic ``merge_scd2`` fold.
+    """
+    batch = scd2_history(changes, spec, ts_col, seq_col)
+    pk = spec.pk_columns
+
+    def _split_head(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        mx = df.groupBy(*pk).agg(F.max("version").alias("_mx"))
+        j = df.join(mx, pk)
+        return (
+            j.filter(F.col("version") == F.col("_mx")).drop("_mx"),
+            j.filter(F.col("version") < F.col("_mx")).drop("_mx"),
+        )
+
+    if head is None:
+        return _split_head(batch)
+
+    firsts = (
+        changes.select(
+            *[
+                F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+                for c in pk
+            ],
+            F.col(ts_col).alias("_bts"),
+        )
+        .groupBy(*pk)
+        .agg(F.min("_bts").alias("_first_ts"))
+    )
+    # close the open interval of every touched head at the batch's
+    # first change ts (delete-closed heads keep their valid_to)
+    touched = (
+        head.join(firsts, pk)
+        .withColumn(
+            "valid_to",
+            F.when(F.col("is_current"), F.col("_first_ts")).otherwise(
+                F.col("valid_to")
+            ),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_first_ts")
+    )
+    shifted = (
+        batch.join(
+            head.select(*pk, F.col("version").alias("_v0")), pk, "left"
+        )
+        .withColumn(
+            "version", F.col("version") + F.coalesce(F.col("_v0"), F.lit(0))
+        )
+        .drop("_v0")
+    )
+    batch_head, batch_closed = _split_head(shifted)
+    emitted_keys = batch_head.select(*pk)
+    # touched heads SUPERSEDED by an emitted version move to the
+    # closed store; delete-only keys keep their (closed) head row in
+    # place — it still carries the key's version counter
+    superseded = touched.join(emitted_keys, pk, "left_semi")
+    kept = touched.join(emitted_keys, pk, "left_anti")
+    untouched = head.join(firsts, pk, "left_anti")
+    new_head = untouched.unionByName(kept).unionByName(batch_head)
+    return new_head, batch_closed.unionByName(superseded)

@@ -55,7 +55,17 @@ def pagerank(
 ) -> DataFrame:
     """(node, rank_mu) after ``iters`` exact integer iterations over
     the directed edge list. Nodes are every distinct endpoint; rank
-    starts at PPM each."""
+    starts at PPM each.
+
+    Side effect: with ``checkpoint=True`` (default) merely
+    CONSTRUCTING the returned DataFrame launches real Spark jobs —
+    the loop invariants (edge+degree table, node spine) are
+    checkpointed EAGERLY at build time, because they are read in
+    every iteration and a lazy plan replayed the build subtree each
+    round (measured 9.8 s → 5.0 s at the 10× rehearsal). Plan-only
+    callers (explain / plan-dump harnesses) should pass
+    ``checkpoint=False`` — the logical plan differs only by the
+    lineage cuts."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outdeg"))
     # loop-invariant tables materialize ONCE (eager): a lazy plan

@@ -40,6 +40,7 @@ from tidb_cdc_spark.queries import (
     llm14,
     llm15,
     llm16,
+    llm17,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -47,7 +48,7 @@ ORACLE: dict[str, str] = {}
 
 for _mod in (
     llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10,
-    audits, cdcq, llm11, llm12, llm13, llm14, llm15, llm16,
+    audits, cdcq, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
     batch, batch2, batch3, batch4, batch5,
 ):
     QUERIES.update(_mod.QUERIES)
@@ -98,13 +99,28 @@ for _mod in (
 # this round — non-Latin-1 guard / int64 clamps — and need fresh
 # driver certification).
 #
-# ROUND-9 ROTATION QUEUE (driver row r4 or older after this round):
-# q1/q3/q5/q6/q7/q8/q9/q10/q13/q15/q19/q20 heads, doc_hashed_tf,
-# events_heavy_hitters_cms, cube/grouping-sets/setops,
-# events asof/hourly/sliding/cohort/json, sketch_approx,
+# ROUND-9 ROTATION (applied): IN — the 2 never-driver-gated queries
+# named by the r8 verdict (corpus_collocations_pmi,
+# corpus_tokenizer_fertility — both oracle-harness-green at sf0.01),
+# the new composed-pipeline audit (winnow_repr_audit, queries/
+# llm17.py), and nine r4-stale rows (q1/q6/q7/q10/q13/q15 heads,
+# setops_nation_overlap, cube_order_stats,
+# window_functions_showcase). OUT — twelve r8-green rows with
+# UNCHANGED code (dedup_jaccard/embedding/clusters audits,
+# knn_ivf_audit, embedding_whiten_audit, events_distinct_hll_audit,
+# events_value_outliers, rag_rerank_cascade, rollup_revenue,
+# topk_orders_per_customer, price_band_pairs, sketch_percentiles) —
+# each keeps its r8 driver row + the strict mirror in
+# tests/test_queries_oracle.py. Kept despite r8 rows:
+# dedup_minhash_star_audit (CHANGED this round — now passes
+# max_bucket_size=None per ADVICE — needs fresh certification).
+#
+# ROUND-10 ROTATION QUEUE (driver row r4/r5 or older after this
+# round): q3/q5/q8/q9/q19/q20 heads, doc_hashed_tf,
+# events asof/hourly/sliding/cohort/json showcases, sketch_approx,
 # full_outer_nation_presence, suppliers_of_large_parts,
-# scalar/window/date/array showcases, events_value_mad_outliers
-# successors per the ~16-slot/round cadence.
+# scalar/date/array showcases, grouping-sets, events_rolling,
+# table_profile, transition/pivot per the ~12-slot/round cadence.
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -114,10 +130,9 @@ GATE = [
     "dedup_minhash_star_audit",
     "dedup_minhash_audit",
     "dedup_simhash_audit",
-    "dedup_jaccard_audit",
-    "dedup_embedding_audit",
-    "dedup_clusters_audit",
-    "knn_ivf_audit",
+    # r9: the composed star-LSH→CC→reps→winnow pipeline's audit
+    # (new op, queries/llm17.py) takes an audit slot
+    "winnow_repr_audit",
     # late-r8: the retrieval scorecard takes the knn_pq_audit slot
     # (r7-green, unchanged, mirror-kept)
     "rag_retrieval_eval",
@@ -125,12 +140,19 @@ GATE = [
     # (r7-green, unchanged, mirror-kept)
     "corpus_stratified_split",
     "dedup_clusters_exact",
-    # round-8 rotation: never-gated first, then new ops, then the
-    # r4-stale block (see queue comment above)
-    "embedding_whiten_audit",
-    "events_distinct_hll_audit",
-    "events_value_outliers",
-    "rag_rerank_cascade",
+    # round-9 rotation: the 2 never-gated queries first, then the
+    # r4-stale block (see rotation comment above)
+    "corpus_collocations_pmi",
+    "corpus_tokenizer_fertility",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "setops_nation_overlap",
+    "cube_order_stats",
+    "window_functions_showcase",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_priority_lines",
@@ -140,12 +162,8 @@ GATE = [
     "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
     "q22_customers_without_orders",
-    "rollup_revenue",
-    "topk_orders_per_customer",
-    "price_band_pairs",
     "events_daily_gapfill",
     "events_value_percentiles_by_type",
-    "sketch_percentiles",
     # LLM curation surface (audit twins; mojibake_audit kept because
     # the op changed this round — new mixed_untouched pin. Late-r8:
     # the three NEW ops take the semantic_dedup_audit /

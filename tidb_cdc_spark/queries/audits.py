@@ -328,9 +328,16 @@ def dedup_minhash_star_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     r < orig emits both (r, orig) and (r, copy) (⇒ two-hop
     connection). ``connected`` is therefore TRUE by construction for
     every planted doc — the clique-equivalent-components guarantee,
-    DuckDB-checkable."""
+    DuckDB-checkable. Precondition (same as ``dedup_minhash_audit``):
+    no band bucket may exceed ``max_bucket_size``, else shared
+    buckets are silently dropped and the guarantee breaks — the
+    audit passes ``max_bucket_size=None`` so it holds at ANY scale
+    factor (planted copies only double bucket membership, so the
+    uncapped join stays linear here)."""
     d, off = _docs_with_copies(spark, sf_dir)
-    p = D.minhash_lsh_star_pairs(d).select("id_a", "id_b")
+    p = D.minhash_lsh_star_pairs(d, max_bucket_size=None).select(
+        "id_a", "id_b"
+    )
     direct = p.filter(
         (F.col("id_b") == F.col("id_a") + F.lit(off))
         & (F.col("id_a") < _N_DOCS)

@@ -152,6 +152,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication, never a float), which keeps a stable
     selected fraction at ANY scale factor.
 
+    Headroom: ``_value`` is decimal(27,4) (sum of decimal(17,4)
+    line revenues with Spark's +10-digit sum widening) and ``_n``
+    is at most ~2·10⁸ even at 100 TB (part count), so
+    ``_value·_n`` needs ≤ 23+9 = 32 integer digits — inside the
+    decimal(38,4) cap Spark assigns the product; DuckDB widens to
+    decimal(38,4) identically here. Divergence/ANSI overflow would
+    need |_value| ≥ ~1e29, i.e. ~1e25 × the 100 TB revenue mass —
+    unreachable (same bound style as bm25/pagerank int64 notes).
+
     Scale: lineitem is semi-reduced by the broadcast nation-supplier
     dim before its single groupBy on l_partkey; the total reuses the
     same pre-aggregated per-part table (one extra 1-row agg, no
@@ -265,7 +274,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both self-joins shuffle lineitem ONCE each on the join
     key l_orderkey (ids-only projections); the late set is the
-    smaller joined-and-filtered table; supplier/nation broadcast."""
+    smaller joined-and-filtered table; supplier/nation broadcast.
+
+    Gate note: at sf0.001 this query returns 0 rows, so an oracle
+    compare there is vacuous — the gate row is only meaningful at
+    sf0.01+ (3 rows at sf0.01, verified; the sf0.01-vs-sf0.1
+    SF-independence mirror in tests/test_queries_oracle.py is the
+    non-vacuous check)."""
     orders = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")

@@ -51,7 +51,13 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     res = SD.semantic_dedup(
-        e.unionByName(planted), n_cells=16, threshold=0.95
+        e.unionByName(planted),
+        n_cells=16,
+        threshold=0.95,
+        # seeded sample for the k-means fit (assignment still covers
+        # every vector) — at 100 TB a full-corpus fit dominates the
+        # job; same knob the PQ/IVF-PQ/OPQ declared queries pass
+        train_fraction=0.25,
     )
     return (
         res.filter(F.col("is_dup"))

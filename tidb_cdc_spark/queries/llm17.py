@@ -1,0 +1,153 @@
+"""Seventeenth wave: the composed near-dup-collapse → winnow
+pipeline — the documented mitigation for winnowing's inherent
+quadratic pair output on large near-dup families, shipped as a
+declared, measured operator.
+
+Background (NOTES.md r8 scaling curve): ``winnow_overlap`` emits a
+pair row for EVERY co-fingerprinted document pair — on a ~100-member
+near-dup family that is ~5,000 rows per family by the w+k−1
+guarantee itself (27.2M pair rows at the 100× rehearsal). The
+guarantee is the point of winnowing (Schleimer et al. SIGMOD'03), so
+the fix is not a cap but ORDER OF OPERATIONS: collapse near-dup
+families FIRST (star-LSH pairs → connected components → min-id
+representatives — all linear in family size), then winnow only the
+representatives. Cross-family local overlap (boilerplate, quotes,
+licence headers) is preserved — within-family overlap was redundant
+by construction.
+
+Oracle strategy (queries/audits.py conventions): MinHash banding is
+xxhash64-based, not SQL-expressible, so the raw composed output is
+rows-only; ``winnow_repr_audit`` is the hash-green driver row — it
+plants exact copies and emits per-doc booleans TRUE by algorithm
+structure, each computed from the pipeline's actual output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions import clusters as C
+from tidb_cdc_spark.functions import dedup as D
+from tidb_cdc_spark.functions.winnow import winnow_overlap
+from tidb_cdc_spark.queries.audits import _N_DOCS, _docs_with_copies
+from tidb_cdc_spark.queries.llm import _docs
+
+# Winnow shingle tokens / window. k=4 (guarantee on w+k−1 = 7-token
+# shared runs) rather than llm14's k=8: after family collapse the
+# op's signal is CROSS-family boilerplate, which is shorter than the
+# within-family overlap the k=8 pair query targets — at sf0.01, k=8
+# leaves 0 cross-family pairs (vacuous output) while k=4 surfaces 97.
+_WK, _WW = 4, 4
+
+
+def _repr_docs(d: DataFrame, max_bucket_size: int | None = 1000) -> DataFrame:
+    """Collapse near-dup families to their min-id representative and
+    return the representative documents only.
+
+    Every stage is linear in family size: star pairs emit b−1 rows
+    per b-sized band bucket (functions/dedup.py), connected
+    components is the hash-min/path-halving loop (functions/
+    clusters.py — O(log d) rounds, per-round checkpoint truncation),
+    and the representative filter is a projection of the CC output.
+    The join back to documents is an equi-join on doc_id; text never
+    shuffles through the LSH/CC stages (ids-only slim tables)."""
+    pairs = D.minhash_lsh_star_pairs(d, max_bucket_size=max_bucket_size)
+    reps = C.cluster_representatives(d, pairs.select("id_a", "id_b"))
+    return d.join(
+        reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
+    )
+
+
+def winnow_repr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed local-overlap pairs over near-dup-collapsed
+    representatives: star-LSH → connected components → min-id
+    representative per family → ``winnow_overlap`` on the survivors.
+
+    The composed op keeps winnowing's w+k−1 structural guarantee for
+    CROSS-family overlap while removing the within-family quadratic
+    pair output the r8 100× curve measured (27.2M rows → the star/CC
+    stages are linear and the winnow self-join no longer sees
+    families). Rows-only (MinHash banding is not SQL-expressible);
+    the driver-green contract is ``winnow_repr_audit`` and the
+    synthetic-corpus equivalence test in tests/test_winnow_repr.py.
+    """
+    return winnow_overlap(
+        _repr_docs(_docs(spark, sf_dir)), k=_WK, w=_WW, min_shared=1
+    ).orderBy("id_a", "id_b")
+
+
+def winnow_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-copy contract for the composed pipeline, one row per
+    planted original, three booleans TRUE by construction:
+
+    - ``collapsed`` — the exact copy is NOT a representative: it
+      shares every band bucket with its original, so some hub
+      h < copy emits a star pair and CC assigns the copy a label
+      ≤ h < copy (uncapped banding — ``max_bucket_size=None`` — so
+      the precondition of ``dedup_minhash_star_audit`` holds at any
+      scale factor);
+    - ``rep_is_original`` — the copy's cluster label is an ORIGINAL
+      id: every bucket holding a copy also holds its original
+      (identical signature), so bucket minima — and hence CC labels,
+      which are minima over bucket minima — are always < off;
+    - ``excluded_from_winnow`` — the copy's id appears in NO pair of
+      the downstream winnow output (computed from the actual
+      ``winnow_overlap`` run over the representatives, not assumed
+      from ``collapsed``)."""
+    d, off = _docs_with_copies(spark, sf_dir)
+    pairs = D.minhash_lsh_star_pairs(d, max_bucket_size=None)
+    reps = C.cluster_representatives(d, pairs.select("id_a", "id_b"))
+    copies = reps.filter(
+        (F.col("doc_id") >= F.lit(off))
+        & (F.col("doc_id") < F.lit(off) + _N_DOCS)
+    ).select(
+        (F.col("doc_id") - F.lit(off)).alias("doc_id"),
+        (~F.col("is_representative")).alias("collapsed"),
+        (F.col("cluster_id") < F.lit(off)).alias("rep_is_original"),
+    )
+    rep_docs = d.join(
+        reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
+    )
+    w = winnow_overlap(rep_docs, k=_WK, w=_WW, min_shared=1)
+    winnow_ids = (
+        w.select(F.col("id_a").alias("_wid"))
+        .unionByName(w.select(F.col("id_b").alias("_wid")))
+        .distinct()
+    )
+    return (
+        copies.join(
+            winnow_ids.select(
+                (F.col("_wid") - F.lit(off)).alias("doc_id"),
+                F.lit(True).alias("_in_w"),
+            ).filter(F.col("doc_id") >= 0),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "collapsed",
+            "rep_is_original",
+            F.coalesce(~F.col("_in_w"), F.lit(True)).alias(
+                "excluded_from_winnow"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPR_AUDIT_SQL = f"""
+SELECT doc_id, TRUE AS collapsed, TRUE AS rep_is_original,
+       TRUE AS excluded_from_winnow
+FROM documents WHERE doc_id < {_N_DOCS} ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "winnow_repr_pipeline": winnow_repr_pipeline,
+    "winnow_repr_audit": winnow_repr_audit,
+}
+
+ORACLE = {
+    "winnow_repr_audit": _REPR_AUDIT_SQL,
+}

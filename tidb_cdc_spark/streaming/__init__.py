@@ -8,6 +8,7 @@ from tidb_cdc_spark.streaming.sinks import (
     MemorySink,
     ParquetSnapshotSink,
     Scd2HistorySink,
+    Scd2SplitHistorySink,
     Sink,
 )
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
@@ -33,6 +34,7 @@ __all__ = [
     "Sink",
     "ParquetSnapshotSink",
     "Scd2HistorySink",
+    "Scd2SplitHistorySink",
     "JdbcMergeSink",
     "HandlerSink",
     "MemorySink",

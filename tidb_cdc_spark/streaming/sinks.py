@@ -254,6 +254,137 @@ class Scd2HistorySink(ParquetSnapshotSink):
 
 
 @dataclass
+class Scd2SplitHistorySink(Scd2HistorySink):
+    """Type-2 SCD history with a SPLIT store — the 100 TB layout the
+    monolithic ``Scd2HistorySink`` documents itself out of: that sink
+    joins and rewrites the FULL history every batch, so per-batch
+    cost grows with accumulated versions without bound (measured:
+    tools/stateful_width_rehearsal.py). This sink keeps
+
+    - ``head_v=N/`` — ONE row per key ever seen (its latest version;
+      open, or delete-closed with no successor), rewritten per batch
+      with the same versioned-dir + atomic-pointer mechanics as
+      ``ParquetSnapshotSink`` — cost ∝ live keyspace, the SAME
+      accepted baseline as the latest-wins snapshot sink;
+    - ``closed/b=<batch_id>/`` — every superseded version, written
+      ONCE and immutable forever — cost ∝ batch.
+
+    ``read_current`` = head ∪ closed(b ≤ watermark). Crash-retry is
+    clean: the retry OVERWRITES its own ``closed/b=<id>`` dir (per-
+    batch-dir idempotence) before the pointer swap publishes it, and
+    the watermark guard no-ops true re-deliveries. ``compact()``
+    folds the accumulated per-batch dirs into one when small-files
+    listing cost matters (NearDupAdmissionSink convention).
+
+    Fold equivalence with the monolithic sink is pinned by
+    ``merge_scd2_split``'s contract tests."""
+
+    def _closed_root(self) -> str:
+        return os.path.join(self.path, "closed")
+
+    def _read_closed(self, spark) -> DataFrame | None:
+        root = self._closed_root()
+        wm = self._last_batch_id()
+        if wm is None or not os.path.exists(root):
+            return None
+        dirs = [d for d in os.listdir(root) if d.startswith("b=")]
+        if not any(int(d[2:]) <= wm for d in dirs):
+            return None
+        return (
+            spark.read.option("basePath", root)
+            .parquet(root)
+            .filter(F.col("b") <= wm)
+            .drop("b")
+        )
+
+    def _read_head(self, spark) -> DataFrame | None:
+        v = self._current_version()
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(self.path, f"head_v={v}"))
+
+    def read_current(self, spark) -> DataFrame | None:
+        head = self._read_head(spark)
+        if head is None:
+            return None
+        closed = self._read_closed(spark)
+        return head if closed is None else head.unionByName(closed)
+
+    def _commit_version(self, head: DataFrame, batch_id: int) -> None:
+        """Write the next HEAD version + swap the shared pointer.
+        (Reused by ``bootstrap``, which seeds only open head rows.)"""
+        v = (self._current_version() or 0) + 1
+        head.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"head_v={v}")
+        )
+        tmp = os.path.join(self.path, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"{v} {batch_id}")
+        os.replace(tmp, os.path.join(self.path, "_CURRENT"))
+        for d in os.listdir(self.path):
+            if d.startswith("head_v=") and int(d[7:]) < v - 1:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def process(self, changes: DataFrame, batch_id: int, spec: TableSpec) -> None:
+        from tidb_cdc_spark.cdc.scd import merge_scd2_split
+
+        if guard_batch_watermark(self._last_batch_id(), batch_id, "history"):
+            return
+        boot = self._bootstrap_as_of()
+        if boot is not None:
+            as_of, ts_dtype = boot
+            changes = changes.filter(
+                F.col("ts") >= F.lit(as_of).cast(ts_dtype)
+            )
+        spark = changes.sparkSession
+        head = self._read_head(spark)
+        new_head, newly_closed = merge_scd2_split(head, changes, spec)
+        # closed rows feed the head rewrite's anti/semi joins through
+        # new_head's plan, and both outputs must be computed BEFORE
+        # the old head version is GC'd — persist-free ordering: write
+        # closed first (reads old head), then head (reads old head),
+        # then swap the pointer that publishes both
+        newly_closed.write.mode("overwrite").parquet(
+            os.path.join(self._closed_root(), f"b={batch_id}")
+        )
+        self._commit_version(new_head, batch_id)
+
+    def compact(self, spark) -> tuple[int, int]:
+        """Fold all published ``closed/b=*`` dirs into the newest one
+        — per-batch dirs make ``read_current`` listing cost grow with
+        batch count (~1 file set per batch). Returns
+        ``(dirs_before, dirs_after)``. Unpublished dirs (> watermark,
+        from an in-flight crash) are left untouched."""
+        root = self._closed_root()
+        wm = self._last_batch_id()
+        if wm is None or not os.path.exists(root):
+            return (0, 0)
+        dirs = sorted(
+            int(d[2:])
+            for d in os.listdir(root)
+            if d.startswith("b=") and int(d[2:]) <= wm
+        )
+        if len(dirs) <= 1:
+            return (len(dirs), len(dirs))
+        merged = self._read_closed(spark)
+        tmp = os.path.join(root, "_compact.tmp")
+        merged.coalesce(max(1, merged.rdd.getNumPartitions() // 8)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        # publish the fold at the newest published id, then drop the
+        # olds; a crash mid-loop leaves extra (duplicate-free) dirs?
+        # No — rows would double, so the swap is ordered: remove olds
+        # FIRST (readers in flight may see a smaller closed set — the
+        # same read-uncommitted window plain parquet always has; at
+        # scale this op is a transactional REPLACE in Delta/Iceberg),
+        # then rename the fold into place.
+        for b in dirs:
+            shutil.rmtree(os.path.join(root, f"b={b}"), ignore_errors=True)
+        os.replace(tmp, os.path.join(root, f"b={dirs[-1]}"))
+        return (len(dirs), 1)
+
+
+@dataclass
 class JdbcMergeSink(Sink):
     """Upsert into an RDBMS table: conflated batch → staging table via
     JDBC → one MERGE statement keyed on PK (exactly-once to the

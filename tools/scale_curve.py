@@ -31,6 +31,13 @@ OPS = [
     "corpus_curation_pipeline",
     "text_token_entropy",
     "events_engagement_pagerank",
+    # r9: the composed family-collapse → winnow pipeline — the
+    # declared form of the winnow quadratic-family mitigation; its
+    # 10×→100× ratio should stay near the 1×→10× ratio because the
+    # 100× replica set's ~100-member families collapse before the
+    # winnow self-join (vs winnow_overlap_pairs' measured 27.2M-row
+    # quadratic blowup on the same input)
+    "winnow_repr_pipeline",
 ]
 
 

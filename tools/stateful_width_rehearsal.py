@@ -1,0 +1,195 @@
+"""Width rehearsal for STATEFUL sinks under the shared connector —
+the r8 verdict's gap: the r7 width rehearsal covered routing, not
+stateful per-batch cost. Two questions, measured:
+
+1. **SCD2 at width**: a 24-table shared stream where 6 tables carry
+   ``Scd2HistorySink`` — does per-ROUND cost stay flat as history
+   accumulates across R sequential availableNow rounds?  (The
+   monolithic ``merge_scd2`` joins and rewrites the FULL history
+   every batch, so cost is expected ∝ accumulated versions — this
+   rehearsal quantifies the slope that justifies the split-store
+   head/closed layout.)
+2. **NearDupAdmission compaction**: B batches through
+   ``NearDupAdmissionSink`` — per-batch screening time with the
+   band store growing, with and without periodic ``compact()``.
+
+Run: ``PYTHONPATH=. python3 tools/stateful_width_rehearsal.py
+[n_tables] [rounds]``.  Writes ONLY under /tmp; prints one JSON
+line per experiment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+TMP = "/tmp/stateful_width_rehearsal"
+
+
+def _specs(n: int):
+    from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
+
+    return [
+        TableSpec(
+            database="d",
+            table=f"t{i:03d}",
+            columns=(
+                ColumnSpec("K", "string", column="k", pk=True),
+                ColumnSpec("V", "int"),
+                ColumnSpec("TS", "string"),
+            ),
+        )
+        for i in range(n)
+    ]
+
+
+def _write_round(root: str, n_tables: int, per_table: int, rnd: int) -> None:
+    """One round of files: every table gets ``per_table`` updates on
+    a rolling key window so SCD2 history GROWS every round (new
+    versions of existing keys — the worst case for a monolithic
+    history rewrite)."""
+    os.makedirs(root, exist_ok=True)
+    msgs = []
+    for i in range(n_tables):
+        for j in range(per_table):
+            msgs.append(
+                json.dumps(
+                    {
+                        "database": "d",
+                        "table": f"t{i:03d}",
+                        "type": "insert" if rnd == 0 and j % 7 == 0 else "update",
+                        "ts": 1000 + rnd * per_table + j,
+                        "data": {
+                            "k": f"k{j % 50}",
+                            "v": rnd * per_table + j,
+                            "ts": "2026-01-01 00:00:00",
+                        },
+                    }
+                )
+            )
+    tmp = os.path.join(root, f".r{rnd}.jsonl.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(msgs))
+    os.replace(tmp, os.path.join(root, f"r{rnd}.jsonl"))
+
+
+def scd2_width(spark, n_tables: int, rounds: int, sink_cls_name: str) -> dict:
+    from tidb_cdc_spark.sources.files import maxwell_file_stream
+    from tidb_cdc_spark.streaming import sinks as SK
+    from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
+    from tidb_cdc_spark.streaming.sinks import ParquetSnapshotSink
+
+    sink_cls = getattr(SK, sink_cls_name)
+    root = os.path.join(TMP, f"scd2_{sink_cls_name}")
+    shutil.rmtree(root, ignore_errors=True)
+    events = os.path.join(root, "in")
+    specs = _specs(n_tables)
+    n_scd2 = max(n_tables // 4, 1)  # every 4th table keeps history
+
+    conn = Connector(
+        ConnectorConfig(
+            server_name="srv", checkpoint_root=os.path.join(root, "ckpt")
+        )
+    )
+    scd_sinks = []
+    for i, s in enumerate(specs):
+        if i % 4 == 0:
+            sink = sink_cls(os.path.join(root, "hist", s.table))
+            scd_sinks.append(sink)
+        else:
+            sink = ParquetSnapshotSink(os.path.join(root, "snap", s.table))
+        conn.register(s, [sink], source=maxwell_file_stream(spark, events))
+
+    per_round: list[float] = []
+    hist_rows: list[int] = []
+    for rnd in range(rounds):
+        _write_round(events, n_tables, per_table=200, rnd=rnd)
+        t0 = time.perf_counter()
+        q = conn.start_shared(
+            spark,
+            source=maxwell_file_stream(spark, events),
+            available_now=True,
+        )
+        q.awaitTermination()
+        per_round.append(round(time.perf_counter() - t0, 2))
+        cur = scd_sinks[0].read_current(spark)
+        hist_rows.append(0 if cur is None else cur.count())
+    return {
+        "experiment": "scd2_width",
+        "sink": sink_cls_name,
+        "n_tables": n_tables,
+        "n_scd2_tables": n_scd2,
+        "rounds": rounds,
+        "per_round_sec": per_round,
+        "scd2_history_rows_t000": hist_rows,
+        "last_over_first": round(per_round[-1] / max(per_round[0], 1e-9), 2),
+    }
+
+
+def admission_batches(spark, batches: int, compact_every: int | None) -> dict:
+    from tidb_cdc_spark.streaming.enrich import NearDupAdmissionSink
+
+    root = os.path.join(
+        TMP, f"admit_{'nc' if compact_every is None else compact_every}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    sink = NearDupAdmissionSink(os.path.join(root, "store"))
+    per_batch: list[float] = []
+    n_docs = 400
+    for b in range(batches):
+        rows = [
+            (
+                b * n_docs + j,
+                " ".join(
+                    f"w{(b * n_docs + j) * 13 % 997}x{k}" for k in range(60)
+                ),
+            )
+            for j in range(n_docs)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+        t0 = time.perf_counter()
+        sink.process(df, b)
+        per_batch.append(round(time.perf_counter() - t0, 2))
+        if compact_every and (b + 1) % compact_every == 0:
+            sink.compact(spark)
+    corpus = sink.read_corpus(spark)
+    return {
+        "experiment": "admission_batches",
+        "batches": batches,
+        "docs_per_batch": n_docs,
+        "compact_every": compact_every,
+        "per_batch_sec": per_batch,
+        "corpus_rows": 0 if corpus is None else corpus.count(),
+        "last_over_first": round(per_batch[-1] / max(per_batch[0], 1e-9), 2),
+    }
+
+
+def main() -> None:
+    n_tables = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+
+    from tidb_cdc_spark import get_spark
+
+    spark = get_spark("stateful-width")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(
+        json.dumps(scd2_width(spark, n_tables, rounds, "Scd2HistorySink")),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            scd2_width(spark, n_tables, rounds, "Scd2SplitHistorySink")
+        ),
+        flush=True,
+    )
+    print(json.dumps(admission_batches(spark, 8, None)), flush=True)
+    print(json.dumps(admission_batches(spark, 8, 4)), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
