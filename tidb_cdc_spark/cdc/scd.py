@@ -161,22 +161,55 @@ def merge_scd2_split(
     this function and unioning ``new_head`` with all emitted
     ``newly_closed`` rows equals ``scd2_history`` over the whole log
     — and therefore equals the monolithic ``merge_scd2`` fold.
-    """
-    batch = scd2_history(changes, spec, ts_col, seq_col)
-    pk = spec.pk_columns
 
-    def _split_head(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        mx = df.groupBy(*pk).agg(F.max("version").alias("_mx"))
-        j = df.join(mx, pk)
-        return (
-            j.filter(F.col("version") == F.col("_mx")).drop("_mx"),
-            j.filter(F.col("version") < F.col("_mx")).drop("_mx"),
-        )
+    Execution shape: exactly TWO heavy passes per batch, each
+    materialized once (handles on ``new_head.scd2_batch_handles``
+    for the caller to unpersist) — (1) ``shifted``: the batch's SCD2
+    windows + one left join against head for the version shift and
+    the per-key max; (2) ``labeled``: ONE pass over head left-joined
+    with the batch's per-key (first_ts, emitted) summary. Everything
+    the caller writes is a filter/union over those two, so a sink's
+    single partitioned write re-executes nothing — an earlier
+    formulation with per-output joins re-ran the JSON parse 3× and
+    measured 3× the monolithic sink's batch cost.
+    """
+    from tidb_cdc_spark.session import materialize
+
+    pk = spec.pk_columns
+    mxw = Window.partitionBy(*pk)
 
     if head is None:
-        return _split_head(batch)
+        batch = materialize(
+            scd2_history(changes, spec, ts_col, seq_col).withColumn(
+                "_mx", F.max("version").over(mxw)
+            )
+        )
+        h0 = batch.filter(F.col("version") == F.col("_mx")).drop("_mx")
+        c0 = batch.filter(F.col("version") < F.col("_mx")).drop("_mx")
+        # hand the per-batch persists to the caller (clusters.py's
+        # per-call-attribute convention): a streaming sink folding
+        # thousands of batches must release each batch's blocks
+        h0.scd2_batch_handles = [batch]
+        return h0, c0
 
-    firsts = (
+    # pass 1 — version-shifted batch rows + per-key max (ONE window
+    # over the already-pk-partitioned SCD2 output: no extra exchange)
+    shifted = materialize(
+        scd2_history(changes, spec, ts_col, seq_col)
+        .join(head.select(*pk, F.col("version").alias("_v0")), pk, "left")
+        .withColumn(
+            "version", F.col("version") + F.coalesce(F.col("_v0"), F.lit(0))
+        )
+        .drop("_v0")
+        .withColumn("_mx", F.max("version").over(mxw))
+    )
+    batch_head = shifted.filter(F.col("version") == F.col("_mx")).drop("_mx")
+    batch_closed = shifted.filter(F.col("version") < F.col("_mx")).drop("_mx")
+
+    # pass 2 — ONE pass over head: touched? emitted? Close the open
+    # interval of every touched head at the batch's first change ts
+    # (delete-closed heads keep their valid_to).
+    summary = (
         changes.select(
             *[
                 F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
@@ -186,36 +219,30 @@ def merge_scd2_split(
         )
         .groupBy(*pk)
         .agg(F.min("_bts").alias("_first_ts"))
+        .join(
+            batch_head.select(*pk, F.lit(True).alias("_emitted")), pk, "left"
+        )
     )
-    # close the open interval of every touched head at the batch's
-    # first change ts (delete-closed heads keep their valid_to)
-    touched = (
-        head.join(firsts, pk)
+    labeled = materialize(
+        head.join(summary, pk, "left")
         .withColumn(
             "valid_to",
-            F.when(F.col("is_current"), F.col("_first_ts")).otherwise(
-                F.col("valid_to")
-            ),
+            F.when(
+                F.col("_first_ts").isNotNull() & F.col("is_current"),
+                F.col("_first_ts"),
+            ).otherwise(F.col("valid_to")),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop("_first_ts")
     )
-    shifted = (
-        batch.join(
-            head.select(*pk, F.col("version").alias("_v0")), pk, "left"
-        )
-        .withColumn(
-            "version", F.col("version") + F.coalesce(F.col("_v0"), F.lit(0))
-        )
-        .drop("_v0")
-    )
-    batch_head, batch_closed = _split_head(shifted)
-    emitted_keys = batch_head.select(*pk)
+    untouched_or_kept = labeled.filter(
+        F.col("_first_ts").isNull() | F.col("_emitted").isNull()
+    ).drop("_first_ts", "_emitted")
     # touched heads SUPERSEDED by an emitted version move to the
     # closed store; delete-only keys keep their (closed) head row in
     # place — it still carries the key's version counter
-    superseded = touched.join(emitted_keys, pk, "left_semi")
-    kept = touched.join(emitted_keys, pk, "left_anti")
-    untouched = head.join(firsts, pk, "left_anti")
-    new_head = untouched.unionByName(kept).unionByName(batch_head)
+    superseded = labeled.filter(
+        F.col("_first_ts").isNotNull() & F.col("_emitted").isNotNull()
+    ).drop("_first_ts", "_emitted")
+    new_head = untouched_or_kept.unionByName(batch_head)
+    new_head.scd2_batch_handles = [shifted, labeled]
     return new_head, batch_closed.unionByName(superseded)

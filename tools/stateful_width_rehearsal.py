@@ -29,6 +29,14 @@ import time
 TMP = "/tmp/stateful_width_rehearsal"
 
 
+def _du(path: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
 def _specs(n: int):
     from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
 
@@ -86,6 +94,7 @@ def scd2_width(spark, n_tables: int, rounds: int, sink_cls_name: str) -> dict:
     root = os.path.join(TMP, f"scd2_{sink_cls_name}")
     shutil.rmtree(root, ignore_errors=True)
     events = os.path.join(root, "in")
+    os.makedirs(events, exist_ok=True)  # stream source probes the dir
     specs = _specs(n_tables)
     n_scd2 = max(n_tables // 4, 1)  # every 4th table keeps history
 
@@ -126,6 +135,93 @@ def scd2_width(spark, n_tables: int, rounds: int, sink_cls_name: str) -> dict:
         "per_round_sec": per_round,
         "scd2_history_rows_t000": hist_rows,
         "last_over_first": round(per_round[-1] / max(per_round[0], 1e-9), 2),
+    }
+
+
+def scd2_single(
+    spark,
+    batches: int,
+    per_batch: int,
+    sink_cls_name: str,
+    n_keys: int = 2000,
+) -> dict:
+    """Isolated sink cost: one table, ``batches`` sequential calls of
+    ``sink.process`` with ``per_batch`` updates each over a rolling
+    ``n_keys``-key window — history grows to batches×per_batch rows
+    while each batch stays constant, so a per-batch cost ∝ history
+    shows as a rising per_batch_sec sequence with no connector noise.
+    NOTE: fixed job overhead (~1-3 s on local[32]) hides the slope
+    below ~10⁶ history rows — size per_batch/batches accordingly."""
+    import pandas as pd
+
+    from tidb_cdc_spark.cdc import parse_cdc
+    from tidb_cdc_spark.streaming import sinks as SK
+
+    root = os.path.join(TMP, f"single_{sink_cls_name}")
+    shutil.rmtree(root, ignore_errors=True)
+    sink = getattr(SK, sink_cls_name)(os.path.join(root, "hist"))
+    spec = _specs(1)[0]
+    from pyspark.sql import functions as F
+
+    per_round: list[float] = []
+    per_round_bytes: list[int] = []
+    for b in range(batches):
+        msgs = [
+            json.dumps(
+                {
+                    "database": "d",
+                    "table": "t000",
+                    "type": "insert" if b == 0 else "update",
+                    "ts": b * per_batch + j,
+                    "data": {
+                        "k": f"k{j % n_keys}",
+                        "v": b * per_batch + j,
+                        "ts": "2026-01-01 00:00:00",
+                    },
+                }
+            )
+            for j in range(per_batch)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"value": msgs})
+        ).repartition(8)
+        changes = parse_cdc(
+            df.withColumn("_s", F.monotonically_increasing_id()),
+            spec,
+            seq_col=F.col("_s"),
+        )
+        t0 = time.perf_counter()
+        sink.process(changes, b, spec)
+        per_round.append(round(time.perf_counter() - t0, 2))
+        # bytes the batch WROTE — the metric that scales to 100 TB
+        # (at production scale I/O volume dominates; local NVMe +
+        # narrow rows hide it behind fixed job overhead): monolithic
+        # rewrites the full history (v=N), split writes head + its
+        # closed/b=N append
+        v = sink._current_version()
+        if sink_cls_name == "Scd2HistorySink":
+            written = _du(os.path.join(sink.path, f"v={v}"))
+        else:
+            written = _du(os.path.join(sink.path, f"head_v={v}")) + _du(
+                os.path.join(sink.path, "closed", f"b={b}")
+            )
+        per_round_bytes.append(written)
+    hist = sink.read_current(spark)
+    return {
+        "experiment": "scd2_single",
+        "sink": sink_cls_name,
+        "batches": batches,
+        "per_batch_rows": per_batch,
+        "per_batch_sec": per_round,
+        "per_batch_mb_written": [round(x / 1e6, 1) for x in per_round_bytes],
+        "history_rows": 0 if hist is None else hist.count(),
+        # slope signal robust to warmup noise: mean of last 3 over
+        # mean of batches 2-4
+        "tail_over_early": round(
+            (sum(per_round[-3:]) / 3)
+            / max(sum(per_round[2:5]) / 3, 1e-9),
+            2,
+        ),
     }
 
 
@@ -188,6 +284,8 @@ def main() -> None:
     )
     print(json.dumps(admission_batches(spark, 8, None)), flush=True)
     print(json.dumps(admission_batches(spark, 8, 4)), flush=True)
+    for cls in ("Scd2HistorySink", "Scd2SplitHistorySink"):
+        print(json.dumps(scd2_single(spark, 25, 5000, cls)), flush=True)
     spark.stop()
 
 
