@@ -689,6 +689,87 @@ class TestScd2SplitHistorySink:
         assert set(hist) == {("a", 1), ("a", 2), ("a", 3)}
         assert hist[("a", 3)].is_current and hist[("a", 3)].v == 9
 
+    def test_retry_after_head_publish_crash(self, spark, tmp_path):
+        """Crash AFTER the head_v=v publish but BEFORE the pointer
+        swap: the retry recomputes the same v and must overwrite the
+        orphan dir, not wedge on ENOTEMPTY (review catch)."""
+        import os
+        import shutil
+
+        from tidb_cdc_spark.streaming import Scd2SplitHistorySink
+
+        sink = Scd2SplitHistorySink(str(tmp_path / "hist"))
+        sink.process(
+            self._changes(spark, [_msg("insert", "a", 1, 10)]), 0, SPEC
+        )
+        # simulate the crashed batch-1 attempt: head_v=2 exists (copy
+        # of head_v=1), pointer still at (1, 0)
+        p = str(tmp_path / "hist")
+        shutil.copytree(os.path.join(p, "head_v=1"), os.path.join(p, "head_v=2"))
+        sink.process(
+            self._changes(spark, [_msg("update", "a", 5, 20)]), 1, SPEC
+        )
+        hist = {(r.k, r.version): r for r in sink.read_current(spark).collect()}
+        assert set(hist) == {("a", 1), ("a", 2)}
+        assert hist[("a", 2)].is_current and hist[("a", 2)].v == 5
+
+    def test_torn_compact_recovers(self, spark, tmp_path):
+        """Crash between compact()'s commit point (_compact.ready.N)
+        and the publish: every read path must first repair the store
+        — no rows lost, no rows doubled (review catch)."""
+        import os
+        import shutil
+
+        from tidb_cdc_spark.streaming import Scd2SplitHistorySink
+
+        sink = Scd2SplitHistorySink(str(tmp_path / "hist"))
+        for i in range(3):
+            sink.process(
+                self._changes(spark, [_msg("update", "a", i + 1, 10 * (i + 1))]),
+                i,
+                SPEC,
+            )
+        before = sorted(map(tuple, sink.read_current(spark).collect()))
+        root = os.path.join(str(tmp_path / "hist"), "closed")
+        # stage the fold exactly as compact() does, up to its commit
+        # point, then simulate a crash mid-removal (one dir gone)
+        merged = sink._read_closed(spark)
+        tmp = os.path.join(root, "_compact.tmp")
+        merged.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, os.path.join(root, "_compact.ready.2"))
+        shutil.rmtree(os.path.join(root, "b=1"))
+        assert sorted(map(tuple, sink.read_current(spark).collect())) == before
+        assert [d for d in os.listdir(root) if d.startswith("b=")] == ["b=2"]
+
+    def test_reserved_column_name_raises(self, spark, tmp_path):
+        from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
+        from tidb_cdc_spark.streaming import Scd2SplitHistorySink
+
+        zspec = TableSpec(
+            database="d",
+            table="t",
+            columns=(
+                ColumnSpec("K", "string", column="k", pk=True),
+                # "b" is the closed store's partition column
+                ColumnSpec("B", "string", column="b"),
+            ),
+        )
+        msgs = [json.dumps({
+            "database": "d", "table": "t", "type": "insert", "ts": 1,
+            "data": {"k": "a", "b": "x"},
+        })]
+        from tidb_cdc_spark.cdc import parse_cdc
+
+        df = spark.createDataFrame([(m,) for m in msgs], "value string")
+        changes = parse_cdc(
+            df.withColumn("_s", F.monotonically_increasing_id()),
+            zspec,
+            seq_col=F.col("_s"),
+        )
+        sink = Scd2SplitHistorySink(str(tmp_path / "hist"))
+        with pytest.raises(ValueError, match="reserved partition names"):
+            sink.process(changes, 0, zspec)
+
     def test_compact_folds_closed_dirs(self, spark, tmp_path):
         import os
 

@@ -41,7 +41,7 @@ from tidb_cdc_spark.queries.llm import _docs
 _WK, _WW = 4, 4
 
 
-def _repr_docs(d: DataFrame, max_bucket_size: int | None = 1000) -> DataFrame:
+def _repr_docs(d: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Collapse near-dup families to their min-id representative and
     return the representative documents only.
 
@@ -51,7 +51,14 @@ def _repr_docs(d: DataFrame, max_bucket_size: int | None = 1000) -> DataFrame:
     clusters.py — O(log d) rounds, per-round checkpoint truncation),
     and the representative filter is a projection of the CC output.
     The join back to documents is an equi-join on doc_id; text never
-    shuffles through the LSH/CC stages (ids-only slim tables)."""
+    shuffles through the LSH/CC stages (ids-only slim tables).
+
+    ``max_bucket_size`` defaults to None (uncapped) — the clique
+    form's cap exists to bound its QUADRATIC per-bucket emission,
+    but star pairs are linear per bucket, and a cap here would
+    silently skip collapsing exactly the >cap-member families this
+    pipeline exists to collapse, handing the quadratic blowup back
+    to the winnow stage (review catch)."""
     pairs = D.minhash_lsh_star_pairs(d, max_bucket_size=max_bucket_size)
     reps = C.cluster_representatives(d, pairs.select("id_a", "id_b"))
     return d.join(

@@ -291,6 +291,7 @@ class Scd2SplitHistorySink(Scd2HistorySink):
         return os.path.join(self.path, "closed")
 
     def _read_closed(self, spark) -> DataFrame | None:
+        self._recover_compact()  # repair a torn compact before reading
         root = self._closed_root()
         wm = self._last_batch_id()
         if wm is None or not os.path.exists(root):
@@ -345,8 +346,19 @@ class Scd2SplitHistorySink(Scd2HistorySink):
                 F.col("ts") >= F.lit(as_of).cast(ts_dtype)
             )
         spark = changes.sparkSession
+        self._recover_compact()
         head = self._read_head(spark)
         new_head, newly_closed = merge_scd2_split(head, changes, spec)
+        # the stores' layout reserves two names a table column cannot
+        # use (partition dirs derive from them); fail loudly, not by
+        # silently overwriting the data column (review catch)
+        reserved = {"scd2zone", "b"} & set(new_head.columns)
+        if reserved:
+            raise ValueError(
+                f"table columns {sorted(reserved)} collide with the "
+                "split-store layout's reserved partition names "
+                "(scd2zone, b) — rename via ColumnSpec(column=...)"
+            )
         # ONE partitioned job computes both outputs (two separate
         # writes re-executed the shared merge subplan — measured 3×
         # the monolithic sink's batch cost before this; the batch
@@ -356,23 +368,28 @@ class Scd2SplitHistorySink(Scd2HistorySink):
         staging = os.path.join(self.path, f"_stage_b={batch_id}")
         shutil.rmtree(staging, ignore_errors=True)
         (
-            new_head.withColumn("zone", F.lit("head"))
-            .unionByName(newly_closed.withColumn("zone", F.lit("closed")))
-            .write.partitionBy("zone")
+            new_head.withColumn("scd2zone", F.lit("head"))
+            .unionByName(newly_closed.withColumn("scd2zone", F.lit("closed")))
+            .write.partitionBy("scd2zone")
             .mode("overwrite")
             .parquet(staging)
         )
         closed_dst = os.path.join(self._closed_root(), f"b={batch_id}")
         os.makedirs(self._closed_root(), exist_ok=True)
         shutil.rmtree(closed_dst, ignore_errors=True)  # crash-retry
-        src_closed = os.path.join(staging, "zone=closed")
-        src_head = os.path.join(staging, "zone=head")
+        src_closed = os.path.join(staging, "scd2zone=closed")
+        src_head = os.path.join(staging, "scd2zone=head")
         if os.path.exists(src_closed):
             os.replace(src_closed, closed_dst)
         else:  # no superseded versions this batch: schema-ful empty dir
             newly_closed.limit(0).write.mode("overwrite").parquet(closed_dst)
         v = (self._current_version() or 0) + 1
         head_dst = os.path.join(self.path, f"head_v={v}")
+        # a crash AFTER the head publish but BEFORE the pointer swap
+        # leaves head_v=v populated while the watermark still admits
+        # the retry — clear it like closed_dst or os.replace raises
+        # ENOTEMPTY forever (review catch)
+        shutil.rmtree(head_dst, ignore_errors=True)
         if os.path.exists(src_head):
             os.replace(src_head, head_dst)
         else:  # empty stream batch over an empty store
@@ -391,12 +408,40 @@ class Scd2SplitHistorySink(Scd2HistorySink):
             if d.startswith("head_v=") and int(d[7:]) < v - 1:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
+    def _recover_compact(self) -> None:
+        """Complete a compact() whose crash window was hit: a
+        ``_compact.ready.<N>`` marker dir holds the complete fold of
+        every ``b<=N`` dir — finish the protocol (remove the folded
+        dirs, publish the fold as ``b=N``). Idempotent; called at the
+        top of every read/process/compact so a half-removed closed
+        store is repaired before anyone reads it."""
+        root = self._closed_root()
+        if not os.path.exists(root):
+            return
+        for d in os.listdir(root):
+            if not d.startswith("_compact.ready."):
+                continue
+            n = int(d.rsplit(".", 1)[1])
+            for e in os.listdir(root):
+                if e.startswith("b=") and int(e[2:]) <= n:
+                    shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+            os.replace(os.path.join(root, d), os.path.join(root, f"b={n}"))
+
     def compact(self, spark) -> tuple[int, int]:
         """Fold all published ``closed/b=*`` dirs into the newest one
         — per-batch dirs make ``read_current`` listing cost grow with
         batch count (~1 file set per batch). Returns
         ``(dirs_before, dirs_after)``. Unpublished dirs (> watermark,
-        from an in-flight crash) are left untouched."""
+        from an in-flight crash) are left untouched.
+
+        Crash-safe via a two-phase marker (review catch — the naive
+        remove-then-rename lost the whole closed store if the crash
+        landed between): the fold is written to ``_compact.tmp``,
+        atomically renamed to ``_compact.ready.<N>`` (the commit
+        point; '_'-prefixed, invisible to Spark reads), and only then
+        are the folded dirs removed and the fold published —
+        ``_recover_compact`` finishes that tail after any crash."""
+        self._recover_compact()
         root = self._closed_root()
         wm = self._last_batch_id()
         if wm is None or not os.path.exists(root):
@@ -410,19 +455,13 @@ class Scd2SplitHistorySink(Scd2HistorySink):
             return (len(dirs), len(dirs))
         merged = self._read_closed(spark)
         tmp = os.path.join(root, "_compact.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
         merged.coalesce(max(1, merged.rdd.getNumPartitions() // 8)).write.mode(
             "overwrite"
         ).parquet(tmp)
-        # publish the fold at the newest published id, then drop the
-        # olds; a crash mid-loop leaves extra (duplicate-free) dirs?
-        # No — rows would double, so the swap is ordered: remove olds
-        # FIRST (readers in flight may see a smaller closed set — the
-        # same read-uncommitted window plain parquet always has; at
-        # scale this op is a transactional REPLACE in Delta/Iceberg),
-        # then rename the fold into place.
-        for b in dirs:
-            shutil.rmtree(os.path.join(root, f"b={b}"), ignore_errors=True)
-        os.replace(tmp, os.path.join(root, f"b={dirs[-1]}"))
+        # commit point: after this rename the fold is authoritative
+        os.replace(tmp, os.path.join(root, f"_compact.ready.{dirs[-1]}"))
+        self._recover_compact()
         return (len(dirs), 1)
 
 

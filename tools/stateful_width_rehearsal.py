@@ -96,7 +96,8 @@ def scd2_width(spark, n_tables: int, rounds: int, sink_cls_name: str) -> dict:
     events = os.path.join(root, "in")
     os.makedirs(events, exist_ok=True)  # stream source probes the dir
     specs = _specs(n_tables)
-    n_scd2 = max(n_tables // 4, 1)  # every 4th table keeps history
+    # every 4th table keeps history (i % 4 == 0 → ceil, not floor)
+    n_scd2 = (n_tables + 3) // 4
 
     conn = Connector(
         ConnectorConfig(
