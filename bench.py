@@ -118,6 +118,7 @@ def main() -> None:
         "corpus_curation_pipeline",
         "corpus_dsir_select",
         "corpus_collocations_pmi",
+        "corpus_lm_stupid_backoff",
         "contamination_eval_overlap",
         "repeated_spans_top",
         "pack_sequences",

@@ -52,6 +52,7 @@ ROUND_ADDITIONS = [
     "corpus_collocations_pmi",  # r9 first driver-gating
     "corpus_tokenizer_fertility",  # r9 first driver-gating
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
+    "corpus_lm_stupid_backoff",  # late-r9 new op
 ]
 
 

@@ -302,3 +302,140 @@ def collocations(
         .orderBy(F.desc("pmi_bits"), "w1", "w2")
         .limit(k)
     )
+
+
+def _tokens_pos(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "_pos", "_t"
+        ),
+    ).filter(F.col("_t") != "")
+
+
+def stupid_backoff_score(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out trigram LM scoring with STUPID BACKOFF (Brants et al.
+    EMNLP 2007 — the large-scale LM smoothing that needs no
+    discount fitting), quantized to exact whole bits so the
+    cross-engine hash holds (module convention): per scored trigram
+    position (w1, w2, w3) against counts from ``train``,
+
+    - trigram hit:   bits = fl2(c2(w1,w2)) − fl2(c3(w1,w2,w3))
+    - bigram backoff: bits = 2 + fl2(c1(w2)) − fl2(c2(w2,w3))
+    - unigram backoff: bits = 4 + fl2(N) − fl2(c1(w3))
+    - OOV:            bits = 4 + fl2(N)  (c=1 pseudo-count)
+
+    α = 1/4 per backoff level — exactly 2 bits, keeping the score
+    integral (the paper's 0.4 is not a power of two; the backoff
+    ORDER, not the constant, carries the signal). fl2 differences
+    use the binary-digit-count identity (the +1s cancel; the +2/+4
+    constants are exact). Output: (doc_id, n_trigrams, sum_bits,
+    mean_mbits) per scored doc with ≥ 3 tokens — the model-based
+    perplexity-filter shape: train on a trusted slice, rank the rest.
+
+    Scale (100 TB): three map-side-combining count aggregates over
+    the train scan; scored trigrams reduce to per-(doc, trigram)
+    counts BEFORE the five left equi-joins against the count tables,
+    so join input is ∝ distinct trigrams, not tokens; no floats, no
+    Python, no window wider than the per-doc lead."""
+    from pyspark.sql.window import Window
+
+    ttok = _tokens_pos(train, id_col, text_col)
+    dw = Window.partitionBy("doc_id").orderBy("_pos")
+    ttri = ttok.select(
+        F.col("_t").alias("w1"),
+        F.lead("_t", 1).over(dw).alias("w2"),
+        F.lead("_t", 2).over(dw).alias("w3"),
+    )
+    c1 = ttok.groupBy(F.col("_t").alias("w")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c2 = (
+        ttri.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c3 = (
+        ttri.filter(F.col("w3").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tot = c1.agg(F.sum("c").cast("long").alias("_n"))
+
+    stok = _tokens_pos(score, id_col, text_col)
+    stri = (
+        stok.select(
+            "doc_id",
+            F.col("_t").alias("w1"),
+            F.lead("_t", 1).over(dw).alias("w2"),
+            F.lead("_t", 2).over(dw).alias("w3"),
+        )
+        .filter(F.col("w3").isNotNull())
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    j = (
+        stri.join(
+            c3.select("w1", "w2", "w3", F.col("c").alias("_c3")),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            c2.select("w1", "w2", F.col("c").alias("_c2a")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c").alias("_c2b"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c").alias("_c1b")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w3"), F.col("c").alias("_c1c")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    fl = lambda c: F.length(F.bin(c))  # noqa: E731 — +1s cancel in diffs
+    bits = (
+        F.when(F.col("_c3").isNotNull(), fl(F.col("_c2a")) - fl(F.col("_c3")))
+        .when(
+            F.col("_c2b").isNotNull(),
+            F.lit(2) + fl(F.col("_c1b")) - fl(F.col("_c2b")),
+        )
+        .when(
+            F.col("_c1c").isNotNull(),
+            F.lit(4) + fl(F.col("_n")) - fl(F.col("_c1c")),
+        )
+        .otherwise(F.lit(4) + fl(F.col("_n")) - F.lit(1))
+    ).cast("long")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_trigrams"),
+            F.sum(F.col("tf") * bits).cast("long").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "sum_bits",
+            F.expr(
+                "CAST((sum_bits * 1000000) DIV n_trigrams AS BIGINT)"
+            ).alias("mean_mbits"),
+        )
+    )

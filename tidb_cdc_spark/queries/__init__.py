@@ -162,7 +162,10 @@ GATE = [
     "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
     "q22_customers_without_orders",
-    "events_daily_gapfill",
+    # late-r9: the stupid-backoff LM scorer (new op, queries/llm17.py)
+    # takes the events_daily_gapfill slot (r8-green, unchanged,
+    # mirror-kept)
+    "corpus_lm_stupid_backoff",
     "events_value_percentiles_by_type",
     # LLM curation surface (audit twins; mojibake_audit kept because
     # the op changed this round — new mixed_untouched pin. Late-r8:

@@ -150,11 +150,98 @@ FROM documents WHERE doc_id < {_N_DOCS} ORDER BY doc_id
 """
 
 
+# ------------------------------------ stupid-backoff LM scoring
+
+
+def corpus_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based perplexity filtering, engine-native: train a
+    trigram LM with stupid backoff (Brants et al. EMNLP 2007) on the
+    even-doc_id half of the corpus, score the held-out odd half in
+    exact whole bits (functions/lm.py::stupid_backoff_score — α=1/4
+    so every backoff level is exactly 2 bits and the score stays
+    integral/hash-exact). The held-out split makes the backoff path
+    REAL: unseen trigrams/bigrams/OOV all occur. High mean_mbits =
+    improbable under the trusted slice — the CCNet/quality-filter
+    ranking signal, with no external model artifact."""
+    from tidb_cdc_spark.functions.lm import stupid_backoff_score
+
+    d = _docs(spark, sf_dir)
+    return stupid_backoff_score(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    ).orderBy("doc_id")
+
+
+_SB_SQL = r"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), tln AS (SELECT doc_id, l, len(l) AS n FROM tl),
+c1 AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(l) AS w FROM tln WHERE doc_id % 2 = 0) GROUP BY w
+),
+ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+c2 AS (
+  SELECT w1, w2, COUNT(*) AS c
+  FROM (
+    SELECT l[i] AS w1, l[i + 1] AS w2
+    FROM (SELECT l, unnest(range(1, n)) AS i
+          FROM tln WHERE doc_id % 2 = 0 AND n >= 2)
+  ) GROUP BY 1, 2
+),
+c3 AS (
+  SELECT w1, w2, w3, COUNT(*) AS c
+  FROM (
+    SELECT l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+    FROM (SELECT l, unnest(range(1, n - 1)) AS i
+          FROM tln WHERE doc_id % 2 = 0 AND n >= 3)
+  ) GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT doc_id, w1, w2, w3, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+    FROM (SELECT doc_id, l, unnest(range(1, n - 1)) AS i
+          FROM tln WHERE doc_id % 2 = 1 AND n >= 3)
+  ) GROUP BY 1, 2, 3, 4
+),
+b AS (
+  SELECT sc.doc_id, sc.tf,
+    CASE
+      WHEN c3.c IS NOT NULL
+        THEN length(bin(c2a.c)) - length(bin(c3.c))
+      WHEN c2b.c IS NOT NULL
+        THEN 2 + length(bin(c1b.c)) - length(bin(c2b.c))
+      WHEN c1c.c IS NOT NULL
+        THEN 4 + length(bin(ntot.n)) - length(bin(c1c.c))
+      ELSE 4 + length(bin(ntot.n)) - 1
+    END AS bits
+  FROM sc
+  LEFT JOIN c3 ON c3.w1 = sc.w1 AND c3.w2 = sc.w2 AND c3.w3 = sc.w3
+  LEFT JOIN c2 c2a ON c2a.w1 = sc.w1 AND c2a.w2 = sc.w2
+  LEFT JOIN c2 c2b ON c2b.w1 = sc.w2 AND c2b.w2 = sc.w3
+  LEFT JOIN c1 c1b ON c1b.w = sc.w2
+  LEFT JOIN c1 c1c ON c1c.w = sc.w3
+  CROSS JOIN ntot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+       CAST(SUM(tf * bits) AS BIGINT) AS sum_bits,
+       CAST((SUM(tf * bits) * 1000000) // SUM(tf) AS BIGINT) AS mean_mbits
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "winnow_repr_pipeline": winnow_repr_pipeline,
     "winnow_repr_audit": winnow_repr_audit,
+    "corpus_lm_stupid_backoff": corpus_lm_stupid_backoff,
 }
 
 ORACLE = {
     "winnow_repr_audit": _REPR_AUDIT_SQL,
+    "corpus_lm_stupid_backoff": _SB_SQL,
 }
