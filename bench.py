@@ -15,7 +15,7 @@ Each query is fully materialized via a cheap count-style action
 (``df.count()`` after the query's own sort/limit), which forces the
 whole plan without driver-side collection overhead.
 
-Suite policy (round 9): ≤ ~55 entries — every ≥0.5 s op and every
+Suite policy (round 9): ≤ ~60 entries — every ≥0.5 s op and every
 iterative / join-heavy / multi-stage shape stays; sub-0.5 s
 single-scan entries whose plan shape is already represented
 (doc_nfc_normalize, events_hourly, q6, rollup, int8-quantize,

@@ -76,7 +76,8 @@ def test_matches_pure_python_twin_on_random_corpora(spark):
 def test_each_backoff_branch_fires_with_documented_bits(spark):
     # train: "a b c" x4 and "b d" x2 and "e" x1 → N = 17
     train = ["a b c"] * 4 + ["b d"] * 2 + ["e"]
-    n = 17
+    n = sum(len(t.split()) for t in train)
+    assert n == 17  # the expected-bits comments below assume fl(17)=5 digits
     cases = {
         # trigram hit: c3(a,b,c)=4, c2(a,b)=4 → fl(4)-fl(4)=0
         10: ("a b c", 0),

@@ -86,12 +86,7 @@ def bigram_surprisal(
     """
     from pyspark.sql.window import Window
 
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
-            "_pos", "_t"
-        ),
-    ).filter(F.col("_t") != "")
+    tok = _tokens_pos(docs, id_col, text_col)
     uc = tok.groupBy(F.col("_t").alias("w1")).agg(
         F.count(F.lit(1)).alias("_c1")
     )
@@ -269,12 +264,7 @@ def collocations(
     beyond observed bigrams. Ties broken (pmi_bits DESC, w1, w2)."""
     from pyspark.sql.window import Window
 
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
-            "_pos", "_t"
-        ),
-    ).filter(F.col("_t") != "")
+    tok = _tokens_pos(docs, id_col, text_col)
     uc = tok.groupBy(F.col("_t").alias("_w")).agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -305,6 +295,10 @@ def collocations(
 
 
 def _tokens_pos(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _pos, _t): the module's ONE tokenization convention
+    (lower + split \\s+ + drop empties) — shared by every positional
+    operator here so the cross-engine oracles can mirror a single
+    rule; change it in one place or the hash gates flap."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
@@ -339,10 +333,12 @@ def stupid_backoff_score(
     perplexity-filter shape: train on a trusted slice, rank the rest.
 
     Scale (100 TB): three map-side-combining count aggregates over
-    the train scan; scored trigrams reduce to per-(doc, trigram)
-    counts BEFORE the five left equi-joins against the count tables,
-    so join input is ∝ distinct trigrams, not tokens; no floats, no
-    Python, no window wider than the per-doc lead."""
+    the train scan; the denominator lookups (c2(w1,w2) for trigram
+    hits, c1(w2) for bigram backoff) depend only on TRAIN keys, so
+    they fold into the count tables once — vocabulary-sized joins —
+    leaving exactly THREE corpus-scale left equi-joins on the scored
+    side, over per-(doc, trigram) counts rather than tokens; no
+    floats, no Python, no window wider than the per-doc lead."""
     from pyspark.sql.window import Window
 
     ttok = _tokens_pos(train, id_col, text_col)
@@ -360,10 +356,19 @@ def stupid_backoff_score(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # fold each level's DENOMINATOR in train-side (vocab-sized joins)
     c3 = (
         ttri.filter(F.col("w3").isNotNull())
         .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("_c3"))
+        .join(c2.select("w1", "w2", F.col("c").alias("_c2a")), ["w1", "w2"])
+    )
+    c2b = c2.select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c").alias("_c2b"),
+    ).join(
+        c1.select(F.col("w").alias("w2"), F.col("c").alias("_c1b")), ["w2"]
     )
     n_tot = c1.agg(F.sum("c").cast("long").alias("_n"))
 
@@ -380,30 +385,8 @@ def stupid_backoff_score(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     j = (
-        stri.join(
-            c3.select("w1", "w2", "w3", F.col("c").alias("_c3")),
-            ["w1", "w2", "w3"],
-            "left",
-        )
-        .join(
-            c2.select("w1", "w2", F.col("c").alias("_c2a")),
-            ["w1", "w2"],
-            "left",
-        )
-        .join(
-            c2.select(
-                F.col("w1").alias("w2"),
-                F.col("w2").alias("w3"),
-                F.col("c").alias("_c2b"),
-            ),
-            ["w2", "w3"],
-            "left",
-        )
-        .join(
-            c1.select(F.col("w").alias("w2"), F.col("c").alias("_c1b")),
-            ["w2"],
-            "left",
-        )
+        stri.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2b, ["w2", "w3"], "left")
         .join(
             c1.select(F.col("w").alias("w3"), F.col("c").alias("_c1c")),
             ["w3"],
