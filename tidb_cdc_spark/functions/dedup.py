@@ -189,6 +189,7 @@ def minhash_lsh_star_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket_size: int | None = 1000,
+    with_jaccard: bool = True,
 ) -> DataFrame:
     """Connectivity-preserving LINEAR alternative to
     :func:`minhash_lsh_pairs`: each band bucket emits only the STAR
@@ -205,7 +206,11 @@ def minhash_lsh_star_pairs(
     ``dedup_clusters``, keep-best collapse, leakage-safe splits —
     lose nothing. Use the clique form only when per-pair scores for
     ALL pairs are genuinely needed. ``est_jaccard`` attaches per
-    emitted (hub, member) pair exactly as in the clique form."""
+    emitted (hub, member) pair exactly as in the clique form —
+    UNLESS ``with_jaccard=False``, which skips the two signature
+    re-attachment joins and returns (id_a, id_b) only: the right
+    call for connectivity-only consumers (CC → representatives),
+    where the score would be computed and immediately dropped."""
     from pyspark.sql import Window
 
     rows = num_hashes // bands
@@ -234,6 +239,8 @@ def minhash_lsh_star_pairs(
         .select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not with_jaccard:
+        return cand
     pairs = cand.join(
         sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a")),
         "id_a",

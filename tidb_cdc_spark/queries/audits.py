@@ -335,8 +335,8 @@ def dedup_minhash_star_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor (planted copies only double bucket membership, so the
     uncapped join stays linear here)."""
     d, off = _docs_with_copies(spark, sf_dir)
-    p = D.minhash_lsh_star_pairs(d, max_bucket_size=None).select(
-        "id_a", "id_b"
+    p = D.minhash_lsh_star_pairs(
+        d, max_bucket_size=None, with_jaccard=False
     )
     direct = p.filter(
         (F.col("id_b") == F.col("id_a") + F.lit(off))

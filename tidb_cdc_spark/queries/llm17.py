@@ -59,8 +59,10 @@ def _repr_docs(d: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     silently skip collapsing exactly the >cap-member families this
     pipeline exists to collapse, handing the quadratic blowup back
     to the winnow stage (review catch)."""
-    pairs = D.minhash_lsh_star_pairs(d, max_bucket_size=max_bucket_size)
-    reps = C.cluster_representatives(d, pairs.select("id_a", "id_b"))
+    pairs = D.minhash_lsh_star_pairs(
+        d, max_bucket_size=max_bucket_size, with_jaccard=False
+    )
+    reps = C.cluster_representatives(d, pairs)
     return d.join(
         reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
     )
@@ -103,8 +105,10 @@ def winnow_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``winnow_overlap`` run over the representatives, not assumed
       from ``collapsed``)."""
     d, off = _docs_with_copies(spark, sf_dir)
-    pairs = D.minhash_lsh_star_pairs(d, max_bucket_size=None)
-    reps = C.cluster_representatives(d, pairs.select("id_a", "id_b"))
+    pairs = D.minhash_lsh_star_pairs(
+        d, max_bucket_size=None, with_jaccard=False
+    )
+    reps = C.cluster_representatives(d, pairs)
     copies = reps.filter(
         (F.col("doc_id") >= F.lit(off))
         & (F.col("doc_id") < F.lit(off) + _N_DOCS)
