@@ -93,6 +93,7 @@ def main() -> None:
         "dedup_simhash",
         "dedup_clusters_exact",
         "dedup_span_rewrite",
+        "dedup_containment_pairs",
         "winnow_overlap_pairs",
         "winnow_repr_pipeline",
         # similarity / ANN / retrieval

@@ -1,0 +1,75 @@
+"""n-gram containment pairs (functions/dedup.py::
+ngram_containment_pairs): directed subset detection semantics."""
+
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
+
+
+def _pairs(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.id_a, r.id_b): r
+        for r in ngram_containment_pairs(df, **kw).collect()
+    }
+
+
+def test_full_quote_has_containment_one_but_low_jaccard(spark):
+    quote = " ".join(f"q{i}" for i in range(10))
+    host = " ".join(f"h{i}" for i in range(200)) + " " + quote
+    got = _pairs(spark, [(1, quote), (2, host)], min_containment=0.9)
+    r = got[(1, 2)]
+    # every one of the quote's 6 5-gram shingles appears in the host
+    assert r.cont_a_in_b == 1.0
+    assert r.n_a == 6 and r.common == 6
+    # but the symmetric overlap is tiny — Jaccard would miss this pair
+    assert r.common / (r.n_a + r.n_b - r.common) < 0.05
+    assert r.cont_b_in_a < 0.05
+
+
+def test_no_pair_below_threshold_either_direction(spark):
+    a = " ".join(f"a{i}" for i in range(30))
+    b = " ".join(f"a{i}" for i in range(15)) + " " + " ".join(
+        f"b{i}" for i in range(30)
+    )
+    # a's shingles: 26; shared prefix gives b only 11 of them
+    got = _pairs(spark, [(1, a), (2, b)], min_containment=0.9)
+    assert (1, 2) not in got
+    got = _pairs(spark, [(1, a), (2, b)], min_containment=0.3)
+    assert got[(1, 2)].common == 11
+
+
+def test_short_doc_whole_shingle_branch(spark):
+    # n < k docs form ONE whole-doc shingle; an exact short dup pairs
+    # at containment 1.0 both ways, a different short doc pairs with
+    # nothing
+    got = _pairs(
+        spark,
+        [(1, "tiny doc here"), (2, "tiny doc here"), (3, "other words")],
+    )
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.n_a == r.n_b == r.common == 1
+    assert r.cont_a_in_b == 1.0 and r.cont_b_in_a == 1.0
+
+
+def test_viral_shingle_cap_prunes_before_join(spark):
+    # one shingle shared by every doc would alone create C(n,2) join
+    # rows; with max_doc_freq=2 it is dropped and set sizes recount
+    boiler = "x1 x2 x3 x4 x5"
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e " + boiler) for i in range(4)]
+    got = _pairs(spark, rows, min_containment=0.1, max_doc_freq=2)
+    assert got == {}  # only the viral shingle was shared
+    got = _pairs(spark, rows, min_containment=0.1, max_doc_freq=None)
+    assert len(got) == 6  # uncapped: all C(4,2) pairs via the boiler
+
+
+def test_plan_stays_jvm_side(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = (
+        ngram_containment_pairs(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

@@ -53,6 +53,7 @@ ROUND_ADDITIONS = [
     "corpus_tokenizer_fertility",  # r9 first driver-gating
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
     "corpus_lm_stupid_backoff",  # late-r9 new op
+    "dedup_containment_pairs",  # late-r9 new op
 ]
 
 

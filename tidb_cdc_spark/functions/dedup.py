@@ -649,6 +649,115 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    min_containment: float = 0.9,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT (Broder 1997's asymmetric resemblance
+    companion): for each candidate pair, C(A→B) = |A∩B| / |A| over
+    the distinct-shingle sets. Catches what symmetric Jaccard
+    structurally misses — a short document fully quoted inside a much
+    longer one has containment 1.0 but Jaccard ≈ |A|/|B| ≈ 0 —
+    i.e. subset/quotation/wrapper relations, the common shape of
+    boilerplate-wrapped re-posts in a crawl.
+
+    Output: (id_a, id_b, n_a, n_b, common, cont_a_in_b, cont_b_in_a)
+    for id_a < id_b where EITHER direction ≥ ``min_containment``.
+    Shingle semantics match functions/text.py::shingles (n ≥ k → all
+    k-gram windows; 0 < n < k → one whole-doc shingle).
+
+    Cross-engine exactness: shingles key on their md5 HEX string
+    (not xxhash64, which DuckDB cannot reproduce) — this is the
+    fuzzy-dedup family's one RAW pair op with a full value-level
+    oracle instead of a planted-copy audit. ``max_doc_freq`` is the
+    same viral-shingle guard as ``ngram_jaccard_pairs`` (set sizes
+    counted AFTER pruning, so the surviving-set containment stays
+    exact); the inverted-index join shuffles (id, 32-byte md5) rows
+    only — at 100 TB the same plan with the join key narrowed to 16
+    bytes of the digest is the standard trade."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    # short docs (0 < n < k): ONE whole-doc shingle — one row per doc,
+    # the interpreted array ops are fine off the hot path
+    short = base.filter((F.col("_n") > 0) & (F.col("_n") < shingle_k)).select(
+        "_id", F.array_join("_toks", " ").alias("_sh")
+    )
+    # main path: token explode + lead chain (codegen) — positions
+    # whose k-th token is null (doc tail / n < k) emit nothing
+    tok = base.select(
+        "_id", F.posexplode("_toks").alias("_pos", "_t")
+    )
+    dw = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.col("_t")] + [
+        F.lead("_t", j).over(dw) for j in range(1, shingle_k)
+    ]
+    full = (
+        tok.select("_id", *[c.alias(f"_t{j}") for j, c in enumerate(leads)])
+        .filter(F.col(f"_t{shingle_k - 1}").isNotNull())
+        .select(
+            "_id",
+            F.concat_ws(
+                " ", *[F.col(f"_t{j}") for j in range(shingle_k)]
+            ).alias("_sh"),
+        )
+    )
+    dist = (
+        full.unionByName(short)
+        .select("_id", F.md5("_sh").alias("_g"))
+        .dropDuplicates(["_id", "_g"])
+    )
+    if max_doc_freq is not None:
+        viral = (
+            dist.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_g")
+        )
+        dist = dist.join(F.broadcast(viral), "_g", "left_anti")
+    sized = _materialize(
+        dist.select(
+            "_id",
+            F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+            "_g",
+        )
+    )
+    l = sized.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_g")
+    r = sized.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_g")
+    common = (
+        l.join(r, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = F.round(F.col("common").cast("double") / F.col("n_a").cast("double"), 6)
+    cb = F.round(F.col("common").cast("double") / F.col("n_b").cast("double"), 6)
+    return (
+        common.select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "common",
+            ca.alias("cont_a_in_b"),
+            cb.alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= min_containment)
+            | (F.col("cont_b_in_a") >= min_containment)
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -166,7 +166,10 @@ GATE = [
     # takes the events_daily_gapfill slot (r8-green, unchanged,
     # mirror-kept)
     "corpus_lm_stupid_backoff",
-    "events_value_percentiles_by_type",
+    # late-r9: containment pairs (new op, full oracle) takes the
+    # events_value_percentiles_by_type slot (r8-green, unchanged,
+    # mirror-kept)
+    "dedup_containment_pairs",
     # LLM curation surface (audit twins; mojibake_audit kept because
     # the op changed this round — new mixed_untouched pin. Late-r8:
     # the three NEW ops take the semantic_dedup_audit /

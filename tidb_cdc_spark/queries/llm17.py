@@ -239,13 +239,77 @@ FROM b GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------- n-gram containment pairs
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed subset/quotation detection over distinct 5-gram sets
+    (functions/dedup.py::ngram_containment_pairs — Broder 1997's
+    asymmetric companion to Jaccard): pairs where ≥90% of one doc's
+    shingles appear in the other. md5-keyed shingles make this the
+    fuzzy family's one RAW pair op with a full value-level DuckDB
+    oracle (the xxhash64 ops are audit-gated instead)."""
+    from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_CONTAIN_K = 5
+_CONTAIN_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), tln AS (SELECT doc_id, l, len(l) AS n FROM tl),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(l[i : i + {_CONTAIN_K} - 1], ' ')) AS g
+  FROM (
+    SELECT doc_id, l, unnest(range(1, n - {_CONTAIN_K} + 2)) AS i
+    FROM tln WHERE n >= {_CONTAIN_K}
+  )
+  UNION
+  SELECT DISTINCT doc_id, md5(array_to_string(l, ' ')) AS g
+  FROM tln WHERE n > 0 AND n < {_CONTAIN_K}
+),
+freq AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+kept AS (SELECT sh.* FROM sh JOIN freq USING (g) WHERE df <= 1000),
+sized AS (
+  SELECT doc_id, g, COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM kept
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM sized a JOIN sized b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, n_a, n_b, common,
+       ROUND(CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+         AS cont_a_in_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+         AS cont_b_in_a
+FROM pairs
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE), 6) >= 0.9
+   OR ROUND(CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE), 6) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "winnow_repr_pipeline": winnow_repr_pipeline,
     "winnow_repr_audit": winnow_repr_audit,
     "corpus_lm_stupid_backoff": corpus_lm_stupid_backoff,
+    "dedup_containment_pairs": dedup_containment_pairs,
 }
 
 ORACLE = {
     "winnow_repr_audit": _REPR_AUDIT_SQL,
     "corpus_lm_stupid_backoff": _SB_SQL,
+    "dedup_containment_pairs": _CONTAIN_SQL,
 }
