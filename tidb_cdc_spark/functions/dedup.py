@@ -678,7 +678,16 @@ def ngram_containment_pairs(
     counted AFTER pruning, so the surviving-set containment stays
     exact); the inverted-index join shuffles (id, 32-byte md5) rows
     only — at 100 TB the same plan with the join key narrowed to 16
-    bytes of the digest is the standard trade."""
+    bytes of the digest is the standard trade.
+
+    Quadratic-output caveat (inherent to ALL raw pair ops here, same
+    as ``minhash_lsh_pairs`` and winnow — measured on the 100×
+    rehearsal's ~100-member planted families): a b-member near-dup
+    family whose per-doc shingle count is s emits ~s·b(b−1)/2 join
+    rows, UNDER the viral cap when b < max_doc_freq. On family-heavy
+    corpora collapse families FIRST (star-LSH → CC → representatives,
+    the queries/llm17.py pipeline pattern) and run containment on
+    the survivors — cross-family subset relations are preserved."""
     from pyspark.sql import Window
 
     toks = F.filter(
