@@ -43,6 +43,8 @@ PICKS = {
     "events_engagement_pagerank": "integer PageRank: loop-invariant edge/node tables checkpointed once, per-iteration join + combining agg",
     "corpus_collocations_pmi": "PMI collocations: one bigram combining agg, two vocab joins, broadcast total, TakeOrdered top-k",
     "winnow_repr_pipeline": "composed family-collapse -> winnow: star-LSH pairs (ids-only) -> CC (checkpoint-truncated loop) -> rep filter -> winnow fp equi-join; within-family quadratic output gone",
+    "corpus_lm_stupid_backoff": "stupid-backoff LM: 3 combining count aggs on train; denominators folded into count tables (vocab joins) so the scored side does 3 corpus-scale left joins, not 5",
+    "dedup_containment_pairs": "containment: md5-shingle inverted index, broadcast viral anti-join, per-pair combining count; (id, md5) rows only through the self-join",
 }
 
 HEADER = (
