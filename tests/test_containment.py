@@ -53,6 +53,43 @@ def test_short_doc_whole_shingle_branch(spark):
     assert r.cont_a_in_b == 1.0 and r.cont_b_in_a == 1.0
 
 
+def test_empty_docs_pair_via_sentinel_shingle(spark):
+    """Family convention (shingle_hash_rows): empty/whitespace-only
+    docs carry the empty-string sentinel shingle and pair as exact
+    duplicates — containment must agree with minhash/simhash/Jaccard
+    here, not silently drop them."""
+    got = _pairs(spark, [(1, ""), (2, "   "), (3, "real words here")])
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.n_a == r.n_b == r.common == 1
+    assert r.cont_a_in_b == 1.0 and r.cont_b_in_a == 1.0
+
+
+def test_shingles_match_column_form(spark):
+    """shingle_string_rows must emit exactly shingles(text, k) as a
+    row set — the shared-helper contract both the containment op and
+    the oracle rely on."""
+    from tidb_cdc_spark.functions.text import shingle_string_rows, shingles
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "x y"),
+        (3, ""),
+        (4, "one two three four five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r._id, r._sh)
+        for r in shingle_string_rows(df, k=5).collect()
+    }
+    expected = {
+        (r.doc_id, s)
+        for r in df.select("doc_id", shingles(F.col("text"), 5).alias("_s")).collect()
+        for s in r._s
+    }
+    assert got == expected
+
+
 def test_viral_shingle_cap_prunes_before_join(spark):
     # one shingle shared by every doc would alone create C(n,2) join
     # rows; with max_doc_freq=2 it is dropped and set sizes recount

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from tidb_cdc_spark.functions.text import (
     fingerprint,
     shingle_hash_rows,
+    shingle_string_rows,
     shingles,
     tokens,
 )
@@ -667,8 +668,11 @@ def ngram_containment_pairs(
 
     Output: (id_a, id_b, n_a, n_b, common, cont_a_in_b, cont_b_in_a)
     for id_a < id_b where EITHER direction ≥ ``min_containment``.
-    Shingle semantics match functions/text.py::shingles (n ≥ k → all
-    k-gram windows; 0 < n < k → one whole-doc shingle).
+    Shingle semantics match functions/text.py::shingles exactly,
+    via the shared ``shingle_string_rows`` helper (n ≥ k → all
+    k-gram windows; 0 ≤ n < k → one whole-doc shingle, including the
+    empty-string sentinel — two empty docs pair at containment 1.0
+    here just as they pair in the minhash/simhash/Jaccard ops).
 
     Cross-engine exactness: shingles key on their md5 HEX string
     (not xxhash64, which DuckDB cannot reproduce) — this is the
@@ -690,38 +694,8 @@ def ngram_containment_pairs(
     the survivors — cross-family subset relations are preserved."""
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
-    )
-    base = df.select(
-        F.col(id_col).alias("_id"), toks.alias("_toks")
-    ).withColumn("_n", F.size("_toks"))
-    # short docs (0 < n < k): ONE whole-doc shingle — one row per doc,
-    # the interpreted array ops are fine off the hot path
-    short = base.filter((F.col("_n") > 0) & (F.col("_n") < shingle_k)).select(
-        "_id", F.array_join("_toks", " ").alias("_sh")
-    )
-    # main path: token explode + lead chain (codegen) — positions
-    # whose k-th token is null (doc tail / n < k) emit nothing
-    tok = base.select(
-        "_id", F.posexplode("_toks").alias("_pos", "_t")
-    )
-    dw = Window.partitionBy("_id").orderBy("_pos")
-    leads = [F.col("_t")] + [
-        F.lead("_t", j).over(dw) for j in range(1, shingle_k)
-    ]
-    full = (
-        tok.select("_id", *[c.alias(f"_t{j}") for j, c in enumerate(leads)])
-        .filter(F.col(f"_t{shingle_k - 1}").isNotNull())
-        .select(
-            "_id",
-            F.concat_ws(
-                " ", *[F.col(f"_t{j}") for j in range(shingle_k)]
-            ).alias("_sh"),
-        )
-    )
     dist = (
-        full.unionByName(short)
+        shingle_string_rows(df, id_col, text_col, k=shingle_k)
         .select("_id", F.md5("_sh").alias("_g"))
         .dropDuplicates(["_id", "_g"])
     )

@@ -194,6 +194,51 @@ def shingle_hash_rows(
     return rolled.filter(F.col("_keep")).drop("_keep").unionByName(empty)
 
 
+def shingle_string_rows(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    id_alias: str = "_id",
+    shingle_alias: str = "_sh",
+):
+    """(id, shingle STRING) rows — ``shingle_hash_rows``' sibling for
+    operators that must key shingles with an ENGINE-REPRODUCIBLE hash
+    (md5 of the raw space-joined string; xxhash64 has no DuckDB
+    counterpart, so rolled-hash shingles can never be value-oracled).
+
+    Same codegen construction and IDENTICAL shingle semantics
+    (``shingles``): posexplode(split) → window ``lead`` chain;
+    ``concat_ws`` skips trailing nulls exactly as ``xxhash64`` folds
+    them, so the kept first row of an n < k doc is the whole-doc
+    shingle, and empty/whitespace-only docs emit the empty-string
+    sentinel (two empty docs still pair as duplicates, family-wide);
+    null-text docs yield no row."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "_pos", "_t"
+        ),
+    ).filter(F.col("_t") != "")
+    w = Window.partitionBy(id_alias).orderBy("_pos")
+    leads = [F.lead(F.col("_t"), j).over(w) for j in range(1, k)]
+    rolled = tok.select(
+        id_alias,
+        F.concat_ws(" ", F.col("_t"), *leads).alias(shingle_alias),
+        (
+            (leads[-1].isNotNull() if leads else F.lit(True))
+            | (F.row_number().over(w) == 1)
+        ).alias("_keep"),
+    )
+    empty = df.filter(F.trim(F.col(text_col)) == "").select(
+        F.col(id_col).alias(id_alias),
+        F.lit("").alias(shingle_alias),
+    )
+    return rolled.filter(F.col("_keep")).drop("_keep").unionByName(empty)
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Array of k-token shingles (n-grams of the whitespace tokens) —
     the unit set for Jaccard/MinHash near-dup detection.

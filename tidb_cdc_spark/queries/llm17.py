@@ -272,8 +272,10 @@ sh AS (
     FROM tln WHERE n >= {_CONTAIN_K}
   )
   UNION
+  -- 0 <= n < k: ONE whole-doc shingle, incl. the empty-string
+  -- sentinel for n = 0 (family convention: empty docs pair)
   SELECT DISTINCT doc_id, md5(array_to_string(l, ' ')) AS g
-  FROM tln WHERE n > 0 AND n < {_CONTAIN_K}
+  FROM tln WHERE n < {_CONTAIN_K}
 ),
 freq AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
 kept AS (SELECT sh.* FROM sh JOIN freq USING (g) WHERE df <= 1000),
