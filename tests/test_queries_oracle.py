@@ -54,6 +54,7 @@ ROUND_ADDITIONS = [
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
     "corpus_lm_stupid_backoff",  # late-r9 new op
     "dedup_containment_pairs",  # late-r9 new op
+    "contamination_containment_screen",  # late-r9 new op
 ]
 
 

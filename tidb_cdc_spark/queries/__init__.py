@@ -195,7 +195,10 @@ GATE = [
     # plan-complex TPC-H/events (kept from r6 rotation)
     "q18_large_volume_customers",
     "events_sessions",
-    "events_zorder_buckets",
+    # late-r9: containment decontamination screen (new op, full
+    # oracle) takes the events_zorder_buckets slot (r8-green,
+    # unchanged, mirror-kept)
+    "contamination_containment_screen",
     "skew_salted_agg",
 ]
 

@@ -257,7 +257,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAIN_K = 5
-_CONTAIN_SQL = rf"""
+#: shared CTE prefix: tokenize → shingle md5s → viral cap → sizes →
+#: per-pair common counts (ends with the ``pairs`` CTE — append more
+#: CTEs with a leading comma)
+_CONTAIN_CTE = rf"""
 WITH tl AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -290,16 +293,79 @@ pairs AS (
   FROM sized a JOIN sized b USING (g)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
-)
-SELECT id_a, id_b, n_a, n_b, common,
-       ROUND(CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
-         AS cont_a_in_b,
-       ROUND(CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
-         AS cont_b_in_a
-FROM pairs
-WHERE ROUND(CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE), 6) >= 0.9
-   OR ROUND(CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE), 6) >= 0.9
+),
+scored AS (
+  SELECT id_a, id_b, n_a, n_b, common,
+         ROUND(CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+           AS cont_a_in_b,
+         ROUND(CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+           AS cont_b_in_a
+  FROM pairs
+)"""
+
+_CONTAIN_SQL = _CONTAIN_CTE + """
+SELECT id_a, id_b, n_a, n_b, common, cont_a_in_b, cont_b_in_a
+FROM scored
+WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9
 ORDER BY id_a, id_b
+"""
+
+
+# --------------------------- containment-based decontamination
+
+
+def contamination_containment_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-set decontamination by CONTAINMENT (the refinement of
+    ``contamination_eval_overlap``'s raw n-gram counts): with the
+    deterministic eval slice doc_id % 10 == 0, report every
+    (eval_doc, train_doc) pair where ≥80% of the eval doc's 5-gram
+    shingles appear in the train doc — the decision rule that
+    catches an eval item pasted into a longer training document,
+    which symmetric overlap ratios dilute. Output (eval_id,
+    train_id, containment) — the rows a curation pass would drop
+    from training before fine-tuning."""
+    from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
+
+    p = ngram_containment_pairs(
+        _docs(spark, sf_dir), min_containment=0.8
+    )
+    a_eval = (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0)
+    b_eval = (F.col("id_b") % 10 == 0) & (F.col("id_a") % 10 != 0)
+    return (
+        p.select(
+            F.when(a_eval, F.col("id_a"))
+            .when(b_eval, F.col("id_b"))
+            .alias("eval_id"),
+            F.when(a_eval, F.col("id_b"))
+            .when(b_eval, F.col("id_a"))
+            .alias("train_id"),
+            F.when(a_eval, F.col("cont_a_in_b"))
+            .when(b_eval, F.col("cont_b_in_a"))
+            .alias("containment"),
+        )
+        .filter(F.col("eval_id").isNotNull())
+        .filter(F.col("containment") >= 0.8)
+        .orderBy("eval_id", "train_id")
+    )
+
+
+_DECONTAM_SQL = _CONTAIN_CTE + """,
+directed AS (
+  SELECT CASE WHEN id_a % 10 = 0 AND id_b % 10 <> 0 THEN id_a
+              WHEN id_b % 10 = 0 AND id_a % 10 <> 0 THEN id_b END AS eval_id,
+         CASE WHEN id_a % 10 = 0 AND id_b % 10 <> 0 THEN id_b
+              WHEN id_b % 10 = 0 AND id_a % 10 <> 0 THEN id_a END AS train_id,
+         CASE WHEN id_a % 10 = 0 AND id_b % 10 <> 0 THEN cont_a_in_b
+              WHEN id_b % 10 = 0 AND id_a % 10 <> 0 THEN cont_b_in_a
+         END AS containment
+  FROM scored
+)
+SELECT eval_id, train_id, containment
+FROM directed
+WHERE eval_id IS NOT NULL AND containment >= 0.8
+ORDER BY eval_id, train_id
 """
 
 
@@ -308,10 +374,12 @@ QUERIES = {
     "winnow_repr_audit": winnow_repr_audit,
     "corpus_lm_stupid_backoff": corpus_lm_stupid_backoff,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "contamination_containment_screen": contamination_containment_screen,
 }
 
 ORACLE = {
     "winnow_repr_audit": _REPR_AUDIT_SQL,
     "corpus_lm_stupid_backoff": _SB_SQL,
     "dedup_containment_pairs": _CONTAIN_SQL,
+    "contamination_containment_screen": _DECONTAM_SQL,
 }
