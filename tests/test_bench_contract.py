@@ -1,0 +1,64 @@
+"""bench.py contract guards — the stdout-line overflow silently cost
+the official bench record twice (r6, r8: driver tail capture is
+2,000 chars, measured); pin the invariants statically so suite
+growth can never break the signal chain again."""
+
+import ast
+import json
+import re
+
+
+def _bench_source():
+    with open("bench.py") as f:
+        return f.read()
+
+
+def _names():
+    tree = ast.parse(_bench_source())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name) and t.id == "names":
+                    return [ast.literal_eval(e) for e in node.value.elts]
+    raise AssertionError("names list not found in bench.py")
+
+
+def test_every_bench_name_is_declared_and_unique():
+    from tidb_cdc_spark.queries import QUERIES
+
+    names = _names()
+    assert len(names) == len(set(names)), "duplicate bench entries"
+    missing = [n for n in names if n not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+
+
+def test_stdout_line_fits_driver_window_worst_case():
+    """Reconstruct the stdout JSON line with worst-case values (the 5
+    LONGEST query names, 4-digit-second timings, a 6-char sf) and
+    assert it stays far inside the measured 2,000-char capture window
+    — independent of how large the suite grows."""
+    names = _names()
+    slowest = dict(
+        (n, 9999.999) for n in sorted(names, key=len, reverse=True)[:5]
+    )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": 999999.999,
+            "unit": "sec",
+            "sf": "sf9.99",
+            "n_queries": len(names),
+            "queries": slowest,
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+    assert len(line) < 1500, f"worst-case bench line {len(line)}B"
+
+
+def test_full_per_query_dict_goes_to_detail_file_not_stdout():
+    src = _bench_source()
+    # the guard itself must stay in the script...
+    assert re.search(r"assert len\(line\) < 1500", src)
+    # ...and the full dict must be written to the committed file
+    assert "BENCH_DETAIL.json" in src
+    assert '"raw_runs"' in src
