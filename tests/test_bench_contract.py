@@ -5,11 +5,16 @@ growth can never break the signal chain again."""
 
 import ast
 import json
+import os
 import re
+
+_BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+)
 
 
 def _bench_source():
-    with open("bench.py") as f:
+    with open(_BENCH) as f:
         return f.read()
 
 

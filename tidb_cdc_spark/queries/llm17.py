@@ -32,6 +32,7 @@ from tidb_cdc_spark.functions import dedup as D
 from tidb_cdc_spark.functions.winnow import winnow_overlap
 from tidb_cdc_spark.queries.audits import _N_DOCS, _docs_with_copies
 from tidb_cdc_spark.queries.llm import _docs
+from tidb_cdc_spark.queries.llm3 import _md5_bucket_sql
 
 # Winnow shingle tokens / window. k=4 (guarantee on w+k−1 = 7-token
 # shared runs) rather than llm14's k=8: after family collapse the
@@ -257,10 +258,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAIN_K = 5
-#: shared CTE prefix: tokenize → shingle md5s → viral cap → sizes →
-#: per-pair common counts (ends with the ``pairs`` CTE — append more
-#: CTEs with a leading comma)
-_CONTAIN_CTE = rf"""
+#: shared CTE prefix: tokenize → shingle md5s → viral cap → per-doc
+#: set sizes (ends with the ``sized`` CTE — append more CTEs with a
+#: leading comma)
+_SHINGLE_CTE = rf"""
 WITH tl AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -285,7 +286,9 @@ kept AS (SELECT sh.* FROM sh JOIN freq USING (g) WHERE df <= 1000),
 sized AS (
   SELECT doc_id, g, COUNT(*) OVER (PARTITION BY doc_id) AS n
   FROM kept
-),
+)"""
+
+_CONTAIN_SQL = _SHINGLE_CTE + """,
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
@@ -301,9 +304,7 @@ scored AS (
          ROUND(CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
            AS cont_b_in_a
   FROM pairs
-)"""
-
-_CONTAIN_SQL = _CONTAIN_CTE + """
+)
 SELECT id_a, id_b, n_a, n_b, common, cont_a_in_b, cont_b_in_a
 FROM scored
 WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9
@@ -318,53 +319,87 @@ def contamination_containment_screen(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Eval-set decontamination by CONTAINMENT (the refinement of
-    ``contamination_eval_overlap``'s raw n-gram counts): with the
-    deterministic eval slice doc_id % 10 == 0, report every
-    (eval_doc, train_doc) pair where ≥80% of the eval doc's 5-gram
-    shingles appear in the train doc — the decision rule that
-    catches an eval item pasted into a longer training document,
-    which symmetric overlap ratios dilute. Output (eval_id,
-    train_id, containment) — the rows a curation pass would drop
-    from training before fine-tuning."""
-    from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
+    ``contamination_eval_overlap``'s raw n-gram counts, over the
+    IDENTICAL eval set — the md5-bucket 10% slice with salt 'eval',
+    llm4's contract; a %-of-id slice would screen a different eval
+    set than the one the overlap op audits — review catch): report
+    every (eval_doc, train_doc) pair where ≥80% of the eval doc's
+    distinct 5-gram shingles appear in the train doc — the decision
+    rule that catches an eval item pasted into a longer training
+    document, which symmetric overlap ratios dilute.
 
-    p = ngram_containment_pairs(
-        _docs(spark, sf_dir), min_containment=0.8
+    Scale (review catch #2): the join is DIRECTED from the start —
+    only the ~10% eval side self-joins against the train side, so
+    the inverted-index join emits no train×train or eval×eval rows
+    (~81% of the symmetric op's output, discarded post-hoc in the
+    first formulation). The viral-shingle cap and set sizes stay
+    corpus-wide, so the containment values equal the symmetric op's
+    for the same pairs."""
+    from tidb_cdc_spark.functions.sampling import hash_bucket
+    from tidb_cdc_spark.functions.text import shingle_string_rows
+    from tidb_cdc_spark.session import materialize
+
+    d = _docs(spark, sf_dir)
+    dist = (
+        shingle_string_rows(d, "doc_id", "text", k=_CONTAIN_K)
+        .select("_id", F.md5("_sh").alias("_g"))
+        .dropDuplicates(["_id", "_g"])
     )
-    a_eval = (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0)
-    b_eval = (F.col("id_b") % 10 == 0) & (F.col("id_a") % 10 != 0)
-    return (
-        p.select(
-            F.when(a_eval, F.col("id_a"))
-            .when(b_eval, F.col("id_b"))
-            .alias("eval_id"),
-            F.when(a_eval, F.col("id_b"))
-            .when(b_eval, F.col("id_a"))
-            .alias("train_id"),
-            F.when(a_eval, F.col("cont_a_in_b"))
-            .when(b_eval, F.col("cont_b_in_a"))
-            .alias("containment"),
+    viral = (
+        dist.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 1000)
+        .select("_g")
+    )
+    from pyspark.sql import Window
+
+    sized = materialize(
+        dist.join(F.broadcast(viral), "_g", "left_anti").select(
+            "_id",
+            F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+            "_g",
         )
-        .filter(F.col("eval_id").isNotNull())
+    )
+    is_eval = hash_bucket(F.col("_id"), "eval") < int(0.10 * 4294967296)
+    ev = sized.filter(is_eval).select(
+        F.col("_id").alias("eval_id"), F.col("_n").alias("_ne"), "_g"
+    )
+    tr = sized.filter(~is_eval).select(F.col("_id").alias("train_id"), "_g")
+    j = (
+        ev.join(tr, "_g")
+        .groupBy("eval_id", "train_id", "_ne")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    cont = F.round(
+        F.col("_common").cast("double") / F.col("_ne").cast("double"), 6
+    )
+    return (
+        j.select("eval_id", "train_id", cont.alias("containment"))
         .filter(F.col("containment") >= 0.8)
         .orderBy("eval_id", "train_id")
     )
 
 
-_DECONTAM_SQL = _CONTAIN_CTE + """,
-directed AS (
-  SELECT CASE WHEN id_a % 10 = 0 AND id_b % 10 <> 0 THEN id_a
-              WHEN id_b % 10 = 0 AND id_a % 10 <> 0 THEN id_b END AS eval_id,
-         CASE WHEN id_a % 10 = 0 AND id_b % 10 <> 0 THEN id_b
-              WHEN id_b % 10 = 0 AND id_a % 10 <> 0 THEN id_a END AS train_id,
-         CASE WHEN id_a % 10 = 0 AND id_b % 10 <> 0 THEN cont_a_in_b
-              WHEN id_b % 10 = 0 AND id_a % 10 <> 0 THEN cont_b_in_a
-         END AS containment
-  FROM scored
+_DECONTAM_SQL = _SHINGLE_CTE + f""",
+ev AS (
+  SELECT doc_id AS eval_id, n AS n_eval, g FROM sized
+  WHERE {_md5_bucket_sql("doc_id", "eval")} < {int(0.10 * 4294967296)}
+),
+tr AS (
+  SELECT doc_id AS train_id, g FROM sized
+  WHERE NOT ({_md5_bucket_sql("doc_id", "eval")} < {int(0.10 * 4294967296)})
+),
+j AS (
+  SELECT eval_id, train_id, CAST(n_eval AS BIGINT) AS n_eval,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM ev JOIN tr USING (g)
+  GROUP BY 1, 2, 3
 )
-SELECT eval_id, train_id, containment
-FROM directed
-WHERE eval_id IS NOT NULL AND containment >= 0.8
+SELECT eval_id, train_id,
+       ROUND(CAST(common AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+         AS containment
+FROM j
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) >= 0.8
 ORDER BY eval_id, train_id
 """
 
