@@ -7,9 +7,13 @@
 The driver's tail capture window is 2,000 chars (MEASURED round 8:
 a 1,940-byte line parsed, a ~2,120-byte line recorded parsed:null)
 — so the stdout line carries only the summary + the 5 slowest
-queries and is asserted < 1,500 bytes AT ANY SUITE SIZE; the full
-per-query timings (and per-run raw arrays) go to the committed
-``BENCH_DETAIL.json``, and raw arrays also stream to stderr live.
+queries, shrinking that dict if it would ever reach 1,500 bytes
+(graceful, never an assert — r9 advice); the full per-query timings
+(and per-run raw arrays) go to the committed ``BENCH_DETAIL.json``,
+and raw arrays also stream to stderr live. The line self-describes
+contamination: ``"degraded": true`` when ambient start load exceeds
+0.5/CPU or >25% of queries needed extra runs to agree (the r9
+loaded-box record had no such flag and overstated the suite ~17%).
 
 Each query is fully materialized via a cheap count-style action
 (``df.count()`` after the query's own sort/limit), which forces the
@@ -38,6 +42,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from tidb_cdc_spark import get_spark
     from tidb_cdc_spark.queries import QUERIES
+
+    # Load guard (r9 verdict: the official r9 record was captured on
+    # a loaded box and overstated the suite ~17% — uniform drift on
+    # untouched code, first runs 2-3x the mins). A hot record must be
+    # SELF-DESCRIBING, so the stdout line carries "degraded": true
+    # when either signal fires: (a) ambient 1-min load at start
+    # (before our JVM spins up) exceeds 0.5 per CPU, or (b) >25% of
+    # queries needed a 3rd/4th run because the first two disagreed by
+    # >15% — the in-band signature of sustained mid-run load that a
+    # start-only sample misses.
+    ncpu = os.cpu_count() or 1
+    load_start = os.getloadavg()[0]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -151,6 +167,8 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
+    retry_frac = sum(1 for r in raw.values() if len(r) > 2) / max(len(raw), 1)
+    degraded = load_start > 0.5 * ncpu or retry_frac > 0.25
 
     # full per-query record → committed file (the driver's stdout
     # capture is 2,000 chars; per-query dicts outgrew it twice)
@@ -166,6 +184,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "raw_runs": raw,
+                "load_start_1m": round(load_start, 2),
+                "n_cpus": ncpu,
+                "retry_frac": round(retry_frac, 3),
+                "degraded": degraded,
             },
             fh,
             indent=1,
@@ -173,11 +195,17 @@ def main() -> None:
         )
         fh.write("\n")
 
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    )
-    line = json.dumps(
-        {
+    # stdout line: summary + the 5 slowest queries. Must stay under
+    # the measured ~2,000-char driver capture window; if a pathologic
+    # name set ever pushes it over, DEGRADE the line gracefully by
+    # shrinking the slowest-queries dict (a bare assert here would be
+    # stripped under -O and, when it fired, fired AFTER the whole
+    # suite ran — discarding every timing; r9-advice catch).
+    for n_slow in (5, 3, 1, 0):
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:n_slow]
+        )
+        payload = {
             "metric": "headline_queries_total_runtime",
             "value": total,
             "unit": "sec",
@@ -186,11 +214,13 @@ def main() -> None:
             "queries": slowest,
             "detail": "BENCH_DETAIL.json",
         }
-    )
-    # hard guarantee, independent of suite growth: 5 slowest × ~40
-    # chars ≈ 450 bytes worst case; assert the measured 2,000-char
-    # driver window with margin
-    assert len(line) < 1500, f"stdout bench line {len(line)}B >= 1500B"
+        if degraded:  # only flag hot records — keep clean lines lean
+            payload["degraded"] = True
+            payload["load_start_1m"] = round(load_start, 2)
+            payload["retry_frac"] = round(retry_frac, 3)
+        line = json.dumps(payload)
+        if len(line) < 1500:
+            break
     print(line)
     spark.stop()
 

@@ -55,6 +55,10 @@ def test_stdout_line_fits_driver_window_worst_case():
             "n_queries": len(names),
             "queries": slowest,
             "detail": "BENCH_DETAIL.json",
+            # worst case includes the degraded-record flags
+            "degraded": True,
+            "load_start_1m": 99.99,
+            "retry_frac": 0.999,
         }
     )
     assert len(line) < 1500, f"worst-case bench line {len(line)}B"
@@ -62,8 +66,21 @@ def test_stdout_line_fits_driver_window_worst_case():
 
 def test_full_per_query_dict_goes_to_detail_file_not_stdout():
     src = _bench_source()
-    # the guard itself must stay in the script...
-    assert re.search(r"assert len\(line\) < 1500", src)
+    # the size guard must be a graceful shrink, not a bare assert
+    # (stripped under -O; fired only after the suite ran — r9 advice)
+    assert "for n_slow in (5, 3, 1, 0):" in src
+    assert re.search(r"if len\(line\) < 1500", src)
+    assert "assert len(line)" not in src
     # ...and the full dict must be written to the committed file
     assert "BENCH_DETAIL.json" in src
     assert '"raw_runs"' in src
+
+
+def test_load_guard_is_wired():
+    """The r9 official record was captured on a loaded box with no
+    in-band signal. Both degraded-detection signals must stay wired:
+    ambient start load and the retry-fraction of disagreeing runs."""
+    src = _bench_source()
+    assert "os.getloadavg()" in src
+    assert "retry_frac" in src
+    assert '"degraded"' in src or "degraded" in src

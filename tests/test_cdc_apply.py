@@ -229,13 +229,18 @@ class TestScd2History:
         one_shot = scd2_history(_parse(spark, ops), SPEC)
         head, closed_all = None, []
         for lo, hi in ((0, 7), (7, 30), (30, 31), (31, 60), (60, 80)):
-            head, closed = merge_scd2_split(
+            head, closed, handles = merge_scd2_split(
                 head, _parse(spark, ops[lo:hi]), SPEC
             )
             closed_all.append(closed)
             # lineage grows across 5 folds; keep plans small the way
             # the sink does (it writes parquet between folds)
             head = spark.createDataFrame(head.collect(), head.schema)
+            closed_all[-1] = spark.createDataFrame(
+                closed.collect(), closed.schema
+            )
+            for h in handles:  # explicit-handle contract: caller frees
+                h.unpersist()
         got = head
         for c in closed_all:
             got = got.unionByName(c)
@@ -254,7 +259,7 @@ class TestScd2History:
             _msg("update", "a", 2, 200),
             _msg("insert", "b", 9, 150),
         ]
-        head, closed = merge_scd2_split(None, _parse(spark, b1), SPEC)
+        head, closed, _h1 = merge_scd2_split(None, _parse(spark, b1), SPEC)
         h = {r.k: r for r in head.collect()}
         assert set(h) == {"a", "b"}
         assert h["a"].version == 2 and h["a"].is_current
@@ -264,7 +269,7 @@ class TestScd2History:
         # row is emitted, the version counter stays on the head
         head = spark.createDataFrame(head.collect(), head.schema)
         b2 = [_msg("delete", "a", 2, 300)]
-        head, closed = merge_scd2_split(head, _parse(spark, b2), SPEC)
+        head, closed, _h2 = merge_scd2_split(head, _parse(spark, b2), SPEC)
         h = {r.k: r for r in head.collect()}
         assert set(h) == {"a", "b"}
         assert h["a"].version == 2 and not h["a"].is_current
@@ -276,7 +281,7 @@ class TestScd2History:
         # closed store with its ORIGINAL valid_to (the delete ts)
         head = spark.createDataFrame(head.collect(), head.schema)
         b3 = [_msg("insert", "a", 7, 400)]
-        head, closed = merge_scd2_split(head, _parse(spark, b3), SPEC)
+        head, closed, _h3 = merge_scd2_split(head, _parse(spark, b3), SPEC)
         h = {r.k: r for r in head.collect()}
         assert h["a"].version == 3 and h["a"].is_current and h["a"].v == 7
         c = {(r.k, r.version): r for r in closed.collect()}

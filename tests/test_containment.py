@@ -65,6 +65,20 @@ def test_empty_docs_pair_via_sentinel_shingle(spark):
     assert r.cont_a_in_b == 1.0 and r.cont_b_in_a == 1.0
 
 
+def test_tab_newline_only_docs_hit_the_sentinel_too(spark):
+    """The sentinel predicate must match the TOKENIZER's whitespace
+    class (Java \\s), not trim()'s ASCII-space-only class: a doc of
+    tabs/newlines/form-feeds tokenizes to zero tokens and must emit
+    the same empty-string sentinel as '' — the oracle's n=0 branch
+    does (r9-advice catch; trim-based filtering emitted NO row)."""
+    got = _pairs(spark, [(1, "\t\n"), (2, " \r\n\t "), (3, ""), (4, "w x y z q")])
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    for key in got:
+        r = got[key]
+        assert r.n_a == r.n_b == r.common == 1
+        assert r.cont_a_in_b == 1.0 and r.cont_b_in_a == 1.0
+
+
 def test_shingles_match_column_form(spark):
     """shingle_string_rows must emit exactly shingles(text, k) as a
     row set — the shared-helper contract both the containment op and
@@ -76,6 +90,7 @@ def test_shingles_match_column_form(spark):
         (2, "x y"),
         (3, ""),
         (4, "one two three four five"),
+        (5, "\t \n"),  # tokenizer-whitespace-only: sentinel in both forms
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {

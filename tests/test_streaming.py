@@ -789,6 +789,40 @@ class TestScd2SplitHistorySink:
         root = os.path.join(str(tmp_path / "hist"), "closed")
         assert [d for d in os.listdir(root) if d.startswith("b=")] == ["b=3"]
 
+    def test_idle_batches_create_no_closed_dirs(self, spark, tmp_path):
+        """A batch that closes nothing (insert-only / brand-new keys /
+        delete-only) must NOT add a closed/b=<id> dir — per-idle-batch
+        empty dirs re-grow exactly the listing cost compact() fights
+        (r9-advice catch). Reads must tolerate the gaps."""
+        import os
+
+        from tidb_cdc_spark.streaming import Scd2SplitHistorySink
+
+        sink = Scd2SplitHistorySink(str(tmp_path / "hist"))
+        sink.process(  # b0: two fresh inserts — closes nothing
+            self._changes(
+                spark, [_msg("insert", "a", 1, 10), _msg("insert", "b", 2, 11)]
+            ),
+            0,
+            SPEC,
+        )
+        sink.process(  # b1: update a — closes a@v1
+            self._changes(spark, [_msg("update", "a", 5, 20)]), 1, SPEC
+        )
+        sink.process(  # b2: new key only — closes nothing
+            self._changes(spark, [_msg("insert", "c", 7, 30)]), 2, SPEC
+        )
+        root = os.path.join(str(tmp_path / "hist"), "closed")
+        assert [d for d in sorted(os.listdir(root)) if d.startswith("b=")] == [
+            "b=1"
+        ]
+        hist = {(r.k, r.version): r for r in sink.read_current(spark).collect()}
+        assert set(hist) == {("a", 1), ("a", 2), ("b", 1), ("c", 1)}
+        assert hist[("a", 1)].valid_to == 20
+        # compact across the gap still folds to the newest published id
+        n_before, n_after = sink.compact(spark)
+        assert (n_before, n_after) == (1, 1)
+
     def test_bootstrap_then_stream(self, spark, tmp_path):
         from tidb_cdc_spark.streaming import Scd2SplitHistorySink
 

@@ -145,8 +145,9 @@ def merge_scd2_split(
     spec: TableSpec,
     ts_col: str = "ts",
     seq_col: str = "_seq",
-) -> tuple[DataFrame, DataFrame]:
-    """Split-store Type-2 merge: ``(new_head, newly_closed)``.
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """Split-store Type-2 merge: ``(new_head, newly_closed,
+    batch_handles)``.
 
     ``head`` holds exactly ONE row per key ever seen — the key's
     LATEST version (open, or closed by a delete with no successor).
@@ -163,8 +164,13 @@ def merge_scd2_split(
     — and therefore equals the monolithic ``merge_scd2`` fold.
 
     Execution shape: exactly TWO heavy passes per batch, each
-    materialized once (handles on ``new_head.scd2_batch_handles``
-    for the caller to unpersist) — (1) ``shifted``: the batch's SCD2
+    materialized once — the persisted frames come back as the THIRD
+    tuple element, which the caller MUST unpersist after its writes
+    (an explicit return, not a dynamic attribute: any DataFrame
+    transformation silently drops an attribute, and a caller that
+    never learns the handles exist leaks two DISK_ONLY blocks per
+    batch, unbounded across a streaming fold — r9-advice catch) —
+    (1) ``shifted``: the batch's SCD2
     windows + one left join against head for the version shift and
     the per-key max; (2) ``labeled``: ONE pass over head left-joined
     with the batch's per-key (first_ts, emitted) summary. Everything
@@ -186,11 +192,9 @@ def merge_scd2_split(
         )
         h0 = batch.filter(F.col("version") == F.col("_mx")).drop("_mx")
         c0 = batch.filter(F.col("version") < F.col("_mx")).drop("_mx")
-        # hand the per-batch persists to the caller (clusters.py's
-        # per-call-attribute convention): a streaming sink folding
-        # thousands of batches must release each batch's blocks
-        h0.scd2_batch_handles = [batch]
-        return h0, c0
+        # a streaming sink folding thousands of batches must release
+        # each batch's persisted blocks once its writes are done
+        return h0, c0, [batch]
 
     # pass 1 — version-shifted batch rows + per-key max (ONE window
     # over the already-pk-partitioned SCD2 output: no extra exchange)
@@ -244,5 +248,4 @@ def merge_scd2_split(
         F.col("_first_ts").isNotNull() & F.col("_emitted").isNotNull()
     ).drop("_first_ts", "_emitted")
     new_head = untouched_or_kept.unionByName(batch_head)
-    new_head.scd2_batch_handles = [shifted, labeled]
-    return new_head, batch_closed.unionByName(superseded)
+    return new_head, batch_closed.unionByName(superseded), [shifted, labeled]

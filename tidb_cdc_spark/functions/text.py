@@ -187,11 +187,23 @@ def shingle_hash_rows(
             | (F.row_number().over(w) == 1)
         ).alias("_keep"),
     )
-    empty = df.filter(F.trim(F.col(text_col)) == "").select(
+    empty = df.filter(_no_tokens(F.col(text_col))).select(
         F.col(id_col).alias(id_alias),
         F.xxhash64(F.lit("")).alias(hash_alias),
     )
     return rolled.filter(F.col("_keep")).drop("_keep").unionByName(empty)
+
+
+def _no_tokens(text: Column) -> Column:
+    """True iff the tokenizer (split on ``\\s+``, drop empties) would
+    yield ZERO tokens — the empty-doc sentinel predicate for the
+    shingle row helpers. Must use the SAME whitespace class as the
+    tokenizer's split (Java ``\\s``): ``trim`` strips only ASCII
+    spaces, so a tabs/newlines-only doc would otherwise emit no
+    shingle row at all while the oracle's tokenize-then-count n=0
+    branch emits the sentinel (r9-advice catch). Null text stays
+    excluded (null predicate → filter false)."""
+    return F.regexp_replace(text, r"\s", "") == ""
 
 
 def shingle_string_rows(
@@ -232,7 +244,7 @@ def shingle_string_rows(
             | (F.row_number().over(w) == 1)
         ).alias("_keep"),
     )
-    empty = df.filter(F.trim(F.col(text_col)) == "").select(
+    empty = df.filter(_no_tokens(F.col(text_col))).select(
         F.col(id_col).alias(id_alias),
         F.lit("").alias(shingle_alias),
     )

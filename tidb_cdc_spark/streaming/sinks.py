@@ -348,7 +348,9 @@ class Scd2SplitHistorySink(Scd2HistorySink):
         spark = changes.sparkSession
         self._recover_compact()
         head = self._read_head(spark)
-        new_head, newly_closed = merge_scd2_split(head, changes, spec)
+        new_head, newly_closed, batch_handles = merge_scd2_split(
+            head, changes, spec
+        )
         # the stores' layout reserves two names a table column cannot
         # use (partition dirs derive from them); fail loudly, not by
         # silently overwriting the data column (review catch)
@@ -381,8 +383,12 @@ class Scd2SplitHistorySink(Scd2HistorySink):
         src_head = os.path.join(staging, "scd2zone=head")
         if os.path.exists(src_closed):
             os.replace(src_closed, closed_dst)
-        else:  # no superseded versions this batch: schema-ful empty dir
-            newly_closed.limit(0).write.mode("overwrite").parquet(closed_dst)
+        # else: batch closed nothing — create NO b=<id> dir at all.
+        # _read_closed globs whatever b=* dirs exist and filters
+        # b<=wm, so gaps are first-class; writing a schema-only
+        # empty dir per idle batch re-created exactly the listing-
+        # cost growth compact() exists to fight (r9-advice catch).
+        # The rmtree above still clears a torn prior attempt.
         v = (self._current_version() or 0) + 1
         head_dst = os.path.join(self.path, f"head_v={v}")
         # a crash AFTER the head publish but BEFORE the pointer swap
@@ -395,7 +401,7 @@ class Scd2SplitHistorySink(Scd2HistorySink):
         else:  # empty stream batch over an empty store
             new_head.limit(0).write.mode("overwrite").parquet(head_dst)
         shutil.rmtree(staging, ignore_errors=True)
-        for handle in getattr(new_head, "scd2_batch_handles", ()):
+        for handle in batch_handles:
             try:  # release this batch's persisted blocks
                 handle.unpersist()
             except Exception:  # noqa: BLE001 — best-effort cache release
