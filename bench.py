@@ -110,6 +110,7 @@ def main() -> None:
         "dedup_clusters_exact",
         "dedup_span_rewrite",
         "dedup_containment_pairs",
+        "dedup_containment_repr",
         "winnow_overlap_pairs",
         "winnow_repr_pipeline",
         # similarity / ANN / retrieval
@@ -136,6 +137,7 @@ def main() -> None:
         "corpus_dsir_select",
         "corpus_collocations_pmi",
         "corpus_lm_stupid_backoff",
+        "corpus_lm_quality_buckets",
         "contamination_eval_overlap",
         "repeated_spans_top",
         "pack_sequences",

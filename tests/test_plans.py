@@ -601,6 +601,36 @@ class TestPagerankPlan:
         assert "CartesianProduct" not in plan
 
 
+class TestR10CompositionPlans:
+    def test_lm_quality_buckets_single_scored_pass(self, spark):
+        """The composed CCNet shape must NOT run the 3-join corpus-
+        scale stupid-backoff scorer once per consumer: rank_buckets
+        materializes the scored frame, so both the min/max/count agg
+        and the ranked output read the cache (InMemoryTableScan) and
+        the rank window stays band-partitioned (no single-task
+        global window)."""
+        from tidb_cdc_spark.queries.llm17 import corpus_lm_quality_buckets
+
+        df = corpus_lm_quality_buckets(spark, SF)
+        plan = explain_str(df)
+        # every downstream consumer reads the materialized scorer
+        assert plan.count("InMemoryTableScan") >= 1, plan[:2000]
+        rn = [
+            l
+            for l in plan.splitlines()
+            if "row_number" in l and "windowspecdefinition" in l
+        ]
+        assert rn and all("_shard" in l for l in rn), rn
+        assert "BatchEvalPython" not in plan
+
+    def test_containment_repr_no_python_no_cartesian(self, spark):
+        from tidb_cdc_spark.queries.llm17 import dedup_containment_repr
+
+        plan = explain_str(dedup_containment_repr(spark, SF))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
 class TestGlobalPlanInvariants:
     def test_no_rowwise_python_or_cartesian_anywhere(self, spark):
         """Blanket guard over the ENTIRE declared registry: no query

@@ -47,14 +47,14 @@ def test_every_query_runs(spark):
 # Update this list each round to the round's additions.
 SF_LARGE = "/root/testdata/sf0.1"
 ROUND_ADDITIONS = [
-    "winnow_repr_audit",  # r9 new composed-pipeline audit
-    "dedup_minhash_star_audit",  # r9 changed: max_bucket_size=None
-    "corpus_collocations_pmi",  # r9 first driver-gating
-    "corpus_tokenizer_fertility",  # r9 first driver-gating
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
-    "corpus_lm_stupid_backoff",  # late-r9 new op
-    "dedup_containment_pairs",  # late-r9 new op
-    "contamination_containment_screen",  # late-r9 new op
+    "containment_repr_audit",  # r10 new composed-pipeline audit
+    "corpus_lm_quality_buckets",  # r10 new LM→bucket composition
+    "corpus_perplexity_buckets",  # r10 changed: rank_buckets refactor
+    "dedup_containment_pairs",  # r10 changed: sentinel whitespace class
+    "contamination_containment_screen",  # r10 changed: same sentinel
+    "dedup_minhash_audit",  # r10 changed: shingle_hash_rows sentinel
+    "winnow_repr_audit",  # r10 changed: same helper
 ]
 
 

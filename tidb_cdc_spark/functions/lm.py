@@ -190,22 +190,47 @@ def surprisal_buckets(
     run partitioned BY BAND, global rank = band offset + within-band
     row_number. The band width comes from one 1-row min/max
     aggregate (bounded driver traffic at any corpus size)."""
+    return rank_buckets(
+        bigram_surprisal(docs, id_col, text_col).select(
+            "doc_id", "mean_mbits"
+        ),
+        n_buckets=n_buckets,
+        n_shards=n_shards,
+    )
+
+
+def rank_buckets(
+    scores: DataFrame,
+    n_buckets: int = 3,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Score-agnostic banded rank-and-bucket stage: take a
+    ``(doc_id, mean_mbits)`` frame from ANY of the module's scorers
+    (bigram surprisal, stupid-backoff trigram LM, ...) and return
+    ``(doc_id, mean_mbits, rank, bucket)`` with ``rank`` the 1-based
+    position in (mean_mbits ASC, doc_id ASC) - a total deterministic
+    order - and ``bucket = ((rank-1)*n_buckets) div N`` (0 = lowest
+    surprisal). Fully integral, so hash-exact cross-engine.
+
+    Extracted from ``surprisal_buckets`` (r10) so the CCNet shape -
+    trusted-slice LM -> rank -> head/middle/tail - composes with the
+    model-based ``stupid_backoff_score`` without re-implementing the
+    two-level banded prefix scan. The input is MATERIALIZED once
+    here: the min/max/count aggregate and the ranked output both
+    read that one pass, so an expensive upstream scorer never runs
+    twice."""
     from pyspark.sql.window import Window
 
     from tidb_cdc_spark.session import materialize
 
-    s = materialize(
-        bigram_surprisal(docs, id_col, text_col).select(
-            "doc_id", "mean_mbits"
-        )
-    )
+    s = materialize(scores)
     head = s.agg(
         F.min("mean_mbits").alias("lo"),
         F.max("mean_mbits").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     if head["n"] == 0:
-        return docs.sparkSession.createDataFrame(
+        return scores.sparkSession.createDataFrame(
             [], "doc_id long, mean_mbits long, rank long, bucket int"
         )
     lo, n = int(head["lo"]), int(head["n"])

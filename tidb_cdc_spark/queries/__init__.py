@@ -115,12 +115,38 @@ for _mod in (
 # dedup_minhash_star_audit (CHANGED this round — now passes
 # max_bucket_size=None per ADVICE — needs fresh certification).
 #
-# ROUND-10 ROTATION QUEUE (driver row r4/r5 or older after this
-# round): q3/q5/q8/q9/q19/q20 heads, doc_hashed_tf,
+# ROUND-10 ROTATION (applied): IN — the ENTIRE r4-stale block (the
+# oldest driver rows in the registry: q19/q20 heads,
 # events asof/hourly/sliding/cohort/json showcases, sketch_approx,
 # full_outer_nation_presence, suppliers_of_large_parts,
-# scalar/date/array showcases, grouping-sets, events_rolling,
-# table_profile, transition/pivot per the ~12-slot/round cadence.
+# scalar/date/array showcases, grouping_sets_orders — 14 rows), the
+# two new r10 composed ops (containment_repr_audit,
+# corpus_lm_quality_buckets — queries/llm17.py), and
+# corpus_perplexity_buckets (r7 row, but its rank stage was
+# refactored into the shared rank_buckets this round — changed code
+# needs fresh certification). OUT — seventeen r9-green rows with
+# UNCHANGED code (q1/q4/q6/q7/q10/q13/q14/q15/q16/q17/q22 heads,
+# setops_nation_overlap, cube_order_stats,
+# window_functions_showcase, corpus_collocations_pmi,
+# corpus_tokenizer_fertility, rag_bm25_topk) — each keeps its r9
+# driver row + the strict mirror in tests/test_queries_oracle.py.
+# Kept despite r9 rows: dedup_containment_pairs,
+# contamination_containment_screen (CHANGED — the shingle sentinel
+# now uses the tokenizer's whitespace class), the minhash/simhash/
+# winnow audits (shingle_hash_rows shares the sentinel change), and
+# corpus_lm_stupid_backoff (functions/lm.py refactored around it).
+#
+# ROUND-11 ROTATION QUEUE (oldest rows after this round): the r5
+# block (text_token_stats/quality_by_lang/lang_id/fingerprint_md5,
+# knn_lsh/ivf raw forms' audit twins are fresh but sample_* ×3,
+# tfidf_top_terms, dedup_clusters_fuzzy, pii_scrub_stats,
+# text_repetition_stats, token_length_histogram, vocab_top_terms,
+# source_overlap_matrix, doc_length_band, embedding_int8_quantize,
+# quality_budget_head, cdc_dead_letter_stats, text_bpe_tokens,
+# multimodal_doc_features are r5), then the r6 heads
+# (q3/q5/q8/q9, doc_hashed_tf) and the r7 showcase block
+# (events_rolling, table_profile, transition/pivot) per the
+# ~12-17-slot/round cadence.
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
@@ -140,28 +166,30 @@ GATE = [
     # (r7-green, unchanged, mirror-kept)
     "corpus_stratified_split",
     "dedup_clusters_exact",
-    # round-9 rotation: the 2 never-gated queries first, then the
-    # r4-stale block (see rotation comment above)
-    "corpus_collocations_pmi",
-    "corpus_tokenizer_fertility",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "setops_nation_overlap",
-    "cube_order_stats",
-    "window_functions_showcase",
+    # round-10 rotation: the whole r4-stale block (oldest driver
+    # rows), the two new composed ops, and the rank-stage-refactored
+    # perplexity buckets (see rotation comment above)
+    "q19_discounted_revenue",
+    "q20_promo_part_suppliers",
+    "events_asof_purchase_click",
+    "events_hourly",
+    "events_sliding_1h",
+    "events_cohort_retention",
+    "events_json_extract",
+    "sketch_approx",
+    "full_outer_nation_presence",
+    "suppliers_of_large_parts",
+    "scalar_functions_showcase",
+    "date_functions_showcase",
+    "array_map_functions_showcase",
+    "grouping_sets_orders",
+    "containment_repr_audit",
+    "corpus_lm_quality_buckets",
+    "corpus_perplexity_buckets",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_priority_lines",
     "q21_waiting_suppliers",
-    "q4_order_priority",
-    "q14_promo_effect",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q22_customers_without_orders",
     # late-r9: the stupid-backoff LM scorer (new op, queries/llm17.py)
     # takes the events_daily_gapfill slot (r8-green, unchanged,
     # mirror-kept)
@@ -190,8 +218,6 @@ GATE = [
     "cdc_incremental_agg",
     "cdc_schema_drift",
     "cdc_decimal_agg",
-    # changed this round (clamped integer formula) — re-certify
-    "rag_bm25_topk",
     # plan-complex TPC-H/events (kept from r6 rotation)
     "q18_large_volume_customers",
     "events_sessions",

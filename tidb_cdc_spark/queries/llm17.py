@@ -404,12 +404,246 @@ ORDER BY eval_id, train_id
 """
 
 
+# --------------------- LM-scored head/middle/tail buckets (r10)
+
+
+def corpus_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's ACTUAL pipeline shape (Wenzek et al. 2020), composed
+    from two existing operators: train the trusted-slice LM and
+    score the held-out half (``stupid_backoff_score`` — even docs
+    train, odd docs score, exactly ``corpus_lm_stupid_backoff``'s
+    split), then rank the scored docs and cut head/middle/tail
+    (``rank_buckets`` — the banded two-level prefix scan extracted
+    from ``surprisal_buckets``). Head = lowest surprisal under the
+    trusted model = the slice a pretraining mix up-weights;
+    ``corpus_perplexity_buckets`` is the self-scored bigram variant,
+    this is the MODEL-BASED one (real backoff paths: unseen
+    trigrams, OOV).
+
+    Whole-bit integral scores + integral rank/bucket formula ⇒ the
+    whole composition stays hash-exact. Plan shape: the scorer's
+    output is materialized ONCE inside ``rank_buckets`` — the
+    min/max/count aggregate and the ranked output read that single
+    pass, so the 3-join corpus-scale scoring never runs twice
+    (pinned in tests/test_plans.py)."""
+    from tidb_cdc_spark.functions.lm import rank_buckets, stupid_backoff_score
+
+    d = _docs(spark, sf_dir)
+    scored = stupid_backoff_score(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    ).select("doc_id", "mean_mbits")
+    return (
+        rank_buckets(scored, n_buckets=3)
+        .select(
+            "doc_id",
+            "mean_mbits",
+            "rank",
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("bucket") + 1,
+            ).alias("band"),
+        )
+        .orderBy("rank")
+    )
+
+
+_LM_BUCKETS_SQL = f"""
+WITH base AS ({_SB_SQL}),
+r AS (
+  SELECT doc_id, mean_mbits,
+         CAST(ROW_NUMBER() OVER (ORDER BY mean_mbits, doc_id)
+              AS BIGINT) AS rank,
+         COUNT(*) OVER () AS n
+  FROM base
+)
+SELECT doc_id, mean_mbits, rank,
+       CAST(((rank - 1) * 3) // n AS INTEGER) AS bucket,
+       CASE CAST(((rank - 1) * 3) // n AS INTEGER)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS band
+FROM r ORDER BY rank
+"""
+
+
+# ------------------------- containment over representatives (r10)
+
+
+def dedup_containment_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over near-dup-collapsed representatives —
+    the composed mitigation ``ngram_containment_pairs``' docstring
+    prescribes (functions/dedup.py), shipped as a declared operator
+    exactly like ``winnow_repr_pipeline``: star-LSH → connected
+    components → min-id representative per family → containment on
+    the survivors.
+
+    Why: containment, like every raw pair op here, inherently emits
+    ~s·b(b−1)/2 join rows on a b-member near-dup family (the r9 100×
+    rehearsal measured 1.7 s → 4.4 s → memory pressure). Family
+    members are mutual near-supersets, so their containment pairs
+    are redundant by construction; the relation that MATTERS at
+    corpus scale — a doc quoted inside an unrelated wrapper — is
+    CROSS-family and survives the collapse (pinned by
+    tests/test_containment_repr.py on a synthetic corpus where the
+    expected answer is computable exactly). Rows-only (MinHash
+    banding is not SQL-expressible); the driver-green contract is
+    ``containment_repr_audit``.
+
+    MEASURED at sf0.001/sf0.01: output is correctly EMPTY — every
+    raw containment pair in the testdata (28 / 25 rows) is within a
+    near-dup family the collapse removes, and the residual
+    cross-representative containment tops out at 0.27 even at
+    shingle_k=3 (0.14 at k=4). An empty result is the operator
+    working: after dedup, this corpus has no subset/quotation
+    relations left to report. The thresholds stay IDENTICAL to
+    ``dedup_containment_pairs`` (same op, collapsed input) rather
+    than being lowered until rows appear; the audit and the
+    synthetic-corpus tests carry the non-vacuous evidence."""
+    from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _repr_docs(_docs(spark, sf_dir))
+    ).orderBy("id_a", "id_b")
+
+
+#: subset-probe spine needs ceil(n/2) ≥ k so the half-doc subset
+#: still has regular k-gram shingles (all ⊆ the original's)
+_SUBSET_MIN_TOKENS = 2 * _CONTAIN_K
+
+
+def containment_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted contract for the composed containment pipeline — one
+    row per probe doc (doc_id < ``_N_DOCS`` with ≥ ``2k`` tokens, a
+    spine both engines compute identically), four booleans TRUE by
+    construction:
+
+    - ``collapsed`` / ``rep_is_original`` — identical guarantees to
+      ``winnow_repr_audit`` (exact copy shares every band bucket ⇒
+      star pair ⇒ CC label < copy id, and bucket minima are always
+      original ids);
+    - ``excluded_from_containment`` — the copy's id appears in NO
+      pair of the downstream composed containment output (computed
+      from the actual run over the representatives: non-
+      representatives are filtered before the op by construction);
+    - ``subset_pair_exact`` — the asymmetric-detection semantics the
+      op exists for: a planted HALF-DOC (first ⌈n/2⌉ tokens, so its
+      distinct shingles are a strict subset of the original's) is
+      found by the RAW op at ``cont_b_in_a`` exactly 1.0. Run with
+      ``max_doc_freq=None`` over just probes ∪ subsets: with no
+      pruning, kept(S) ⊆ kept(O) unconditionally, so the ratio is
+      1.0 by set algebra, not by luck (pruning behavior is already
+      value-oracled by ``dedup_containment_pairs``)."""
+    from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
+
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        )
+    )
+    spine = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < _N_DOCS)
+        .withColumn("_n", n_tok)
+        .filter(F.col("_n") >= _SUBSET_MIN_TOKENS)
+    )
+
+    # composed-pipeline booleans over the full corpus + exact copies
+    d, off = _docs_with_copies(spark, sf_dir)
+    pairs = D.minhash_lsh_star_pairs(
+        d, max_bucket_size=None, with_jaccard=False
+    )
+    reps = C.cluster_representatives(d, pairs)
+    rep_docs = d.join(
+        reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
+    )
+    cont = ngram_containment_pairs(rep_docs)
+    cont_ids = (
+        cont.select(F.col("id_a").alias("_cid"))
+        .unionByName(cont.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    copies = reps.filter(
+        (F.col("doc_id") >= F.lit(off))
+        & (F.col("doc_id") < F.lit(off) + _N_DOCS)
+    ).select(
+        (F.col("doc_id") - F.lit(off)).alias("doc_id"),
+        (~F.col("is_representative")).alias("collapsed"),
+        (F.col("cluster_id") < F.lit(off)).alias("rep_is_original"),
+    )
+    composed = copies.join(
+        cont_ids.select(
+            (F.col("_cid") - F.lit(off)).alias("doc_id"),
+            F.lit(True).alias("_in_c"),
+        ).filter(F.col("doc_id") >= 0),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "collapsed",
+        "rep_is_original",
+        F.coalesce(~F.col("_in_c"), F.lit(True)).alias(
+            "excluded_from_containment"
+        ),
+    )
+
+    # raw-op subset probe: probes ∪ their half-doc subsets, no cap
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    subsets = spine.select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, ((F.col("_n") + 1) / 2).cast("int"))
+        ).alias("text"),
+    )
+    probe_corpus = spine.select("doc_id", "text").unionByName(subsets)
+    raw = ngram_containment_pairs(probe_corpus, max_doc_freq=None)
+    subset_hit = (
+        raw.filter(F.col("id_b") == F.col("id_a") + F.lit(off))
+        .filter(F.col("cont_b_in_a") == 1.0)
+        .select(F.col("id_a").alias("doc_id"), F.lit(True).alias("_sub"))
+    )
+
+    return (
+        spine.select("doc_id")
+        .join(composed, "doc_id", "left")
+        .join(subset_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("collapsed", F.lit(False)).alias("collapsed"),
+            F.coalesce("rep_is_original", F.lit(False)).alias(
+                "rep_is_original"
+            ),
+            F.coalesce("excluded_from_containment", F.lit(False)).alias(
+                "excluded_from_containment"
+            ),
+            F.coalesce("_sub", F.lit(False)).alias("subset_pair_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CONTAIN_REPR_AUDIT_SQL = rf"""
+SELECT doc_id, TRUE AS collapsed, TRUE AS rep_is_original,
+       TRUE AS excluded_from_containment, TRUE AS subset_pair_exact
+FROM documents
+WHERE doc_id < {_N_DOCS}
+  AND len(list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')) >= {_SUBSET_MIN_TOKENS}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "winnow_repr_pipeline": winnow_repr_pipeline,
     "winnow_repr_audit": winnow_repr_audit,
     "corpus_lm_stupid_backoff": corpus_lm_stupid_backoff,
     "dedup_containment_pairs": dedup_containment_pairs,
     "contamination_containment_screen": contamination_containment_screen,
+    "dedup_containment_repr": dedup_containment_repr,
+    "containment_repr_audit": containment_repr_audit,
+    "corpus_lm_quality_buckets": corpus_lm_quality_buckets,
 }
 
 ORACLE = {
@@ -417,4 +651,6 @@ ORACLE = {
     "corpus_lm_stupid_backoff": _SB_SQL,
     "dedup_containment_pairs": _CONTAIN_SQL,
     "contamination_containment_screen": _DECONTAM_SQL,
+    "containment_repr_audit": _CONTAIN_REPR_AUDIT_SQL,
+    "corpus_lm_quality_buckets": _LM_BUCKETS_SQL,
 }

@@ -45,6 +45,9 @@ PICKS = {
     "winnow_repr_pipeline": "composed family-collapse -> winnow: star-LSH pairs (ids-only) -> CC (checkpoint-truncated loop) -> rep filter -> winnow fp equi-join; within-family quadratic output gone",
     "corpus_lm_stupid_backoff": "stupid-backoff LM: 3 combining count aggs on train; denominators folded into count tables (vocab joins) so the scored side does 3 corpus-scale left joins, not 5",
     "dedup_containment_pairs": "containment: md5-shingle inverted index, broadcast viral anti-join, per-pair combining count; (id, md5) rows only through the self-join",
+    "contamination_containment_screen": "decontamination screen: ONE materialized shingle table feeds both arms; join DIRECTED eval->train from the start (no train x train branch); broadcast viral anti-join",
+    "dedup_containment_repr": "composed family-collapse -> containment: star-LSH pairs (ids-only) -> CC (checkpoint-truncated loop) -> rep filter -> containment inverted-index join; within-family quadratic pair output gone",
+    "corpus_lm_quality_buckets": "CCNet composition: stupid-backoff scored side materialized ONCE, min/max/count agg + banded rank both read the cache; row_number partitioned BY score band",
 }
 
 HEADER = (

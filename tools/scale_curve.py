@@ -38,6 +38,11 @@ OPS = [
     # winnow self-join (vs winnow_overlap_pairs' measured 27.2M-row
     # quadratic blowup on the same input)
     "winnow_repr_pipeline",
+    # r10: same composition for containment — the raw pair op's r9
+    # trio measured 1.7 s → 4.4 s → memory pressure at 1×/10×/100×;
+    # collapsing the ~100-member families first must hold the
+    # 10×→100× ratio near-linear
+    "dedup_containment_repr",
 ]
 
 

@@ -265,6 +265,52 @@ def admission_batches(spark, batches: int, compact_every: int | None) -> dict:
 
 
 def main() -> None:
+    # crossover mode (r9 verdict #5): push scd2_single past the
+    # ~10M-row accumulated history where the monolithic sink's
+    # O(history) rewrite must dominate the split sink's fixed
+    # two-pass overhead, and report the wall-time crossover batch.
+    # Run: PYTHONPATH=. python3 tools/stateful_width_rehearsal.py \
+    #   crossover [batches=40] [per_batch=300000]
+    if len(sys.argv) > 1 and sys.argv[1] == "crossover":
+        batches = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+        per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 300_000
+        from tidb_cdc_spark import get_spark
+
+        spark = get_spark("scd2-crossover")
+        spark.sparkContext.setLogLevel("ERROR")
+        results = {}
+        for cls in ("Scd2HistorySink", "Scd2SplitHistorySink"):
+            r = scd2_single(spark, batches, per_batch, cls, n_keys=50_000)
+            results[cls] = r
+            print(json.dumps(r), flush=True)
+        mono = results["Scd2HistorySink"]["per_batch_sec"]
+        split = results["Scd2SplitHistorySink"]["per_batch_sec"]
+        cross = next(
+            (
+                b
+                for b in range(2, len(mono))
+                if all(split[i] < mono[i] for i in range(b, len(mono)))
+            ),
+            None,
+        )
+        print(
+            json.dumps(
+                {
+                    "experiment": "scd2_crossover",
+                    "per_batch_rows": per_batch,
+                    "crossover_batch": cross,
+                    "crossover_history_rows": None
+                    if cross is None
+                    else cross * per_batch,
+                    "mono_last3_sec": mono[-3:],
+                    "split_last3_sec": split[-3:],
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+        return
+
     n_tables = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
