@@ -83,4 +83,6 @@ def test_load_guard_is_wired():
     src = _bench_source()
     assert "os.getloadavg()" in src
     assert "retry_frac" in src
-    assert '"degraded"' in src or "degraded" in src
+    # the quoted key must be written into the payload, not merely
+    # mentioned in comments
+    assert 'payload["degraded"] = True' in src

@@ -86,14 +86,24 @@ def test_family_pairs_removed_cross_family_subset_kept(spark):
 def test_pair_output_linear_not_quadratic_in_family_size(spark):
     """Pair-row counts, the unit the 100× curve measured: raw output
     grows quadratically with family size; composed output is flat."""
-    raw_counts, composed_counts = [], []
-    for size in (10, 20):
+    sizes = (10, 20)
+    raw_within, composed_counts = [], []
+    for size in sizes:
         d = _family_corpus(spark, [size, 1], wrapped=[(1, 160)])
-        raw_counts.append(ngram_containment_pairs(d).count())
+        raw = ngram_containment_pairs(d)
+        # count ONLY within-family pairs (ids < size) so the constant
+        # cross-family rows don't blur the growth law
+        raw_within.append(
+            raw.filter((F.col("id_a") < size) & (F.col("id_b") < size)).count()
+        )
         composed_counts.append(
             ngram_containment_pairs(_repr_docs(d)).count()
         )
-    assert raw_counts[1] >= 4 * (raw_counts[0] - size)  # ~quadratic
+    # exact-duplicate family ⇒ every member pair has containment 1.0:
+    # exactly C(size, 2) within-family rows — quadratic by formula
+    assert raw_within == [
+        s * (s - 1) // 2 for s in sizes
+    ]  # 45 → 190: 2× family = ~4× pairs
     assert composed_counts == [1, 1]  # flat: only the wrapper pair
 
 

@@ -87,6 +87,64 @@ def winnow_repr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _collapse_audit_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, DataFrame, DataFrame]:
+    """Shared machinery of the composed-pipeline audits
+    (``winnow_repr_audit``, ``containment_repr_audit`` — review
+    catch: two hand-kept copies of this block WILL diverge):
+    ``(d, off, rep_docs, copies)`` where ``d`` is the corpus with
+    planted exact copies, ``rep_docs`` the actual representative
+    documents the downstream op runs over (uncapped star banding so
+    the copy-collapses-deterministically precondition holds at any
+    scale factor), and ``copies`` the per-planted-copy boolean frame
+    (doc_id, collapsed, rep_is_original)."""
+    d, off = _docs_with_copies(spark, sf_dir)
+    pairs = D.minhash_lsh_star_pairs(
+        d, max_bucket_size=None, with_jaccard=False
+    )
+    reps = C.cluster_representatives(d, pairs)
+    rep_docs = d.join(
+        reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
+    )
+    copies = reps.filter(
+        (F.col("doc_id") >= F.lit(off))
+        & (F.col("doc_id") < F.lit(off) + _N_DOCS)
+    ).select(
+        (F.col("doc_id") - F.lit(off)).alias("doc_id"),
+        (~F.col("is_representative")).alias("collapsed"),
+        (F.col("cluster_id") < F.lit(off)).alias("rep_is_original"),
+    )
+    return d, off, rep_docs, copies
+
+
+def _exclusion_flag(
+    copies: DataFrame, pair_ids: DataFrame, off: int, flag_name: str
+) -> DataFrame:
+    """Append ``flag_name`` to the copy booleans: TRUE iff the copy's
+    id appears in NO row of ``pair_ids`` (one ``_id`` column — the
+    distinct ids touched by the downstream op's actual output)."""
+    hits = pair_ids.select(
+        (F.col("_id") - F.lit(off)).alias("doc_id"),
+        F.lit(True).alias("_in"),
+    ).filter(F.col("doc_id") >= 0)
+    return copies.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "collapsed",
+        "rep_is_original",
+        F.coalesce(~F.col("_in"), F.lit(True)).alias(flag_name),
+    )
+
+
+def _pair_ids(pairs: DataFrame) -> DataFrame:
+    """Distinct ids appearing on either side of a pair output."""
+    return (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+
+
 def winnow_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-copy contract for the composed pipeline, one row per
     planted original, three booleans TRUE by construction:
@@ -105,47 +163,11 @@ def winnow_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       the downstream winnow output (computed from the actual
       ``winnow_overlap`` run over the representatives, not assumed
       from ``collapsed``)."""
-    d, off = _docs_with_copies(spark, sf_dir)
-    pairs = D.minhash_lsh_star_pairs(
-        d, max_bucket_size=None, with_jaccard=False
-    )
-    reps = C.cluster_representatives(d, pairs)
-    copies = reps.filter(
-        (F.col("doc_id") >= F.lit(off))
-        & (F.col("doc_id") < F.lit(off) + _N_DOCS)
-    ).select(
-        (F.col("doc_id") - F.lit(off)).alias("doc_id"),
-        (~F.col("is_representative")).alias("collapsed"),
-        (F.col("cluster_id") < F.lit(off)).alias("rep_is_original"),
-    )
-    rep_docs = d.join(
-        reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
-    )
+    _d, off, rep_docs, copies = _collapse_audit_parts(spark, sf_dir)
     w = winnow_overlap(rep_docs, k=_WK, w=_WW, min_shared=1)
-    winnow_ids = (
-        w.select(F.col("id_a").alias("_wid"))
-        .unionByName(w.select(F.col("id_b").alias("_wid")))
-        .distinct()
-    )
-    return (
-        copies.join(
-            winnow_ids.select(
-                (F.col("_wid") - F.lit(off)).alias("doc_id"),
-                F.lit(True).alias("_in_w"),
-            ).filter(F.col("doc_id") >= 0),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            "collapsed",
-            "rep_is_original",
-            F.coalesce(~F.col("_in_w"), F.lit(True)).alias(
-                "excluded_from_winnow"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return _exclusion_flag(
+        copies, _pair_ids(w), off, "excluded_from_winnow"
+    ).orderBy("doc_id")
 
 
 _REPR_AUDIT_SQL = f"""
@@ -535,62 +557,24 @@ def containment_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       1.0 by set algebra, not by luck (pruning behavior is already
       value-oracled by ``dedup_containment_pairs``)."""
     from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
+    from tidb_cdc_spark.functions.text import token_count, tokens
 
-    n_tok = F.size(
-        F.filter(
-            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-        )
-    )
     spine = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < _N_DOCS)
-        .withColumn("_n", n_tok)
+        .withColumn("_n", token_count(F.lower(F.col("text"))))
         .filter(F.col("_n") >= _SUBSET_MIN_TOKENS)
     )
 
     # composed-pipeline booleans over the full corpus + exact copies
-    d, off = _docs_with_copies(spark, sf_dir)
-    pairs = D.minhash_lsh_star_pairs(
-        d, max_bucket_size=None, with_jaccard=False
-    )
-    reps = C.cluster_representatives(d, pairs)
-    rep_docs = d.join(
-        reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
-    )
+    _d, off, rep_docs, copies = _collapse_audit_parts(spark, sf_dir)
     cont = ngram_containment_pairs(rep_docs)
-    cont_ids = (
-        cont.select(F.col("id_a").alias("_cid"))
-        .unionByName(cont.select(F.col("id_b").alias("_cid")))
-        .distinct()
-    )
-    copies = reps.filter(
-        (F.col("doc_id") >= F.lit(off))
-        & (F.col("doc_id") < F.lit(off) + _N_DOCS)
-    ).select(
-        (F.col("doc_id") - F.lit(off)).alias("doc_id"),
-        (~F.col("is_representative")).alias("collapsed"),
-        (F.col("cluster_id") < F.lit(off)).alias("rep_is_original"),
-    )
-    composed = copies.join(
-        cont_ids.select(
-            (F.col("_cid") - F.lit(off)).alias("doc_id"),
-            F.lit(True).alias("_in_c"),
-        ).filter(F.col("doc_id") >= 0),
-        "doc_id",
-        "left",
-    ).select(
-        "doc_id",
-        "collapsed",
-        "rep_is_original",
-        F.coalesce(~F.col("_in_c"), F.lit(True)).alias(
-            "excluded_from_containment"
-        ),
+    composed = _exclusion_flag(
+        copies, _pair_ids(cont), off, "excluded_from_containment"
     )
 
     # raw-op subset probe: probes ∪ their half-doc subsets, no cap
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-    )
+    toks = tokens(F.lower(F.col("text")))
     subsets = spine.select(
         (F.col("doc_id") + F.lit(off)).alias("doc_id"),
         F.concat_ws(

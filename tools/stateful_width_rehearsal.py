@@ -226,6 +226,91 @@ def scd2_single(
     }
 
 
+def scd2_crossover(spark, batches: int, per_batch: int) -> dict:
+    """Monolithic-vs-split wall-time crossover, measured FAIRLY: both
+    sinks fold the SAME parsed batch inside one loop, alternating
+    which sink runs first each batch (review catch — running the
+    full monolithic sweep before the split sweep in one warm session
+    hands the split sink every JVM/codegen warmup for free and
+    shifts the reported crossover earlier). History grows to
+    batches × per_batch rows; crossover = first batch index from
+    which the split sink stays faster for the REST of the run
+    (searched from batch 1 — batch 0 is bootstrap for both and
+    included in the tail requirement from b=1 on)."""
+    import pandas as pd
+
+    from tidb_cdc_spark.cdc import parse_cdc
+    from tidb_cdc_spark.streaming import sinks as SK
+
+    root = os.path.join(TMP, "crossover")
+    shutil.rmtree(root, ignore_errors=True)
+    mono_sink = SK.Scd2HistorySink(os.path.join(root, "mono"))
+    split_sink = SK.Scd2SplitHistorySink(os.path.join(root, "split"))
+    spec = _specs(1)[0]
+    from pyspark.sql import functions as F
+
+    n_keys = 50_000
+    mono_t: list[float] = []
+    split_t: list[float] = []
+    for b in range(batches):
+        msgs = [
+            json.dumps(
+                {
+                    "database": "d",
+                    "table": "t000",
+                    "type": "insert" if b == 0 else "update",
+                    "ts": b * per_batch + j,
+                    "data": {
+                        "k": f"k{j % n_keys}",
+                        "v": b * per_batch + j,
+                        "ts": "2026-01-01 00:00:00",
+                    },
+                }
+            )
+            for j in range(per_batch)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"value": msgs})
+        ).repartition(8)
+        changes = parse_cdc(
+            df.withColumn("_s", F.monotonically_increasing_id()),
+            spec,
+            seq_col=F.col("_s"),
+        )
+        order = (
+            [(mono_sink, mono_t), (split_sink, split_t)]
+            if b % 2 == 0
+            else [(split_sink, split_t), (mono_sink, mono_t)]
+        )
+        for sink, times in order:
+            t0 = time.perf_counter()
+            sink.process(changes, b, spec)
+            times.append(round(time.perf_counter() - t0, 2))
+        print(
+            f"# b{b}: mono {mono_t[-1]}s split {split_t[-1]}s "
+            f"(hist ~{(b + 1) * per_batch} rows)",
+            file=sys.stderr,
+            flush=True,
+        )
+    cross = next(
+        (
+            b
+            for b in range(1, batches)
+            if all(split_t[i] < mono_t[i] for i in range(b, batches))
+        ),
+        None,
+    )
+    return {
+        "experiment": "scd2_crossover",
+        "batches": batches,
+        "per_batch_rows": per_batch,
+        "mono_per_batch_sec": mono_t,
+        "split_per_batch_sec": split_t,
+        "crossover_batch": cross,
+        "crossover_history_rows": None if cross is None else cross * per_batch,
+    }
+
+
 def admission_batches(spark, batches: int, compact_every: int | None) -> dict:
     from tidb_cdc_spark.streaming.enrich import NearDupAdmissionSink
 
@@ -265,8 +350,8 @@ def admission_batches(spark, batches: int, compact_every: int | None) -> dict:
 
 
 def main() -> None:
-    # crossover mode (r9 verdict #5): push scd2_single past the
-    # ~10M-row accumulated history where the monolithic sink's
+    # crossover mode (r9 verdict #5): push the scd2_single shape past
+    # the ~10M-row accumulated history where the monolithic sink's
     # O(history) rewrite must dominate the split sink's fixed
     # two-pass overhead, and report the wall-time crossover batch.
     # Run: PYTHONPATH=. python3 tools/stateful_width_rehearsal.py \
@@ -278,36 +363,7 @@ def main() -> None:
 
         spark = get_spark("scd2-crossover")
         spark.sparkContext.setLogLevel("ERROR")
-        results = {}
-        for cls in ("Scd2HistorySink", "Scd2SplitHistorySink"):
-            r = scd2_single(spark, batches, per_batch, cls, n_keys=50_000)
-            results[cls] = r
-            print(json.dumps(r), flush=True)
-        mono = results["Scd2HistorySink"]["per_batch_sec"]
-        split = results["Scd2SplitHistorySink"]["per_batch_sec"]
-        cross = next(
-            (
-                b
-                for b in range(2, len(mono))
-                if all(split[i] < mono[i] for i in range(b, len(mono)))
-            ),
-            None,
-        )
-        print(
-            json.dumps(
-                {
-                    "experiment": "scd2_crossover",
-                    "per_batch_rows": per_batch,
-                    "crossover_batch": cross,
-                    "crossover_history_rows": None
-                    if cross is None
-                    else cross * per_batch,
-                    "mono_last3_sec": mono[-3:],
-                    "split_last3_sec": split[-3:],
-                }
-            ),
-            flush=True,
-        )
+        print(json.dumps(scd2_crossover(spark, batches, per_batch)), flush=True)
         spark.stop()
         return
 
