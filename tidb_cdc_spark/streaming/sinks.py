@@ -261,13 +261,19 @@ class Scd2SplitHistorySink(Scd2HistorySink):
     WRITE VOLUME grows with accumulated versions without bound.
     Measured (tools/stateful_width_rehearsal.py::scd2_single, 12
     batches × 50k changes): monolithic 0.7 → 9.6 MB written/batch
-    and still climbing; split constant 1.3 MB/batch. Wall-time on
-    local NVMe hides this behind ~1 s of fixed overhead (the split
-    sink runs two materialize jobs + a staged write, ~1.3× the
-    monolithic batch time at small histories) — the crossover is
-    where history bytes ≫ batch bytes, i.e. every long-lived
-    production table; prefer the monolithic sink only for short
-    histories. This sink keeps
+    and still climbing; split constant 1.3 MB/batch. At the r10
+    12M-row interleaved sweep (``crossover 40 300000``, NOTES.md)
+    the write-volume gap reached **162 MB/batch growing vs ~6
+    MB/batch constant (27×)** — but wall-time on LOCAL NVMe never
+    crossed: a 162 MB local parquet rewrite costs ~1-2 s while this
+    sink's fixed two-materialize-pass overhead costs ~3.5 s/batch,
+    and the fitted differential puts the local crossover near ~200M
+    history rows. Choose by STORAGE, not microbench seconds: on
+    replicated/remote stores (S3/HDFS) write volume is the cost and
+    an O(history) per-batch rewrite is untenable — use this sink
+    whenever history bytes ≫ ~30× batch bytes or the store is
+    remote; prefer the monolithic sink for short histories on fast
+    local disks (~25% faster there). This sink keeps
 
     - ``head_v=N/`` — ONE row per key ever seen (its latest version;
       open, or delete-closed with no successor), rewritten per batch
