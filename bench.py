@@ -48,10 +48,14 @@ def main() -> None:
     # untouched code, first runs 2-3x the mins). A hot record must be
     # SELF-DESCRIBING, so the stdout line carries "degraded": true
     # when either signal fires: (a) ambient 1-min load at start
-    # (before our JVM spins up) exceeds 0.5 per CPU, or (b) >25% of
-    # queries needed a 3rd/4th run because the first two disagreed by
-    # >15% — the in-band signature of sustained mid-run load that a
-    # start-only sample misses.
+    # (before our JVM spins up) exceeds 0.5 per CPU, or (b) >15% of
+    # queries NEVER got two runs agreeing within 15% even at the
+    # 4-run cap — sustained mid-run thrash a start-only sample
+    # misses. (Calibration note: "needed a 3rd run" is NOT a load
+    # signal — per-query first runs are structurally ~1.5x the min
+    # from plan codegen, so that fraction sits near 0.75 on clean
+    # AND loaded boxes; cap-exit disagreement on the r9 records:
+    # 0.05-0.07, so 0.15 flags only genuine sustained noise.)
     ncpu = os.cpu_count() or 1
     load_start = os.getloadavg()[0]
 
@@ -169,8 +173,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
-    retry_frac = sum(1 for r in raw.values() if len(r) > 2) / max(len(raw), 1)
-    degraded = load_start > 0.5 * ncpu or retry_frac > 0.25
+    retry_frac = sum(
+        1
+        for r in raw.values()
+        if len(r) >= 4 and sorted(r)[1] - sorted(r)[0] > 0.15 * sorted(r)[0]
+    ) / max(len(raw), 1)
+    degraded = load_start > 0.5 * ncpu or retry_frac > 0.15
 
     # full per-query record → committed file (the driver's stdout
     # capture is 2,000 chars; per-query dicts outgrew it twice)
