@@ -12,8 +12,10 @@ queries, shrinking that dict if it would ever reach 1,500 bytes
 (and per-run raw arrays) go to the committed ``BENCH_DETAIL.json``,
 and raw arrays also stream to stderr live. The line self-describes
 contamination: ``"degraded": true`` when ambient start load exceeds
-0.5/CPU or >25% of queries needed extra runs to agree (the r9
-loaded-box record had no such flag and overstated the suite ~17%).
+0.5/CPU or >15% of queries hit the 4-run cap with their two best
+runs still >15% apart — cap-exit disagreement, NOT "needed a 3rd
+run", which is structurally ~0.75 everywhere (the r9 loaded-box
+record had no such flag and overstated the suite ~17%).
 
 Each query is fully materialized via a cheap count-style action
 (``df.count()`` after the query's own sort/limit), which forces the

@@ -60,13 +60,27 @@ def _repr_docs(d: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     silently skip collapsing exactly the >cap-member families this
     pipeline exists to collapse, handing the quadratic blowup back
     to the winnow stage (review catch)."""
-    pairs = D.minhash_lsh_star_pairs(
-        d, max_bucket_size=max_bucket_size, with_jaccard=False
-    )
-    reps = C.cluster_representatives(d, pairs)
+    reps = _collapse_reps(d, max_bucket_size)
     return d.join(
         reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
     )
+
+
+def _collapse_reps(
+    d: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """The ONE copy of the family-collapse recipe (star-LSH pairs →
+    connected components → per-doc labels with is_representative):
+    both the declared pipelines (via ``_repr_docs``) and their
+    audits (via ``_collapse_audit_parts``) build representatives
+    through this function, so a recipe change (LSH params, capping,
+    normalization) cannot leave the audits certifying a
+    representative set the real pipelines no longer produce
+    (review catch — there were briefly three hand-kept copies)."""
+    pairs = D.minhash_lsh_star_pairs(
+        d, max_bucket_size=max_bucket_size, with_jaccard=False
+    )
+    return C.cluster_representatives(d, pairs)
 
 
 def winnow_repr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,21 +103,19 @@ def winnow_repr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _collapse_audit_parts(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, int, DataFrame, DataFrame]:
+) -> tuple[int, DataFrame, DataFrame]:
     """Shared machinery of the composed-pipeline audits
     (``winnow_repr_audit``, ``containment_repr_audit`` — review
     catch: two hand-kept copies of this block WILL diverge):
-    ``(d, off, rep_docs, copies)`` where ``d`` is the corpus with
-    planted exact copies, ``rep_docs`` the actual representative
-    documents the downstream op runs over (uncapped star banding so
-    the copy-collapses-deterministically precondition holds at any
-    scale factor), and ``copies`` the per-planted-copy boolean frame
+    ``(off, rep_docs, copies)`` where ``rep_docs`` is the actual
+    representative-document set the downstream op runs over — built
+    through the SAME ``_collapse_reps`` recipe the declared
+    pipelines use (uncapped star banding so the copy-collapses-
+    deterministically precondition holds at any scale factor) — and
+    ``copies`` the per-planted-copy boolean frame
     (doc_id, collapsed, rep_is_original)."""
     d, off = _docs_with_copies(spark, sf_dir)
-    pairs = D.minhash_lsh_star_pairs(
-        d, max_bucket_size=None, with_jaccard=False
-    )
-    reps = C.cluster_representatives(d, pairs)
+    reps = _collapse_reps(d, max_bucket_size=None)
     rep_docs = d.join(
         reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"
     )
@@ -115,7 +127,7 @@ def _collapse_audit_parts(
         (~F.col("is_representative")).alias("collapsed"),
         (F.col("cluster_id") < F.lit(off)).alias("rep_is_original"),
     )
-    return d, off, rep_docs, copies
+    return off, rep_docs, copies
 
 
 def _exclusion_flag(
@@ -163,7 +175,7 @@ def winnow_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       the downstream winnow output (computed from the actual
       ``winnow_overlap`` run over the representatives, not assumed
       from ``collapsed``)."""
-    _d, off, rep_docs, copies = _collapse_audit_parts(spark, sf_dir)
+    off, rep_docs, copies = _collapse_audit_parts(spark, sf_dir)
     w = winnow_overlap(rep_docs, k=_WK, w=_WW, min_shared=1)
     return _exclusion_flag(
         copies, _pair_ids(w), off, "excluded_from_winnow"
@@ -567,7 +579,7 @@ def containment_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # composed-pipeline booleans over the full corpus + exact copies
-    _d, off, rep_docs, copies = _collapse_audit_parts(spark, sf_dir)
+    off, rep_docs, copies = _collapse_audit_parts(spark, sf_dir)
     cont = ngram_containment_pairs(rep_docs)
     composed = _exclusion_flag(
         copies, _pair_ids(cont), off, "excluded_from_containment"

@@ -21,7 +21,6 @@ prints one JSON line.
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
@@ -40,15 +39,8 @@ def main() -> None:
     spark = get_spark("pagerank-profile")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{out10}/documents.parquet"):
-        R.build(spark, src, out10)
-    if not os.path.exists(f"{out100}/documents.parquet"):
-        orig = R.REPLICAS
-        R.REPLICAS = 100
-        try:
-            R.build(spark, src, out100)
-        finally:
-            R.REPLICAS = orig
+    R.ensure_replicas(spark, src, out10, 10)
+    R.ensure_replicas(spark, src, out100, 100)
 
     results: dict[str, dict] = {}
     for label, d in (("1x", src), ("10x", out10), ("100x", out100)):

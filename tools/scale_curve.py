@@ -51,8 +51,6 @@ def main() -> None:
     out10 = "/tmp/spark_graft_sf1x10"
     src = "/root/testdata/sf0.1"
 
-    import os
-
     import tools.scale_rehearsal as R
     from tidb_cdc_spark import get_spark
     from tidb_cdc_spark.queries import QUERIES
@@ -60,18 +58,12 @@ def main() -> None:
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{out10}/documents.parquet"):
-        R.build(spark, src, out10)
-    if not os.path.exists(f"{out100}/documents.parquet"):
-        t0 = time.perf_counter()
-        orig = R.REPLICAS
-        R.REPLICAS = 100
-        try:
-            R.build(spark, src, out100)
-        finally:
-            R.REPLICAS = orig
+    t0 = time.perf_counter()
+    R.ensure_replicas(spark, src, out10, 10)
+    R.ensure_replicas(spark, src, out100, 100)
+    if time.perf_counter() - t0 > 5:
         print(
-            f"# built {out100} in {time.perf_counter() - t0:.1f}s",
+            f"# built replica dirs in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
 

@@ -25,6 +25,29 @@ import time
 REPLICAS = 10
 
 
+def ensure_replicas(spark, src: str, out: str, replicas: int) -> None:
+    """Build the replica set at ``out`` iff absent — the ONE shared
+    bootstrap for every tool that must profile IDENTICAL data
+    (scale_curve, pagerank_profile; review catch: two hand-copied
+    exists-check + REPLICAS-monkeypatch blocks would silently
+    desynchronize). Presence requires ALL THREE synthesized tables
+    (build writes documents -> events -> embeddings), so a half-built
+    dir from a mid-build crash triggers a rebuild instead of being
+    consumed stale."""
+    global REPLICAS
+    if all(
+        os.path.exists(f"{out}/{t}.parquet")
+        for t in ("documents", "events", "embeddings")
+    ):
+        return
+    orig = REPLICAS
+    REPLICAS = replicas
+    try:
+        build(spark, src, out)
+    finally:
+        REPLICAS = orig
+
+
 def build(spark, src: str, out: str) -> None:
     from pyspark.sql import functions as F
 

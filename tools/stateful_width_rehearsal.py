@@ -252,6 +252,8 @@ def scd2_crossover(spark, batches: int, per_batch: int) -> dict:
     n_keys = 50_000
     mono_t: list[float] = []
     split_t: list[float] = []
+    mono_mb: list[float] = []
+    split_mb: list[float] = []
     for b in range(batches):
         msgs = [
             json.dumps(
@@ -286,8 +288,27 @@ def scd2_crossover(spark, batches: int, per_batch: int) -> dict:
             t0 = time.perf_counter()
             sink.process(changes, b, spec)
             times.append(round(time.perf_counter() - t0, 2))
+        # bytes each sink WROTE this batch — the metric that decides
+        # sink choice on replicated/remote storage (review catch:
+        # the interleaved rewrite must keep reporting it): monolithic
+        # rewrote v=N (the FULL history), split wrote head_v=N + its
+        # immutable closed/b=N append (absent when nothing closed)
+        v_m = mono_sink._current_version()
+        mono_mb.append(round(_du(os.path.join(mono_sink.path, f"v={v_m}")) / 1e6, 1))
+        v_s = split_sink._current_version()
+        split_mb.append(
+            round(
+                (
+                    _du(os.path.join(split_sink.path, f"head_v={v_s}"))
+                    + _du(os.path.join(split_sink.path, "closed", f"b={b}"))
+                )
+                / 1e6,
+                1,
+            )
+        )
         print(
-            f"# b{b}: mono {mono_t[-1]}s split {split_t[-1]}s "
+            f"# b{b}: mono {mono_t[-1]}s/{mono_mb[-1]}MB "
+            f"split {split_t[-1]}s/{split_mb[-1]}MB "
             f"(hist ~{(b + 1) * per_batch} rows)",
             file=sys.stderr,
             flush=True,
@@ -306,6 +327,8 @@ def scd2_crossover(spark, batches: int, per_batch: int) -> dict:
         "per_batch_rows": per_batch,
         "mono_per_batch_sec": mono_t,
         "split_per_batch_sec": split_t,
+        "mono_per_batch_mb_written": mono_mb,
+        "split_per_batch_mb_written": split_mb,
         "crossover_batch": cross,
         "crossover_history_rows": None if cross is None else cross * per_batch,
     }
