@@ -55,6 +55,8 @@ ROUND_ADDITIONS = [
     "contamination_containment_screen",  # r10 changed: same sentinel
     "dedup_minhash_audit",  # r10 changed: shingle_hash_rows sentinel
     "winnow_repr_audit",  # r10 changed: same helper
+    "multimodal_probe_audit",  # late-r10 new container-parse audit
+    "multimodal_frame_plan",  # late-r10 new probe→plan composition
 ]
 
 

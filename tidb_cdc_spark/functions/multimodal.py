@@ -297,6 +297,81 @@ def frame_sample_plan(media: DataFrame, every_ms: int) -> DataFrame:
     )
 
 
+def synth_container_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Plant REAL container bytes per id — RIFF/WAVE for even ids,
+    ISO-BMFF ftyp+moov+mvhd for odd (version 0 when id%4==1,
+    version 1 / 64-bit duration when id%4==3) — with every header
+    field derived from the id by FIXED integer formulas, so the
+    values ``probe_media`` recovers are reproducible by any engine:
+
+    - WAV:  byte_rate = 8000 + (id % 32)·250,
+            data_len  = 16000 + (id % 1000)·16
+            ⇒ duration_ms = data_len·1000 div byte_rate
+    - MP4:  timescale = 600 + (id % 400),
+            dur_units = 2400 + (id % 3000)            (v0, 32-bit)
+                      = 2³³ + (id % 3000)             (v1, 64-bit)
+            ⇒ duration_ms = dur_units·1000 div timescale
+
+    Payloads are header-only (~44-72 bytes — the RIFF ``data`` chunk
+    declares its length but carries no samples, which the chunk walk
+    never reads past), so a corpus-wide plant costs nothing. All
+    other metadata is NULL: the probe must RECOVER it from the
+    bytes, making this the planted-value audit source for the real
+    container parsers at corpus scale (queries/llm18.py)."""
+    import struct
+
+    slim = ids.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["media_id"]:
+                mid = int(raw)
+                if mid % 2 == 0:
+                    byte_rate = 8000 + (mid % 32) * 250
+                    data_len = 16000 + (mid % 1000) * 16
+                    fmt = struct.pack("<HHIIHH", 1, 1, 8000, byte_rate, 2, 16)
+                    body = (
+                        b"WAVE"
+                        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", data_len)
+                    )
+                    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+                    kind = "audio"
+                else:
+                    ts = 600 + (mid % 400)
+                    if mid % 4 == 1:  # version 0: 32-bit times
+                        dur = 2400 + (mid % 3000)
+                        mvhd = (
+                            b"\x00\x00\x00\x00"
+                            + b"\x00" * 8
+                            + struct.pack(">I", ts)
+                            + struct.pack(">I", dur)
+                        )
+                    else:  # version 1: 64-bit duration field
+                        dur = 8589934592 + (mid % 3000)
+                        mvhd = (
+                            b"\x01\x00\x00\x00"
+                            + b"\x00" * 16
+                            + struct.pack(">I", ts)
+                            + struct.pack(">Q", dur)
+                        )
+                    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+                    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+                    payload = (
+                        struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+                        + moov
+                    )
+                    kind = "video"
+                rows.append((mid, kind, None, None, None, None, payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded
     bytes). Kinds cycle image/audio/video."""

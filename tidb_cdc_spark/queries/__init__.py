@@ -41,6 +41,7 @@ from tidb_cdc_spark.queries import (
     llm15,
     llm16,
     llm17,
+    llm18,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -49,6 +50,7 @@ ORACLE: dict[str, str] = {}
 for _mod in (
     llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10,
     audits, cdcq, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
+    llm18,
     batch, batch2, batch3, batch4, batch5,
 ):
     QUERIES.update(_mod.QUERIES)
@@ -136,6 +138,12 @@ for _mod in (
 # winnow audits (shingle_hash_rows shares the sentinel change), and
 # corpus_lm_stupid_backoff (functions/lm.py refactored around it).
 #
+# LATE-R10 SWAP: the two new multimodal container-parse audits
+# (multimodal_probe_audit, multimodal_frame_plan — queries/llm18.py,
+# full value oracles over planted formula-valued WAV/MP4 headers)
+# take the q2/q11 slots (both r9-green, unchanged, mirror-kept;
+# they queue for r11 with the other rotated-out heads).
+#
 # ROUND-11 ROTATION QUEUE (oldest rows after this round): the r5
 # block (text_token_stats/quality_by_lang/lang_id/fingerprint_md5,
 # knn_lsh/ivf raw forms' audit twins are fresh but sample_* ×3,
@@ -186,8 +194,11 @@ GATE = [
     "containment_repr_audit",
     "corpus_lm_quality_buckets",
     "corpus_perplexity_buckets",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
+    # late-r10: the multimodal container-parse audits (new ops,
+    # queries/llm18.py) take the q2/q11 slots (both r9-green,
+    # unchanged, mirror-kept)
+    "multimodal_probe_audit",
+    "multimodal_frame_plan",
     "q12_priority_lines",
     "q21_waiting_suppliers",
     # late-r9: the stupid-backoff LM scorer (new op, queries/llm17.py)

@@ -1,0 +1,117 @@
+"""Eighteenth wave: the multimodal container-parse path as
+driver-gated, fully value-oracled queries — closing the family's
+evidence gap (one declared query since r5 for a 400-line module with
+real RIFF/ISO-BMFF parsers).
+
+Strategy: plant REAL container bytes whose header fields derive from
+the id by fixed integer formulas (``functions/multimodal.py::
+synth_container_media``), run the REAL Arrow-batched probe
+(``probe_media`` — the chunk/box walks under ``mapInPandas``), and
+compare the RECOVERED values against a DuckDB oracle computing the
+same formulas. A parser regression (endianness, box-version layout,
+word-alignment, truncation bound) changes a recovered duration and
+fails the value hash — this is the audit pattern of queries/
+audits.py applied to byte-level decoding: booleans replaced by exact
+recovered integers.
+
+Scale shape: payloads are header-only (≤72 bytes) and the probe's
+output drops the bytes, so both queries are two Arrow passes over
+id-sized rows + codegen expressions — no Python in any per-row hot
+path beyond the sanctioned ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_cdc_spark.functions.multimodal import (
+        probe_media,
+        synth_container_media,
+    )
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return probe_media(synth_container_media(ids, "doc_id"))
+
+
+def multimodal_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-container probe: every document id gets real WAV/MP4
+    header bytes (formula-valued fields, v0 AND v1 mvhd layouts, the
+    64-bit duration path included), and the output is what the REAL
+    parsers recovered — mime + duration_ms per media row. Exact
+    value oracle: DuckDB computes the same integer formulas; any
+    divergence in the chunk walk / box walk / byte order flips the
+    hash."""
+    return _probed(spark, sf_dir).select(
+        "media_id",
+        "kind",
+        "mime",
+        "duration_ms",
+    ).orderBy("media_id")
+
+
+_PROBE_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       CAST(CASE
+         WHEN doc_id % 2 = 0 THEN
+           ((16000 + (doc_id % 1000) * 16) * 1000)
+             // (8000 + (doc_id % 32) * 250)
+         WHEN doc_id % 4 = 1 THEN
+           ((2400 + (doc_id % 3000)) * 1000) // (600 + (doc_id % 400))
+         ELSE
+           ((8589934592 + (doc_id % 3000)) * 1000)
+             // (600 + (doc_id % 400))
+       END AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY media_id
+"""
+
+
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe → frame-sample composition: the v0 videos' PROBED
+    durations feed ``frame_sample_plan`` (pure codegen sequence/
+    explode — one row per 250 ms sampling timestamp), the plan a
+    frame-extraction fleet would join against the decoder. Restricted
+    to the version-0 plants (id%4==1, durations 2.4-9 s ⇒ 9-36
+    frames each); the v1 plants carry deliberately astronomical
+    64-bit durations that exist to exercise the parser, not to be
+    exploded. Fully value-oracled: frame counts and timestamps
+    derive from the recovered durations."""
+    from tidb_cdc_spark.functions.multimodal import frame_sample_plan
+
+    v0 = _probed(spark, sf_dir).filter(F.col("media_id") % 4 == 1)
+    return frame_sample_plan(v0, every_ms=250).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    ).orderBy("media_id", "frame_ts_ms")
+
+
+_FRAME_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         CAST(((2400 + (doc_id % 3000)) * 1000)
+              // (600 + (doc_id % 400)) AS BIGINT) AS dms
+  FROM documents WHERE doc_id % 4 = 1
+)
+SELECT media_id, CAST(i * 250 AS BIGINT) AS frame_ts_ms
+FROM (
+  SELECT media_id, unnest(range(0, greatest(dms // 250, 1))) AS i
+  FROM v
+)
+ORDER BY media_id, frame_ts_ms
+"""
+
+
+QUERIES = {
+    "multimodal_probe_audit": multimodal_probe_audit,
+    "multimodal_frame_plan": multimodal_frame_plan,
+}
+
+ORACLE = {
+    "multimodal_probe_audit": _PROBE_SQL,
+    "multimodal_frame_plan": _FRAME_SQL,
+}
