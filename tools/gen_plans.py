@@ -48,6 +48,8 @@ PICKS = {
     "contamination_containment_screen": "decontamination screen: ONE materialized shingle table feeds both arms; join DIRECTED eval->train from the start (no train x train branch); broadcast viral anti-join",
     "dedup_containment_repr": "composed family-collapse -> containment: star-LSH pairs (ids-only) -> CC (checkpoint-truncated loop) -> rep filter -> containment inverted-index join; within-family quadratic pair output gone",
     "corpus_lm_quality_buckets": "CCNet composition: stupid-backoff scored side materialized ONCE, min/max/count agg + banded rank both read the cache; row_number partitioned BY score band",
+    "multimodal_probe_audit": "container probe: two Arrow-batched mapInPandas passes (synth -> parse) over id-sized rows; bytes never survive into the output",
+    "multimodal_frame_plan": "probe -> frame plan: mapInPandas chain feeds a codegen sequence/explode — one row per sampling timestamp, no Python past the probe",
 }
 
 HEADER = (
