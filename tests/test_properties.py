@@ -395,6 +395,54 @@ class TestLmDriftProperties:
         assert got == ref
 
 
+class TestRankBucketsDirect:
+    """The r10-extracted shared helper, tested against the obvious
+    spec on score frames its LM consumers can never produce:
+    negative scores, adversarial clustering (all scores in one
+    shard-band), ties resolved by doc_id."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    def test_rank_equals_plain_sort_spec(self, spark, scores, k):
+        from tidb_cdc_spark.functions.lm import rank_buckets
+
+        rows = [(i, s) for i, s in enumerate(scores)]
+        df = spark.createDataFrame(rows, "doc_id long, mean_mbits long")
+        got = {
+            r.doc_id: (r.rank, r.bucket)
+            for r in rank_buckets(df, n_buckets=k, n_shards=7).collect()
+        }
+        n = len(rows)
+        expected_rank = {
+            doc: i + 1
+            for i, (_s, doc) in enumerate(sorted((s, d) for d, s in rows))
+        }
+        assert {d: r for d, (r, _b) in got.items()} == expected_rank
+        for d, (r, b) in got.items():
+            assert b == (r - 1) * k // n
+
+    def test_empty_input_yields_empty_typed_frame(self, spark):
+        from tidb_cdc_spark.functions.lm import rank_buckets
+
+        df = spark.createDataFrame([], "doc_id long, mean_mbits long")
+        out = rank_buckets(df, n_buckets=3)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id", "mean_mbits", "rank", "bucket",
+        ]
+
+
 class TestSurprisalBucketProperties:
     @settings(
         max_examples=8,
