@@ -1,14 +1,18 @@
 """Container-parse query wave (queries/llm18.py): the planted-value
-contract between ``synth_container_media``'s formula-valued headers
-and what ``probe_media``'s REAL chunk/box walks recover."""
+contract between ``synth_container_media``'s / ``synth_image_media``'s
+formula-valued headers and what ``probe_media``'s REAL chunk/box
+walks and marker scans recover."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tidb_cdc_spark.functions.multimodal import (
     frame_sample_plan,
+    parse_image_header,
     parse_media_header,
     probe_media,
     synth_container_media,
+    synth_image_media,
 )
 
 
@@ -69,6 +73,79 @@ def test_frame_plan_counts_and_timestamps(spark):
     for mid, ts in by_id.items():
         n = max(_expected_duration(mid) // 250, 1)
         assert sorted(ts) == [i * 250 for i in range(n)], mid
+
+
+def test_image_probe_recovers_every_planted_dim(spark):
+    """All five planted image layouts (PNG / GIF87a+89a / BMP core /
+    BMP info with top-down negative heights / JPEG with fill bytes)
+    round-trip through the REAL probe to the formula values."""
+    ids = spark.range(0, 50).select(F.col("id").alias("media_id"))
+    out = {
+        r.media_id: r for r in probe_media(synth_image_media(ids)).collect()
+    }
+    assert len(out) == 50
+    mimes = {0: "image/png", 1: "image/gif", 2: "image/bmp",
+             3: "image/bmp", 4: "image/jpeg"}
+    for mid, r in out.items():
+        assert r.mime == mimes[mid % 5], mid
+        assert r.width == 16 + mid % 60000, mid
+        assert r.height == 16 + mid % 40000, mid
+        assert r.duration_ms is None  # nothing invented
+
+
+def test_image_plants_are_real_containers_and_cover_variants(spark):
+    """Driver-side parser agrees with the Arrow-path probe on the same
+    bytes, and the id classes actually exercise the layout variants:
+    both GIF magics, the negative stored height, the JPEG fill run."""
+    ids = spark.range(0, 20).select(F.col("id").alias("media_id"))
+    rows = {r.media_id: bytes(r.payload)
+            for r in synth_image_media(ids).collect()}
+    for mid, payload in rows.items():
+        parsed = parse_image_header(payload)
+        assert parsed is not None, mid
+        assert parsed[1] == 16 + mid % 60000
+        assert parsed[2] == 16 + mid % 40000
+        assert len(payload) <= 64  # header-only plant
+    assert rows[1][:6] == b"GIF87a" and rows[6][:6] == b"GIF89a"
+    # id 13 is class-3 odd: stored int32 height must be negative
+    assert int.from_bytes(rows[13][22:26], "little", signed=True) < 0
+    # id 14 is class-4 even: 0xFF fill run precedes the SOF0 marker
+    assert b"\xff\xff\xff\xc0" in rows[14]
+    assert b"\xff\xff\xff\xc0" not in rows[19]  # odd: no fill
+
+
+def test_decode_image_dims_with_pil_when_importable():
+    """Guarded decode test (the Kafka-e2e pattern): skips in this
+    container (no PIL); in a container WITH codecs it proves the
+    one-function swap boundary — ``decode_image_dims`` must return
+    the true pixel dimensions of a fully DECODABLE planted PNG via
+    the PIL branch, not the header fallback."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        pytest.skip("PIL not installed in this container")
+    import struct
+    import zlib
+
+    from tidb_cdc_spark.functions.multimodal import decode_image_dims
+
+    w, h = 5, 3
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    scanlines = b"".join(b"\x00" + b"\x80\x40\x20" * w for _ in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image_dims(png) == (w, h)
 
 
 def test_frame_plan_short_video_gets_one_frame(spark):

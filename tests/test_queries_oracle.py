@@ -48,15 +48,9 @@ def test_every_query_runs(spark):
 SF_LARGE = "/root/testdata/sf0.1"
 ROUND_ADDITIONS = [
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
-    "containment_repr_audit",  # r10 new composed-pipeline audit
-    "corpus_lm_quality_buckets",  # r10 new LM→bucket composition
-    "corpus_perplexity_buckets",  # r10 changed: rank_buckets refactor
-    "dedup_containment_pairs",  # r10 changed: sentinel whitespace class
-    "contamination_containment_screen",  # r10 changed: same sentinel
-    "dedup_minhash_audit",  # r10 changed: shingle_hash_rows sentinel
-    "winnow_repr_audit",  # r10 changed: same helper
-    "multimodal_probe_audit",  # late-r10 new container-parse audit
-    "multimodal_frame_plan",  # late-r10 new probe→plan composition
+    "multimodal_image_audit",  # r11 new image-header planted audit
+    "multimodal_probe_audit",  # r11 changed: probe_media premask
+    "multimodal_frame_plan",  # r11 changed: same premask
 ]
 
 

@@ -372,6 +372,101 @@ def synth_container_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
     return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
+def synth_image_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Plant REAL image container bytes per id — the image twin of
+    ``synth_container_media``, covering every layout
+    ``parse_image_header`` handles, chosen by ``id % 5``:
+
+    - 0: PNG (IHDR, big-endian dims, valid CRC)
+    - 1: GIF (87a when ``(id//5) % 2 == 0`` else 89a; little-endian
+         logical-screen dims)
+    - 2: BMP BITMAPCOREHEADER (OS/2, header size 12, 16-bit dims)
+    - 3: BMP BITMAPINFOHEADER (header size 40, int32 dims; stored
+         height NEGATIVE — top-down bitmap — for odd ids, so the
+         abs() branch is under the oracle)
+    - 4: JPEG (SOI + APP0 + SOF0; a 2-byte 0xFF fill-byte run is
+         inserted before the SOF0 marker for even ids — the marker
+         scan must skip fills, not read one as the marker id)
+
+    Width/height derive from the id by FIXED formulas shared across
+    all five layouts (w = 16 + id%60000, h = 16 + id%40000 — both
+    fit the 16-bit containers), so the values ``probe_media``
+    recovers are reproducible by any engine: the planted-value audit
+    source for the image parsers (queries/llm18.py), the pattern
+    that closed the WAV/MP4 gap in round 10. Payloads are
+    header-only (26-50 bytes); all metadata is planted NULL so the
+    probe must RECOVER mime/width/height from the bytes."""
+    import struct
+    import zlib
+
+    slim = ids.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["media_id"]:
+                mid = int(raw)
+                w = 16 + mid % 60000
+                h = 16 + mid % 40000
+                cls = mid % 5
+                if cls == 0:
+                    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+                    chunk = b"IHDR" + ihdr
+                    payload = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I", len(ihdr))
+                        + chunk
+                        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+                    )
+                elif cls == 1:
+                    magic = b"GIF87a" if (mid // 5) % 2 == 0 else b"GIF89a"
+                    payload = (
+                        magic
+                        + struct.pack("<HH", w, h)
+                        + b"\x70\x00\x00"  # LSD packed/bg/aspect
+                    )
+                elif cls == 2:
+                    payload = (
+                        b"BM"
+                        + b"\x00" * 12  # file size / reserved / offset
+                        + struct.pack("<I", 12)  # BITMAPCOREHEADER
+                        + struct.pack("<HHHH", w, h, 1, 24)
+                    )
+                elif cls == 3:
+                    stored_h = -h if mid % 2 == 1 else h
+                    payload = (
+                        b"BM"
+                        + b"\x00" * 12
+                        + struct.pack("<I", 40)  # BITMAPINFOHEADER
+                        + struct.pack("<ii", w, stored_h)
+                        + struct.pack("<HH", 1, 24)
+                    )
+                else:
+                    app0 = (
+                        b"\xff\xe0"
+                        + struct.pack(">H", 16)
+                        + b"JFIF\x00"
+                        + b"\x00" * 9
+                    )
+                    fill = b"\xff\xff" if mid % 2 == 0 else b""
+                    sof0 = (
+                        b"\xff\xc0"
+                        + struct.pack(">H", 17)
+                        + b"\x08"
+                        + struct.pack(">HH", h, w)
+                        + b"\x03"
+                        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+                    )
+                    payload = b"\xff\xd8" + app0 + fill + sof0 + b"\xff\xd9"
+                rows.append((mid, "image", None, None, None, None, payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded
     bytes). Kinds cycle image/audio/video."""
@@ -407,7 +502,16 @@ def probe_media(media: DataFrame) -> DataFrame:
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            for idx in pdf.index:
+            # vectorized pre-selection: on a mostly-populated corpus
+            # the Python loop must touch only the rows that actually
+            # need probing, not check-and-skip every row
+            need_any = (
+                pdf["mime"].isna()
+                | pdf["width"].isna()
+                | pdf["height"].isna()
+                | pdf["duration_ms"].isna()
+            ) & pdf["payload"].notna()
+            for idx in pdf.index[need_any]:
                 need_dims = (
                     pd.isna(pdf.at[idx, "width"])
                     or pd.isna(pdf.at[idx, "height"])
@@ -417,11 +521,7 @@ def probe_media(media: DataFrame) -> DataFrame:
                     or pd.isna(pdf.at[idx, "mime"])
                 )
                 need_dur = pd.isna(pdf.at[idx, "duration_ms"])
-                if not (need_dims or need_mime or need_dur):
-                    continue
                 raw = pdf.at[idx, "payload"]
-                if raw is None:  # payload-less row: pass through
-                    continue
                 payload = bytes(raw)
                 img = parse_image_header(payload)
                 if img is not None:

@@ -144,84 +144,99 @@ for _mod in (
 # take the q2/q11 slots (both r9-green, unchanged, mirror-kept;
 # they queue for r11 with the other rotated-out heads).
 #
-# ROUND-11 ROTATION QUEUE (oldest rows after this round): the r5
+# ROUND-11 ROTATION (applied): IN — the ENTIRE pre-certified queue
+# (NOTES.md r10 pre-certification, commit d40dad3): the r5-stale
 # block (text_token_stats/quality_by_lang/lang_id/fingerprint_md5,
-# knn_lsh/ivf raw forms' audit twins are fresh but sample_* ×3,
-# tfidf_top_terms, dedup_clusters_fuzzy, pii_scrub_stats,
+# sample_* ×3, tfidf_top_terms, pii_scrub_stats,
 # text_repetition_stats, token_length_histogram, vocab_top_terms,
 # source_overlap_matrix, doc_length_band, embedding_int8_quantize,
 # quality_budget_head, cdc_dead_letter_stats, text_bpe_tokens,
-# multimodal_doc_features are r5), then the r6 heads
-# (q3/q5/q8/q9, doc_hashed_tf) and the r7 showcase block
-# (events_rolling, table_profile, transition/pivot) per the
-# ~12-17-slot/round cadence.
+# multimodal_doc_features — dedup_clusters_fuzzy is rows-only and
+# stays represented by dedup_clusters_exact + its brute-force twin),
+# the r6 heads (q3/q5/q8/q9, doc_hashed_tf), the r7 showcase block
+# (events_rolling_features, table_profile_lineitem,
+# events_transition_matrix, events_pivot_by_type), and the NEW
+# multimodal_image_audit (queries/llm18.py — the image twin of the
+# r10 container audits, closing the family's last evidence gap).
+# OUT — 29 r10-green rows with UNCHANGED code (q12/q18/q19/q20/q21
+# heads, events asof/hourly/sliding/cohort/json showcases,
+# sketch_approx, full_outer_nation_presence,
+# suppliers_of_large_parts, scalar/date/array showcases,
+# grouping_sets_orders, corpus_lm_quality_buckets,
+# corpus_perplexity_buckets, corpus_lm_stupid_backoff,
+# dedup_containment_pairs, embedding_random_projection,
+# dedup_span_rewrite, events_engagement_pagerank,
+# corpus_mojibake_audit, embedding_pca_audit,
+# doc_semantic_dedup_audit, corpus_curation_pipeline,
+# text_token_entropy) — each keeps its r10 driver row + the strict
+# mirror in tests/test_queries_oracle.py. Kept despite r10 rows:
+# multimodal_probe_audit / multimodal_frame_plan (CHANGED —
+# probe_media gained the vectorized need-probing premask — fresh
+# certification required) and containment_repr_audit (r10-new
+# composed op, second driver round).
+#
+# ROUND-12 ROTATION QUEUE (oldest rows after this round): the r8
+# block (q2_min_cost_supplier, q11_important_stock,
+# q4_order_priority, q14_promo_effect, q16_parts_supplier,
+# q17_small_quantity, q22_global_sales, rollup_revenue,
+# topk_orders_per_customer, price_band_pairs, events_daily_gapfill,
+# events_value_percentiles_by_type, sketch_percentiles,
+# embedding_whiten_audit, events_distinct_hll_audit,
+# events_value_outliers, rag_rerank_cascade, dedup_jaccard/
+# embedding/clusters audits, knn_ivf_audit), then the r9 heads
+# (q1/q6/q7/q10/q13/q15, setops_nation_overlap, cube_order_stats,
+# window_functions_showcase, corpus_collocations_pmi,
+# corpus_tokenizer_fertility, rag_bm25_topk) per the
+# ~12-17-slot/round cadence (this round ran the full 29-slot queue
+# to clear the r5/r6/r7 debt in one pass).
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",
     "knn_bruteforce_cosine",
-    # late-r8: the new star-pair connectivity audit takes the
-    # ann_recall_audit slot (r7-green, unchanged, mirror-kept)
     "dedup_minhash_star_audit",
     "dedup_minhash_audit",
     "dedup_simhash_audit",
-    # r9: the composed star-LSH→CC→reps→winnow pipeline's audit
-    # (new op, queries/llm17.py) takes an audit slot
     "winnow_repr_audit",
-    # late-r8: the retrieval scorecard takes the knn_pq_audit slot
-    # (r7-green, unchanged, mirror-kept)
     "rag_retrieval_eval",
-    # late-r8: the exact-quota split takes the knn_ivfpq_audit slot
-    # (r7-green, unchanged, mirror-kept)
     "corpus_stratified_split",
     "dedup_clusters_exact",
-    # round-10 rotation: the whole r4-stale block (oldest driver
-    # rows), the two new composed ops, and the rank-stage-refactored
-    # perplexity buckets (see rotation comment above)
-    "q19_discounted_revenue",
-    "q20_promo_part_suppliers",
-    "events_asof_purchase_click",
-    "events_hourly",
-    "events_sliding_1h",
-    "events_cohort_retention",
-    "events_json_extract",
-    "sketch_approx",
-    "full_outer_nation_presence",
-    "suppliers_of_large_parts",
-    "scalar_functions_showcase",
-    "date_functions_showcase",
-    "array_map_functions_showcase",
-    "grouping_sets_orders",
+    # r10-new composed op, second driver round
     "containment_repr_audit",
-    "corpus_lm_quality_buckets",
-    "corpus_perplexity_buckets",
-    # late-r10: the multimodal container-parse audits (new ops,
-    # queries/llm18.py) take the q2/q11 slots (both r9-green,
-    # unchanged, mirror-kept)
+    # multimodal container-parse audits: probe/frame kept (CHANGED —
+    # probe_media premask), image audit NEW this round
     "multimodal_probe_audit",
     "multimodal_frame_plan",
-    "q12_priority_lines",
-    "q21_waiting_suppliers",
-    # late-r9: the stupid-backoff LM scorer (new op, queries/llm17.py)
-    # takes the events_daily_gapfill slot (r8-green, unchanged,
-    # mirror-kept)
-    "corpus_lm_stupid_backoff",
-    # late-r9: containment pairs (new op, full oracle) takes the
-    # events_value_percentiles_by_type slot (r8-green, unchanged,
-    # mirror-kept)
-    "dedup_containment_pairs",
-    # LLM curation surface (audit twins; mojibake_audit kept because
-    # the op changed this round — new mixed_untouched pin. Late-r8:
-    # the three NEW ops take the semantic_dedup_audit /
-    # embedding_covariance / knn_opq_audit slots — all three r7-green
-    # with unchanged code, still mirror-checked, queued for r9)
-    "embedding_random_projection",
-    "dedup_span_rewrite",
-    "events_engagement_pagerank",
-    "corpus_mojibake_audit",
-    "embedding_pca_audit",
-    "doc_semantic_dedup_audit",
-    "corpus_curation_pipeline",
-    "text_token_entropy",
+    "multimodal_image_audit",
+    # round-11 rotation: the full pre-certified r5/r6/r7 queue
+    # (see rotation comment above)
+    "text_token_stats",
+    "text_quality_by_lang",
+    "text_lang_id",
+    "text_fingerprint_md5",
+    "sample_hash_docs",
+    "sample_stratified_lang",
+    "sample_weighted_docs",
+    "tfidf_top_terms",
+    "pii_scrub_stats",
+    "text_repetition_stats",
+    "token_length_histogram",
+    "vocab_top_terms",
+    "source_overlap_matrix",
+    "doc_length_band",
+    "embedding_int8_quantize",
+    "quality_budget_head",
+    "cdc_dead_letter_stats",
+    "text_bpe_tokens",
+    "multimodal_doc_features",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "doc_hashed_tf",
+    "events_rolling_features",
+    "table_profile_lineitem",
+    "events_transition_matrix",
+    "events_pivot_by_type",
     # CDC consumers
     "cdc_parse_typed",
     "cdc_apply_latest",
@@ -229,12 +244,8 @@ GATE = [
     "cdc_incremental_agg",
     "cdc_schema_drift",
     "cdc_decimal_agg",
-    # plan-complex TPC-H/events (kept from r6 rotation)
-    "q18_large_volume_customers",
+    # plan-complex shapes kept fresh
     "events_sessions",
-    # late-r9: containment decontamination screen (new op, full
-    # oracle) takes the events_zorder_buckets slot (r8-green,
-    # unchanged, mirror-kept)
     "contamination_containment_screen",
     "skew_salted_agg",
 ]

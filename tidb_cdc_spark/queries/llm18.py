@@ -106,12 +106,53 @@ ORDER BY media_id, frame_ts_ms
 """
 
 
+def multimodal_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-image probe — the image twin of the r10 WAV/MP4 audit,
+    closing the image parsers' evidence gap: every document id gets
+    real PNG/GIF/BMP-core/BMP-info/JPEG header bytes
+    (``synth_image_media`` — formula-valued dims, both GIF magics,
+    both DIB header layouts incl. negative top-down heights, a JPEG
+    fill-byte run), and the output is what ``parse_image_header``
+    recovered through the real Arrow-batched probe — mime + width +
+    height per row. Exact value oracle: DuckDB computes the same
+    integer formulas; any divergence in endianness, header-size
+    branch, abs(), or the marker scan flips the hash."""
+    from tidb_cdc_spark.functions.multimodal import (
+        probe_media,
+        synth_image_media,
+    )
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return (
+        probe_media(synth_image_media(ids, "doc_id"))
+        .select("media_id", "mime", "width", "height")
+        .orderBy("media_id")
+    )
+
+
+_IMAGE_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/gif'
+         WHEN 4 THEN 'image/jpeg'
+         ELSE 'image/bmp'
+       END AS mime,
+       CAST(16 + doc_id % 60000 AS INT) AS width,
+       CAST(16 + doc_id % 40000 AS INT) AS height
+FROM documents
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
+    "multimodal_image_audit": multimodal_image_audit,
 }
 
 ORACLE = {
     "multimodal_probe_audit": _PROBE_SQL,
     "multimodal_frame_plan": _FRAME_SQL,
+    "multimodal_image_audit": _IMAGE_SQL,
 }

@@ -50,6 +50,7 @@ PICKS = {
     "corpus_lm_quality_buckets": "CCNet composition: stupid-backoff scored side materialized ONCE, min/max/count agg + banded rank both read the cache; row_number partitioned BY score band",
     "multimodal_probe_audit": "container probe: two Arrow-batched mapInPandas passes (synth -> parse) over id-sized rows; bytes never survive into the output",
     "multimodal_frame_plan": "probe -> frame plan: mapInPandas chain feeds a codegen sequence/explode — one row per sampling timestamp, no Python past the probe",
+    "multimodal_image_audit": "image-header probe: two Arrow-batched mapInPandas passes (synth -> parse) over id-sized rows, header-only payloads dropped before the presentation sort",
 }
 
 HEADER = (
