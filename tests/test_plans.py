@@ -70,6 +70,29 @@ class TestMultimodalPruning:
         read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
         assert "payload" not in read_schema  # bytes never leave the footer
 
+    def test_frame_plan_drops_payload_before_explode_and_shuffle(self, spark):
+        """The probe→frame-plan composition at corpus scale: the
+        payload bytes exist only inside the probe's own mapInPandas
+        output batch — the Project above it must keep ids/durations
+        only, so no Generate (explode) or Exchange ever carries the
+        bytes. Pinned on the declared query (the shape the frame-
+        extraction fleet would join against)."""
+        from tidb_cdc_spark.queries.llm18 import multimodal_frame_plan
+
+        plan = explain_str(multimodal_frame_plan(spark, SF))
+        assert "MapInPandas" in plan  # the probe is the sanctioned path
+        # walk the formatted-detail blocks: every Generate/Exchange/
+        # Sort node's Input/Output columns must be payload-free — a
+        # Project above the probe keeps (media_id, duration_ms) only
+        blocks = plan.split("\n\n")
+        checked = 0
+        for b in blocks:
+            head = b.splitlines()[0] if b.splitlines() else ""
+            if any(n in head for n in ("Generate", "Exchange", "Sort")):
+                checked += 1
+                assert "payload" not in b, b
+        assert checked >= 3, plan  # explode + range exchange + sort
+
 
 class TestNewTpchPlans:
     def test_q7_broadcasts_all_dims(self, spark):

@@ -1115,6 +1115,63 @@ class TestTransformWithStateTwin:
         assert latest[2] == (2, 110.0)
         assert latest[3] == (2, 2.0)
 
+    def test_latest_tws_matches_applyinpandaswithstate(self, spark, tmp_path):
+        """The transformWithState form of stateful_latest must make
+        the same latest-wins / stale-ignore / equal-ts-replay calls
+        as the applyInPandasWithState form over the same two-batch
+        stream. Guarded: the TWS state-server protocol needs
+        protobuf, absent in this container."""
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState needs protobuf (not in container)",
+        )
+        from tidb_cdc_spark.streaming.stateful import stateful_latest_tws
+
+        helper = TestStatefulOperators()
+        out = stateful_latest_tws(
+            helper._two_batch_stream(spark, tmp_path), "user_id"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("st_latest_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_sl_tws"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("select * from st_latest_tws").collect()
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.ts > latest[r.user_id][0]:
+                latest[r.user_id] = (r.ts, r.payload)
+        assert latest[1] == (30, "c")  # batch-2 newer event wins
+        assert latest[2] == (5, "x")  # batch-2 stale event ignored
+        assert latest[3] == (7, "orig")  # equal-ts replay ignored
+
+    def test_tws_twins_raise_clear_importerror_without_protobuf(self, spark):
+        """In THIS container (no protobuf) both TWS twins must fail
+        fast with the actionable message, not a deep protocol error —
+        this is the branch that actually runs here, so pin it."""
+        try:
+            import google.protobuf  # noqa: F401
+
+            pytest.skip("protobuf present — guarded branch not reachable")
+        except ImportError:
+            pass
+        from tidb_cdc_spark.streaming.stateful import (
+            running_totals_tws,
+            stateful_latest_tws,
+        )
+
+        df = spark.createDataFrame(
+            [], "user_id long, ts long, value double, payload string"
+        )
+        with pytest.raises(ImportError, match="running_totals"):
+            running_totals_tws(df)
+        with pytest.raises(ImportError, match="stateful_latest"):
+            stateful_latest_tws(df, "user_id")
+
 
 class TestSharedSinkErrorPropagation:
     def test_one_failing_sink_fails_the_whole_batch(self, spark, tmp_path):

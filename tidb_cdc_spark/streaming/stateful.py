@@ -177,3 +177,80 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stateful_latest_tws(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    payload_col: str = "payload",
+    key_type: str = "bigint",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """``stateful_latest`` on the transformWithState API — the second
+    migration twin (same contract, same cross-batch tests): per-key
+    latest-wins with strict-``>`` replay idempotence. The TTL story
+    is where the new API pays off: ``applyInPandasWithState`` needed
+    hand-rolled ``setTimeoutDuration`` + ``hasTimedOut`` plumbing per
+    operator; here idle-key eviction is DECLARED on the state
+    variable (``getValueState(..., ttlDurationMs=...)``) and the
+    store expires unrefreshed values itself. State-variable TTL
+    requires processing-time semantics, so ``timeMode`` switches to
+    ProcessingTime exactly when a TTL is requested.
+
+    Requires ``protobuf`` (state-server protocol) like
+    ``running_totals_tws``; ``stateful_latest`` is the
+    dependency-free equivalent."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(state-server protocol); use stateful_latest() instead in "
+            "environments without it"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} {key_type}, ts bigint, {payload_col} string"
+
+    class LatestState(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState(
+                "latest",
+                "ts bigint, payload string",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts0, payload0 = (
+                self._latest.get() if self._latest.exists() else (-1, None)
+            )
+            changed = False
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                top = pdf.loc[pdf[ts_col].idxmax()]
+                # strict >: equal-ts arrivals are replays/ties and
+                # never displace the stored value (same contract as
+                # stateful_latest — replay-idempotent)
+                if int(top[ts_col]) > ts0:
+                    ts0, payload0 = int(top[ts_col]), top[payload_col]
+                    changed = True
+            self._latest.update((ts0, payload0))
+            if changed:
+                yield pd.DataFrame(
+                    {key_col: [key[0]], "ts": [ts0], payload_col: [payload0]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return changes.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=LatestState(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
+    )

@@ -43,6 +43,12 @@ OPS = [
     # collapsing the ~100-member families first must hold the
     # 10×→100× ratio near-linear
     "dedup_containment_repr",
+    # r11: the multimodal probe path — header-only payloads through
+    # two Arrow passes, bytes dropped before any shuffle; both the
+    # flat probe and the probe→explode composition must scale
+    # linearly in ids (the family's first scale measurement)
+    "multimodal_probe_audit",
+    "multimodal_frame_plan",
 ]
 
 

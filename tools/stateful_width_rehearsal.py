@@ -334,6 +334,91 @@ def scd2_crossover(spark, batches: int, per_batch: int) -> dict:
     }
 
 
+def scd2_compact_cost(spark, batches: int, per_batch: int) -> dict:
+    """Price ``Scd2SplitHistorySink.compact()`` at the same 12M-row
+    store the r10 crossover sweep proved write-volume-optimal
+    (verdict r10 #7: the maintenance cost was the unpriced half of
+    the choose-by-storage story). Split-sink-only fold to
+    ``batches × per_batch`` history rows, then ONE compact:
+    report wall-time, closed-dir/file counts and history-read time
+    before vs after — the listing cost compact() exists to bound."""
+    import pandas as pd
+
+    from tidb_cdc_spark.cdc import parse_cdc
+    from tidb_cdc_spark.streaming import sinks as SK
+
+    root = os.path.join(TMP, "compact_cost")
+    shutil.rmtree(root, ignore_errors=True)
+    sink = SK.Scd2SplitHistorySink(os.path.join(root, "split"))
+    spec = _specs(1)[0]
+    from pyspark.sql import functions as F
+
+    n_keys = 50_000
+    for b in range(batches):
+        msgs = [
+            json.dumps(
+                {
+                    "database": "d",
+                    "table": "t000",
+                    "type": "insert" if b == 0 else "update",
+                    "ts": b * per_batch + j,
+                    "data": {
+                        "k": f"k{j % n_keys}",
+                        "v": b * per_batch + j,
+                        "ts": "2026-01-01 00:00:00",
+                    },
+                }
+            )
+            for j in range(per_batch)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"value": msgs})
+        ).repartition(8)
+        changes = parse_cdc(
+            df.withColumn("_s", F.monotonically_increasing_id()),
+            spec,
+            seq_col=F.col("_s"),
+        )
+        sink.process(changes, b, spec)
+        if b % 10 == 9:
+            print(f"# built batch {b + 1}/{batches}", file=sys.stderr, flush=True)
+
+    def _closed_stats() -> tuple[int, int, float, float, int]:
+        croot = sink._closed_root()
+        dirs = [d for d in os.listdir(croot) if d.startswith("b=")]
+        files = sum(
+            len(fs) for _, _, fs in os.walk(croot)
+        )
+        mb = round(_du(croot) / 1e6, 1)
+        t0 = time.perf_counter()
+        closed = sink._read_closed(spark)
+        rows = 0 if closed is None else closed.count()
+        return len(dirs), files, mb, round(time.perf_counter() - t0, 2), rows
+
+    d0, f0, mb0, t_read0, rows0 = _closed_stats()
+    t0 = time.perf_counter()
+    dirs_before, dirs_after = sink.compact(spark)
+    t_compact = round(time.perf_counter() - t0, 2)
+    d1, f1, mb1, t_read1, rows1 = _closed_stats()
+    return {
+        "experiment": "scd2_compact_cost",
+        "batches": batches,
+        "per_batch_rows": per_batch,
+        "history_rows": batches * per_batch,
+        "compact_sec": t_compact,
+        "closed_dirs_before": d0,
+        "closed_dirs_after": d1,
+        "closed_files_before": f0,
+        "closed_files_after": f1,
+        "closed_mb_before": mb0,
+        "closed_mb_after": mb1,
+        "closed_read_sec_before": t_read0,
+        "closed_read_sec_after": t_read1,
+        "closed_rows_preserved": rows0 == rows1,
+        "compact_reported": [dirs_before, dirs_after],
+    }
+
+
 def admission_batches(spark, batches: int, compact_every: int | None) -> dict:
     from tidb_cdc_spark.streaming.enrich import NearDupAdmissionSink
 
@@ -387,6 +472,24 @@ def main() -> None:
         spark = get_spark("scd2-crossover")
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps(scd2_crossover(spark, batches, per_batch)), flush=True)
+        spark.stop()
+        return
+
+    # compact-cost mode (r10 verdict #7): price the split store's
+    # maintenance at the 12M-row history from the crossover sweep.
+    # Run: PYTHONPATH=. python3 tools/stateful_width_rehearsal.py \
+    #   compact [batches=40] [per_batch=300000]
+    if len(sys.argv) > 1 and sys.argv[1] == "compact":
+        batches = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+        per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 300_000
+        from tidb_cdc_spark import get_spark
+
+        spark = get_spark("scd2-compact")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(
+            json.dumps(scd2_compact_cost(spark, batches, per_batch)),
+            flush=True,
+        )
         spark.stop()
         return
 
