@@ -290,6 +290,19 @@ class Scd2SplitHistorySink(Scd2HistorySink):
     folds the accumulated per-batch dirs into one when small-files
     listing cost matters (NearDupAdmissionSink convention).
 
+    Compaction cadence (measured r11, ``stateful_width_rehearsal.py
+    compact 40 300000`` — the same 12M-row history as the crossover
+    sweep): one compact() = **4.6 s**, folding 40 dirs / 2,560 files
+    / 174 MB into 1 dir / 12 files / 166 MB and cutting the closed-
+    store read 1.0 → 0.23 s (4.4×). Cost is ONE closed-store
+    rewrite (∝ closed bytes, independent of batch count), so at an
+    every-N-batches cadence the amortized extra write volume is
+    closed_bytes/N per batch — at N=40 here that's ~4 MB/batch,
+    parity with the per-batch append itself, while keeping listing
+    flat. Rule: compact when closed dirs reach a few dozen; shorten
+    the cadence only if the store is read between batches (the read
+    speedup, not write cost, is then the binding term).
+
     Fold equivalence with the monolithic sink is pinned by
     ``merge_scd2_split``'s contract tests."""
 
