@@ -394,8 +394,9 @@ def synth_image_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     recovers are reproducible by any engine: the planted-value audit
     source for the image parsers (queries/llm18.py), the pattern
     that closed the WAV/MP4 gap in round 10. Payloads are
-    header-only (26-50 bytes); all metadata is planted NULL so the
-    probe must RECOVER mime/width/height from the bytes."""
+    header-only (13-43 bytes: GIF 13, BMP 26/30, PNG 33, JPEG
+    41/43); all metadata is planted NULL so the probe must RECOVER
+    mime/width/height from the bytes."""
     import struct
     import zlib
 
@@ -512,10 +513,6 @@ def probe_media(media: DataFrame) -> DataFrame:
                 | pdf["duration_ms"].isna()
             ) & pdf["payload"].notna()
             for idx in pdf.index[need_any]:
-                need_dims = (
-                    pd.isna(pdf.at[idx, "width"])
-                    or pd.isna(pdf.at[idx, "height"])
-                )
                 need_mime = (
                     pdf.at[idx, "mime"] is None
                     or pd.isna(pdf.at[idx, "mime"])
