@@ -114,6 +114,41 @@ def test_image_plants_are_real_containers_and_cover_variants(spark):
     assert b"\xff\xff\xff\xc0" not in rows[19]  # odd: no fill
 
 
+def test_payload_dedup_groups_identical_bytes_only(spark):
+    """Exact media dedup over the binary column: folding ids mod a
+    small prime plants REAL duplicate payloads; sha2-on-binary must
+    conflate exactly the planted classes — n_unique = distinct folded
+    ids per mime, never fewer (collision) nor more (nondeterminism)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 450).select((F.col("id") % 211).alias("pid"))
+    media = probe_media(synth_image_media(ids, "pid"))
+    got = {
+        r.mime: (r.n_media, r.n_unique)
+        for r in media.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.countDistinct(F.sha2("payload", 256)).alias("n_unique"),
+        )
+        .collect()
+    }
+    import collections
+
+    exp_media = collections.Counter()
+    exp_unique = collections.defaultdict(set)
+    mimes = {0: "image/png", 1: "image/gif", 2: "image/bmp",
+             3: "image/bmp", 4: "image/jpeg"}
+    for i in range(450):
+        pid = i % 211
+        exp_media[mimes[pid % 5]] += 1
+        exp_unique[mimes[pid % 5]].add(pid)
+    assert got == {
+        m: (exp_media[m], len(exp_unique[m])) for m in exp_media
+    }
+    # the fold genuinely planted duplicates (non-vacuous)
+    assert all(got[m][0] > got[m][1] for m in got)
+
+
 def test_decode_image_dims_with_pil_when_importable():
     """Guarded decode test (the Kafka-e2e pattern): skips in this
     container (no PIL); in a container WITH codecs it proves the

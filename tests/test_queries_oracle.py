@@ -49,6 +49,7 @@ SF_LARGE = "/root/testdata/sf0.1"
 ROUND_ADDITIONS = [
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
     "multimodal_image_audit",  # r11 new image-header planted audit
+    "multimodal_dedup_audit",  # late-r11 new payload-dedup audit
     "multimodal_probe_audit",  # r11 changed: probe_media premask
     "multimodal_frame_plan",  # r11 changed: same premask
 ]

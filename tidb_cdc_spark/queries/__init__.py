@@ -245,7 +245,11 @@ GATE = [
     "cdc_schema_drift",
     "cdc_decimal_agg",
     # plan-complex shapes kept fresh
-    "events_sessions",
+    # LATE-R11 SWAP: the exact media-payload dedup audit (new op,
+    # queries/llm18.py — JVM-side sha2-on-binary groupBy under a
+    # planted-duplicate value oracle) takes the events_sessions slot
+    # (r10-green, unchanged, mirror-kept; queues for r12)
+    "multimodal_dedup_audit",
     "contamination_containment_screen",
     "skew_salted_agg",
 ]

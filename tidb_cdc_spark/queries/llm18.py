@@ -145,14 +145,76 @@ ORDER BY media_id
 """
 
 
+def multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup over the opaque binary column — the
+    image-corpus dedup pass a LAION-scale crawl runs before any
+    decode fleet: ONE hash groupBy on ``sha2(payload, 256)``, fully
+    JVM-side (binary hashing is a codegen builtin — the only Python
+    is the sanctioned planted synth). Duplicates are planted by
+    folding ids mod 211 before the synth, so every payload is a pure
+    function of ``doc_id % 211`` and the true unique count per mime
+    is computable by ANY engine from the formulas — while the Spark
+    side counts distinct ACTUAL payload digests, grouped by the
+    mime the REAL probe recovered from the bytes (the plant leaves
+    all metadata NULL). A synth nondeterminism, a hash collision in
+    the plant space, a parser mis-sniff, or a groupBy that conflates
+    distinct byte strings flips the value hash. Output:
+    (mime, n_media, n_unique) — the dedup scorecard (total vs
+    surviving representatives)."""
+    from tidb_cdc_spark.functions.multimodal import (
+        probe_media,
+        synth_image_media,
+    )
+
+    pids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 211).alias("pid"))
+    )
+    media = probe_media(synth_image_media(pids, "pid"))
+    return (
+        media.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.countDistinct(F.sha2("payload", 256)).alias("n_unique"),
+        )
+        .orderBy("mime")
+    )
+
+
+# the mime is recovered from the planted layout class (pid % 5) and
+# every payload is a pure injective function of pid (w = 16 + pid
+# % 60000 differs for every pid < 211), so n_unique per mime is
+# exactly the distinct pid count in that class
+_DEDUP_SQL = """
+WITH m AS (
+  SELECT doc_id % 211 AS pid,
+         CASE (doc_id % 211) % 5
+           WHEN 0 THEN 'image/png'
+           WHEN 1 THEN 'image/gif'
+           WHEN 4 THEN 'image/jpeg'
+           ELSE 'image/bmp'
+         END AS mime
+  FROM documents
+)
+SELECT mime,
+       COUNT(*) AS n_media,
+       COUNT(DISTINCT pid) AS n_unique
+FROM m
+GROUP BY mime
+ORDER BY mime
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
     "multimodal_image_audit": multimodal_image_audit,
+    "multimodal_dedup_audit": multimodal_dedup_audit,
 }
 
 ORACLE = {
     "multimodal_probe_audit": _PROBE_SQL,
     "multimodal_frame_plan": _FRAME_SQL,
     "multimodal_image_audit": _IMAGE_SQL,
+    "multimodal_dedup_audit": _DEDUP_SQL,
 }

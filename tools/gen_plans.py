@@ -51,6 +51,7 @@ PICKS = {
     "multimodal_probe_audit": "container probe: two Arrow-batched mapInPandas passes (synth -> parse) over id-sized rows; bytes never survive into the output",
     "multimodal_frame_plan": "probe -> frame plan: mapInPandas chain feeds a codegen sequence/explode — one row per sampling timestamp, no Python past the probe",
     "multimodal_image_audit": "image-header probe: two Arrow-batched mapInPandas passes (synth -> parse) over id-sized rows, header-only payloads dropped before the presentation sort",
+    "multimodal_dedup_audit": "media payload dedup: JVM-side sha2 on the binary column feeding ONE combining distinct-agg — no Python past the sanctioned synth/probe passes",
 }
 
 HEADER = (
