@@ -292,6 +292,103 @@ class TestBandStoreCompaction:
         assert "bands" in stats
 
 
+class TestDigestAdmissionSink:
+    """Content-addressable exact dedup at ingest: the foreachBatch
+    contract driven directly (process(df, batch_id)) — intra-batch
+    representative, cross-batch anti-join, replay no-op, compaction."""
+
+    SCHEMA = "media_id long, kind string, payload binary"
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, k, bytearray(p)) for i, k, p in rows], self.SCHEMA
+        )
+
+    def test_two_batches_admit_novel_payloads_only(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import DigestAdmissionSink
+
+        sink = DigestAdmissionSink(str(tmp_path / "store"))
+        sink.process(
+            self._batch(spark, [
+                (2, "image", b"payload-A"),   # intra-batch pair: 1 wins
+                (1, "image", b"payload-A"),
+                (3, "audio", b"payload-B"),
+            ]),
+            0,
+        )
+        assert {r.media_id for r in sink.read_corpus(spark).collect()} == {1, 3}
+        sink.process(
+            self._batch(spark, [
+                (10, "image", b"payload-A"),  # cross-batch dup of 1
+                (11, "video", b"payload-C"),
+            ]),
+            1,
+        )
+        corpus = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert corpus == {1, 3, 11}
+        digests = spark.read.parquet(str(tmp_path / "store" / "digests"))
+        assert digests.count() == 3  # one index row per unique payload
+        # the corpus keeps the raw columns, not the screening digest
+        assert "digest" not in sink.read_corpus(spark).columns
+
+    def test_replay_of_applied_batch_is_noop(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import DigestAdmissionSink
+
+        sink = DigestAdmissionSink(str(tmp_path / "store"))
+        b = self._batch(spark, [(1, "image", b"X")])
+        sink.process(b, 0)
+        sink.process(b, 0)  # at-least-once re-delivery
+        assert sink.read_corpus(spark).count() == 1
+
+    def test_compact_preserves_data_and_screening(self, spark, tmp_path):
+        import glob
+
+        from tidb_cdc_spark.streaming import DigestAdmissionSink
+
+        sink = DigestAdmissionSink(str(tmp_path / "store"))
+        for b in range(3):
+            sink.process(
+                self._batch(spark, [
+                    (100 * b + i, "image", f"p{b}-{i}".encode())
+                    for i in range(3)
+                ]),
+                b,
+            )
+        dig_dir = str(tmp_path / "store" / "digests")
+        before_files = len(glob.glob(f"{dig_dir}/*.parquet"))
+        assert before_files > 1
+        before = {r.media_id for r in sink.read_corpus(spark).collect()}
+        stats = sink.compact(spark, files_per_table=1)
+        assert stats["digests"] == (before_files, 1)
+        assert {r.media_id for r in sink.read_corpus(spark).collect()} == before
+        # still screens against the compacted index
+        sink.process(
+            self._batch(spark, [
+                (999, "image", b"p0-0"),   # dup of an admitted payload
+                (998, "image", b"fresh"),
+            ]),
+            3,
+        )
+        after = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert 998 in after and 999 not in after
+
+    def test_torn_compaction_recovers(self, spark, tmp_path):
+        import os
+
+        from tidb_cdc_spark.streaming import DigestAdmissionSink
+
+        sink = DigestAdmissionSink(str(tmp_path / "store"))
+        sink.process(self._batch(spark, [(1, "image", b"X")]), 0)
+        dig = str(tmp_path / "store" / "digests")
+        os.rename(dig, dig + ".compact.old")  # crash between renames
+        assert not os.path.exists(dig)
+        stats = sink.compact(spark, files_per_table=1)
+        assert os.path.exists(dig)
+        assert spark.read.parquet(dig).count() == 1
+        assert not os.path.exists(dig + ".compact.old")
+        assert "digests" in stats
+
+
 class TestWinnowOverlapSink:
     def _run(self, spark, tmp_path, name, rows):
         from tidb_cdc_spark.streaming import WinnowOverlapSink

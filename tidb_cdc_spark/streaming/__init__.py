@@ -14,6 +14,7 @@ from tidb_cdc_spark.streaming.sinks import (
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
 from tidb_cdc_spark.streaming.enrich import (
     CountMinSink,
+    DigestAdmissionSink,
     HllDistinctSink,
     NearDupAdmissionSink,
     PcaMomentSink,
@@ -25,6 +26,7 @@ __all__ = [
     "Connector",
     "ConnectorConfig",
     "CountMinSink",
+    "DigestAdmissionSink",
     "HllDistinctSink",
     "NearDupAdmissionSink",
     "PcaMomentSink",

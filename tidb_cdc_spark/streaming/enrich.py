@@ -84,6 +84,64 @@ def snapshot_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(F.md5(F.col(text_col)).alias("fp")).distinct()
 
 
+# ------------------------------------------- append-store helpers
+# shared by the admission sinks (NearDupAdmissionSink,
+# DigestAdmissionSink): per-table compaction with rename-based swap
+# and torn-swap healing.
+
+
+def _table_recover_compact(path: str) -> None:
+    """Heal a crash between compaction's two renames: the table dir
+    is gone but ``.compact.old`` (the intact pre-compaction data) is
+    still there — put it back. A leftover ``.old`` NEXT TO a live
+    table dir means the crash happened after the second rename; the
+    compacted dir is complete, drop the old."""
+    import os
+    import shutil
+
+    old = path + ".compact.old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    shutil.rmtree(path + ".compact.tmp", ignore_errors=True)
+
+
+def _tables_compact(
+    spark, paths: dict[str, str], files_per_table: int | None = None
+) -> dict:
+    """Rewrite each store table into ~128 MB files (or exactly
+    ``files_per_table``) and swap the directory in; returns
+    ``{table: (files_before, files_after)}``. Swap is rename-based
+    with ``_table_recover_compact`` healing either torn state."""
+    import glob
+    import os
+    import shutil
+
+    stats: dict[str, tuple[int, int]] = {}
+    for name, p in paths.items():
+        _table_recover_compact(p)
+        if not os.path.exists(p):
+            continue
+        files = glob.glob(os.path.join(p, "*.parquet"))
+        nbytes = sum(os.path.getsize(f) for f in files)
+        n = files_per_table or max(1, -(-nbytes // (128 << 20)))
+        tmp, old = p + ".compact.tmp", p + ".compact.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(p).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(p, old)
+        os.rename(tmp, p)
+        shutil.rmtree(old)
+        stats[name] = (
+            len(files),
+            len(glob.glob(os.path.join(p, "*.parquet"))),
+        )
+    return stats
+
+
 class NearDupAdmissionSink:
     """foreachBatch body that keeps a corpus NEAR-dup-free at ingest —
     the streaming composition of ``functions.dedup.near_dup_ingest``
@@ -188,50 +246,14 @@ class NearDupAdmissionSink:
         At 100 TB the same logic targets a transactional format's
         OPTIMIZE/rewrite_data_files instead.
         """
-        import glob
-        import os
-        import shutil
-
-        stats: dict[str, tuple[int, int]] = {}
-        for name in ("corpus", "bands", "candidates"):
-            p = self._path(name)
-            self._recover_compact(name)
-            if not os.path.exists(p):
-                continue
-            files = glob.glob(os.path.join(p, "*.parquet"))
-            nbytes = sum(os.path.getsize(f) for f in files)
-            n = files_per_table or max(1, -(-nbytes // (128 << 20)))
-            tmp, old = p + ".compact.tmp", p + ".compact.old"
-            shutil.rmtree(tmp, ignore_errors=True)
-            spark.read.parquet(p).repartition(n).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            os.rename(p, old)
-            os.rename(tmp, p)
-            shutil.rmtree(old)
-            stats[name] = (
-                len(files),
-                len(glob.glob(os.path.join(p, "*.parquet"))),
-            )
-        return stats
+        return _tables_compact(
+            spark,
+            {n: self._path(n) for n in ("corpus", "bands", "candidates")},
+            files_per_table,
+        )
 
     def _recover_compact(self, name: str) -> None:
-        """Heal a crash between compaction's two renames: the table
-        dir is gone but ``.compact.old`` (the intact pre-compaction
-        data) is still there — put it back. A leftover ``.old``
-        NEXT TO a live table dir means the crash happened after the
-        second rename; the compacted dir is complete, drop the old."""
-        import os
-        import shutil
-
-        p = self._path(name)
-        old = p + ".compact.old"
-        if os.path.exists(old):
-            if os.path.exists(p):
-                shutil.rmtree(old)
-            else:
-                os.rename(old, p)
-        shutil.rmtree(p + ".compact.tmp", ignore_errors=True)
+        _table_recover_compact(self._path(name))
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         import os
@@ -263,6 +285,142 @@ class NearDupAdmissionSink:
             candidates.write.mode("append").parquet(self._path("candidates"))
         finally:
             clean.unpersist()
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path("_BATCH.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._path("_BATCH"))
+
+
+class DigestAdmissionSink:
+    """foreachBatch body for content-addressable EXACT dedup at
+    ingest — the media twin of ``NearDupAdmissionSink``: admit only
+    rows whose payload digest has never been seen, the pass a
+    crawl's media fetcher runs so the corpus never stores the same
+    bytes twice (the multimodal batch form is
+    ``queries/llm18.py::multimodal_dedup_audit``).
+
+    - digest = ``sha2(payload, 256)`` — JVM-side codegen on the
+      binary column, no Python anywhere in the sink;
+    - intra-batch: one representative per digest (min id — arrival
+      order within a batch is not meaningful);
+    - cross-batch: LEFT ANTI join against the persisted digest
+      index — per-batch cost ∝ batch size; the index is 32 B + id
+      per unique payload, ~millions of times smaller than the media
+      it stands for, so a billion-object corpus screens against a
+      ~50 GB bucketed digest table while the payloads themselves
+      never re-shuffle;
+    - admitted rows append to ``<root>/corpus``, their (digest, id)
+      rows to ``<root>/digests`` (keeping the index current for the
+      next batch).
+
+    Replay safety and maintenance follow the admission-store
+    conventions: batch-id watermark written LAST via atomic rename
+    (re-delivery is a no-op), ``compact()`` with rename-swap +
+    torn-state healing shared with the near-dup sink. At 100 TB the
+    appends target a transactional format (Delta/Iceberg) — same
+    plan, different committer."""
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "media_id",
+        payload_col: str = "payload",
+    ):
+        self.root = root
+        self.id_col, self.payload_col = id_col, payload_col
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        import os
+
+        p = self._path("_BATCH")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def read_corpus(self, spark) -> DataFrame | None:
+        import os
+
+        p = self._path("corpus")
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    def _digest_store(self, spark, batch: DataFrame) -> DataFrame:
+        import os
+
+        p = self._path("digests")
+        if os.path.exists(p):
+            return spark.read.parquet(p)
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        # empty first-batch store: id type derived from the batch so
+        # non-long media ids union consistently
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("digest", StringType()),
+                    StructField(
+                        self.id_col, batch.schema[self.id_col].dataType
+                    ),
+                ]
+            ),
+        )
+
+    def compact(self, spark, files_per_table: int | None = None) -> dict:
+        """Small-files maintenance, stream stopped — see
+        ``NearDupAdmissionSink.compact`` (shared mechanics)."""
+        return _tables_compact(
+            spark,
+            {n: self._path(n) for n in ("corpus", "digests")},
+            files_per_table,
+        )
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql.window import Window
+
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(
+            self._last_batch_id(), batch_id, "digest store"
+        ):
+            return  # at-least-once re-delivery
+        for name in ("corpus", "digests"):
+            _table_recover_compact(self._path(name))
+        spark = batch.sparkSession
+        digested = batch.withColumn(
+            "digest", F.sha2(F.col(self.payload_col), 256)
+        )
+        # intra-batch representative: min id per digest (deterministic
+        # under replay, unlike arrival order)
+        rep = (
+            digested.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("digest").orderBy(self.id_col)
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        store = self._digest_store(spark, batch).select("digest").distinct()
+        admitted = rep.join(store, on="digest", how="left_anti").persist()
+        try:
+            admitted.drop("digest").write.mode("append").parquet(
+                self._path("corpus")
+            )
+            admitted.select("digest", self.id_col).write.mode(
+                "append"
+            ).parquet(self._path("digests"))
+        finally:
+            admitted.unpersist()
         os.makedirs(self.root, exist_ok=True)
         tmp = self._path("_BATCH.tmp")
         with open(tmp, "w") as f:
