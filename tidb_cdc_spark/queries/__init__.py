@@ -186,9 +186,11 @@ for _mod in (
 # embedding/clusters audits, knn_ivf_audit), then the r9 heads
 # (q1/q6/q7/q10/q13/q15, setops_nation_overlap, cube_order_stats,
 # window_functions_showcase, corpus_collocations_pmi,
-# corpus_tokenizer_fertility, rag_bm25_topk) per the
-# ~12-17-slot/round cadence (this round ran the full 29-slot queue
-# to clear the r5/r6/r7 debt in one pass).
+# corpus_tokenizer_fertility, rag_bm25_topk), plus events_sessions
+# (rotated out in the late-r11 swap below) — all 34 pre-certified
+# hash-green at the final r11 state (NOTES.md). This round ran the
+# full queue to clear the r5/r6/r7 debt in one pass; normal cadence
+# is ~12-17 slots/round.
 GATE = [
     # exact + audit-twin dedup/ANN surface (all oracle-checkable)
     "dedup_exact_docs",

@@ -419,6 +419,53 @@ def scd2_compact_cost(spark, batches: int, per_batch: int) -> dict:
     }
 
 
+def digest_admission_batches(
+    spark, batches: int, compact_every: int | None
+) -> dict:
+    """Per-batch cost of ``DigestAdmissionSink`` as the digest index
+    grows — the claim under test: screening is ∝ batch size (one
+    anti-join against the index), so per-batch time stays FLAT while
+    the corpus accumulates. Payloads are unique per row except a 20%
+    planted duplicate tail (every 5th row re-sends an earlier
+    payload), so the screen filters real work."""
+    from tidb_cdc_spark.streaming.enrich import DigestAdmissionSink
+
+    root = os.path.join(
+        TMP, f"digadm_{'nc' if compact_every is None else compact_every}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    sink = DigestAdmissionSink(os.path.join(root, "store"))
+    per_batch: list[float] = []
+    n_media = 2000
+    for b in range(batches):
+        rows = []
+        for j in range(n_media):
+            mid = b * n_media + j
+            # 20% duplicate tail: re-send a payload from ~1 batch ago,
+            # targeting a NON-dup row (j+1 is never ≡ 0 mod 5) so the
+            # referenced payload was genuinely admitted
+            src = mid - n_media + 1 if j % 5 == 0 and b > 0 else mid
+            rows.append((mid, "image", bytearray(f"payload-{src}".encode())))
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        ).repartition(8)
+        t0 = time.perf_counter()
+        sink.process(df, b)
+        per_batch.append(round(time.perf_counter() - t0, 2))
+        if compact_every and (b + 1) % compact_every == 0:
+            sink.compact(spark)
+    corpus = sink.read_corpus(spark)
+    return {
+        "experiment": "digest_admission_batches",
+        "batches": batches,
+        "media_per_batch": n_media,
+        "compact_every": compact_every,
+        "per_batch_sec": per_batch,
+        "corpus_rows": 0 if corpus is None else corpus.count(),
+        "last_over_first": round(per_batch[-1] / max(per_batch[0], 1e-9), 2),
+    }
+
+
 def admission_batches(spark, batches: int, compact_every: int | None) -> dict:
     from tidb_cdc_spark.streaming.enrich import NearDupAdmissionSink
 
@@ -472,6 +519,25 @@ def main() -> None:
         spark = get_spark("scd2-crossover")
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps(scd2_crossover(spark, batches, per_batch)), flush=True)
+        spark.stop()
+        return
+
+    # digest-admission mode (r11): per-batch cost of the exact-digest
+    # admission sink as the index grows — must stay flat (∝ batch).
+    # Run: PYTHONPATH=. python3 tools/stateful_width_rehearsal.py \
+    #   digest [batches=30] [compact_every|'nc']
+    if len(sys.argv) > 1 and sys.argv[1] == "digest":
+        batches = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+        ce = sys.argv[3] if len(sys.argv) > 3 else "10"
+        compact_every = None if ce == "nc" else int(ce)
+        from tidb_cdc_spark import get_spark
+
+        spark = get_spark("digest-admission")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(
+            json.dumps(digest_admission_batches(spark, batches, compact_every)),
+            flush=True,
+        )
         spark.stop()
         return
 
