@@ -87,7 +87,31 @@ def snapshot_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ------------------------------------------- append-store helpers
 # shared by the admission sinks (NearDupAdmissionSink,
 # DigestAdmissionSink): per-table compaction with rename-based swap
-# and torn-swap healing.
+# and torn-swap healing, plus the _BATCH watermark protocol.
+
+
+def _watermark_read(root: str) -> int | None:
+    """Last applied batch id of an append store, or None."""
+    import os
+
+    p = os.path.join(root, "_BATCH")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _watermark_commit(root: str, batch_id: int) -> None:
+    """Advance the append store's batch watermark — written LAST,
+    published by atomic rename, so a re-delivered batch is a no-op
+    only once every append of the original delivery completed."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "_BATCH.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(root, "_BATCH"))
 
 
 def _table_recover_compact(path: str) -> None:
@@ -186,18 +210,13 @@ class NearDupAdmissionSink:
         return os.path.join(self.root, name)
 
     def _last_batch_id(self) -> int | None:
-        import os
-
-        p = self._path("_BATCH")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return int(f.read().strip())
+        return _watermark_read(self.root)
 
     def read_corpus(self, spark) -> DataFrame | None:
         import os
 
         p = self._path("corpus")
+        self._recover_compact("corpus")  # heal a torn compact first
         return spark.read.parquet(p) if os.path.exists(p) else None
 
     def _band_store(self, spark, batch: DataFrame) -> DataFrame:
@@ -285,11 +304,7 @@ class NearDupAdmissionSink:
             candidates.write.mode("append").parquet(self._path("candidates"))
         finally:
             clean.unpersist()
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._path("_BATCH.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, self._path("_BATCH"))
+        _watermark_commit(self.root, batch_id)
 
 
 class DigestAdmissionSink:
@@ -300,26 +315,35 @@ class DigestAdmissionSink:
     bytes twice (the multimodal batch form is
     ``queries/llm18.py::multimodal_dedup_audit``).
 
-    - digest = ``sha2(payload, 256)`` — JVM-side codegen on the
-      binary column, no Python anywhere in the sink;
+    - digest = ``unhex(sha2(payload, 256))`` — JVM-side codegen on
+      the binary column, no Python anywhere in the sink; stored as
+      BINARY so the index really is 32 B + id per unique payload,
+      ~millions of times smaller than the media it stands for: a
+      billion-object corpus screens against a ~40 GB bucketed digest
+      table while the payloads themselves never re-shuffle;
     - intra-batch: one representative per digest (min id — arrival
       order within a batch is not meaningful);
-    - cross-batch: LEFT ANTI join against the persisted digest
-      index — per-batch cost ∝ batch size; the index is 32 B + id
-      per unique payload, ~millions of times smaller than the media
-      it stands for, so a billion-object corpus screens against a
-      ~50 GB bucketed digest table while the payloads themselves
-      never re-shuffle;
-    - admitted rows append to ``<root>/corpus``, their (digest, id)
-      rows to ``<root>/digests`` (keeping the index current for the
-      next batch).
+    - cross-batch: LEFT ANTI join against the persisted index —
+      per-batch cost ∝ batch size (the index is duplicate-free by
+      construction; no distinct pass over it);
+    - admitted rows append to ``<root>/corpus`` unchanged (the
+      screening digest travels in an internal ``_digest`` column
+      that is dropped before the write — incoming columns, including
+      any upstream ``digest`` metadata, pass through untouched),
+      and (digest, id) rows append to ``<root>/digests``.
 
     Replay safety and maintenance follow the admission-store
     conventions: batch-id watermark written LAST via atomic rename
     (re-delivery is a no-op), ``compact()`` with rename-swap +
-    torn-state healing shared with the near-dup sink. At 100 TB the
-    appends target a transactional format (Delta/Iceberg) — same
-    plan, different committer."""
+    torn-state healing shared with the near-dup sink. A crash
+    BETWEEN the corpus and digests appends can leave admitted rows
+    unindexed on plain parquet; the replay then re-admits them —
+    duplication, never loss (the corpus-first append order is
+    deliberate: indexing first would make the replay SCREEN OUT rows
+    the corpus never received). At 100 TB the appends target a
+    transactional format (Delta/Iceberg) where both commit
+    atomically — same plan, different committer (mirrors the
+    NearDupAdmissionSink note)."""
 
     def __init__(
         self,
@@ -336,27 +360,23 @@ class DigestAdmissionSink:
         return os.path.join(self.root, name)
 
     def _last_batch_id(self) -> int | None:
-        import os
-
-        p = self._path("_BATCH")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return int(f.read().strip())
+        return _watermark_read(self.root)
 
     def read_corpus(self, spark) -> DataFrame | None:
         import os
 
         p = self._path("corpus")
+        _table_recover_compact(p)  # heal a torn compact before reading
         return spark.read.parquet(p) if os.path.exists(p) else None
 
     def _digest_store(self, spark, batch: DataFrame) -> DataFrame:
         import os
 
         p = self._path("digests")
+        _table_recover_compact(p)
         if os.path.exists(p):
             return spark.read.parquet(p)
-        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.types import BinaryType, StructField, StructType
 
         # empty first-batch store: id type derived from the batch so
         # non-long media ids union consistently
@@ -364,7 +384,7 @@ class DigestAdmissionSink:
             [],
             StructType(
                 [
-                    StructField("digest", StringType()),
+                    StructField("digest", BinaryType()),
                     StructField(
                         self.id_col, batch.schema[self.id_col].dataType
                     ),
@@ -382,8 +402,6 @@ class DigestAdmissionSink:
         )
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
-        import os
-
         from pyspark.sql.window import Window
 
         from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
@@ -392,11 +410,13 @@ class DigestAdmissionSink:
             self._last_batch_id(), batch_id, "digest store"
         ):
             return  # at-least-once re-delivery
-        for name in ("corpus", "digests"):
-            _table_recover_compact(self._path(name))
+        _table_recover_compact(self._path("corpus"))
         spark = batch.sparkSession
+        # internal _-prefixed column (sibling-sink convention): the
+        # user's own columns — including any upstream 'digest'
+        # metadata — pass through to the corpus untouched
         digested = batch.withColumn(
-            "digest", F.sha2(F.col(self.payload_col), 256)
+            "_digest", F.unhex(F.sha2(F.col(self.payload_col), 256))
         )
         # intra-batch representative: min id per digest (deterministic
         # under replay, unlike arrival order)
@@ -404,28 +424,29 @@ class DigestAdmissionSink:
             digested.withColumn(
                 "_rn",
                 F.row_number().over(
-                    Window.partitionBy("digest").orderBy(self.id_col)
+                    Window.partitionBy("_digest").orderBy(self.id_col)
                 ),
             )
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        store = self._digest_store(spark, batch).select("digest").distinct()
-        admitted = rep.join(store, on="digest", how="left_anti").persist()
+        # no distinct: the index is duplicate-free by construction and
+        # right-side duplicates cannot change left_anti semantics —
+        # a distinct would re-aggregate the ever-growing index per batch
+        store = self._digest_store(spark, batch).select(
+            F.col("digest").alias("_digest")
+        )
+        admitted = rep.join(store, on="_digest", how="left_anti").persist()
         try:
-            admitted.drop("digest").write.mode("append").parquet(
+            admitted.drop("_digest").write.mode("append").parquet(
                 self._path("corpus")
             )
-            admitted.select("digest", self.id_col).write.mode(
-                "append"
-            ).parquet(self._path("digests"))
+            admitted.select(
+                F.col("_digest").alias("digest"), self.id_col
+            ).write.mode("append").parquet(self._path("digests"))
         finally:
             admitted.unpersist()
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._path("_BATCH.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, self._path("_BATCH"))
+        _watermark_commit(self.root, batch_id)
 
 
 # ------------------------------------------------ swap-store helpers
@@ -670,13 +691,7 @@ class WinnowOverlapSink:
         return os.path.join(self.root, name)
 
     def _last_batch_id(self) -> int | None:
-        import os
-
-        p = self._path("_BATCH")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return int(f.read().strip())
+        return _watermark_read(self.root)
 
     @staticmethod
     def _migrate_flat_store(spark, path: str) -> None:
@@ -832,11 +847,7 @@ class WinnowOverlapSink:
                 overlaps.unpersist()
             if store is not None:
                 store.unpersist()
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._path("_BATCH.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, self._path("_BATCH"))
+        _watermark_commit(self.root, batch_id)
 
 
 class PcaMomentSink:
