@@ -220,6 +220,13 @@ def vocab_drift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_cdc_spark.functions.vocab import term_drift
     from tidb_cdc_spark.queries.llm8 import _v2
 
+    # deliberately NOT materialized (r12 profile, NOTES.md): the base
+    # scan feeds three consumers but costs only ~0.27 s of the 1.34 s
+    # total — the two tokenize+agg sides are 0.60 + 0.97 s — and
+    # caching it measured SLOWER in both storage levels (DISK_ONLY
+    # 1.67 s, MEMORY_AND_DISK 2.22 s): the InMemoryTableScan breaks
+    # whole-stage codegen fusion into the tokenize-explode, costing
+    # more than the two saved small-file scans.
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return term_drift(d, _v2(d), k=50)
 

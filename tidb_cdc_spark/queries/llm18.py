@@ -32,7 +32,16 @@ def _probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_container_media,
     )
 
-    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # the planted-value contract is defined on non-negative ids:
+    # Python's % (synth side) returns a non-negative residue while
+    # Spark/DuckDB % follow the dividend's sign, and the 16-bit
+    # header packs would reject a negative field — the filter makes
+    # the domain explicit on BOTH engines instead of incidental
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") >= 0)
+    )
     return probe_media(synth_container_media(ids, "doc_id"))
 
 
@@ -68,6 +77,7 @@ SELECT doc_id AS media_id,
              // (600 + (doc_id % 400))
        END AS BIGINT) AS duration_ms
 FROM documents
+WHERE doc_id >= 0
 ORDER BY media_id
 """
 
@@ -95,7 +105,7 @@ WITH v AS (
   SELECT doc_id AS media_id,
          CAST(((2400 + (doc_id % 3000)) * 1000)
               // (600 + (doc_id % 400)) AS BIGINT) AS dms
-  FROM documents WHERE doc_id % 4 = 1
+  FROM documents WHERE doc_id % 4 = 1 AND doc_id >= 0
 )
 SELECT media_id, CAST(i * 250 AS BIGINT) AS frame_ts_ms
 FROM (
@@ -122,7 +132,12 @@ def multimodal_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_image_media,
     )
 
-    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # non-negative-id contract — see _probed's note
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") >= 0)
+    )
     return (
         probe_media(synth_image_media(ids, "doc_id"))
         .select("media_id", "mime", "width", "height")
@@ -141,6 +156,7 @@ SELECT doc_id AS media_id,
        CAST(16 + doc_id % 60000 AS INT) AS width,
        CAST(16 + doc_id % 40000 AS INT) AS height
 FROM documents
+WHERE doc_id >= 0
 ORDER BY media_id
 """
 
@@ -166,8 +182,10 @@ def multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_image_media,
     )
 
+    # non-negative-id contract — see _probed's note
     pids = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
         .select((F.col("doc_id") % 211).alias("pid"))
     )
     media = probe_media(synth_image_media(pids, "pid"))
@@ -195,6 +213,7 @@ WITH m AS (
            ELSE 'image/bmp'
          END AS mime
   FROM documents
+  WHERE doc_id >= 0
 )
 SELECT mime,
        COUNT(*) AS n_media,

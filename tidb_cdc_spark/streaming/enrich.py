@@ -410,6 +410,16 @@ class DigestAdmissionSink:
             self._last_batch_id(), batch_id, "digest store"
         ):
             return  # at-least-once re-delivery
+        # the pass-through promise ("incoming columns survive
+        # untouched") requires the internal working columns to be
+        # collision-free — overwriting a user column and dropping it
+        # before the corpus append would silently lose data
+        clash = {"_digest", "_rn"} & set(batch.columns)
+        if clash:
+            raise ValueError(
+                f"DigestAdmissionSink reserves internal column names "
+                f"{sorted(clash)}; rename them in the incoming batch"
+            )
         _table_recover_compact(self._path("corpus"))
         spark = batch.sparkSession
         # internal _-prefixed column (sibling-sink convention): the
