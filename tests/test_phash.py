@@ -1,0 +1,157 @@
+"""Pixel-path perceptual hashing: the pure-Python BMP decode, the
+aHash/dHash lemmas the planted oracle of ``multimodal_phash_audit``
+relies on, and the banded near-dup join.
+
+Lemma inventory (each pinned here, cited by the oracle docstring):
+1. aHash of the planted 8×8 block pattern == the pattern byte's bits
+   replicated across the 64 cells (⇒ injective over v).
+2. Both hashes are invariant under a uniform +20 brightness shift.
+3. Any two distinct pattern bytes differ in ≥8 aHash bits (the
+   cross-cluster Hamming margin that makes τ=3 pairs exactly the
+   within-cluster pairs).
+4. dHash's distinct count over the full v domain is pinned (it is
+   NOT injective by design — the oracle uses it only through the
+   per-cluster-invariance column).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tidb_cdc_spark.functions.multimodal import (
+    ahash64,
+    decode_bmp_pixels,
+    dhash64,
+    perceptual_hashes,
+    phash_near_dup_pairs,
+    synth_bmp_pixel_media,
+)
+
+W, H = 70, 64
+
+
+def _pattern(v: int, delta: int) -> np.ndarray:
+    """The synth's pixel formula, reconstructed independently."""
+    def cells(n):
+        bounds = [i * n // 8 for i in range(1, 8)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    bit_idx = (cells(H)[:, None] * 8 + cells(W)[None, :]) % 8
+    return np.where((v >> bit_idx) & 1, 180, 60) + delta
+
+
+def _unsigned(h: int) -> int:
+    return h + (1 << 64) if h < 0 else h
+
+
+def test_ahash_replication_shift_invariance_and_margin():
+    hashes = {}
+    for v in range(1, 255):
+        g0, g20 = _pattern(v, 0), _pattern(v, 20)
+        a0 = _unsigned(ahash64(g0))
+        assert a0 == _unsigned(ahash64(g20)), f"ahash shift-variant v={v}"
+        assert dhash64(g0) == dhash64(g20), f"dhash shift-variant v={v}"
+        expect = sum(((v >> (b % 8)) & 1) << b for b in range(64))
+        assert a0 == expect, f"ahash != bit replication at v={v}"
+        hashes[v] = a0
+    assert len(set(hashes.values())) == 254  # injective
+    min_ham = min(
+        bin(hashes[a] ^ hashes[b]).count("1")
+        for a in range(1, 255)
+        for b in range(a + 1, 255)
+    )
+    assert min_ham == 8  # every flipped v-bit flips its 8 replicas
+
+
+def test_dhash_distinctness_pinned():
+    # NOT injective over v — by design the oracle never relies on
+    # dHash's global distinctness, only per-cluster invariance. Pin
+    # the measured value so a silent hash change is visible.
+    distinct = len({dhash64(_pattern(v, 0)) for v in range(1, 255)})
+    assert distinct == 69
+
+
+def test_bmp_roundtrip_both_orientations(spark):
+    from tidb_cdc_spark.functions.multimodal import parse_image_header
+
+    rows = [(1, 7, 0), (2, 8, 20), (3, 101, 0)]  # odd v = top-down
+    expected = {mid: (v, d) for mid, v, d in rows}
+    df = spark.createDataFrame(rows, "media_id long, pattern int, shift int")
+    for r in synth_bmp_pixel_media(df, "media_id").collect():
+        v, d = expected[r.media_id]
+        gray = decode_bmp_pixels(bytes(r.payload))
+        assert gray is not None and gray.shape == (H, W)
+        assert (gray == _pattern(v, d)).all()
+        # header parser agrees on dims (negative stored height abs'd)
+        assert parse_image_header(bytes(r.payload)) == ("image/bmp", W, H)
+
+
+def test_decode_rejects_non_decodable():
+    import struct
+
+    assert decode_bmp_pixels(b"\x89PNG\r\n\x1a\x08" + b"\x00" * 64) is None
+    assert decode_bmp_pixels(b"BM" + b"\x00" * 20) is None  # short
+    # BITMAPCOREHEADER (no compression field) is header-parse-only
+    core = (
+        b"BM"
+        + b"\x00" * 12
+        + struct.pack("<I", 12)
+        + struct.pack("<HHHH", 4, 4, 1, 24)
+    )
+    assert decode_bmp_pixels(core) is None
+
+
+def test_truncated_payload_rejected(spark):
+    df = spark.createDataFrame([(1, 2, 0)], "media_id long, pattern int, shift int")
+    payload = bytes(synth_bmp_pixel_media(df, "media_id").collect()[0].payload)
+    assert decode_bmp_pixels(payload) is not None
+    assert decode_bmp_pixels(payload[: len(payload) // 2]) is None
+
+
+def test_perceptual_hashes_null_for_unrecognized(spark):
+    from tidb_cdc_spark.functions.multimodal import synthesize_media
+
+    hashed = perceptual_hashes(synthesize_media(spark, 6)).collect()
+    assert len(hashed) == 6
+    assert all(r.ahash is None and r.dhash is None for r in hashed)
+
+
+def test_phash_near_dup_pairs_planted(spark):
+    # 2 clusters of identical/shifted plants + 1 singleton:
+    # pairs = C(3,2) + C(2,2→1) = 3 + 1, all hamming 0, no cross pairs
+    rows = [
+        (10, 5, 0),
+        (11, 5, 0),
+        (12, 5, 20),
+        (20, 9, 0),
+        (21, 9, 20),
+        (30, 77, 0),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, pattern int, shift int")
+    hashes = perceptual_hashes(synth_bmp_pixel_media(df, "media_id"))
+    pairs = phash_near_dup_pairs(hashes, max_bucket_size=None).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got == {
+        (10, 11): 0,
+        (10, 12): 0,
+        (11, 12): 0,
+        (20, 21): 0,
+    }
+
+
+def test_phash_pairs_plan_shape(spark):
+    """The pair join must be the banded equi-join — no cartesian
+    product, no row-at-a-time Python in the join stage."""
+    df = spark.createDataFrame(
+        [(i, 1 + i % 254, 0) for i in range(20)],
+        "media_id long, pattern int, shift int",
+    )
+    hashes = perceptual_hashes(synth_bmp_pixel_media(df, "media_id"))
+    plan = (
+        phash_near_dup_pairs(hashes, max_bucket_size=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -48,10 +48,11 @@ def test_every_query_runs(spark):
 SF_LARGE = "/root/testdata/sf0.1"
 ROUND_ADDITIONS = [
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
-    "multimodal_image_audit",  # r11 new image-header planted audit
-    "multimodal_dedup_audit",  # late-r11 new payload-dedup audit
-    "multimodal_probe_audit",  # r11 changed: probe_media premask
-    "multimodal_frame_plan",  # r11 changed: same premask
+    "multimodal_phash_audit",  # r12 NEW pixel-decode perceptual audit
+    "multimodal_image_audit",  # r12 changed: doc_id >= 0 guard
+    "multimodal_dedup_audit",  # r12 changed: doc_id >= 0 guard
+    "multimodal_probe_audit",  # r12 changed: doc_id >= 0 guard
+    "multimodal_frame_plan",  # r12 changed: doc_id >= 0 guard
 ]
 
 

@@ -6,12 +6,16 @@ North-star operator (BASELINE.json). Metadata extraction is REAL:
 ``parse_image_header`` / ``parse_media_header`` read exact
 dimensions and durations from PNG/GIF/JPEG/BMP/WAV/MP4 container
 headers in pure Python (no codec libraries needed — the pass a
-crawl-scale metadata probe actually runs). Only full PIXEL/SAMPLE
-decode is stubbed behind ``_decode_image_stub`` (deterministic
-fake, clearly marked; PIL is used automatically when importable) —
-swapping it for PIL/libvips/ffmpeg is a one-function change. The
-Spark-side plumbing — schema, batch iteration, partition sizing,
-UDF signatures — is real and tested throughout.
+crawl-scale metadata probe actually runs). PIXEL decode is REAL for
+uncompressed 24-bpp BMP (``decode_bmp_pixels`` — no codec library
+required), feeding the perceptual-hash chain (``ahash64`` /
+``dhash64`` / ``perceptual_hashes`` / ``phash_near_dup_pairs``).
+Compressed-format pixel decode remains codec territory: PIL is used
+automatically when importable, and ``_decode_image_stub``
+(deterministic fake, clearly marked) now covers ONLY bytes no real
+path recognizes — swapping in libvips/ffmpeg is a one-function
+change. The Spark-side plumbing — schema, batch iteration,
+partition sizing, UDF signatures — is real and tested throughout.
 
 Scale notes:
 - media bytes travel ONCE per stage: mapInPandas streams Arrow
@@ -540,3 +544,276 @@ def probe_media(media: DataFrame) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(probe, schema=media.schema)
+
+
+# ------------------------------------------------- real pixel path
+# Uncompressed 24-bpp BMP is decodable in pure Python/numpy (no codec
+# library): fixed 54-byte header, raw BGR rows padded to 4-byte
+# stride, bottom-up unless the stored height is negative. This gives
+# the multimodal family a REAL pixel-level operator chain —
+# decode → grayscale → perceptual hash → banded near-dup — with the
+# ``_decode_image_stub`` demoted to the unrecognized-bytes path only.
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL pixel decode for uncompressed 24-bpp BMPs: returns the
+    grayscale image as an ``int64`` numpy array (BT.601 integer luma
+    ``(299·R + 587·G + 114·B) // 1000``), or ``None`` when the bytes
+    are not an uncompressed 24-bpp BMP (compressed/other formats are
+    codec territory — those payloads keep their header-only probe).
+    Handles both row orders (negative stored height = top-down) and
+    the 4-byte row-stride padding."""
+    import struct
+
+    import numpy as np
+
+    p = payload
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", p, 10)[0]
+    hdr_size = struct.unpack_from("<I", p, 14)[0]
+    if hdr_size < 40:
+        return None  # BITMAPCOREHEADER carries no compression field
+    w, h = struct.unpack_from("<ii", p, 18)
+    bpp = struct.unpack_from("<H", p, 28)[0]
+    comp = struct.unpack_from("<I", p, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(p):
+        return None  # truncated pixel array
+    arr = np.frombuffer(p, dtype=np.uint8, count=stride * h, offset=off)
+    arr = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.int64)
+    if not topdown:
+        arr = arr[::-1]
+    b, g, r = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+def _box_means(gray, cells_w: int, cells_h: int):
+    """Integer box-downsample: cell (i, j) is the truncating mean of
+    pixels x ∈ [j·W//cw, (j+1)·W//cw), y ∈ [i·H//ch, (i+1)·H//ch).
+    All-integer so the hash is bit-reproducible on any platform."""
+    import numpy as np
+
+    h, w = gray.shape
+    xs = [j * w // cells_w for j in range(cells_w + 1)]
+    ys = [i * h // cells_h for i in range(cells_h + 1)]
+    out = np.zeros((cells_h, cells_w), dtype=np.int64)
+    for i in range(cells_h):
+        for j in range(cells_w):
+            cell = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+            out[i, j] = cell.sum() // cell.size
+    return out
+
+
+def _to_signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def ahash64(gray) -> int:
+    """Average-hash: 8×8 integer box means, bit b set iff cell b's
+    mean exceeds the truncating mean of all 64 cell means (bit index
+    = row-major cell index). Invariant under a uniform brightness
+    shift that stays in-range: every cell mean and the threshold
+    shift by exactly δ (integer means of uniformly shifted pixels),
+    so every comparison is unchanged. Returned as a SIGNED 64-bit
+    value (Spark LongType two's-complement)."""
+    m = _box_means(gray, 8, 8)
+    thresh = int(m.sum()) // 64
+    h = 0
+    for b, val in enumerate(m.ravel()):
+        if int(val) > thresh:
+            h |= 1 << b
+    return _to_signed64(h)
+
+
+def dhash64(gray) -> int:
+    """Difference-hash: 9×8 integer box means, bit (i·8+j) set iff
+    cell (i, j+1)'s mean exceeds cell (i, j)'s — horizontal gradient
+    signs. Shares the brightness-shift invariance of :func:`ahash64`
+    (both means shift by δ exactly). Signed 64-bit."""
+    m = _box_means(gray, 9, 8)
+    h = 0
+    k = 0
+    for i in range(8):
+        for j in range(8):
+            if int(m[i, j + 1]) > int(m[i, j]):
+                h |= 1 << k
+            k += 1
+    return _to_signed64(h)
+
+
+#: perceptual-hash output: slim (id, ahash, dhash) rows — the bytes
+#: never survive into the shuffle.
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-media perceptual hashes via the REAL pixel path: one
+    Arrow-batched pass decoding uncompressed-BMP payloads
+    (:func:`decode_bmp_pixels`) and emitting (id, ahash, dhash).
+    Payloads without a pure-Python pixel path (JPEG/PNG/... — codec
+    territory) emit NULL hashes rather than a fake value; a decoding
+    fleet with codec libs swaps ``decode_bmp_pixels`` for the real
+    decoder and keeps everything else. Output rows are 24 B — at
+    100 TB of media the hashes shuffle, the pixels never do."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a_out, d_out = [], []
+            for raw in pdf[payload_col]:
+                gray = (
+                    decode_bmp_pixels(bytes(raw)) if raw is not None else None
+                )
+                if gray is None:
+                    a_out.append(None)
+                    d_out.append(None)
+                else:
+                    a_out.append(ahash64(gray))
+                    d_out.append(dhash64(gray))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "ahash": pd.array(a_out, dtype="Int64"),
+                    "dhash": pd.array(d_out, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    max_bucket_size: "int | None" = 1000,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over a 64-bit image hash —
+    the LAION-pipeline fuzzy twin of the exact payload dedup
+    (``queries/llm18.py::multimodal_dedup_audit``): (id_a, id_b,
+    hamming) for every pair within ``max_hamming`` bits.
+
+    The pair join IS :func:`tidb_cdc_spark.functions.dedup.
+    simhash_pairs_from_sigs` — Manku permuted tables over the hash,
+    linear in corpus size — because a perceptual hash and a SimHash
+    pose the identical banded-Hamming-join problem; only the
+    signature differs. NULL hashes (undecodable payloads) are
+    screened out first. ``max_bucket_size`` is the viral-family skew
+    guard (same contract as the text ops); pass ``None`` when the
+    workload's duplicate families are the signal being measured."""
+    from tidb_cdc_spark.functions.dedup import simhash_pairs_from_sigs
+
+    sig = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh")
+    )
+    return simhash_pairs_from_sigs(
+        sig, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
+def synth_bmp_pixel_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    pattern_col: str = "pattern",
+    shift_col: str = "shift",
+    width: int = 70,
+    height: int = 64,
+) -> DataFrame:
+    """Plant REAL uncompressed 24-bpp BMPs whose PIXELS are a fixed
+    integer formula of a pattern byte ``v`` (column ``pattern_col``,
+    use 1..254) and a brightness shift δ (``shift_col``) — the pixel
+    twin of ``synth_image_media``'s header plants, and the audit
+    source for the perceptual-hash chain (queries/llm18.py):
+
+    - the image is an 8×8 block pattern aligned with the aHash
+      downsample grid: block (bx, by) is bright (180+δ) iff bit
+      ``(by·8+bx) % 8`` of ``v`` is set, else dark (60+δ) — so
+      ``ahash64`` PROVABLY equals ``v``'s bits replicated across the
+      64 cells: injective in ``v``, any two distinct patterns differ
+      in ≥8 hash bits (every flipped v-bit flips 8 replicated cells —
+      the cross-cluster Hamming margin), and a uniform δ cannot flip
+      any comparison (60..200 stays in-range, no clamping);
+    - rows are stored top-down (negative height) for odd ``v``,
+      bottom-up for even — both row orders under the oracle;
+    - width 70 forces a 2-byte row-stride pad, so the padding path
+      is always exercised.
+
+    Payloads are a pure function of (v, δ): identical plants ⇒
+    identical bytes; shifted plants ⇒ different bytes, same
+    perceptual hash. Metadata is NULL (the probe/decoder must
+    recover everything from the bytes)."""
+    import struct
+
+    import numpy as np
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(pattern_col).cast("int").alias("_v"),
+        F.col(shift_col).cast("int").alias("_d"),
+    )
+
+    # cell-index lookup per pixel coordinate, matching _box_means's
+    # boundaries exactly (i·n//8 ≤ x < (i+1)·n//8)
+    def _cells(n: int) -> "np.ndarray":
+        bounds = [i * n // 8 for i in range(1, 8)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    xb, yb = _cells(width), _cells(height)
+    bit_idx = (yb[:, None] * 8 + xb[None, :]) % 8
+    # width 70 → stride 212 with a 2-byte pad per row, carried by the
+    # zero-initialized body array
+    stride = (width * 3 + 3) & ~3
+    file_size = 54 + stride * height
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, v, d in zip(pdf["media_id"], pdf["_v"], pdf["_d"]):
+                mid, v, d = int(mid), int(v), int(d)
+                topdown = v % 2 == 1
+                gray = np.where((v >> bit_idx) & 1, 180, 60) + d
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", file_size, 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII",
+                        40,
+                        width,
+                        -height if topdown else height,
+                        1,
+                        24,
+                        0,
+                        stride * height,
+                        0,
+                        0,
+                        0,
+                        0,
+                    )
+                )
+                stored = gray if topdown else gray[::-1]
+                body = np.zeros((height, stride), dtype=np.uint8)
+                body[:, : width * 3] = np.repeat(
+                    stored.astype(np.uint8), 3, axis=1
+                )
+                rows.append(
+                    (mid, "image", None, None, None, None, hdr + body.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)

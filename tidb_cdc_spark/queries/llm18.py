@@ -224,11 +224,122 @@ ORDER BY mime
 """
 
 
+def multimodal_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over REAL decoded pixels — the fuzzy twin
+    of ``multimodal_dedup_audit`` and the op a LAION-scale image
+    pipeline runs after exact payload dedup: decode uncompressed-BMP
+    pixel rows in pure Python inside the sanctioned Arrow pass
+    (``decode_bmp_pixels``), compute aHash/dHash (``ahash64`` /
+    ``dhash64``), and find Hamming-≤3 pairs with the SAME Manku
+    banded join the text SimHash uses (``phash_near_dup_pairs``).
+
+    Planted-transform oracle (the r11 verdict's design): cluster
+    ``pid = doc_id % 101``; variants 0/1 plant byte-identical BMPs,
+    variant 2 plants a +20 uniform-brightness shift of the same
+    pattern (different BYTES, same pixels up to shift). The synth's
+    8×8 block pattern makes ``ahash64`` provably the pattern byte's
+    bits replicated across the 64 cells (see ``synth_bmp_pixel_media``
+    — injective per cluster, ≥8-bit Hamming margin across clusters,
+    δ-invariant within), so every output column is derivable from id
+    arithmetic alone:
+
+    - ``distinct_ahash = n_clusters`` fails if the decode →
+      downsample → threshold chain is shift-variant OR collides
+      across clusters;
+    - ``max_cluster_*_variants = 1`` fails if either hash varies
+      within a cluster (dHash's shift invariance is under the oracle
+      here even though its global distinctness is pinned in tests —
+      it is not injective over the pattern family by design);
+    - ``neardup_pairs = Σ C(m_pid, 2)`` fails if the banded join
+      misses a true pair or admits a cross-cluster one (the ≥8-bit
+      margin guarantees none exist at τ=3). ``max_bucket_size=None``
+      because the planted clusters ARE the duplicate families being
+      measured.
+    """
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_bmp_pixel_media,
+    )
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 101) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_bmp_pixel_media(planted, "media_id")
+    hashes = perceptual_hashes(media).join(
+        planted.select("media_id", "pid"), "media_id"
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                pairs.agg(F.count(F.lit(1)).alias("neardup_pairs"))
+            )
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# every column derives from the plant arithmetic: payloads are pure
+# functions of (pid-pattern, shift); ahash is provably the pattern's
+# replicated bits (injective across clusters, shift-invariant within,
+# ≥8-bit cross-cluster Hamming margin ⇒ τ=3 pairs are exactly the
+# within-cluster pairs)
+_PHASH_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
     "multimodal_image_audit": multimodal_image_audit,
     "multimodal_dedup_audit": multimodal_dedup_audit,
+    "multimodal_phash_audit": multimodal_phash_audit,
 }
 
 ORACLE = {
@@ -236,4 +347,5 @@ ORACLE = {
     "multimodal_frame_plan": _FRAME_SQL,
     "multimodal_image_audit": _IMAGE_SQL,
     "multimodal_dedup_audit": _DEDUP_SQL,
+    "multimodal_phash_audit": _PHASH_SQL,
 }
