@@ -175,70 +175,95 @@ for _mod in (
 # certification required) and containment_repr_audit (r10-new
 # composed op, second driver round).
 #
-# ROUND-12 ROTATION QUEUE (oldest rows after this round): the r8
-# block (q2_min_cost_supplier, q11_important_stock,
-# q4_order_priority, q14_promo_effect, q16_parts_supplier,
-# q17_small_quantity, q22_global_sales, rollup_revenue,
-# topk_orders_per_customer, price_band_pairs, events_daily_gapfill,
+# ROUND-12 ROTATION (applied): IN — the ENTIRE pre-certified r12
+# queue from the r11 NOTES (34 rows: the r8 block q2/q11/q4/q14/q16/
+# q17/q22 heads, rollup_revenue, topk_orders_per_customer,
+# price_band_pairs, events_daily_gapfill,
 # events_value_percentiles_by_type, sketch_percentiles,
 # embedding_whiten_audit, events_distinct_hll_audit,
-# events_value_outliers, rag_rerank_cascade, dedup_jaccard/
-# embedding/clusters audits, knn_ivf_audit), then the r9 heads
-# (q1/q6/q7/q10/q13/q15, setops_nation_overlap, cube_order_stats,
+# events_value_outliers, rag_rerank_cascade, the dedup jaccard/
+# embedding/clusters audits, knn_ivf_audit; the r9 heads q1/q6/q7/
+# q10/q13/q15, setops_nation_overlap, cube_order_stats,
 # window_functions_showcase, corpus_collocations_pmi,
-# corpus_tokenizer_fertility, rag_bm25_topk), plus events_sessions
-# (rotated out in the late-r11 swap below) — all 34 pre-certified
-# hash-green at the final r11 state (NOTES.md). This round ran the
-# full queue to clear the r5/r6/r7 debt in one pass; normal cadence
-# is ~12-17 slots/round.
+# corpus_tokenizer_fertility, rag_bm25_topk; plus events_sessions
+# from the late-r11 swap) and the NEW multimodal_phash_audit
+# (queries/llm18.py — real BMP pixel decode + perceptual near-dup
+# under a planted-transform value oracle). OUT — 35 r11-green rows
+# with UNCHANGED code (dedup_minhash_star_audit, dedup_minhash_audit,
+# dedup_simhash_audit, winnow_repr_audit, rag_retrieval_eval,
+# corpus_stratified_split, containment_repr_audit, and the whole
+# r11 rotation block: text_token_stats/quality_by_lang/lang_id/
+# fingerprint_md5, sample_* ×3, tfidf_top_terms, pii_scrub_stats,
+# text_repetition_stats, token_length_histogram, vocab_top_terms,
+# source_overlap_matrix, doc_length_band, embedding_int8_quantize,
+# quality_budget_head, cdc_dead_letter_stats, text_bpe_tokens,
+# multimodal_doc_features, q3/q5/q8/q9 heads, doc_hashed_tf,
+# events_rolling_features, table_profile_lineitem,
+# events_transition_matrix, events_pivot_by_type) — each keeps its
+# r11 driver row + the strict mirror in tests/test_queries_oracle.py.
+# Kept despite r11 rows: multimodal_probe_audit /
+# multimodal_frame_plan / multimodal_image_audit /
+# multimodal_dedup_audit (all CHANGED this round — the explicit
+# doc_id >= 0 domain guard on both engines — fresh certification
+# required). R13 rotation queue (oldest rows after this round):
+# the r10 block (q12/q18/q19/q20/q21 heads, events asof/hourly/
+# sliding/cohort/json showcases, sketch_approx,
+# full_outer_nation_presence, suppliers_of_large_parts, scalar/date/
+# array showcases, grouping_sets_orders, corpus_lm_quality_buckets,
+# corpus_perplexity_buckets, corpus_lm_stupid_backoff,
+# dedup_containment_pairs, embedding_random_projection,
+# dedup_span_rewrite, events_engagement_pagerank,
+# corpus_mojibake_audit, embedding_pca_audit,
+# doc_semantic_dedup_audit, corpus_curation_pipeline,
+# text_token_entropy), then the r11 block.
 GATE = [
-    # exact + audit-twin dedup/ANN surface (all oracle-checkable)
+    # exact dedup/ANN family anchors (kept fresh every round)
     "dedup_exact_docs",
     "knn_bruteforce_cosine",
-    "dedup_minhash_star_audit",
-    "dedup_minhash_audit",
-    "dedup_simhash_audit",
-    "winnow_repr_audit",
-    "rag_retrieval_eval",
-    "corpus_stratified_split",
     "dedup_clusters_exact",
-    # r10-new composed op, second driver round
-    "containment_repr_audit",
-    # multimodal container-parse audits: probe/frame kept (CHANGED —
-    # probe_media premask), image audit NEW this round
+    # multimodal audits: all four CHANGED this round (doc_id >= 0
+    # domain guard), phash audit NEW this round
     "multimodal_probe_audit",
     "multimodal_frame_plan",
     "multimodal_image_audit",
-    # round-11 rotation: the full pre-certified r5/r6/r7 queue
+    "multimodal_dedup_audit",
+    "multimodal_phash_audit",
+    # round-12 rotation: the full pre-certified r8/r9 queue
     # (see rotation comment above)
-    "text_token_stats",
-    "text_quality_by_lang",
-    "text_lang_id",
-    "text_fingerprint_md5",
-    "sample_hash_docs",
-    "sample_stratified_lang",
-    "sample_weighted_docs",
-    "tfidf_top_terms",
-    "pii_scrub_stats",
-    "text_repetition_stats",
-    "token_length_histogram",
-    "vocab_top_terms",
-    "source_overlap_matrix",
-    "doc_length_band",
-    "embedding_int8_quantize",
-    "quality_budget_head",
-    "cdc_dead_letter_stats",
-    "text_bpe_tokens",
-    "multimodal_doc_features",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "doc_hashed_tf",
-    "events_rolling_features",
-    "table_profile_lineitem",
-    "events_transition_matrix",
-    "events_pivot_by_type",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q4_order_priority",
+    "q14_promo_effect",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q22_customers_without_orders",
+    "rollup_revenue",
+    "topk_orders_per_customer",
+    "price_band_pairs",
+    "events_daily_gapfill",
+    "events_value_percentiles_by_type",
+    "sketch_percentiles",
+    "embedding_whiten_audit",
+    "events_distinct_hll_audit",
+    "events_value_outliers",
+    "rag_rerank_cascade",
+    "dedup_jaccard_audit",
+    "dedup_embedding_audit",
+    "dedup_clusters_audit",
+    "knn_ivf_audit",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "setops_nation_overlap",
+    "cube_order_stats",
+    "window_functions_showcase",
+    "corpus_collocations_pmi",
+    "corpus_tokenizer_fertility",
+    "rag_bm25_topk",
+    "events_sessions",
     # CDC consumers
     "cdc_parse_typed",
     "cdc_apply_latest",
@@ -247,11 +272,6 @@ GATE = [
     "cdc_schema_drift",
     "cdc_decimal_agg",
     # plan-complex shapes kept fresh
-    # LATE-R11 SWAP: the exact media-payload dedup audit (new op,
-    # queries/llm18.py — JVM-side sha2-on-binary groupBy under a
-    # planted-duplicate value oracle) takes the events_sessions slot
-    # (r10-green, unchanged, mirror-kept; queues for r12)
-    "multimodal_dedup_audit",
     "contamination_containment_screen",
     "skew_salted_agg",
 ]
