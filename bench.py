@@ -26,8 +26,11 @@ iterative / join-heavy / multi-stage shape stays; sub-0.5 s
 single-scan entries whose plan shape is already represented
 (doc_nfc_normalize, events_hourly, q6, rollup, int8-quantize,
 lang-id, token-entropy, topk-window, budget-head, mix-plan,
-snapshot-diff, q19, hard-negatives) are retired from the HEADLINE
-list only — they remain declared, oracle-gated, and mirror-tested.
+snapshot-diff, q19, hard-negatives; r12: corpus_quality_filter,
+contamination_eval_overlap) are retired from the HEADLINE list
+only — they remain declared, oracle-gated, and mirror-tested.
+Round 12 adds the five multimodal audits (r11 verdict #5) → 63
+entries.
 """
 
 from __future__ import annotations
@@ -59,7 +62,13 @@ def main() -> None:
     # AND loaded boxes; cap-exit disagreement on the r9 records:
     # 0.05-0.07, so 0.15 flags only genuine sustained noise.)
     ncpu = os.cpu_count() or 1
+    # both loadavg horizons (r11 advice): the 1-min sample passes a
+    # box still cache/IO-settling minutes after a pytest marathon —
+    # the 5-min figure makes that visible in drift triage. The
+    # degraded VERDICT still keys on the 1-min sample only (changing
+    # the flag's semantics would break cross-round comparability).
     load_start = os.getloadavg()[0]
+    load_start_5m = os.getloadavg()[1]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -137,18 +146,23 @@ def main() -> None:
         "vocab_top_terms",
         "vocab_drift_top",
         "text_bigram_surprisal",
-        "corpus_quality_filter",
         "corpus_perplexity_buckets",
         "corpus_curation_pipeline",
         "corpus_dsir_select",
         "corpus_collocations_pmi",
         "corpus_lm_stupid_backoff",
         "corpus_lm_quality_buckets",
-        "contamination_eval_overlap",
         "repeated_spans_top",
         "pack_sequences",
         "source_overlap_matrix",
         "quality_classifier_eval",
+        # multimodal: synth → probe/decode → hash/explode shapes
+        # (r11 verdict #5: priced officially from r12 on)
+        "multimodal_probe_audit",
+        "multimodal_frame_plan",
+        "multimodal_image_audit",
+        "multimodal_dedup_audit",
+        "multimodal_phash_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -203,6 +217,7 @@ def main() -> None:
                 "queries": timings,
                 "raw_runs": raw,
                 "load_start_1m": round(load_start, 2),
+                "load_start_5m": round(load_start_5m, 2),
                 "n_cpus": ncpu,
                 "retry_frac": round(retry_frac, 3),
                 "degraded": degraded,
@@ -235,6 +250,7 @@ def main() -> None:
         if degraded:  # only flag hot records — keep clean lines lean
             payload["degraded"] = True
             payload["load_start_1m"] = round(load_start, 2)
+            payload["load_start_5m"] = round(load_start_5m, 2)
             payload["retry_frac"] = round(retry_frac, 3)
         line = json.dumps(payload)
         if len(line) < 1500:

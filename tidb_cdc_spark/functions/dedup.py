@@ -296,6 +296,8 @@ def near_dup_ingest(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    batch_bands: "DataFrame | None" = None,
+    broadcast_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Streaming near-dup admission control: screen an incoming batch
     against the corpus's persistent band table (``minhash_band_rows``
@@ -320,29 +322,41 @@ def near_dup_ingest(
       bands would create future candidate pairs against documents
       that were never admitted.
 
-    Scale: both joins are (batch × matching buckets) — the store join
-    on the bucketed (band, bhash) table, the intra-batch join on the
-    batch's own band rows — so per-batch cost ∝ batch size, never
-    corpus size; the foreachBatch body for keeping a 100 TB corpus
-    near-dup-free at ingest.
+    Scale: the store join STREAMS the band table against the
+    BROADCAST batch band rows (``broadcast_batch=True``, the
+    micro-batch contract — the store is scanned, never shuffled or
+    sorted), and the intra-batch self-join touches only the batch's
+    own band rows — so per-batch cost ∝ batch size plus one pruned
+    index scan (the admission sink's bucketed layout bounds that
+    scan; see ``NearDupAdmissionSink``); the foreachBatch body for
+    keeping a 100 TB corpus near-dup-free at ingest. Pass
+    ``batch_bands`` (precomputed, persisted ``minhash_band_rows`` of
+    the batch) when the caller already needed them — e.g. to collect
+    the touched-bucket filter — so the 64-hash signature pass runs
+    once.
     """
-    # materialized: three consumers derive from the batch's band rows
-    # (store join, intra-batch self-join ×2 sides, new_bands) — the
-    # 64-hash signature pass should run once per batch, not per use.
-    # Lifetime: the persist is released by Spark's ContextCleaner once
-    # the returned frames go unreachable (per-batch in a foreachBatch
-    # loop), same contract as minhash_lsh_pairs' signature persist.
-    batch_bands = _materialize(
-        minhash_band_rows(new_docs, id_col, text_col, num_hashes, bands, shingle_k)
-    )
+    if batch_bands is None:
+        # materialized: three consumers derive from the batch's band
+        # rows (store join, intra-batch self-join ×2 sides,
+        # new_bands) — the 64-hash signature pass should run once per
+        # batch, not per use. Lifetime: the persist is released by
+        # Spark's ContextCleaner once the returned frames go
+        # unreachable (per-batch in a foreachBatch loop), same
+        # contract as minhash_lsh_pairs' signature persist.
+        batch_bands = _materialize(
+            minhash_band_rows(
+                new_docs, id_col, text_col, num_hashes, bands, shingle_k
+            )
+        )
     nb = batch_bands.select(
         F.col(id_col).alias("_new_id"), "band", "bhash"
     )
     store = band_store.select(
         F.col(id_col).alias("_corpus_id"), "band", "bhash"
     )
+    nb_probe = F.broadcast(nb) if broadcast_batch else nb
     store_hits = (
-        nb.join(store, ["band", "bhash"])
+        nb_probe.join(store, ["band", "bhash"])
         .select(
             F.col("_new_id").alias("new_id"),
             F.col("_corpus_id").alias("corpus_id"),

@@ -274,9 +274,17 @@ def multimodal_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shift"),
         )
     )
+    from tidb_cdc_spark.session import materialize
+
     media = synth_bmp_pixel_media(planted, "media_id")
-    hashes = perceptual_hashes(media).join(
-        planted.select("media_id", "pid"), "media_id"
+    # materialized: THREE aggregate consumers (global scorecard,
+    # per-cluster variant counts, the pair join) — without this the
+    # synth→decode→hash Arrow chain runs once per consumer. The
+    # hash frame is 24 B/row; the payloads are already gone.
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
     )
     pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
     per_cluster = hashes.groupBy("pid").agg(

@@ -133,12 +133,18 @@ def _table_recover_compact(path: str) -> None:
 
 
 def _tables_compact(
-    spark, paths: dict[str, str], files_per_table: int | None = None
+    spark,
+    paths: dict[str, str],
+    files_per_table: int | None = None,
+    partitioned: dict[str, list[str]] | None = None,
 ) -> dict:
     """Rewrite each store table into ~128 MB files (or exactly
     ``files_per_table``) and swap the directory in; returns
     ``{table: (files_before, files_after)}``. Swap is rename-based
-    with ``_table_recover_compact`` healing either torn state."""
+    with ``_table_recover_compact`` healing either torn state.
+    Tables named in ``partitioned`` keep their directory-partition
+    columns through the rewrite (one file per partition value after
+    clustering on the partition key)."""
     import glob
     import os
     import shutil
@@ -148,22 +154,132 @@ def _tables_compact(
         _table_recover_compact(p)
         if not os.path.exists(p):
             continue
-        files = glob.glob(os.path.join(p, "*.parquet"))
+        files = glob.glob(
+            os.path.join(p, "**", "*.parquet"), recursive=True
+        )
         nbytes = sum(os.path.getsize(f) for f in files)
         n = files_per_table or max(1, -(-nbytes // (128 << 20)))
         tmp, old = p + ".compact.tmp", p + ".compact.old"
         shutil.rmtree(tmp, ignore_errors=True)
-        spark.read.parquet(p).repartition(n).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        part_cols = (partitioned or {}).get(name)
+        if part_cols:
+            # cluster on the partition key so every partition dir
+            # collapses to one file regardless of task count
+            (
+                spark.read.parquet(p)
+                .repartition(n, *part_cols)
+                .write.partitionBy(*part_cols)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            spark.read.parquet(p).repartition(n).write.mode(
+                "overwrite"
+            ).parquet(tmp)
         os.rename(p, old)
         os.rename(tmp, p)
         shutil.rmtree(old)
         stats[name] = (
             len(files),
-            len(glob.glob(os.path.join(p, "*.parquet"))),
+            len(
+                glob.glob(
+                    os.path.join(p, "**", "*.parquet"), recursive=True
+                )
+            ),
         )
     return stats
+
+
+# -------------------------------------- bucketed index layout (r12)
+# The admission sinks' persisted indexes (digest table / band table)
+# are directory-partitioned on ``bucket = pmod(xxhash64(key), N)``.
+# Two properties make the per-batch screen cost ∝ batch instead of
+# ∝ corpus (the r11 verdict's finding — the previous flat layout
+# sort-merge-joined, i.e. re-shuffled, the WHOLE index every batch):
+#
+# 1. The screening join streams the INDEX against the BROADCAST
+#    batch keys (BroadcastHashJoin, batch side built) — the index is
+#    scanned, never shuffled, never sorted, never spilled.
+# 2. The scan itself prunes to the batch's TOUCHED buckets (a static
+#    partition filter built from the batch's distinct bucket values —
+#    a bounded ≤N-int driver collect), so index bytes read per batch
+#    ≤ min(|batch|, N) × bucket_size. With ``compact(n_buckets=...)``
+#    re-bucketing as the index grows (bucket size held ~constant,
+#    the LSM/region-split discipline), that bound is ∝ batch and
+#    INDEPENDENT of total index size. When |batch| ≥ N the screen
+#    degrades gracefully to one full — still shuffle-free — index
+#    scan per batch (~seconds for a 40 GB digest table across a
+#    fleet). At 100 TB the same layout maps onto a transactional
+#    format's hidden bucket partitioning + OPTIMIZE.
+#
+# ``_PARAMS`` (atomic-rename JSON next to the watermark) pins the
+# live bucket count: the store's value is authoritative over the
+# sink constructor's, so a restart with a different default cannot
+# split reads and writes across incompatible bucketings.
+
+
+def _store_params_read(root: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(root, "_PARAMS")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _store_params_write(root: str, params: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "_PARAMS.tmp")
+    with open(tmp, "w") as f:
+        json.dump(params, f, sort_keys=True)
+    os.replace(tmp, os.path.join(root, "_PARAMS"))
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic bucket id for an index row: identical on the
+    write path and the batch's probe path by construction."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _flat_files(path: str) -> list[str]:
+    import glob
+    import os
+
+    return glob.glob(os.path.join(path, "*.parquet"))
+
+
+def _migrate_flat_index(
+    spark, path: str, key_cols: list[str], n_buckets: int
+) -> None:
+    """One-time upgrade of a pre-r12 flat index directory to the
+    bucketed layout (rename-swap, healed by
+    ``_table_recover_compact`` if torn)."""
+    import os
+    import shutil
+
+    _table_recover_compact(path)
+    if not os.path.exists(path) or not _flat_files(path):
+        return
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .withColumn("bucket", _bucket_expr(key_cols, n_buckets))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 class NearDupAdmissionSink:
@@ -171,10 +287,16 @@ class NearDupAdmissionSink:
     the streaming composition of ``functions.dedup.near_dup_ingest``
     over a persistent LSH band store:
 
-    - each micro-batch is screened against the stored band table
-      (one equi-join on the bucketed (band, bhash) key — per-batch
-      cost ∝ batch size, never corpus size) and against itself
-      (intra-batch pairs admit one representative);
+    - each micro-batch is screened against the stored band table —
+      the index is directory-partitioned on ``bucket =
+      pmod(xxhash64(band, bhash), n_buckets)``, pruned to the
+      batch's touched buckets, and STREAMED against the broadcast
+      batch band rows (never shuffled or sorted; index bytes read
+      per batch ≤ min(#batch-bands, n_buckets) × bucket_size, which
+      ``compact(n_buckets=...)`` re-bucketing keeps ∝ batch as the
+      index grows — the digest sink's measured cost model, see
+      ``DigestAdmissionSink``) — and against itself (intra-batch
+      pairs admit one representative);
     - admitted docs append to ``<root>/corpus``, their band rows to
       ``<root>/bands`` (keeping the index current for the next
       batch), and candidate pairs to ``<root>/candidates`` as the
@@ -199,10 +321,13 @@ class NearDupAdmissionSink:
         num_hashes: int = 64,
         bands: int = 16,
         shingle_k: int = 5,
+        n_buckets: int = 64,
     ):
         self.root = root
         self.id_col, self.text_col = id_col, text_col
         self.num_hashes, self.bands, self.shingle_k = num_hashes, bands, shingle_k
+        # creation default only — a live store's _PARAMS wins
+        self.n_buckets = n_buckets
 
     def _path(self, name: str) -> str:
         import os
@@ -212,6 +337,20 @@ class NearDupAdmissionSink:
     def _last_batch_id(self) -> int | None:
         return _watermark_read(self.root)
 
+    def _n_buckets(self, spark) -> int:
+        """Live bucket count (store _PARAMS authoritative); first
+        call on a pre-r12 flat band store migrates it in place."""
+        params = _store_params_read(self.root)
+        if params is not None:
+            return int(params["n_buckets"])
+        _migrate_flat_index(
+            spark, self._path("bands"), ["band", "bhash"], self.n_buckets
+        )
+        _store_params_write(
+            self.root, {"layout": "bucketed", "n_buckets": self.n_buckets}
+        )
+        return self.n_buckets
+
     def read_corpus(self, spark) -> DataFrame | None:
         import os
 
@@ -219,12 +358,17 @@ class NearDupAdmissionSink:
         self._recover_compact("corpus")  # heal a torn compact first
         return spark.read.parquet(p) if os.path.exists(p) else None
 
-    def _band_store(self, spark, batch: DataFrame) -> DataFrame:
+    def _band_store(
+        self, spark, batch: DataFrame, touched: "list[int] | None" = None
+    ) -> DataFrame:
         import os
 
         p = self._path("bands")
         if os.path.exists(p):
-            return spark.read.parquet(p)
+            store = spark.read.parquet(p)
+            if touched is not None:
+                store = store.filter(F.col("bucket").isin(touched))
+            return store
         from pyspark.sql.types import (
             IntegerType,
             LongType,
@@ -246,14 +390,22 @@ class NearDupAdmissionSink:
             ),
         )
 
-    def compact(self, spark, files_per_table: int | None = None) -> dict:
+    def compact(
+        self,
+        spark,
+        files_per_table: int | None = None,
+        n_buckets: int | None = None,
+    ) -> dict:
         """Small-files maintenance: every micro-batch appends one
         file set per store table, so a week of 30 s batches is ~20k
         tiny files per table — at that point directory listing and
         per-file open overhead dominate every screening join. Rewrite
         each table into ~128 MB files (or exactly ``files_per_table``)
         and swap the directory in. Returns
-        ``{table: (files_before, files_after)}``.
+        ``{table: (files_before, files_after)}``. The band index
+        keeps its bucket partitioning; pass ``n_buckets`` to
+        re-bucket while compacting (the scale lever that keeps
+        per-batch screen IO bounded as the index grows).
 
         Run while the stream is STOPPED — the store is single-writer
         and compaction is the maintenance-window kind of write (same
@@ -265,42 +417,102 @@ class NearDupAdmissionSink:
         At 100 TB the same logic targets a transactional format's
         OPTIMIZE/rewrite_data_files instead.
         """
+        if n_buckets is not None and n_buckets != self._n_buckets(spark):
+            import os
+            import shutil
+
+            p = self._path("bands")
+            _table_recover_compact(p)
+            if os.path.exists(p):
+                tmp, old = p + ".compact.tmp", p + ".compact.old"
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    spark.read.parquet(p)
+                    .drop("bucket")
+                    .withColumn(
+                        "bucket", _bucket_expr(["band", "bhash"], n_buckets)
+                    )
+                    .repartition("bucket")
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(tmp)
+                )
+                os.rename(p, old)
+                os.rename(tmp, p)
+                shutil.rmtree(old)
+            _store_params_write(
+                self.root, {"layout": "bucketed", "n_buckets": n_buckets}
+            )
         return _tables_compact(
             spark,
             {n: self._path(n) for n in ("corpus", "bands", "candidates")},
             files_per_table,
+            partitioned={"bands": ["bucket"]},
         )
 
     def _recover_compact(self, name: str) -> None:
         _table_recover_compact(self._path(name))
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
-        import os
-
         from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
 
         if guard_batch_watermark(self._last_batch_id(), batch_id, "band store"):
             return  # at-least-once re-delivery
         for name in ("corpus", "bands", "candidates"):
             self._recover_compact(name)  # heal any torn compaction
-        from tidb_cdc_spark.functions.dedup import near_dup_ingest
+        from tidb_cdc_spark.functions.dedup import (
+            _materialize,
+            minhash_band_rows,
+            near_dup_ingest,
+        )
 
         spark = batch.sparkSession
+        nb_buckets = self._n_buckets(spark)
+        # the batch's band rows are computed ONCE here (persisted) and
+        # shared with near_dup_ingest — they drive both the
+        # touched-bucket partition filter and the screening joins
+        batch_bands = _materialize(
+            minhash_band_rows(
+                batch,
+                self.id_col,
+                self.text_col,
+                self.num_hashes,
+                self.bands,
+                self.shingle_k,
+            )
+        )
+        # bounded driver collect: ≤ n_buckets small ints
+        touched = [
+            r[0]
+            for r in batch_bands.select(
+                _bucket_expr(["band", "bhash"], nb_buckets).alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
         clean, candidates, new_bands = near_dup_ingest(
             batch,
-            self._band_store(spark, batch),
+            self._band_store(spark, batch, touched),
             self.id_col,
             self.text_col,
             self.num_hashes,
             self.bands,
             self.shingle_k,
+            batch_bands=batch_bands,
         )
         # clean feeds two appends (corpus + bands); cache so the
         # screening joins run once, not once per sink
         clean = clean.persist()
         try:
             clean.write.mode("append").parquet(self._path("corpus"))
-            new_bands.write.mode("append").parquet(self._path("bands"))
+            (
+                new_bands.withColumn(
+                    "bucket", _bucket_expr(["band", "bhash"], nb_buckets)
+                )
+                .write.partitionBy("bucket")
+                .mode("append")
+                .parquet(self._path("bands"))
+            )
             candidates.write.mode("append").parquet(self._path("candidates"))
         finally:
             clean.unpersist()
@@ -318,19 +530,28 @@ class DigestAdmissionSink:
     - digest = ``unhex(sha2(payload, 256))`` — JVM-side codegen on
       the binary column, no Python anywhere in the sink; stored as
       BINARY so the index really is 32 B + id per unique payload,
-      ~millions of times smaller than the media it stands for: a
-      billion-object corpus screens against a ~40 GB bucketed digest
-      table while the payloads themselves never re-shuffle;
+      ~millions of times smaller than the media it stands for;
     - intra-batch: one representative per digest (min id — arrival
       order within a batch is not meaningful);
-    - cross-batch: LEFT ANTI join against the persisted index —
-      per-batch cost ∝ batch size (the index is duplicate-free by
-      construction; no distinct pass over it);
+    - cross-batch: the index is directory-partitioned on
+      ``bucket = pmod(xxhash64(digest), n_buckets)`` and the screen
+      is two BROADCAST joins around it — ``seen = index ⋉ batch``
+      (index STREAMED against the broadcast batch digests, pruned to
+      the batch's touched buckets by a static partition filter) then
+      ``admitted = batch ▷ seen`` (anti against the ≤batch-sized
+      ``seen``). The index is never shuffled, never sorted; bytes
+      read per batch ≤ min(|batch|, n_buckets) × bucket_size, which
+      ``compact(n_buckets=...)`` re-bucketing keeps ∝ batch as the
+      index grows (measured: tools/stateful_width_rehearsal.py
+      ``digestscale`` — flat per-batch screen across a 10× index
+      growth at ≥100×-batch index sizes; see NOTES r12). When
+      |batch| ≥ n_buckets the screen degrades to one full index
+      SCAN per batch — still shuffle-free;
     - admitted rows append to ``<root>/corpus`` unchanged (the
       screening digest travels in an internal ``_digest`` column
       that is dropped before the write — incoming columns, including
       any upstream ``digest`` metadata, pass through untouched),
-      and (digest, id) rows append to ``<root>/digests``.
+      and (digest, id, bucket) rows append to ``<root>/digests``.
 
     Replay safety and maintenance follow the admission-store
     conventions: batch-id watermark written LAST via atomic rename
@@ -350,9 +571,13 @@ class DigestAdmissionSink:
         root: str,
         id_col: str = "media_id",
         payload_col: str = "payload",
+        n_buckets: int = 64,
     ):
         self.root = root
         self.id_col, self.payload_col = id_col, payload_col
+        # creation default only — once a store exists, its _PARAMS
+        # value is authoritative (see _n_buckets)
+        self.n_buckets = n_buckets
 
     def _path(self, name: str) -> str:
         import os
@@ -362,6 +587,23 @@ class DigestAdmissionSink:
     def _last_batch_id(self) -> int | None:
         return _watermark_read(self.root)
 
+    def _n_buckets(self, spark) -> int:
+        """Live bucket count: the store's ``_PARAMS`` wins over the
+        constructor default (a restart with a different default must
+        not split reads/writes across incompatible bucketings).
+        First call on a pre-r12 FLAT store migrates it in place."""
+        params = _store_params_read(self.root)
+        if params is not None:
+            return int(params["n_buckets"])
+        # no params: fresh store, or a pre-r12 flat index to upgrade
+        _migrate_flat_index(
+            spark, self._path("digests"), ["digest"], self.n_buckets
+        )
+        _store_params_write(
+            self.root, {"layout": "bucketed", "n_buckets": self.n_buckets}
+        )
+        return self.n_buckets
+
     def read_corpus(self, spark) -> DataFrame | None:
         import os
 
@@ -369,13 +611,21 @@ class DigestAdmissionSink:
         _table_recover_compact(p)  # heal a torn compact before reading
         return spark.read.parquet(p) if os.path.exists(p) else None
 
-    def _digest_store(self, spark, batch: DataFrame) -> DataFrame:
+    def _digest_store(
+        self, spark, batch: DataFrame, touched: "list[int] | None" = None
+    ) -> DataFrame:
+        """The persisted index, pruned to ``touched`` buckets when
+        given (static partition filter — only those directories are
+        listed and read)."""
         import os
 
         p = self._path("digests")
         _table_recover_compact(p)
         if os.path.exists(p):
-            return spark.read.parquet(p)
+            store = spark.read.parquet(p)
+            if touched is not None:
+                store = store.filter(F.col("bucket").isin(touched))
+            return store
         from pyspark.sql.types import BinaryType, StructField, StructType
 
         # empty first-batch store: id type derived from the batch so
@@ -392,13 +642,52 @@ class DigestAdmissionSink:
             ),
         )
 
-    def compact(self, spark, files_per_table: int | None = None) -> dict:
+    def compact(
+        self,
+        spark,
+        files_per_table: int | None = None,
+        n_buckets: int | None = None,
+    ) -> dict:
         """Small-files maintenance, stream stopped — see
-        ``NearDupAdmissionSink.compact`` (shared mechanics)."""
+        ``NearDupAdmissionSink.compact`` (shared mechanics). The
+        digest index keeps its bucket partitioning through the
+        rewrite; pass ``n_buckets`` to RE-BUCKET while compacting —
+        the scale lever that keeps bucket size (hence per-batch
+        screen IO) bounded as the index grows. The new count takes
+        effect atomically with the rewrite (_PARAMS updated after
+        the swap; a crash in between is healed by the same
+        torn-compact recovery and the old _PARAMS still matches the
+        restored old layout)."""
+        if n_buckets is not None and n_buckets != self._n_buckets(spark):
+            p = self._path("digests")
+            _table_recover_compact(p)
+            import os
+
+            if os.path.exists(p):
+                import shutil
+
+                tmp, old = p + ".compact.tmp", p + ".compact.old"
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    spark.read.parquet(p)
+                    .drop("bucket")
+                    .withColumn("bucket", _bucket_expr(["digest"], n_buckets))
+                    .repartition("bucket")
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(tmp)
+                )
+                os.rename(p, old)
+                os.rename(tmp, p)
+                shutil.rmtree(old)
+            _store_params_write(
+                self.root, {"layout": "bucketed", "n_buckets": n_buckets}
+            )
         return _tables_compact(
             spark,
             {n: self._path(n) for n in ("corpus", "digests")},
             files_per_table,
+            partitioned={"digests": ["bucket"]},
         )
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
@@ -414,7 +703,7 @@ class DigestAdmissionSink:
         # untouched") requires the internal working columns to be
         # collision-free — overwriting a user column and dropping it
         # before the corpus append would silently lose data
-        clash = {"_digest", "_rn"} & set(batch.columns)
+        clash = {"_digest", "_rn", "_bucket"} & set(batch.columns)
         if clash:
             raise ValueError(
                 f"DigestAdmissionSink reserves internal column names "
@@ -422,7 +711,8 @@ class DigestAdmissionSink:
             )
         _table_recover_compact(self._path("corpus"))
         spark = batch.sparkSession
-        # internal _-prefixed column (sibling-sink convention): the
+        nb = self._n_buckets(spark)
+        # internal _-prefixed columns (sibling-sink convention): the
         # user's own columns — including any upstream 'digest'
         # metadata — pass through to the corpus untouched
         digested = batch.withColumn(
@@ -439,23 +729,49 @@ class DigestAdmissionSink:
             )
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .withColumn("_bucket", _bucket_expr(["_digest"], nb))
+            .persist()
         )
-        # no distinct: the index is duplicate-free by construction and
-        # right-side duplicates cannot change left_anti semantics —
-        # a distinct would re-aggregate the ever-growing index per batch
-        store = self._digest_store(spark, batch).select(
-            F.col("digest").alias("_digest")
-        )
-        admitted = rep.join(store, on="_digest", how="left_anti").persist()
         try:
-            admitted.drop("_digest").write.mode("append").parquet(
-                self._path("corpus")
+            # bounded driver collect: ≤ n_buckets small ints — the
+            # static partition filter that prunes the index scan to
+            # the buckets this batch can possibly hit
+            touched = [
+                r[0] for r in rep.select("_bucket").distinct().collect()
+            ]
+            store = self._digest_store(spark, batch, touched).select(
+                F.col("digest").alias("_digest")
             )
-            admitted.select(
-                F.col("_digest").alias("digest"), self.id_col
-            ).write.mode("append").parquet(self._path("digests"))
+            # screen = two broadcast joins around the STREAMED index:
+            # the index is scanned (pruned), never shuffled or sorted.
+            # ``seen`` (≤ batch size) is persisted so the index scan
+            # runs once even though ``admitted`` evaluates per append.
+            # No distinct over the index: it is duplicate-free by
+            # construction and semi-join semantics ignore right dups.
+            seen = store.join(
+                F.broadcast(rep.select("_digest")), "_digest", "left_semi"
+            ).persist()
+            try:
+                admitted = rep.join(
+                    F.broadcast(seen), on="_digest", how="left_anti"
+                )
+                admitted.drop("_digest", "_bucket").write.mode(
+                    "append"
+                ).parquet(self._path("corpus"))
+                (
+                    admitted.select(
+                        F.col("_digest").alias("digest"),
+                        self.id_col,
+                        F.col("_bucket").alias("bucket"),
+                    )
+                    .write.partitionBy("bucket")
+                    .mode("append")
+                    .parquet(self._path("digests"))
+                )
+            finally:
+                seen.unpersist()
         finally:
-            admitted.unpersist()
+            rep.unpersist()
         _watermark_commit(self.root, batch_id)
 
 

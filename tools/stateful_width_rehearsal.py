@@ -466,6 +466,113 @@ def digest_admission_batches(
     }
 
 
+def _build_digest_index(spark, root: str, n_rows: int, n_buckets: int) -> float:
+    """Prebuild a digest index of ``n_rows`` unique payload digests
+    in the sink's EXACT on-disk layout (bucket-partitioned parquet +
+    _PARAMS) — the fast path to an index orders of magnitude larger
+    than any batch, without replaying millions of micro-batches."""
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.streaming.enrich import (
+        _bucket_expr,
+        _store_params_write,
+    )
+
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.perf_counter()
+    (
+        spark.range(n_rows)
+        .select(
+            F.expr(
+                "unhex(sha2(concat('idx-', cast(id as string)), 256))"
+            ).alias("digest"),
+            F.col("id").alias("media_id"),
+        )
+        .withColumn("bucket", _bucket_expr(["digest"], n_buckets))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(root, "digests"))
+    )
+    _store_params_write(root, {"layout": "bucketed", "n_buckets": n_buckets})
+    return round(time.perf_counter() - t0, 2)
+
+
+def digest_scale(spark, batches: int, per_batch: int) -> dict:
+    """The r11 verdict's 'done' bar for the admission-sink scale
+    claim, measured: per-batch screen cost with the index ≥100× the
+    batch, FLAT as the index grows ANOTHER 10× — provided
+    ``n_buckets`` scales with the index so bucket size stays bounded
+    (the ``compact(n_buckets=...)`` lever). Three configurations:
+
+    - A: index 2M digests,  n_buckets 1,024  (bucket ~2k rows)
+    - B: index 20M digests, n_buckets 10,240 (bucket ~2k rows) —
+         10× A's index, SAME bucket size ⇒ per-batch IO bound
+         min(batch, nb) × bucket_size identical ⇒ expect ~flat
+         (B even pays a ~10× larger per-batch directory listing,
+         so flatness here is conservative)
+    - C: index 20M digests, n_buckets 1,024  (bucket ~20k rows) —
+         B without the re-bucketing lever ⇒ expect ~10× the
+         screen IO of B; quantifies what compact(n_buckets=) buys.
+
+    Every batch carries 20% planted duplicates of indexed payloads
+    (must be screened out) and 80% novel payloads (admitted)."""
+    from tidb_cdc_spark.streaming.enrich import DigestAdmissionSink
+
+    out: dict = {
+        "experiment": "digest_scale",
+        "batches": batches,
+        "per_batch_rows": per_batch,
+        "configs": {},
+    }
+    for name, (n_rows, nb) in {
+        "A_2M_nb1024": (2_000_000, 1024),
+        "B_20M_nb10240": (20_000_000, 10240),
+        "C_20M_nb1024": (20_000_000, 1024),
+    }.items():
+        root = os.path.join(TMP, f"digscale_{name}")
+        build_sec = _build_digest_index(spark, root, n_rows, nb)
+        sink = DigestAdmissionSink(root)
+        per_batch_sec: list[float] = []
+        admitted_total = 0
+        for b in range(batches):
+            rows = []
+            for j in range(per_batch):
+                k = b * per_batch + j
+                if j % 5 == 0:  # planted dup of an indexed payload
+                    payload = f"idx-{(k * 7919) % n_rows}".encode()
+                else:
+                    payload = f"new-{name}-{k}".encode()
+                rows.append((n_rows + k, "image", bytearray(payload)))
+            df = spark.createDataFrame(
+                rows, "media_id long, kind string, payload binary"
+            ).repartition(8)
+            t0 = time.perf_counter()
+            sink.process(df, b)
+            per_batch_sec.append(round(time.perf_counter() - t0, 2))
+        corpus = sink.read_corpus(spark)
+        admitted_total = 0 if corpus is None else corpus.count()
+        srt = sorted(per_batch_sec)
+        out["configs"][name] = {
+            "index_rows": n_rows,
+            "n_buckets": nb,
+            "index_over_batch": n_rows // per_batch,
+            "build_sec": build_sec,
+            "per_batch_sec": per_batch_sec,
+            "median_sec": srt[len(srt) // 2],
+            "last_over_first": round(
+                per_batch_sec[-1] / max(per_batch_sec[0], 1e-9), 2
+            ),
+            "admitted_rows": admitted_total,
+        }
+    a = out["configs"]["A_2M_nb1024"]["median_sec"]
+    b_ = out["configs"]["B_20M_nb10240"]["median_sec"]
+    c = out["configs"]["C_20M_nb1024"]["median_sec"]
+    out["flat_10x_ratio_B_over_A"] = round(b_ / max(a, 1e-9), 2)
+    out["rebucket_win_C_over_B"] = round(c / max(b_, 1e-9), 2)
+    return out
+
+
 def admission_batches(spark, batches: int, compact_every: int | None) -> dict:
     from tidb_cdc_spark.streaming.enrich import NearDupAdmissionSink
 
@@ -538,6 +645,23 @@ def main() -> None:
             json.dumps(digest_admission_batches(spark, batches, compact_every)),
             flush=True,
         )
+        spark.stop()
+        return
+
+    # digest-scale mode (r12, r11 verdict #1): per-batch screen cost
+    # with a prebuilt index ≥100× the batch, flat across a 10× index
+    # growth when n_buckets scales with it (A vs B), plus the
+    # re-bucketing-lever contrast (C).
+    # Run: PYTHONPATH=. python3 tools/stateful_width_rehearsal.py \
+    #   digestscale [batches=12] [per_batch=500]
+    if len(sys.argv) > 1 and sys.argv[1] == "digestscale":
+        batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+        per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+        from tidb_cdc_spark import get_spark
+
+        spark = get_spark("digest-scale")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(digest_scale(spark, batches, per_batch)), flush=True)
         spark.stop()
         return
 
