@@ -845,3 +845,45 @@ class TestBucketedIndexScale:
         pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert any("bucket" in l for l in pf_lines), pf_lines
         assert seen.count() == 1  # exactly the planted dup
+
+    def test_bucketed_store_without_params_refuses(self, spark, tmp_path):
+        """A bucketed index whose _PARAMS went missing must refuse
+        loudly — guessing a bucket count against unknown on-disk
+        bucketing would silently stop screening some buckets."""
+        import pytest as _pytest
+
+        from tidb_cdc_spark.streaming import DigestAdmissionSink
+
+        root = str(tmp_path / "store")
+        sink = DigestAdmissionSink(root)
+        sink.process(
+            self._batch(spark, [(1, "image", b"A"), (2, "image", b"B")]), 0
+        )
+        os.remove(os.path.join(root, "_PARAMS"))
+        with _pytest.raises(ValueError, match="_PARAMS"):
+            DigestAdmissionSink(root).process(
+                self._batch(spark, [(3, "image", b"C")]), 1
+            )
+
+    def test_compact_on_flat_store_migrates_first(self, spark, tmp_path):
+        """compact() on a never-processed pre-r12 flat index must
+        migrate before the partitioned rewrite (which needs the
+        bucket column)."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.streaming import DigestAdmissionSink
+
+        root = tmp_path / "store"
+        b0 = self._batch(spark, [(1, "image", b"A"), (2, "image", b"B")])
+        b0.select(
+            F.unhex(F.sha2("payload", 256)).alias("digest"), "media_id"
+        ).write.mode("append").parquet(str(root / "digests"))
+        b0.write.mode("append").parquet(str(root / "corpus"))
+
+        sink = DigestAdmissionSink(str(root))
+        stats = sink.compact(spark, files_per_table=1)
+        assert "digests" in stats
+        assert glob.glob(str(root / "digests" / "bucket=*"))
+        assert spark.read.parquet(str(root / "digests")).count() == 2

@@ -260,12 +260,25 @@ def _migrate_flat_index(
 ) -> None:
     """One-time upgrade of a pre-r12 flat index directory to the
     bucketed layout (rename-swap, healed by
-    ``_table_recover_compact`` if torn)."""
+    ``_table_recover_compact`` if torn). Refuses an already-bucketed
+    index whose ``_PARAMS`` went missing: guessing a bucket count
+    against an unknown on-disk bucketing would silently mis-prune
+    reads (rows in unprobed buckets would stop screening — admitted
+    duplicates, not an error message)."""
+    import glob
     import os
     import shutil
 
     _table_recover_compact(path)
-    if not os.path.exists(path) or not _flat_files(path):
+    if not os.path.exists(path):
+        return
+    if glob.glob(os.path.join(path, "bucket=*")):
+        raise ValueError(
+            f"index at {path} is bucket-partitioned but the store's "
+            "_PARAMS file is missing — restore it or rebuild the "
+            "bucketing with compact(n_buckets=...)"
+        )
+    if not _flat_files(path):
         return
     tmp, old = path + ".compact.tmp", path + ".compact.old"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -417,6 +430,9 @@ class NearDupAdmissionSink:
         At 100 TB the same logic targets a transactional format's
         OPTIMIZE/rewrite_data_files instead.
         """
+        # resolve params first: migrates a still-flat pre-r12 index so
+        # the partitioned rewrite below always sees a bucket column
+        self._n_buckets(spark)
         if n_buckets is not None and n_buckets != self._n_buckets(spark):
             import os
             import shutil
@@ -509,6 +525,10 @@ class NearDupAdmissionSink:
                 new_bands.withColumn(
                     "bucket", _bucket_expr(["band", "bhash"], nb_buckets)
                 )
+                # cluster on the partition key before the append —
+                # ≤1 file per touched bucket per batch (see the
+                # digest sink's note); band rows are 24 B each
+                .repartition("bucket")
                 .write.partitionBy("bucket")
                 .mode("append")
                 .parquet(self._path("bands"))
@@ -542,11 +562,17 @@ class DigestAdmissionSink:
       ``seen``). The index is never shuffled, never sorted; bytes
       read per batch ≤ min(|batch|, n_buckets) × bucket_size, which
       ``compact(n_buckets=...)`` re-bucketing keeps ∝ batch as the
-      index grows (measured: tools/stateful_width_rehearsal.py
-      ``digestscale`` — flat per-batch screen across a 10× index
-      growth at ≥100×-batch index sizes; see NOTES r12). When
-      |batch| ≥ n_buckets the screen degrades to one full index
-      SCAN per batch — still shuffle-free;
+      index grows. Measured (tools/stateful_width_rehearsal.py
+      ``digestscale`` + NOTES r12, index 4,000×→40,000× the batch):
+      10× index growth → 1.05× per-batch in the pruned regime
+      (n_buckets > batch) and 1.32× at the default n_buckets=64
+      (where the growing term is the shuffle-free scan itself).
+      When |batch| ≥ n_buckets the screen degrades to one full
+      index SCAN per batch — still shuffle-free. Size n_buckets for
+      ~128 MB buckets: on a plain filesystem per-directory
+      listing/commit costs beat pruning gains well before that
+      (measured: 10× the directories cost 1.71× at an 800 MB
+      index); a manifest-based table format removes that term;
     - admitted rows append to ``<root>/corpus`` unchanged (the
       screening digest travels in an internal ``_digest`` column
       that is dropped before the write — incoming columns, including
@@ -658,6 +684,9 @@ class DigestAdmissionSink:
         the swap; a crash in between is healed by the same
         torn-compact recovery and the old _PARAMS still matches the
         restored old layout)."""
+        # resolve params first: migrates a still-flat pre-r12 index so
+        # the partitioned rewrite below always sees a bucket column
+        self._n_buckets(spark)
         if n_buckets is not None and n_buckets != self._n_buckets(spark):
             p = self._path("digests")
             _table_recover_compact(p)
@@ -764,6 +793,14 @@ class DigestAdmissionSink:
                         self.id_col,
                         F.col("_bucket").alias("bucket"),
                     )
+                    # cluster on the partition key BEFORE the dynamic-
+                    # partition append: without this every task writes
+                    # a sliver into every touched bucket (tasks ×
+                    # buckets tiny files per batch — measured 3-5 s of
+                    # the old per-batch cost); with it, ≤1 file per
+                    # touched bucket per batch. The shuffled rows are
+                    # the admitted 40 B index entries, not payloads.
+                    .repartition("bucket")
                     .write.partitionBy("bucket")
                     .mode("append")
                     .parquet(self._path("digests"))

@@ -52,6 +52,7 @@ PICKS = {
     "multimodal_frame_plan": "probe -> frame plan: mapInPandas chain feeds a codegen sequence/explode — one row per sampling timestamp, no Python past the probe",
     "multimodal_image_audit": "image-header probe: two Arrow-batched mapInPandas passes (synth -> parse) over id-sized rows, header-only payloads dropped before the presentation sort",
     "multimodal_dedup_audit": "media payload dedup: JVM-side sha2 on the binary column feeding ONE combining distinct-agg — no Python past the sanctioned synth/probe passes",
+    "multimodal_phash_audit": "pixel perceptual near-dup: synth -> decode/hash Arrow passes emit 24 B hash rows (payloads never shuffle), materialized once for three agg consumers; pair stage is the Manku banded equi-join",
 }
 
 HEADER = (

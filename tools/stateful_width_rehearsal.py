@@ -505,15 +505,21 @@ def digest_scale(spark, batches: int, per_batch: int) -> dict:
     ``n_buckets`` scales with the index so bucket size stays bounded
     (the ``compact(n_buckets=...)`` lever). Three configurations:
 
-    - A: index 2M digests,  n_buckets 1,024  (bucket ~2k rows)
-    - B: index 20M digests, n_buckets 10,240 (bucket ~2k rows) —
-         10× A's index, SAME bucket size ⇒ per-batch IO bound
-         min(batch, nb) × bucket_size identical ⇒ expect ~flat
-         (B even pays a ~10× larger per-batch directory listing,
-         so flatness here is conservative)
-    - C: index 20M digests, n_buckets 1,024  (bucket ~20k rows) —
-         B without the re-bucketing lever ⇒ expect ~10× the
-         screen IO of B; quantifies what compact(n_buckets=) buys.
+    - A: index 2M digests,  n_buckets 64 (the sink default)
+    - B: index 20M digests, n_buckets 64 — 10× A's index, same
+         bucketing ⇒ per-batch = fixed dir/commit overhead + a
+         shuffle-free pruned scan; expect ~flat while the scan term
+         is small against the overhead term (it is at this scale)
+    - C: index 20M digests, n_buckets 640 — the re-bucketing lever:
+         bucket size held at A's, so the scan term stays bounded as
+         the index grows, at the price of a 10× directory-listing /
+         commit term. On a plain local filesystem the listing term
+         dominates at these sizes (measured r12: per-dir overhead is
+         the binding cost locally), so C quantifies the crossover:
+         re-bucketing pays off once bucket-scan time exceeds per-dir
+         overhead — true for multi-GB buckets at 100 TB, false for
+         an 800 MB local index. At 100 TB a manifest-based table
+         format (Delta/Iceberg) removes the listing term entirely.
 
     Every batch carries 20% planted duplicates of indexed payloads
     (must be screened out) and 80% novel payloads (admitted)."""
@@ -526,13 +532,13 @@ def digest_scale(spark, batches: int, per_batch: int) -> dict:
         "configs": {},
     }
     for name, (n_rows, nb) in {
-        "A_2M_nb1024": (2_000_000, 1024),
-        "B_20M_nb10240": (20_000_000, 10240),
-        "C_20M_nb1024": (20_000_000, 1024),
+        "A_2M_nb64": (2_000_000, 64),
+        "B_20M_nb64": (20_000_000, 64),
+        "C_20M_nb640": (20_000_000, 640),
     }.items():
         root = os.path.join(TMP, f"digscale_{name}")
         build_sec = _build_digest_index(spark, root, n_rows, nb)
-        sink = DigestAdmissionSink(root)
+        sink = DigestAdmissionSink(root, n_buckets=nb)
         per_batch_sec: list[float] = []
         admitted_total = 0
         for b in range(batches):
@@ -565,11 +571,11 @@ def digest_scale(spark, batches: int, per_batch: int) -> dict:
             ),
             "admitted_rows": admitted_total,
         }
-    a = out["configs"]["A_2M_nb1024"]["median_sec"]
-    b_ = out["configs"]["B_20M_nb10240"]["median_sec"]
-    c = out["configs"]["C_20M_nb1024"]["median_sec"]
+    a = out["configs"]["A_2M_nb64"]["median_sec"]
+    b_ = out["configs"]["B_20M_nb64"]["median_sec"]
+    c = out["configs"]["C_20M_nb640"]["median_sec"]
     out["flat_10x_ratio_B_over_A"] = round(b_ / max(a, 1e-9), 2)
-    out["rebucket_win_C_over_B"] = round(c / max(b_, 1e-9), 2)
+    out["rebucket_cost_C_over_B"] = round(c / max(b_, 1e-9), 2)
     return out
 
 
