@@ -887,3 +887,138 @@ class TestBucketedIndexScale:
         assert "digests" in stats
         assert glob.glob(str(root / "digests" / "bucket=*"))
         assert spark.read.parquet(str(root / "digests")).count() == 2
+
+
+class TestPhashAdmissionSink:
+    """Perceptual near-dup admission: the fuzzy twin of the digest
+    sink, driven directly through the foreachBatch contract. Plants
+    use synth_bmp_pixel_media (real pixel payloads); a shifted copy
+    has DIFFERENT bytes but the same aHash — exactly the case exact
+    digest dedup cannot catch."""
+
+    def _media(self, spark, rows):
+        """rows: (media_id, pattern, shift) → real BMP batch."""
+        from tidb_cdc_spark.functions.multimodal import synth_bmp_pixel_media
+
+        df = spark.createDataFrame(
+            rows, "media_id long, pattern int, shift int"
+        )
+        return synth_bmp_pixel_media(df, "media_id")
+
+    def test_four_scenarios(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.streaming import PhashAdmissionSink
+
+        root = str(tmp_path / "store")
+        sink = PhashAdmissionSink(root)
+        # batch 0: 1 and 2 are pixel-identical twins (intra-batch:
+        # min id admitted), 3 is a distinct pattern
+        sink.process(
+            self._media(spark, [(1, 5, 0), (2, 5, 0), (3, 9, 0)]), 0
+        )
+        assert {r.media_id for r in sink.read_corpus(spark).collect()} == {1, 3}
+        # batch 1: 10 is a BRIGHTNESS-SHIFTED copy of the admitted 1
+        # (different bytes — exact dedup would admit it — same
+        # aHash ⇒ cross-batch perceptual reject); 11 is novel;
+        # 12 is undecodable (NULL hash ⇒ admitted unscreened)
+        shifted = self._media(spark, [(10, 5, 20), (11, 77, 0)])
+        base_payload = bytes(
+            self._media(spark, [(1, 5, 0)]).collect()[0].payload
+        )
+        shifted_payload = bytes(
+            shifted.filter(F.col("media_id") == 10).collect()[0].payload
+        )
+        assert shifted_payload != base_payload  # bytes DO differ
+        junk = spark.createDataFrame(
+            [(12, "image", None, None, None, None, bytearray(b"not-a-bmp"))],
+            shifted.schema,
+        )
+        sink.process(shifted.unionByName(junk), 1)
+        corpus = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert corpus == {1, 3, 11, 12}
+        # index holds admitted DECODABLE media only
+        idx = spark.read.parquet(f"{root}/phashes")
+        assert {r.media_id for r in idx.collect()} == {1, 3, 11}
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import PhashAdmissionSink
+
+        sink = PhashAdmissionSink(str(tmp_path / "store"))
+        b = self._media(spark, [(1, 7, 0)])
+        sink.process(b, 0)
+        sink.process(b, 0)
+        assert sink.read_corpus(spark).count() == 1
+
+    def test_compact_preserves_screening(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import PhashAdmissionSink
+
+        sink = PhashAdmissionSink(str(tmp_path / "store"))
+        for b in range(3):
+            sink.process(
+                self._media(spark, [(10 * b + i, 30 + 3 * b + i, 0) for i in range(3)]),
+                b,
+            )
+        before = {r.media_id for r in sink.read_corpus(spark).collect()}
+        sink.compact(spark, files_per_table=1)
+        assert {r.media_id for r in sink.read_corpus(spark).collect()} == before
+        # a shifted copy of an admitted pattern is still rejected
+        sink.process(self._media(spark, [(99, 30, 20), (98, 200, 0)]), 3)
+        after = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert 98 in after and 99 not in after
+
+    def test_layout_mismatch_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tidb_cdc_spark.streaming import PhashAdmissionSink
+
+        root = str(tmp_path / "store")
+        PhashAdmissionSink(root).process(self._media(spark, [(1, 5, 0)]), 0)
+        with _pytest.raises(ValueError, match="blocks"):
+            PhashAdmissionSink(root, blocks=4).process(
+                self._media(spark, [(2, 9, 0)]), 1
+            )
+
+    def test_screen_is_broadcast_not_sort_merge(self, spark, tmp_path):
+        """The cross-batch candidate join streams the index against
+        the broadcast batch keys — same pinned shape as the digest
+        sink's screen."""
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.dedup import manku_table_keys
+        from tidb_cdc_spark.streaming import PhashAdmissionSink
+        from tidb_cdc_spark.streaming.enrich import _bucket_expr
+
+        root = str(tmp_path / "store")
+        sink = PhashAdmissionSink(root)
+        sink.process(
+            self._media(spark, [(i, 1 + i, 0) for i in range(10)]), 0
+        )
+        from tidb_cdc_spark.functions.multimodal import perceptual_hashes
+
+        probe = self._media(spark, [(100, 3, 20)])
+        sig = perceptual_hashes(probe).select(
+            F.col("media_id").alias("_id"), F.col("ahash").alias("_sh")
+        )
+        keyed = manku_table_keys(sig).withColumn(
+            "_bucket", _bucket_expr(["_table", "_key"], 64)
+        )
+        touched = [r[0] for r in keyed.select("_bucket").distinct().collect()]
+        store = sink._phash_store(spark, probe, touched)
+        cand = store.join(
+            F.broadcast(
+                keyed.select(
+                    F.col("_table").alias("tbl"),
+                    F.col("_key").alias("key"),
+                    "_id",
+                    "_sh",
+                )
+            ),
+            ["tbl", "key"],
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert any(
+            "bucket" in l for l in plan.splitlines() if "PartitionFilters" in l
+        )

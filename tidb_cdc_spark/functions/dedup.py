@@ -496,6 +496,46 @@ def simhash_signatures_df(
     return per_doc.select("_id", out.alias("_sh"))
 
 
+def manku_table_keys(
+    sig: DataFrame, max_hamming: int = 3, blocks: int = 6
+) -> DataFrame:
+    """(_id, _sh, _table, _key): one row per Manku permuted table per
+    signature — the exploded probe/index format shared by the batch
+    pair join (:func:`simhash_pairs_from_sigs`) and the streaming
+    perceptual admission store (``streaming/enrich.py::
+    PhashAdmissionSink``). The 64-bit hash is split into ``blocks``
+    blocks; ≤ ``max_hamming`` differing bits dirty at most
+    ``max_hamming`` blocks, so every qualifying pair agrees EXACTLY
+    on some ``blocks − max_hamming``-subset — one table per subset,
+    keyed on the subset's hashed block values."""
+    from itertools import combinations
+
+    if not 0 < blocks - max_hamming:
+        raise ValueError("need blocks > max_hamming for the pigeonhole guarantee")
+    sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    offs = [sum(sizes[:i]) for i in range(blocks)]
+
+    def block(i: int) -> Column:
+        # unsigned shift: the top block contains the sign bit
+        return F.shiftrightunsigned(F.col("_sh"), offs[i]).bitwiseAND(
+            F.lit((1 << sizes[i]) - 1)
+        )
+
+    tables = list(combinations(range(blocks), blocks - max_hamming))
+    return sig.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(t), *[block(i) for i in combo])
+                    for t, combo in enumerate(tables)
+                ]
+            )
+        ).alias("_table", "_key"),
+    )
+
+
 def simhash_pairs_from_sigs(
     sig: DataFrame,
     max_hamming: int = 3,
@@ -530,34 +570,9 @@ def simhash_pairs_from_sigs(
     ≥cap-sized mutual near-dup family, which exact/minhash dedup
     upstream should have collapsed anyway. ``None`` disables.
     """
-    from itertools import combinations
-
     from pyspark.sql import Window
 
-    if not 0 < blocks - max_hamming:
-        raise ValueError("need blocks > max_hamming for the pigeonhole guarantee")
-    sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
-    offs = [sum(sizes[:i]) for i in range(blocks)]
-
-    def block(i: int) -> Column:
-        # unsigned shift: the top block contains the sign bit
-        return F.shiftrightunsigned(F.col("_sh"), offs[i]).bitwiseAND(
-            F.lit((1 << sizes[i]) - 1)
-        )
-
-    tables = list(combinations(range(blocks), blocks - max_hamming))
-    keyed = sig.select(
-        "_id",
-        "_sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(t), *[block(i) for i in combo])
-                    for t, combo in enumerate(tables)
-                ]
-            )
-        ).alias("_table", "_key"),
-    )
+    keyed = manku_table_keys(sig, max_hamming=max_hamming, blocks=blocks)
     if max_bucket_size is not None:
         # materialized: the guarded frame feeds BOTH join sides, and
         # Spark re-executes common subplans per consumer — without

@@ -654,17 +654,6 @@ def dhash64(gray) -> int:
     return _to_signed64(h)
 
 
-#: perceptual-hash output: slim (id, ahash, dhash) rows — the bytes
-#: never survive into the shuffle.
-PHASH_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("ahash", LongType()),
-        StructField("dhash", LongType()),
-    ]
-)
-
-
 def perceptual_hashes(
     media: DataFrame,
     id_col: str = "media_id",
@@ -677,7 +666,15 @@ def perceptual_hashes(
     territory) emit NULL hashes rather than a fake value; a decoding
     fleet with codec libs swaps ``decode_bmp_pixels`` for the real
     decoder and keeps everything else. Output rows are 24 B — at
-    100 TB of media the hashes shuffle, the pixels never do."""
+    100 TB of media the hashes shuffle, the pixels never do. The id
+    column keeps its incoming name and type."""
+    out_schema = StructType(
+        [
+            media.schema[id_col],
+            StructField("ahash", LongType()),
+            StructField("dhash", LongType()),
+        ]
+    )
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -694,13 +691,13 @@ def perceptual_hashes(
                     d_out.append(dhash64(gray))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "ahash": pd.array(a_out, dtype="Int64"),
                     "dhash": pd.array(d_out, dtype="Int64"),
                 }
             )
 
-    return media.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+    return media.mapInPandas(hash_batches, schema=out_schema)
 
 
 def phash_near_dup_pairs(

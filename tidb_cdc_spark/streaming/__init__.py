@@ -18,6 +18,7 @@ from tidb_cdc_spark.streaming.enrich import (
     HllDistinctSink,
     NearDupAdmissionSink,
     PcaMomentSink,
+    PhashAdmissionSink,
     WinnowOverlapSink,
 )
 from tidb_cdc_spark.streaming.metrics import StreamMetrics, attach_metrics
@@ -30,6 +31,7 @@ __all__ = [
     "HllDistinctSink",
     "NearDupAdmissionSink",
     "PcaMomentSink",
+    "PhashAdmissionSink",
     "WinnowOverlapSink",
     "StreamMetrics",
     "attach_metrics",

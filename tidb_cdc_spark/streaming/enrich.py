@@ -812,6 +812,285 @@ class DigestAdmissionSink:
         _watermark_commit(self.root, batch_id)
 
 
+class PhashAdmissionSink:
+    """foreachBatch body for PERCEPTUAL near-dup admission of media —
+    the fuzzy twin of ``DigestAdmissionSink`` exactly as
+    ``NearDupAdmissionSink`` is the fuzzy twin of exact text dedup:
+    admit only media whose perceptual hash has no stored neighbor
+    within ``max_hamming`` bits, the pass an image crawl runs AFTER
+    exact byte dedup (a re-encoded / brightness-shifted copy has new
+    bytes but the same aHash; the batch form is
+    ``queries/llm18.py::multimodal_phash_audit``).
+
+    - hashes come from the REAL pixel path (``functions/multimodal.
+      perceptual_hashes`` — Arrow-batched decode, 24 B output rows;
+      payload bytes never reach a join);
+    - the persisted index ``<root>/phashes`` holds the Manku
+      permuted-table keys of admitted hashes ((id, sh, tbl, key) —
+      ``functions/dedup.manku_table_keys``, the same pigeonhole
+      construction as the batch pair join), bucket-partitioned on
+      ``pmod(xxhash64(tbl, key), n_buckets)`` with the digest sink's
+      screen shape: the index is STREAMED against the broadcast
+      batch keys and pruned to touched buckets — never shuffled,
+      never sorted (cost model measured in NOTES r12);
+    - candidates agreeing on any table key are verified with the
+      EXACT Hamming distance (JVM ``bit_count(a ^ b)``) before
+      rejection — banding only generates candidates, never decides;
+    - intra-batch: near-dup pairs within the batch admit the
+      smallest id (same conservative chain rule as
+      ``near_dup_ingest`` — C colliding only with rejected B is
+      still rejected);
+    - rows whose payload has no real pixel path (NULL hash —
+      compressed formats without a codec) are ADMITTED unscreened
+      and not indexed: no pixel evidence, no perceptual claim
+      (route them through ``DigestAdmissionSink`` for exact dedup).
+
+    ``_PARAMS`` pins ``n_buckets`` AND the key layout
+    (``blocks``/``max_hamming``/``hash_col``): a restart with a
+    different layout would probe incompatible table keys, so a
+    mismatch raises instead of silently admitting everything.
+    Replay safety and maintenance follow the admission-store
+    conventions (batch-id watermark written LAST, rename-swap
+    ``compact()`` with torn-state healing, corpus-first append
+    order — duplication on replay, never loss)."""
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "media_id",
+        payload_col: str = "payload",
+        hash_col: str = "ahash",
+        max_hamming: int = 3,
+        blocks: int = 6,
+        n_buckets: int = 64,
+    ):
+        self.root = root
+        self.id_col, self.payload_col = id_col, payload_col
+        self.hash_col = hash_col
+        self.max_hamming, self.blocks = max_hamming, blocks
+        self.n_buckets = n_buckets  # creation default; _PARAMS wins
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        return _watermark_read(self.root)
+
+    def _params(self) -> dict:
+        """Live store parameters; creates them for a fresh store,
+        refuses a layout mismatch or a store with lost _PARAMS."""
+        import os
+
+        want = {
+            "layout": "bucketed",
+            "n_buckets": self.n_buckets,
+            "blocks": self.blocks,
+            "max_hamming": self.max_hamming,
+            "hash_col": self.hash_col,
+        }
+        params = _store_params_read(self.root)
+        if params is None:
+            if os.path.exists(self._path("phashes")):
+                raise ValueError(
+                    f"phash index at {self._path('phashes')} exists but "
+                    "the store's _PARAMS file is missing — restore it "
+                    "(the table-key layout cannot be inferred from data)"
+                )
+            _store_params_write(self.root, want)
+            return want
+        for k in ("blocks", "max_hamming", "hash_col"):
+            if params.get(k) != want[k]:
+                raise ValueError(
+                    f"phash store {k}={params.get(k)!r} does not match "
+                    f"sink {k}={want[k]!r} — the persisted table keys "
+                    "are layout-specific; rebuild the store or match "
+                    "the sink configuration"
+                )
+        return params
+
+    def read_corpus(self, spark) -> DataFrame | None:
+        import os
+
+        p = self._path("corpus")
+        _table_recover_compact(p)
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    def _phash_store(
+        self, spark, batch: DataFrame, touched: "list[int] | None" = None
+    ) -> DataFrame:
+        import os
+
+        p = self._path("phashes")
+        _table_recover_compact(p)
+        if os.path.exists(p):
+            store = spark.read.parquet(p)
+            if touched is not None:
+                store = store.filter(F.col("bucket").isin(touched))
+            return store
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(
+                        self.id_col, batch.schema[self.id_col].dataType
+                    ),
+                    StructField("sh", LongType()),
+                    StructField("tbl", LongType()),
+                    StructField("key", LongType()),
+                ]
+            ),
+        )
+
+    def compact(
+        self,
+        spark,
+        files_per_table: int | None = None,
+        n_buckets: int | None = None,
+    ) -> dict:
+        """Small-files maintenance, stream stopped — shared mechanics
+        (see ``NearDupAdmissionSink.compact``); ``n_buckets``
+        re-buckets the phash index while compacting."""
+        params = self._params()
+        if n_buckets is not None and n_buckets != params["n_buckets"]:
+            import os
+            import shutil
+
+            p = self._path("phashes")
+            _table_recover_compact(p)
+            if os.path.exists(p):
+                tmp, old = p + ".compact.tmp", p + ".compact.old"
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    spark.read.parquet(p)
+                    .drop("bucket")
+                    .withColumn(
+                        "bucket", _bucket_expr(["tbl", "key"], n_buckets)
+                    )
+                    .repartition("bucket")
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(tmp)
+                )
+                os.rename(p, old)
+                os.rename(tmp, p)
+                shutil.rmtree(old)
+            _store_params_write(self.root, {**params, "n_buckets": n_buckets})
+        return _tables_compact(
+            spark,
+            {n: self._path(n) for n in ("corpus", "phashes")},
+            files_per_table,
+            partitioned={"phashes": ["bucket"]},
+        )
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        from tidb_cdc_spark.functions.dedup import (
+            manku_table_keys,
+            simhash_pairs_from_sigs,
+        )
+        from tidb_cdc_spark.functions.multimodal import perceptual_hashes
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(
+            self._last_batch_id(), batch_id, "phash store"
+        ):
+            return  # at-least-once re-delivery
+        _table_recover_compact(self._path("corpus"))
+        params = self._params()
+        nb = int(params["n_buckets"])
+        spark = batch.sparkSession
+        # slim (id, hash) rows off the real pixel path; NULL hashes
+        # (no pixel evidence) bypass the screen entirely
+        hashes = perceptual_hashes(batch, self.id_col, self.payload_col)
+        sig = hashes.filter(F.col(self.hash_col).isNotNull()).select(
+            F.col(self.id_col).alias("_id"),
+            F.col(self.hash_col).alias("_sh"),
+        )
+        # one exploded key pass (persisted: probe filter, store join,
+        # intra-batch pairs, and the index append all consume it)
+        keyed = manku_table_keys(
+            sig, max_hamming=self.max_hamming, blocks=self.blocks
+        ).withColumn("_bucket", _bucket_expr(["_table", "_key"], nb)).persist()
+        try:
+            touched = [
+                r[0] for r in keyed.select("_bucket").distinct().collect()
+            ]
+            store = self._phash_store(spark, batch, touched)
+            # cross-batch candidates: index STREAMED against the
+            # broadcast batch keys; exact Hamming verifies every
+            # candidate — banding generates, bit_count decides
+            cross = (
+                store.join(
+                    F.broadcast(
+                        keyed.select(
+                            F.col("_table").alias("tbl"),
+                            F.col("_key").alias("key"),
+                            "_id",
+                            "_sh",
+                        )
+                    ),
+                    ["tbl", "key"],
+                )
+                .filter(
+                    F.bit_count(F.col("sh").bitwiseXOR(F.col("_sh")))
+                    <= self.max_hamming
+                )
+                .select("_id")
+                .distinct()
+            )
+            # intra-batch: smallest id per near-dup family admitted
+            # (conservative chain rule — see near_dup_ingest)
+            intra = (
+                simhash_pairs_from_sigs(
+                    sig,
+                    max_hamming=self.max_hamming,
+                    blocks=self.blocks,
+                    max_bucket_size=None,
+                )
+                .select(F.col("id_b").alias("_id"))
+                .distinct()
+            )
+            rejected = cross.unionByName(intra).distinct().persist()
+            try:
+                admitted = batch.join(
+                    F.broadcast(
+                        rejected.select(F.col("_id").alias(self.id_col))
+                    ),
+                    self.id_col,
+                    "left_anti",
+                ).persist()
+                try:
+                    admitted.write.mode("append").parquet(
+                        self._path("corpus")
+                    )
+                    (
+                        keyed.join(
+                            F.broadcast(rejected), "_id", "left_anti"
+                        )
+                        .select(
+                            F.col("_id").alias(self.id_col),
+                            F.col("_sh").alias("sh"),
+                            F.col("_table").alias("tbl"),
+                            F.col("_key").alias("key"),
+                            F.col("_bucket").alias("bucket"),
+                        )
+                        .repartition("bucket")
+                        .write.partitionBy("bucket")
+                        .mode("append")
+                        .parquet(self._path("phashes"))
+                    )
+                finally:
+                    admitted.unpersist()
+            finally:
+                rejected.unpersist()
+        finally:
+            keyed.unpersist()
+        _watermark_commit(self.root, batch_id)
+
+
 # ------------------------------------------------ swap-store helpers
 # shared by the copy-on-write sinks (CountMinSink, PcaMomentSink):
 # a table directory committed by a two-rename swap with the batch-id
