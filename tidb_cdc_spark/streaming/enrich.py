@@ -380,7 +380,13 @@ class NearDupAdmissionSink:
         if os.path.exists(p):
             store = spark.read.parquet(p)
             if touched is not None:
-                store = store.filter(F.col("bucket").isin(touched))
+                # empty batch => empty touched: read nothing rather
+                # than lean on isin([]) semantics
+                store = (
+                    store.filter(F.col("bucket").isin(touched))
+                    if touched
+                    else store.limit(0)
+                )
             return store
         from pyspark.sql.types import (
             IntegerType,
@@ -650,7 +656,13 @@ class DigestAdmissionSink:
         if os.path.exists(p):
             store = spark.read.parquet(p)
             if touched is not None:
-                store = store.filter(F.col("bucket").isin(touched))
+                # empty batch => empty touched: read nothing rather
+                # than lean on isin([]) semantics
+                store = (
+                    store.filter(F.col("bucket").isin(touched))
+                    if touched
+                    else store.limit(0)
+                )
             return store
         from pyspark.sql.types import BinaryType, StructField, StructType
 
@@ -927,7 +939,13 @@ class PhashAdmissionSink:
         if os.path.exists(p):
             store = spark.read.parquet(p)
             if touched is not None:
-                store = store.filter(F.col("bucket").isin(touched))
+                # empty batch => empty touched: read nothing rather
+                # than lean on isin([]) semantics
+                store = (
+                    store.filter(F.col("bucket").isin(touched))
+                    if touched
+                    else store.limit(0)
+                )
             return store
         from pyspark.sql.types import LongType, StructField, StructType
 
