@@ -784,41 +784,60 @@ def synth_bmp_pixel_media(
     stride = (width * 3 + 3) & ~3
     file_size = 54 + stride * height
 
+    # yield in ≤512-row frames: each output row carries a ~13.6 KB
+    # payload, and one yielded pandas frame becomes (at least) one
+    # Arrow record batch — at the session default of 10k rows/batch a
+    # payload batch is ~136 MB PER CORE, which measured 7× slower end
+    # to end than ~7 MB batches (r12 NOTES: 44.6 s → 6.3 s for the
+    # 500k-row synth pass). Chunking here also propagates the sane
+    # batch size to any chained mapInPandas consumer (probe, hashes).
+    chunk = 512
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, v, d in zip(pdf["media_id"], pdf["_v"], pdf["_d"]):
-                mid, v, d = int(mid), int(v), int(d)
-                topdown = v % 2 == 1
-                gray = np.where((v >> bit_idx) & 1, 180, 60) + d
-                hdr = (
-                    b"BM"
-                    + struct.pack("<IHHI", file_size, 0, 0, 54)
-                    + struct.pack(
-                        "<IiiHHIIiiII",
-                        40,
-                        width,
-                        -height if topdown else height,
-                        1,
-                        24,
-                        0,
-                        stride * height,
-                        0,
-                        0,
-                        0,
-                        0,
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, v, d in zip(seg["media_id"], seg["_v"], seg["_d"]):
+                    mid, v, d = int(mid), int(v), int(d)
+                    topdown = v % 2 == 1
+                    gray = np.where((v >> bit_idx) & 1, 180, 60) + d
+                    hdr = (
+                        b"BM"
+                        + struct.pack("<IHHI", file_size, 0, 0, 54)
+                        + struct.pack(
+                            "<IiiHHIIiiII",
+                            40,
+                            width,
+                            -height if topdown else height,
+                            1,
+                            24,
+                            0,
+                            stride * height,
+                            0,
+                            0,
+                            0,
+                            0,
+                        )
                     )
+                    stored = gray if topdown else gray[::-1]
+                    body = np.zeros((height, stride), dtype=np.uint8)
+                    body[:, : width * 3] = np.repeat(
+                        stored.astype(np.uint8), 3, axis=1
+                    )
+                    rows.append(
+                        (
+                            mid,
+                            "image",
+                            None,
+                            None,
+                            None,
+                            None,
+                            hdr + body.tobytes(),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
-                stored = gray if topdown else gray[::-1]
-                body = np.zeros((height, stride), dtype=np.uint8)
-                body[:, : width * 3] = np.repeat(
-                    stored.astype(np.uint8), 3, axis=1
-                )
-                rows.append(
-                    (mid, "image", None, None, None, None, hdr + body.tobytes())
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
-            )
 
     return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)

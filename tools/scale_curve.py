@@ -49,7 +49,44 @@ OPS = [
     # linearly in ids (the family's first scale measurement)
     "multimodal_probe_audit",
     "multimodal_frame_plan",
+    # r12: media exact dedup — synth + JVM sha2 distinct-agg; only
+    # 32 B digests shuffle, so the curve must stay linear in ids
+    "multimodal_dedup_audit",
 ]
+
+# r12: the pixel path's scale-critical piece measured INLINE (not a
+# registry query): the synth → decode → perceptual-hash Arrow chain,
+# linear per-row Python over ~13.6 KB payloads, 24 B output rows.
+# The AUDIT query (multimodal_phash_audit) is deliberately excluded:
+# its planted 101-cluster structure makes the τ=3 pair count grow
+# C(n/101, 2)·101 — quadratic BY CONSTRUCTION at replica scale, the
+# same reason dedup_minhash_lsh's clique form measures 9.8× while
+# the star/repr forms are the scale path. The pair join's linear
+# candidate machinery is simhash_pairs_from_sigs, already
+# scale-tested on synthetic signatures (tests/test_llm.py).
+
+
+def phash_hash_pass(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        synth_bmp_pixel_media,
+    )
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(1) + F.col("doc_id") % 254).alias("pattern"),
+            (F.col("doc_id") % 41).alias("shift"),
+        )
+    )
+    return perceptual_hashes(synth_bmp_pixel_media(ids, "media_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("ahash").alias("da"),
+    )
 
 
 def main() -> None:
@@ -89,6 +126,20 @@ def main() -> None:
         row["ratio_10to100"] = r100
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr, flush=True)
+
+    # inline pixel-path chain (see note above OPS)
+    row = {}
+    for label, d in (("1x", src), ("10x", out10), ("100x", out100)):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            phash_hash_pass(spark, d).count()
+            best = min(best, time.perf_counter() - t0)
+        row[label] = round(best, 2)
+    row["ratio_1to10"] = round(row["10x"] / max(row["1x"], 1e-9), 1)
+    row["ratio_10to100"] = round(row["100x"] / max(row["10x"], 1e-9), 1)
+    results["phash_hash_pass (inline)"] = row
+    print(f"# phash_hash_pass: {row}", file=sys.stderr, flush=True)
     print(json.dumps({"scale_curve": results}))
     spark.stop()
 
