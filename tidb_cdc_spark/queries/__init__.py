@@ -268,7 +268,12 @@ GATE = [
     "cdc_parse_typed",
     "cdc_apply_latest",
     "cdc_scd2_history",
-    "cdc_incremental_agg",
+    # LATE-R12 SWAP: the composed media curation pipeline (new op,
+    # queries/llm18.py — exact sha2 dedup → perceptual collapse →
+    # scorecard under the planted-transform value oracle) takes the
+    # cdc_incremental_agg slot (r11-green, unchanged, mirror-kept;
+    # queues for r13)
+    "media_curation_pipeline",
     "cdc_schema_drift",
     "cdc_decimal_agg",
     # plan-complex shapes kept fresh

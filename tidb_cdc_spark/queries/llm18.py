@@ -342,12 +342,99 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAION-shape media curation pipeline as ONE composed,
+    fully value-oracled query — the media twin of
+    ``corpus_curation_pipeline``: exact payload dedup (JVM sha2
+    min-id representative) → perceptual near-dup collapse over the
+    SURVIVORS (real pixel decode → aHash → Manku banded pairs →
+    hash-min connected components → min-id representative) →
+    per-stage scorecard. This is the composition a crawl actually
+    runs: exact dedup first (cheap, catches byte-identical copies),
+    perceptual second over the orders-of-magnitude-smaller survivor
+    set (catches re-encoded/shifted copies exact hashing cannot).
+
+    Plant: the ``multimodal_phash_audit`` structure (cluster
+    ``pid = doc_id % 101``; byte-identical twins within (pid, δ);
+    δ=+20 brightness-shifted copies across variants), so both stage
+    outputs derive from id arithmetic: ``after_exact`` = distinct
+    (pid, δ) payload classes, ``after_perceptual`` = distinct pid
+    (shift-invariant aHash + the ≥8-bit cross-cluster margin make
+    perceptual families exactly the pid clusters).
+
+    Scale shape: stage 1 shuffles 32 B digests (never payloads);
+    stage 2 runs on the deduped survivor set — pairs are banded
+    (linear), CC is the checkpoint-truncated hash-min loop over
+    nodes-in-pairs only. No Python past the sanctioned synth/hash
+    Arrow passes."""
+    from tidb_cdc_spark.functions.clusters import cluster_representatives
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_bmp_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(1) + (F.col("doc_id") % 101) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_bmp_pixel_media(planted, "media_id")
+    # stage 1: exact payload dedup — min id per digest, digests only
+    # through the shuffle. Materialized: the survivor set feeds the
+    # perceptual stage AND the scorecard.
+    exact_reps = materialize(
+        media.groupBy(F.sha2("payload", 256).alias("_digest"))
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    survivors = media.join(exact_reps, "media_id", "left_semi")
+    # stage 2: perceptual collapse over survivors only (24 B hash
+    # rows; three consumers → materialized once)
+    hashes = materialize(perceptual_hashes(survivors))
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    reps = cluster_representatives(
+        hashes.select(F.col("media_id").alias("doc_id")), pairs
+    )
+    n_all = media.agg(F.count(F.lit(1)).alias("n_media"))
+    n_exact = exact_reps.agg(F.count(F.lit(1)).alias("after_exact"))
+    n_perc = reps.filter("is_representative").agg(
+        F.count(F.lit(1)).alias("after_perceptual")
+    )
+    return (
+        n_all.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_perc))
+        .select("n_media", "after_exact", "after_perceptual")
+    )
+
+
+_CURATION_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 20 ELSE 0 END AS shift
+  FROM documents WHERE doc_id >= 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(COUNT(DISTINCT pid * 100 + shift) AS BIGINT) AS after_exact,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS after_perceptual
+FROM m
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
     "multimodal_image_audit": multimodal_image_audit,
     "multimodal_dedup_audit": multimodal_dedup_audit,
     "multimodal_phash_audit": multimodal_phash_audit,
+    "media_curation_pipeline": media_curation_pipeline,
 }
 
 ORACLE = {
@@ -356,4 +443,5 @@ ORACLE = {
     "multimodal_image_audit": _IMAGE_SQL,
     "multimodal_dedup_audit": _DEDUP_SQL,
     "multimodal_phash_audit": _PHASH_SQL,
+    "media_curation_pipeline": _CURATION_SQL,
 }
