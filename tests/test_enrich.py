@@ -889,6 +889,56 @@ class TestBucketedIndexScale:
         assert spark.read.parquet(str(root / "digests")).count() == 2
 
 
+    def test_band_store_screen_is_broadcast_pruned(self, spark, tmp_path):
+        """The near-dup sink's store join must also stream the band
+        index against the broadcast batch bands with a bucket
+        partition filter — same pinned shape as the digest screen."""
+        from pyspark.sql import functions as F
+
+        from tidb_cdc_spark.functions.dedup import (
+            minhash_band_rows,
+            near_dup_ingest,
+        )
+        from tidb_cdc_spark.streaming import NearDupAdmissionSink
+        from tidb_cdc_spark.streaming.enrich import _bucket_expr
+
+        root = str(tmp_path / "store")
+        sink = NearDupAdmissionSink(root)
+        b0 = spark.createDataFrame(
+            [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(6)],
+            "doc_id long, text string",
+        )
+        sink.process(b0, 0)
+        b1 = spark.createDataFrame(
+            [(10, " ".join(f"w3_{j}" for j in range(30)))],
+            "doc_id long, text string",
+        )
+        nb = sink._n_buckets(spark)
+        bands = minhash_band_rows(b1)
+        touched = [
+            r[0]
+            for r in bands.select(
+                _bucket_expr(["band", "bhash"], nb).alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+        store = sink._band_store(spark, b1, touched)
+        _, candidates, _ = near_dup_ingest(b1, store, batch_bands=bands)
+        plan = (
+            candidates._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert any(
+            "bucket" in l
+            for l in plan.splitlines()
+            if "PartitionFilters" in l
+        )
+        pairs = {(r.new_id, r.corpus_id) for r in candidates.collect()}
+        assert (10, 3) in pairs  # the planted cross-batch near-dup
+
+
 class TestPhashAdmissionSink:
     """Perceptual near-dup admission: the fuzzy twin of the digest
     sink, driven directly through the foreachBatch contract. Plants
@@ -1022,3 +1072,4 @@ class TestPhashAdmissionSink:
         assert any(
             "bucket" in l for l in plan.splitlines() if "PartitionFilters" in l
         )
+

@@ -364,11 +364,15 @@ def near_dup_ingest(
         )
         .dropDuplicates(["new_id", "corpus_id"])
     )
+    # the self-join's build side is the same micro-batch — broadcast
+    # it under the same contract as the store probe, so the whole
+    # screen plans without any sort-merge exchange of band rows
+    partner = nb.select(
+        F.col("_new_id").alias("_partner_id"), "band", "bhash"
+    )
     intra_hits = (
         nb.join(
-            nb.select(
-                F.col("_new_id").alias("_partner_id"), "band", "bhash"
-            ),
+            F.broadcast(partner) if broadcast_batch else partner,
             ["band", "bhash"],
         )
         .filter(F.col("_partner_id") < F.col("_new_id"))
