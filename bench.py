@@ -29,8 +29,9 @@ lang-id, token-entropy, topk-window, budget-head, mix-plan,
 snapshot-diff, q19, hard-negatives; r12: corpus_quality_filter,
 contamination_eval_overlap) are retired from the HEADLINE list
 only — they remain declared, oracle-gated, and mirror-tested.
-Round 12 adds the five multimodal audits (r11 verdict #5) and the
-composed media_curation_pipeline → 64 entries.
+Round 12 adds the five multimodal audits (r11 verdict #5), the
+audio sample-path audit, and the composed media_curation_pipeline
+→ 65 entries.
 """
 
 from __future__ import annotations
@@ -163,6 +164,7 @@ def main() -> None:
         "multimodal_image_audit",
         "multimodal_dedup_audit",
         "multimodal_phash_audit",
+        "multimodal_audio_audit",
         "media_curation_pipeline",
     ]
     timings: dict[str, float] = {}

@@ -50,6 +50,7 @@ ROUND_ADDITIONS = [
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
     "multimodal_phash_audit",  # r12 NEW pixel-decode perceptual audit
     "media_curation_pipeline",  # r12 NEW composed exact->perceptual op
+    "multimodal_audio_audit",  # r12 NEW PCM sample-path audit
     "multimodal_image_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_dedup_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_probe_audit",  # r12 changed: doc_id >= 0 guard

@@ -278,7 +278,12 @@ GATE = [
     "cdc_decimal_agg",
     # plan-complex shapes kept fresh
     "contamination_containment_screen",
-    "skew_salted_agg",
+    # LATE-R12 SWAP 2: the audio sample-path audit (new op,
+    # queries/llm18.py — real PCM decode → energy aHash → banded
+    # near-dup under the planted-transform value oracle) takes the
+    # skew_salted_agg slot (r11-green, unchanged, mirror-kept;
+    # queues for r13)
+    "multimodal_audio_audit",
 ]
 
 assert len(GATE) == 50 and len(set(GATE)) == 50, "gate must be 50 distinct"

@@ -428,6 +428,94 @@ FROM m
 """
 
 
+def multimodal_audio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual near-dup over REAL decoded PCM samples — the
+    audio member of the r12 pixel-path family: decode 16-bit PCM WAV
+    sample data in pure Python inside the sanctioned Arrow pass
+    (``decode_wav_samples``), compute the energy aHash
+    (``audio_fingerprint64``), and find Hamming-≤3 pairs with the
+    same Manku banded join. Planted-transform oracle mirroring
+    ``multimodal_phash_audit``: cluster ``pid = doc_id % 101``;
+    variants 0/1 plant byte-identical WAVs, variant 2 plants a ×3
+    amplitude-scaled copy of the same pattern (different BYTES, same
+    fingerprint — the loudness-normalized re-encode exact dedup
+    cannot catch). The square-wave plant makes the fingerprint
+    provably the pattern byte's replicated bits (injective, ≥8-bit
+    margin, gain-invariant — ``synth_wav_pcm_media``), so every
+    column derives from id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_fingerprints,
+        phash_near_dup_pairs,
+        synth_wav_pcm_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 101) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("gain"),
+        )
+    )
+    media = synth_wav_pcm_media(planted, "media_id")
+    # materialized: three aggregate consumers of the 16 B hash rows
+    hashes = materialize(
+        audio_fingerprints(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(
+        hashes, hash_col="afp", max_hamming=3, max_bucket_size=None
+    )
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("afp").alias("_na")
+    )
+    return (
+        hashes.agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.countDistinct("afp").alias("distinct_afp"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_afp_variants")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_afp",
+            "max_cluster_afp_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+_AUDIO_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_afp,
+       CAST(1 AS BIGINT) AS max_cluster_afp_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -435,6 +523,7 @@ QUERIES = {
     "multimodal_dedup_audit": multimodal_dedup_audit,
     "multimodal_phash_audit": multimodal_phash_audit,
     "media_curation_pipeline": media_curation_pipeline,
+    "multimodal_audio_audit": multimodal_audio_audit,
 }
 
 ORACLE = {
@@ -444,4 +533,5 @@ ORACLE = {
     "multimodal_dedup_audit": _DEDUP_SQL,
     "multimodal_phash_audit": _PHASH_SQL,
     "media_curation_pipeline": _CURATION_SQL,
+    "multimodal_audio_audit": _AUDIO_SQL,
 }

@@ -54,6 +54,7 @@ PICKS = {
     "multimodal_dedup_audit": "media payload dedup: JVM-side sha2 on the binary column feeding ONE combining distinct-agg — no Python past the sanctioned synth/probe passes",
     "multimodal_phash_audit": "pixel perceptual near-dup: synth -> decode/hash Arrow passes emit 24 B hash rows (payloads never shuffle), materialized once for three agg consumers; pair stage is the Manku banded equi-join",
     "media_curation_pipeline": "composed media curation: sha2 min-id exact dedup (32 B digest shuffle) -> perceptual collapse over survivors only (hash rows -> banded pairs -> checkpoint-truncated CC) -> 1-row scorecard",
+    "multimodal_audio_audit": "audio sample-path near-dup: synth -> PCM decode/fingerprint Arrow passes emit 16 B rows, materialized for three agg consumers; pair stage is the shared Manku banded equi-join",
 }
 
 HEADER = (
