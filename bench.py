@@ -30,8 +30,8 @@ snapshot-diff, q19, hard-negatives; r12: corpus_quality_filter,
 contamination_eval_overlap) are retired from the HEADLINE list
 only — they remain declared, oracle-gated, and mirror-tested.
 Round 12 adds the five multimodal audits (r11 verdict #5), the
-audio sample-path audit, and the composed media_curation_pipeline
-→ 65 entries.
+audio/video sample-path audits, and the composed
+media_curation_pipeline → 66 entries.
 """
 
 from __future__ import annotations
@@ -165,6 +165,7 @@ def main() -> None:
         "multimodal_dedup_audit",
         "multimodal_phash_audit",
         "multimodal_audio_audit",
+        "multimodal_video_audit",
         "media_curation_pipeline",
     ]
     timings: dict[str, float] = {}

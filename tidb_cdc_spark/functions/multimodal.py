@@ -534,6 +534,18 @@ def probe_media(media: DataFrame) -> DataFrame:
                     if pd.isna(pdf.at[idx, "height"]):
                         pdf.at[idx, "height"] = h
                     continue
+                avi = parse_avi_header(payload)
+                if avi is not None:
+                    mime, w, h, dur = avi
+                    if need_mime:
+                        pdf.at[idx, "mime"] = mime
+                    if pd.isna(pdf.at[idx, "width"]):
+                        pdf.at[idx, "width"] = w
+                    if pd.isna(pdf.at[idx, "height"]):
+                        pdf.at[idx, "height"] = h
+                    if need_dur:
+                        pdf.at[idx, "duration_ms"] = dur
+                    continue
                 av = parse_media_header(payload)
                 if av is not None:
                     mime, dur = av
@@ -698,6 +710,286 @@ def perceptual_hashes(
             )
 
     return media.mapInPandas(hash_batches, schema=out_schema)
+
+
+# ------------------------------------------------- real video path
+# Uncompressed AVI (RIFF 'AVI ' + LIST hdrl/avih + LIST movi with
+# '00db' raw-DIB frames) is pure-Python decodable for the same
+# reason uncompressed BMP is: fixed chunk layout, raw bottom-up BGR
+# rows. Compressed codecs ('00dc' payloads) stay codec territory.
+
+
+def parse_avi_header(payload: bytes):
+    """REAL AVI main-header parse: returns
+    ``(mime, width, height, duration_ms)`` from the ``avih`` chunk
+    (duration = µs-per-frame × total-frames), or None for non-AVI
+    bytes. Bounded LIST walk, truncation rejected — the probe field
+    recovery for video containers without ffmpeg."""
+    p = payload
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        clen = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"LIST" and p[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + clen, len(p))
+            while j + 8 <= end:
+                sid = p[j : j + 4]
+                slen = int.from_bytes(p[j + 4 : j + 8], "little")
+                if sid == b"avih":
+                    if j + 8 + 40 > len(p):
+                        return None  # truncated main header
+                    us_per_frame = int.from_bytes(p[j + 8 : j + 12], "little")
+                    total_frames = int.from_bytes(
+                        p[j + 24 : j + 28], "little"
+                    )
+                    w = int.from_bytes(p[j + 40 : j + 44], "little")
+                    h = int.from_bytes(p[j + 44 : j + 48], "little")
+                    return (
+                        "video/avi",
+                        w,
+                        h,
+                        us_per_frame * total_frames // 1000,
+                    )
+                j += 8 + slen + (slen & 1)
+            return None
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def decode_avi_frames(payload: bytes):
+    """REAL frame decode for uncompressed AVI: returns the list of
+    grayscale frames (``int64`` arrays, BT.601 integer luma) from the
+    ``movi`` list's ``00db`` raw-DIB chunks — bottom-up BGR rows,
+    4-byte stride, dims from the ``avih`` header — or None when the
+    container isn't AVI or carries no uncompressed frames
+    (``00dc`` compressed frames are codec territory)."""
+    import numpy as np
+
+    hdr = parse_avi_header(payload)
+    if hdr is None:
+        return None
+    _, w, h, _ = hdr
+    if w <= 0 or h <= 0:
+        return None
+    stride = (w * 3 + 3) & ~3
+    p = payload
+    frames = []
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        clen = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"LIST" and p[i + 8 : i + 12] == b"movi":
+            j = i + 12
+            end = min(i + 8 + clen, len(p))
+            while j + 8 <= end:
+                fid = p[j : j + 4]
+                flen = int.from_bytes(p[j + 4 : j + 8], "little")
+                if fid[2:4] == b"db":
+                    if flen != stride * h or j + 8 + flen > len(p):
+                        return None  # truncated / mis-sized frame
+                    arr = np.frombuffer(
+                        p, dtype=np.uint8, count=flen, offset=j + 8
+                    )
+                    arr = (
+                        arr.reshape(h, stride)[:, : w * 3]
+                        .reshape(h, w, 3)
+                        .astype(np.int64)[::-1]  # bottom-up rows
+                    )
+                    b, g, r = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+                    frames.append((r * 299 + g * 587 + b * 114) // 1000)
+                j += 8 + flen + (flen & 1)
+            break
+        i += 8 + clen + (clen & 1)
+    return frames if frames else None
+
+
+#: per-frame hash rows: the inverted-index format for video near-dup.
+def video_frame_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, frame_idx, fhash): per-frame aHash rows via the REAL
+    video path — one Arrow pass decoding uncompressed-AVI frames
+    (:func:`decode_avi_frames`) and hashing each with the shared
+    :func:`ahash64`. Media without a pure-Python frame path emit NO
+    rows here (route them through the header probe / exact digest
+    paths — no frame evidence, no frame claim). Output rows are
+    ~28 B: at 100 TB of video only frame hashes shuffle."""
+    out_schema = StructType(
+        [
+            media.schema[id_col],
+            StructField("frame_idx", IntegerType()),
+            StructField("fhash", LongType()),
+        ]
+    )
+
+    def fh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                frames = (
+                    decode_avi_frames(bytes(raw)) if raw is not None else None
+                )
+                if not frames:
+                    continue
+                for k, gray in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    hs.append(ahash64(gray))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype=pdf[id_col].dtype),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "fhash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(fh, schema=out_schema)
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    min_shared_frames: int = 4,
+    max_frame_freq: "int | None" = 1000,
+) -> DataFrame:
+    """(id_a, id_b, shared_frames): video near-duplicate pairs —
+    videos sharing ≥ ``min_shared_frames`` DISTINCT frame hashes,
+    the shot-level containment test that catches trims, re-muxes,
+    and brightness-normalized re-encodes (per-frame aHash is
+    shift-invariant) without any all-pairs comparison.
+
+    Plan: distinct (id, fhash) → self-equi-join on the frame hash
+    (the inverted index — per-hash fan-out bounded by
+    ``max_frame_freq``, the viral-frame guard: a black frame or a
+    studio logo card appears in MILLIONS of videos and would alone
+    re-create the quadratic; same contract as the text ops'
+    ``max_doc_freq``) → pair-count aggregate ≥ threshold. Linear in
+    total frames; ids-only through the shuffle."""
+    fh = frame_hashes.select(
+        F.col(id_col).alias("_id"), F.col("fhash").alias("_fh")
+    ).distinct()
+    if max_frame_freq is not None:
+        from pyspark.sql import Window
+
+        from tidb_cdc_spark.functions.dedup import _materialize
+
+        fh = _materialize(
+            fh.withColumn(
+                "_ff", F.count(F.lit(1)).over(Window.partitionBy("_fh"))
+            )
+            .filter(F.col("_ff") <= max_frame_freq)
+            .drop("_ff")
+        )
+    left = fh.select(F.col("_id").alias("id_a"), "_fh")
+    right = fh.select(F.col("_id").alias("id_b"), "_fh")
+    return (
+        left.join(right, "_fh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
+def synth_avi_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    base_col: str = "base",
+    skip_col: str = "skip",
+    shift_col: str = "shift",
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 16,
+    us_per_frame: int = 40_000,
+) -> DataFrame:
+    """Plant REAL uncompressed AVIs whose FRAMES are fixed integer
+    formulas — the video twin of ``synth_bmp_pixel_media``: the
+    video for row (base ``B``, skip ``s``, shift δ) carries frames
+    ``f ∈ [s, n_frames)``, and frame f is an 8×8 block pattern over
+    a 16-BIT pattern word ``v = 1 + (B·n_frames + f) % 65534``
+    (block (bx, by) bright iff bit ``(by·8+bx) % 16`` of v), so each
+    frame's :func:`ahash64` is PROVABLY v's 16 bits replicated ×4 —
+    injective in v (hence in (B, f) while B·n_frames + f < 65534),
+    ≥4-bit cross-frame margin, and invariant under the uniform
+    brightness shift δ. ``skip=1`` plants the TRIMMED copy (first
+    frame dropped — different bytes, n−1 shared frame hashes), the
+    video-specific transform exact dedup cannot catch.
+
+    The container is real: RIFF 'AVI ' + LIST hdrl (avih with
+    µs-per-frame, total-frames, dims) + LIST movi ('00db' raw-DIB
+    bottom-up BGR frames) — so ``parse_avi_header`` recovers
+    duration = 40 ms × frames and the dims under the same oracle.
+    Payloads are pure functions of (B, s, δ); metadata NULL.
+    ≤512-row yields (the Arrow batch-size discipline)."""
+    import struct
+
+    import numpy as np
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(base_col).cast("long").alias("_b"),
+        F.col(skip_col).cast("int").alias("_s"),
+        F.col(shift_col).cast("int").alias("_d"),
+    )
+
+    def _cells(n: int) -> "np.ndarray":
+        bounds = [i * n // 8 for i in range(1, 8)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    xb, yb = _cells(width), _cells(height)
+    bit_idx = (yb[:, None] * 8 + xb[None, :]) % 16
+    stride = (width * 3 + 3) & ~3
+    chunk = 512
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, base, skip, d in zip(
+                    seg["media_id"], seg["_b"], seg["_s"], seg["_d"]
+                ):
+                    mid, base, skip, d = int(mid), int(base), int(skip), int(d)
+                    movi = b"movi"
+                    nf = 0
+                    for f in range(skip, n_frames):
+                        v = 1 + (base * n_frames + f) % 65534
+                        gray = np.where((v >> bit_idx) & 1, 180, 60) + d
+                        body = np.zeros((height, stride), dtype=np.uint8)
+                        body[:, : width * 3] = np.repeat(
+                            gray[::-1].astype(np.uint8), 3, axis=1
+                        )
+                        data = body.tobytes()
+                        movi += b"00db" + struct.pack("<I", len(data)) + data
+                        nf += 1
+                    avih = (
+                        struct.pack("<I", us_per_frame)
+                        + b"\x00" * 12
+                        + struct.pack("<I", nf)
+                        + b"\x00" * 12
+                        + struct.pack("<II", width, height)
+                        + b"\x00" * 16
+                    )
+                    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                    body = (
+                        b"AVI "
+                        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                        + b"LIST" + struct.pack("<I", len(movi)) + movi
+                    )
+                    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+                    rows.append(
+                        (mid, "video", None, None, None, None, payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 # ------------------------------------------------ real sample path

@@ -276,8 +276,13 @@ GATE = [
     "media_curation_pipeline",
     "cdc_schema_drift",
     "cdc_decimal_agg",
-    # plan-complex shapes kept fresh
-    "contamination_containment_screen",
+    # LATE-R12 SWAP 3: the video frame-path audit (new op,
+    # queries/llm18.py — real AVI frame decode → per-frame aHash →
+    # inverted-index near-dup incl. the planted TRIM transform,
+    # under the planted-transform value oracle) takes the
+    # contamination_containment_screen slot (r11-green, unchanged,
+    # mirror-kept; queues for r13)
+    "multimodal_video_audit",
     # LATE-R12 SWAP 2: the audio sample-path audit (new op,
     # queries/llm18.py — real PCM decode → energy aHash → banded
     # near-dup under the planted-transform value oracle) takes the

@@ -516,6 +516,105 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_video_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over REAL decoded frames — the video member of
+    the r12 sample-path family: decode uncompressed-AVI raw-DIB
+    frames in pure Python inside the sanctioned Arrow pass
+    (``decode_avi_frames``), hash each frame with the shared
+    ``ahash64``, and find videos sharing ≥4 distinct frame hashes
+    via the inverted-index join (``video_near_dup_pairs``) — the
+    shot-level containment test that catches TRIMS, the
+    video-specific transform exact dedup cannot catch.
+
+    Planted-transform oracle: cluster ``pid = doc_id % 101``;
+    variants 0/1 plant byte-identical 8-frame AVIs, variant 2 plants
+    a TRIMMED (first frame dropped) AND brightness-shifted copy —
+    different bytes, 7 shared frame hashes. ``synth_avi_media``'s
+    16-bit frame patterns make each frame hash provably the pattern
+    word's replicated bits (injective over (pid, frame) here, with
+    pid·8+7 ≤ 807 ≪ 65534; shift-invariant), so every column
+    derives from id arithmetic — including ``total_duration_ms``,
+    which the REAL ``avih`` header parse recovers from the planted
+    µs-per-frame × total-frames fields (40 ms × 8 or 7)."""
+    from tidb_cdc_spark.functions.multimodal import (
+        probe_media,
+        synth_avi_media,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("pid"),
+            (F.col("doc_id") % 101).alias("base"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_avi_media(planted, "media_id")
+    # materialized: the 28 B frame-hash rows feed three aggregate
+    # consumers; the probed duration agg re-reads payloads once more
+    # (the real avih parse is the thing under oracle there)
+    fh = materialize(
+        video_frame_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = video_near_dup_pairs(
+        fh, min_shared_frames=4, max_frame_freq=None
+    )
+    dur = probe_media(media).agg(
+        F.sum("duration_ms").cast("long").alias("total_duration_ms")
+    )
+    return (
+        fh.agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_frame_rows"),
+            F.countDistinct("fhash").alias("distinct_fhash"),
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .crossJoin(F.broadcast(dur))
+        .select(
+            "n_media",
+            "n_clusters",
+            "n_frame_rows",
+            "distinct_fhash",
+            "neardup_pairs",
+            "total_duration_ms",
+        )
+    )
+
+
+_VIDEO_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n, MIN(trimmed) AS min_tr FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT SUM(8 - trimmed) FROM m) AS BIGINT) AS n_frame_rows,
+       CAST((SELECT SUM(CASE WHEN min_tr = 0 THEN 8 ELSE 7 END) FROM c)
+            AS BIGINT) AS distinct_fhash,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs,
+       CAST((SELECT SUM(320 - 40 * trimmed) FROM m) AS BIGINT)
+            AS total_duration_ms
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -524,6 +623,7 @@ QUERIES = {
     "multimodal_phash_audit": multimodal_phash_audit,
     "media_curation_pipeline": media_curation_pipeline,
     "multimodal_audio_audit": multimodal_audio_audit,
+    "multimodal_video_audit": multimodal_video_audit,
 }
 
 ORACLE = {
@@ -534,4 +634,5 @@ ORACLE = {
     "multimodal_phash_audit": _PHASH_SQL,
     "media_curation_pipeline": _CURATION_SQL,
     "multimodal_audio_audit": _AUDIO_SQL,
+    "multimodal_video_audit": _VIDEO_SQL,
 }

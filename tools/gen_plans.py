@@ -55,6 +55,7 @@ PICKS = {
     "multimodal_phash_audit": "pixel perceptual near-dup: synth -> decode/hash Arrow passes emit 24 B hash rows (payloads never shuffle), materialized once for three agg consumers; pair stage is the Manku banded equi-join",
     "media_curation_pipeline": "composed media curation: sha2 min-id exact dedup (32 B digest shuffle) -> perceptual collapse over survivors only (hash rows -> banded pairs -> checkpoint-truncated CC) -> 1-row scorecard",
     "multimodal_audio_audit": "audio sample-path near-dup: synth -> PCM decode/fingerprint Arrow passes emit 16 B rows, materialized for three agg consumers; pair stage is the shared Manku banded equi-join",
+    "multimodal_video_audit": "video frame-path near-dup: synth -> AVI frame decode/hash Arrow passes emit 28 B frame rows, materialized; pair stage is the inverted-index frame-hash equi-join (viral-frame capped in the generic op)",
 }
 
 HEADER = (
