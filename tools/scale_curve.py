@@ -89,6 +89,57 @@ def phash_hash_pass(spark, sf_dir: str):
     )
 
 
+def audio_fp_pass(spark, sf_dir: str):
+    """Audio twin of :func:`phash_hash_pass`: synth → PCM decode →
+    energy fingerprint, linear per-row over ~4 KB payloads."""
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_fingerprints,
+        synth_wav_pcm_media,
+    )
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(1) + F.col("doc_id") % 254).alias("pattern"),
+            (F.lit(1) + F.col("doc_id") % 7).alias("gain"),
+        )
+    )
+    return audio_fingerprints(synth_wav_pcm_media(ids, "media_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("afp").alias("da"),
+    )
+
+
+def video_fp_pass(spark, sf_dir: str):
+    """Video twin: synth → 8-frame AVI decode → per-frame aHash,
+    linear in total frames over ~6.5 KB payloads."""
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.functions.multimodal import (
+        synth_avi_media,
+        video_frame_hashes,
+    )
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("doc_id").alias("base"),
+            (F.col("doc_id") % 2).cast("int").alias("skip"),
+            F.lit(0).alias("shift"),
+        )
+    )
+    return video_frame_hashes(synth_avi_media(ids, "media_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fhash").alias("df"),
+    )
+
+
 def main() -> None:
     out100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1x100"
     out10 = "/tmp/spark_graft_sf1x10"
@@ -127,19 +178,24 @@ def main() -> None:
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr, flush=True)
 
-    # inline pixel-path chain (see note above OPS)
-    row = {}
-    for label, d in (("1x", src), ("10x", out10), ("100x", out100)):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            phash_hash_pass(spark, d).count()
-            best = min(best, time.perf_counter() - t0)
-        row[label] = round(best, 2)
-    row["ratio_1to10"] = round(row["10x"] / max(row["1x"], 1e-9), 1)
-    row["ratio_10to100"] = round(row["100x"] / max(row["10x"], 1e-9), 1)
-    results["phash_hash_pass (inline)"] = row
-    print(f"# phash_hash_pass: {row}", file=sys.stderr, flush=True)
+    # inline media hash-pass chains (see note above OPS)
+    for label_fn, fn in (
+        ("phash_hash_pass (inline)", phash_hash_pass),
+        ("audio_fp_pass (inline)", audio_fp_pass),
+        ("video_fp_pass (inline)", video_fp_pass),
+    ):
+        row = {}
+        for label, d in (("1x", src), ("10x", out10), ("100x", out100)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 2)
+        row["ratio_1to10"] = round(row["10x"] / max(row["1x"], 1e-9), 1)
+        row["ratio_10to100"] = round(row["100x"] / max(row["10x"], 1e-9), 1)
+        results[label_fn] = row
+        print(f"# {label_fn}: {row}", file=sys.stderr, flush=True)
     print(json.dumps({"scale_curve": results}))
     spark.stop()
 
