@@ -166,6 +166,7 @@ def main() -> None:
         "multimodal_phash_audit",
         "multimodal_audio_audit",
         "multimodal_video_audit",
+        "multimodal_audio_trim_audit",
         "media_curation_pipeline",
     ]
     timings: dict[str, float] = {}

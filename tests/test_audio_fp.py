@@ -126,3 +126,114 @@ def test_audio_near_dup_pairs_planted(spark):
     ).collect()
     got = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert got == {(10, 11): 0, (10, 12): 0, (11, 12): 0}
+
+
+# ------------------------- trim-robust window chain (late r12)
+# Lemma inventory for multimodal_audio_trim_audit's planted oracle:
+# 4. Each 512-sample window's fingerprint == the 16-bit pattern
+#    word's bits replicated x4 (=> injective over v in [1, 65534]).
+# 5. Gain-invariant per window (the regain plant).
+# 6. A copy trimmed by whole windows hashes to a SUFFIX of the
+#    original's window-hash sequence (the trim plant).
+
+
+def _win_expected(v: int) -> int:
+    h = 0
+    for k in range(64):
+        if (v >> (k % 16)) & 1:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _windowed_payload(base: int, skip: int, gain: int, n_windows: int = 8):
+    """synth_wav_windowed_media's byte formula, reconstructed
+    independently (frames_per_window=64, samples_per_frame=8)."""
+    w_len = 512
+    sign = np.where(np.arange(w_len) % 2 == 0, 1, -1).astype(np.int64)
+    fbit = (np.arange(w_len) // 8) % 16
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    parts = []
+    for w in range(skip, n_windows):
+        v = 1 + (base * n_windows + w) % 65534
+        parts.append(
+            (np.where((v >> fbit) & 1, 180, 60) * gain * sign).astype("<i2")
+        )
+    pcm = np.concatenate(parts).tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_window_fingerprint_lemma_and_injectivity():
+    """Window hash == replicated 16-bit word, across popcount
+    extremes of the word domain and the gain range's both ends."""
+    seen = {}
+    for base in list(range(0, 140)) + [4095, 4096, 8191]:
+        for skip, gain in [(0, 1), (2, 3), (0, 182)]:
+            x = decode_wav_samples(_windowed_payload(base, skip, gain))
+            assert len(x) == (8 - skip) * 512
+            for j in range(len(x) // 512):
+                v = 1 + (base * 8 + (j + skip)) % 65534
+                got = audio_fingerprint64(x[j * 512 : (j + 1) * 512])
+                assert got == _win_expected(v), (base, skip, gain, j)
+                assert seen.setdefault(got, v) == v  # injective
+    assert len(seen) > 1000
+
+
+def test_trimmed_copy_window_hashes_are_suffix():
+    from tidb_cdc_spark.functions.multimodal import audio_fingerprint64
+
+    def seq(payload):
+        x = decode_wav_samples(payload)
+        return [
+            audio_fingerprint64(x[k * 512 : (k + 1) * 512])
+            for k in range(len(x) // 512)
+        ]
+
+    full = seq(_windowed_payload(7, 0, 1))
+    trimmed_regained = seq(_windowed_payload(7, 2, 3))
+    assert len(full) == 8 and len(trimmed_regained) == 6
+    assert trimmed_regained == full[2:]
+    # and the bytes genuinely differ (exact dedup cannot catch this)
+    assert _windowed_payload(7, 2, 3) != _windowed_payload(7, 0, 1)
+
+
+def test_audio_window_near_dup_catches_trim_regain(spark):
+    """End-to-end on the Spark path: planted full/full/trim+regain
+    triple pairs up fully within the cluster, never across."""
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_near_dup_pairs,
+        audio_window_hashes,
+        synth_wav_windowed_media,
+    )
+
+    rows = [
+        # cluster A: two identical fulls + one trim(2)+regain(3)
+        (1, 5, 0, 1),
+        (2, 5, 0, 1),
+        (3, 5, 2, 3),
+        # cluster B: a single full — must pair with nothing
+        (4, 6, 0, 1),
+    ]
+    ids = spark.createDataFrame(
+        rows, "media_id long, base long, skip int, gain int"
+    )
+    wh = audio_window_hashes(synth_wav_windowed_media(ids, "media_id"))
+    assert wh.count() == 8 + 8 + 6 + 8
+    pairs = audio_near_dup_pairs(wh, min_shared_windows=4).collect()
+    got = {(r.id_a, r.id_b): r.shared_windows for r in pairs}
+    assert got == {(1, 2): 8, (1, 3): 6, (2, 3): 6}
+
+
+def test_audio_window_hashes_skip_non_pcm(spark):
+    """Unrecognized payloads emit NO window rows (no fabricated
+    evidence), matching the video frame path's contract."""
+    from tidb_cdc_spark.functions.multimodal import audio_window_hashes
+
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG not audio")], "media_id long, payload binary"
+    )
+    assert audio_window_hashes(media).count() == 0

@@ -1288,3 +1288,172 @@ def synth_bmp_pixel_media(
                 )
 
     return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------- trim-robust audio near-dup
+# The whole-clip fingerprint (``audio_fingerprint64``) is gain-
+# invariant but trim-VARIANT: cutting windows off the front moves
+# every frame boundary, so a trimmed re-encode hashes differently.
+# The fix is the same one video uses (``video_frame_hashes`` →
+# ``video_near_dup_pairs``): hash fixed-length WINDOWS and join on
+# shared window hashes — a copy trimmed by whole windows still
+# shares every surviving aligned window. Arbitrary-offset trims need
+# landmark/peak fingerprints (Shazam-style) — codec-adjacent DSP,
+# out of scope like compressed audio itself.
+
+
+def audio_window_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    window_samples: int = 512,
+) -> DataFrame:
+    """(id, window_idx, whash): per-window energy fingerprints via
+    the REAL sample path — the audio analog of
+    :func:`video_frame_hashes`. Decodes 16-bit PCM WAV payloads
+    (:func:`decode_wav_samples`), splits the mono stream into fixed
+    windows of ``window_samples`` and fingerprints each with the
+    shared :func:`audio_fingerprint64` (per-window gain invariance
+    carries over). The trailing partial window is dropped — a
+    deterministic boundary, so two streams sharing a whole window
+    share its hash. Non-PCM payloads emit NO rows (header-probe /
+    exact-digest territory — no sample evidence, no window claim).
+    Output rows are ~20 B: at 100 TB of audio only window hashes
+    shuffle, the samples never do."""
+    out_schema = StructType(
+        [
+            media.schema[id_col],
+            StructField("window_idx", IntegerType()),
+            StructField("whash", LongType()),
+        ]
+    )
+
+    def wh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                x = decode_wav_samples(bytes(raw)) if raw is not None else None
+                if x is None:
+                    continue
+                for k in range(len(x) // window_samples):
+                    ids.append(mid)
+                    idxs.append(k)
+                    hs.append(
+                        audio_fingerprint64(
+                            x[k * window_samples : (k + 1) * window_samples]
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype=pdf[id_col].dtype),
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    "whash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(wh, schema=out_schema)
+
+
+def audio_near_dup_pairs(
+    window_hashes: DataFrame,
+    id_col: str = "media_id",
+    min_shared_windows: int = 4,
+    max_window_freq: "int | None" = 1000,
+) -> DataFrame:
+    """(id_a, id_b, shared_windows): audio near-duplicate pairs —
+    clips sharing ≥ ``min_shared_windows`` DISTINCT window hashes.
+    Catches the trim+regain re-encode (different bytes, different
+    whole-clip fingerprint) that both the exact digest path and the
+    clip fingerprint structurally cannot.
+
+    The join IS :func:`video_near_dup_pairs` — per-window audio
+    hashes and per-frame video hashes pose the identical
+    inverted-index containment problem (``max_window_freq`` is the
+    same viral guard: silence / a jingle appears in millions of
+    clips and would alone re-create the quadratic)."""
+    wh = window_hashes.select(
+        F.col(id_col), F.col("whash").alias("fhash")
+    )
+    return video_near_dup_pairs(
+        wh,
+        id_col=id_col,
+        min_shared_frames=min_shared_windows,
+        max_frame_freq=max_window_freq,
+    ).withColumnRenamed("shared_frames", "shared_windows")
+
+
+def synth_wav_windowed_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    base_col: str = "base",
+    skip_col: str = "skip",
+    gain_col: str = "gain",
+    n_windows: int = 8,
+    frames_per_window: int = 64,
+    samples_per_frame: int = 8,
+) -> DataFrame:
+    """Plant REAL 16-bit PCM WAVs with per-WINDOW patterns — the
+    audio twin of ``synth_avi_media``'s per-frame plants, and the
+    audit source for the trim-robust window chain: the clip for row
+    (base ``B``, skip ``s``, gain ``g``) carries windows
+    ``w ∈ [s, n_windows)``, and window w is the square-wave
+    construction of ``synth_wav_pcm_media`` over a 16-BIT pattern
+    word ``v = 1 + (B·n_windows + w) % 65534`` (frame f of the
+    window has amplitude ``(180 if bit (f%16) of v else 60) · g``,
+    alternating sign, zero DC), so each window's
+    :func:`audio_fingerprint64` is PROVABLY v's 16 bits replicated
+    ×4 — injective in v (hence in (B, w) while B·n_windows + w <
+    65534), gain-invariant for g ∈ [1, 182] (no clipping: 180·182 <
+    2¹⁵). ``skip`` plants the TRIMMED copy (first ``s`` windows cut
+    — different bytes even before regain) and ``gain`` the regained
+    one; a trim+regain copy still shares every surviving window
+    hash. Window length = frames_per_window × samples_per_frame
+    samples (default 512 = 64 ms at the planted 8 kHz rate, so the
+    real RIFF fields put duration under the probe oracle too).
+    Payloads are pure functions of (B, s, g); metadata NULL.
+    ≤1024-row yields (the Arrow batch-size discipline)."""
+    import struct
+
+    import numpy as np
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(base_col).cast("long").alias("_b"),
+        F.col(skip_col).cast("int").alias("_s"),
+        F.col(gain_col).cast("int").alias("_g"),
+    )
+    w_len = frames_per_window * samples_per_frame
+    sign = np.where(np.arange(w_len) % 2 == 0, 1, -1).astype(np.int64)
+    frame_bit = (np.arange(w_len) // samples_per_frame) % 16
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunk = 1024
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, base, skip, g in zip(
+                    seg["media_id"], seg["_b"], seg["_s"], seg["_g"]
+                ):
+                    mid, base, skip, g = int(mid), int(base), int(skip), int(g)
+                    parts = []
+                    for w in range(skip, n_windows):
+                        v = 1 + (base * n_windows + w) % 65534
+                        amp = np.where((v >> frame_bit) & 1, 180, 60) * g
+                        parts.append((amp * sign).astype("<i2"))
+                    pcm = np.concatenate(parts).tobytes()
+                    body = (
+                        b"WAVE"
+                        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(pcm)) + pcm
+                    )
+                    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+                    rows.append(
+                        (mid, "audio", None, None, None, None, payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)

@@ -615,6 +615,111 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_audio_trim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim-robust audio near-dup over REAL decoded PCM windows —
+    closes the transform gap the clip-level fingerprint leaves open:
+    ``multimodal_audio_audit`` proves gain invariance, but a copy
+    TRIMMED by whole windows moves every frame boundary and defeats
+    the whole-clip hash. This op hashes fixed 512-sample windows
+    (``audio_window_hashes``) and joins on shared window hashes
+    (``audio_near_dup_pairs`` — the same inverted-index containment
+    join video uses), the audio analog of the video trim audit.
+
+    Planted-transform oracle: cluster ``pid = doc_id % 101``;
+    variants 0/1 plant byte-identical 8-window WAVs, variant 2
+    plants a TRIM (first 2 windows cut) AND ×3 regain of the same
+    stream — different bytes, different clip fingerprint, 6 shared
+    window hashes. ``synth_wav_windowed_media``'s 16-bit per-window
+    patterns make each window hash provably the pattern word's
+    replicated bits (injective over (pid, window) here, with
+    pid·8+7 ≤ 807 ≪ 65534; gain-invariant), so every column derives
+    from id arithmetic — including ``total_duration_ms``, which the
+    REAL RIFF parse recovers from the planted rate/data-length
+    fields (64 ms per window: 512 or 384)."""
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_near_dup_pairs,
+        audio_window_hashes,
+        probe_media,
+        synth_wav_windowed_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("pid"),
+            (F.col("doc_id") % 101).alias("base"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(2))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("gain"),
+        )
+    )
+    media = synth_wav_windowed_media(planted, "media_id")
+    # materialized: the ~20 B window-hash rows feed three aggregate
+    # consumers; the probed duration agg re-reads payloads once more
+    # (the real RIFF duration parse is the thing under oracle there)
+    wh = materialize(
+        audio_window_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = audio_near_dup_pairs(
+        wh, min_shared_windows=4, max_window_freq=None
+    )
+    dur = probe_media(media).agg(
+        F.sum("duration_ms").cast("long").alias("total_duration_ms")
+    )
+    return (
+        wh.agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_window_rows"),
+            F.countDistinct("whash").alias("distinct_whash"),
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .crossJoin(F.broadcast(dur))
+        .select(
+            "n_media",
+            "n_clusters",
+            "n_window_rows",
+            "distinct_whash",
+            "neardup_pairs",
+            "total_duration_ms",
+        )
+    )
+
+
+# every column derives from the plant arithmetic: window hashes are
+# provably the 16-bit pattern word's replicated bits (injective over
+# (pid, window), gain-invariant), trims cut exactly 2 windows, and
+# min_shared=4 admits every within-cluster pair (8/6/6 shared ≥ 4)
+# while injectivity forbids cross-cluster ones
+_AUDIO_TRIM_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n, MIN(trimmed) AS min_tr FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT SUM(8 - 2 * trimmed) FROM m) AS BIGINT) AS n_window_rows,
+       CAST((SELECT SUM(CASE WHEN min_tr = 0 THEN 8 ELSE 6 END) FROM c)
+            AS BIGINT) AS distinct_whash,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs,
+       CAST((SELECT SUM(512 - 128 * trimmed) FROM m) AS BIGINT)
+            AS total_duration_ms
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -624,6 +729,7 @@ QUERIES = {
     "media_curation_pipeline": media_curation_pipeline,
     "multimodal_audio_audit": multimodal_audio_audit,
     "multimodal_video_audit": multimodal_video_audit,
+    "multimodal_audio_trim_audit": multimodal_audio_trim_audit,
 }
 
 ORACLE = {
@@ -635,4 +741,5 @@ ORACLE = {
     "media_curation_pipeline": _CURATION_SQL,
     "multimodal_audio_audit": _AUDIO_SQL,
     "multimodal_video_audit": _VIDEO_SQL,
+    "multimodal_audio_trim_audit": _AUDIO_TRIM_SQL,
 }
