@@ -167,6 +167,7 @@ def main() -> None:
         "multimodal_audio_audit",
         "multimodal_video_audit",
         "multimodal_audio_trim_audit",
+        "multimodal_dct_phash_audit",
         "media_curation_pipeline",
     ]
     timings: dict[str, float] = {}

@@ -165,3 +165,84 @@ def test_media_curation_pipeline_non_vacuous(spark):
 
     row = media_curation_pipeline(spark, "/root/testdata/sf0.001").collect()[0]
     assert row.n_media > row.after_exact > row.after_perceptual > 0
+
+
+# ----------------------------- DCT pHash lemmas (late r12)
+# multimodal_dct_phash_audit's planted oracle rests on three
+# deterministic properties of the 101-word plant family — pinned
+# here over the FULL domain the audit uses:
+# 7. Brightness shift (+20) and per-pixel checkerboard noise (±6)
+#    leave dct_phash64 EXACTLY unchanged (shift moves only the
+#    rounded-away DC; even-height downsample boxes cancel the
+#    checkerboard exactly).
+# 8. The hash is injective over the 101 audit words.
+# 9. Min pairwise Hamming over those hashes is 4 — strictly above
+#    the banded join's tau=3, so no cross-cluster pair can exist.
+
+
+def _block16_gray(word: int, delta: int, eps: int, w: int = 70, h: int = 64):
+    """synth_bmp_block16_media's pixel formula, reconstructed
+    independently."""
+    def blocks(n):
+        bounds = [i * n // 4 for i in range(1, 4)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    xb, yb = blocks(w), blocks(h)
+    bit_idx = yb[:, None] * 4 + xb[None, :]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    checker = np.where((xx + yy) % 2 == 0, 1, -1)
+    return (
+        np.where((word >> bit_idx) & 1, 180, 60) + delta + eps * checker
+    ).astype(np.int64)
+
+
+def test_dct_phash_invariance_injectivity_margin():
+    from itertools import combinations
+
+    from tidb_cdc_spark.functions.multimodal import dct_phash64
+
+    words = [1 + (pid * 643) % 65534 for pid in range(101)]
+    assert len(set(words)) == 101
+    hashes = []
+    for wd in words:
+        base = dct_phash64(_block16_gray(wd, 0, 0))
+        for delta, eps in [(20, 0), (0, 6), (20, 6)]:
+            assert dct_phash64(_block16_gray(wd, delta, eps)) == base, (
+                wd, delta, eps,
+            )
+        hashes.append(_unsigned(base))
+    assert len(set(hashes)) == 101  # injective over the audit words
+    assert min(
+        bin(a ^ b).count("1") for a, b in combinations(hashes, 2)
+    ) == 4  # margin > tau=3: cross-cluster pairs impossible
+
+
+def test_dct_phash_small_image_returns_none():
+    from tidb_cdc_spark.functions.multimodal import dct_phash64
+
+    assert dct_phash64(np.full((16, 70), 100, dtype=np.int64)) is None
+    assert dct_phash64(np.full((64, 16), 100, dtype=np.int64)) is None
+
+
+def test_dct_phashes_roundtrip_and_null_contract(spark):
+    """Spark path: synthesized block-16 BMPs hash to the numpy
+    reference; unrecognized payloads get NULL (not a fake value)."""
+    from tidb_cdc_spark.functions.multimodal import (
+        dct_phash64,
+        dct_phashes,
+        synth_bmp_block16_media,
+    )
+
+    ids = spark.createDataFrame(
+        [(1, 777, 0, 0), (2, 777, 20, 6), (3, 31000, 0, 0)],
+        "media_id long, word int, shift int, noise int",
+    )
+    media = synth_bmp_block16_media(ids, "media_id")
+    rows = {r.media_id: r.phash for r in dct_phashes(media).collect()}
+    assert rows[1] == rows[2] == dct_phash64(_block16_gray(777, 0, 0))
+    assert rows[3] == dct_phash64(_block16_gray(31000, 0, 0))
+    assert rows[1] != rows[3]
+    junk = spark.createDataFrame(
+        [(9, b"\x89PNG not a bmp")], "media_id long, payload binary"
+    )
+    assert [r.phash for r in dct_phashes(junk).collect()] == [None]

@@ -53,6 +53,7 @@ ROUND_ADDITIONS = [
     "multimodal_audio_audit",  # r12 NEW PCM sample-path audit
     "multimodal_video_audit",  # r12 NEW AVI frame-path audit
     "multimodal_audio_trim_audit",  # r12 NEW windowed trim-robust audit
+    "multimodal_dct_phash_audit",  # r12 NEW DCT pHash (low-pass) audit
     "multimodal_image_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_dedup_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_probe_audit",  # r12 changed: doc_id >= 0 guard

@@ -1457,3 +1457,186 @@ def synth_wav_windowed_media(
                 )
 
     return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------- DCT perceptual hash
+# The pHash algorithm proper (the third member of the perceptual
+# family next to aHash/dHash): downsample, 2-D DCT-II, threshold the
+# low-frequency block at its median. Its practical edge over the
+# box-mean hashes is low-pass robustness — per-pixel high-frequency
+# perturbations (dither, sharpening halos, sensor noise) land in
+# DCT frequencies the hash never looks at.
+
+_DCT32 = None
+
+
+def _dct32_basis():
+    """Orthonormal 32-point DCT-II basis (float64, cached). Built
+    from ``np.cos`` directly — no scipy dependency."""
+    global _DCT32
+    if _DCT32 is None:
+        import numpy as np
+
+        n = 32
+        k = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        c = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        c[0, :] = 1.0 / np.sqrt(n)
+        _DCT32 = c
+    return _DCT32
+
+
+def dct_phash64(gray) -> "int | None":
+    """DCT perceptual hash: 32×32 integer box means → orthonormal
+    2-D DCT-II (float64) → keep the top-left 8×8 low-frequency block
+    → round each coefficient to the nearest integer → bit k set iff
+    coefficient k exceeds the MEDIAN of the 64 (the imagehash
+    convention, DC included — DC sits above the median and carries a
+    constant bit). Returns None for images smaller than 32×32 (the
+    downsample grid would have empty boxes — no hash evidence).
+
+    The integer rounding is load-bearing: a uniform brightness shift
+    δ moves ONLY the DC coefficient mathematically (every AC basis
+    row sums to zero), but float64 evaluation leaves ~1e-13·δ
+    residue on the AC terms — and synthetic/flat images have
+    STRUCTURALLY zero AC coefficients whose comparisons would
+    otherwise be float-noise coin flips. Rounding quantizes the
+    residue away, making the hash tie-deterministic and
+    brightness-shift invariant exactly (pinned over the audit's full
+    plant domain in tests/test_phash.py). Signed 64-bit."""
+    import numpy as np
+
+    if gray.shape[0] < 32 or gray.shape[1] < 32:
+        return None
+    c = _dct32_basis()
+    m = _box_means(gray, 32, 32).astype(np.float64)
+    d = c @ m @ c.T
+    low = np.rint(d[:8, :8].ravel())
+    med = np.median(low)
+    h = 0
+    for k, val in enumerate(low):
+        if val > med:
+            h |= 1 << k
+    return _to_signed64(h)
+
+
+def dct_phashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-media DCT perceptual hashes via the REAL pixel path —
+    (id, phash) over decodable uncompressed-BMP payloads, NULL for
+    everything else (same contract as :func:`perceptual_hashes`;
+    swap :func:`decode_bmp_pixels` for a codec decoder on a decoding
+    fleet and keep the rest). Near-dup pairs over the hash reuse
+    :func:`phash_near_dup_pairs` (``hash_col="phash"``)."""
+    out_schema = StructType(
+        [media.schema[id_col], StructField("phash", LongType())]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf[payload_col]:
+                gray = (
+                    decode_bmp_pixels(bytes(raw)) if raw is not None else None
+                )
+                out.append(None if gray is None else dct_phash64(gray))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(hash_batches, schema=out_schema)
+
+
+def synth_bmp_block16_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    word_col: str = "word",
+    shift_col: str = "shift",
+    noise_col: str = "noise",
+    width: int = 70,
+    height: int = 64,
+) -> DataFrame:
+    """Plant REAL uncompressed 24-bpp BMPs over a 2-D 4×4 BLOCK grid
+    of a 16-bit pattern word — the DCT-audit source
+    (``synth_bmp_pixel_media``'s vertical-stripe plant is
+    structurally 1-D: its bit index ``(by·8+bx) % 8`` reduces to
+    ``bx % 8``, which aHash resolves exactly but the low-pass DCT
+    hash provably cannot keep injective). Block (BX, BY) ∈ 4×4 is
+    bright (180+δ±ε) iff bit ``BY·4+BX`` of ``word`` is set, else
+    dark (60+δ±ε); δ is a uniform brightness shift, ε a PER-PIXEL
+    ``(-1)^(x+y)`` checkerboard — high-frequency noise. Both
+    transforms leave :func:`dct_phash64` EXACTLY unchanged: every
+    32×32 downsample box spans 2 full pixel rows (height 64), so the
+    checkerboard cancels in each box sum exactly, and the brightness
+    shift moves only the (rounded-away) DC coefficient. Injectivity
+    and the cross-word Hamming margin over an audit's word set are
+    empirical properties of that set — pinned in tests for the
+    ``1 + (pid·643) % 65534`` family the audit uses (101 distinct
+    hashes, min pairwise Hamming 4 > τ=3). Pixel range stays in
+    [0, 255] for δ+ε ≤ 55: no clamping, shifts are exact.
+    Payloads are pure functions of (word, δ, ε); metadata NULL;
+    ≤512-row yields (the Arrow batch-size discipline)."""
+    import struct
+
+    import numpy as np
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(word_col).cast("int").alias("_w"),
+        F.col(shift_col).cast("int").alias("_d"),
+        F.col(noise_col).cast("int").alias("_e"),
+    )
+
+    def _blocks(n: int) -> "np.ndarray":
+        bounds = [i * n // 4 for i in range(1, 4)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    xb, yb = _blocks(width), _blocks(height)
+    bit_idx = yb[:, None] * 4 + xb[None, :]
+    yy, xx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    checker = np.where((xx + yy) % 2 == 0, 1, -1)
+    stride = (width * 3 + 3) & ~3
+    file_size = 54 + stride * height
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+            stride * height, 0, 0, 0, 0,
+        )
+    )
+    chunk = 512
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, w, d, e in zip(
+                    seg["media_id"], seg["_w"], seg["_d"], seg["_e"]
+                ):
+                    mid, w, d, e = int(mid), int(w), int(d), int(e)
+                    gray = (
+                        np.where((w >> bit_idx) & 1, 180, 60)
+                        + d
+                        + e * checker
+                    )
+                    body = np.zeros((height, stride), dtype=np.uint8)
+                    body[:, : width * 3] = np.repeat(
+                        gray[::-1].astype(np.uint8), 3, axis=1
+                    )
+                    rows.append(
+                        (mid, "image", None, None, None, None,
+                         hdr + body.tobytes())
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)

@@ -720,6 +720,107 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_dct_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (the pHash algorithm proper) over REAL
+    decoded pixels — completes the perceptual family (aHash/dHash/
+    pHash): decode uncompressed-BMP pixel rows, 32×32 box-mean
+    downsample → 2-D DCT-II → median-threshold the low-frequency
+    block (``dct_phash64``), then the same Manku banded join
+    (``phash_near_dup_pairs`` over ``phash``).
+
+    Planted-transform oracle: cluster ``pid = doc_id % 101``, 16-bit
+    pattern word ``1 + (pid·643) % 65534`` rendered as a 2-D 4×4
+    block image (``synth_bmp_block16_media``); variants 0/1 plant
+    byte-identical BMPs, variant 2 plants a +20 brightness shift AND
+    a ±6 per-pixel checkerboard — HIGH-FREQUENCY noise, the
+    transform class pHash's low-pass design exists for. Both
+    transforms leave the hash exactly unchanged (checkerboard
+    cancels in every even-height downsample box; the shift moves
+    only the rounded-away DC), and the 101-word hash set is
+    injective with min pairwise Hamming 4 > τ=3 (both pinned over
+    the full domain in tests/test_phash.py), so every column derives
+    from id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        dct_phashes,
+        phash_near_dup_pairs,
+        synth_bmp_block16_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 101) * 643 % 65534).alias("word"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(6))
+            .otherwise(F.lit(0))
+            .alias("noise"),
+        )
+    )
+    media = synth_bmp_block16_media(planted, "media_id")
+    # materialized: three aggregate consumers of the 16 B hash rows
+    hashes = materialize(
+        dct_phashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(
+        hashes, hash_col="phash", max_hamming=3, max_bucket_size=None
+    )
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("phash").alias("_np")
+    )
+    return (
+        hashes.agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.countDistinct("phash").alias("distinct_phash"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_np").cast("long").alias("max_cluster_phash_variants")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_phash",
+            "max_cluster_phash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# every column derives from the plant arithmetic: the 101-word hash
+# set is injective (distinct_phash = n_clusters), both planted
+# transforms are exactly hash-invariant (max variants 1), and the
+# min-pairwise-Hamming-4 margin forbids cross-cluster pairs at τ=3
+# (all three properties pinned over the full domain in tests)
+_DCT_PHASH_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_phash,
+       CAST(1 AS BIGINT) AS max_cluster_phash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -730,6 +831,7 @@ QUERIES = {
     "multimodal_audio_audit": multimodal_audio_audit,
     "multimodal_video_audit": multimodal_video_audit,
     "multimodal_audio_trim_audit": multimodal_audio_trim_audit,
+    "multimodal_dct_phash_audit": multimodal_dct_phash_audit,
 }
 
 ORACLE = {
@@ -742,4 +844,5 @@ ORACLE = {
     "multimodal_audio_audit": _AUDIO_SQL,
     "multimodal_video_audit": _VIDEO_SQL,
     "multimodal_audio_trim_audit": _AUDIO_TRIM_SQL,
+    "multimodal_dct_phash_audit": _DCT_PHASH_SQL,
 }
