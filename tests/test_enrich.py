@@ -1073,3 +1073,184 @@ class TestPhashAdmissionSink:
             "bucket" in l for l in plan.splitlines() if "PartitionFilters" in l
         )
 
+
+
+class TestIvfIndexSink:
+    """Streaming IVF index maintenance: the batch ANN layout
+    (``ivf_write_index``) kept live under micro-batch appends, served
+    by the unchanged ``ivf_probe_index`` plan."""
+
+    DIM = 4
+
+    def _vecs(self, ids, cluster):
+        import numpy as np
+
+        base = {
+            0: [10.0, 0.0, 0.0, 0.0],
+            1: [0.0, 10.0, 0.0, 0.0],
+            2: [0.0, 0.0, 10.0, 0.0],
+        }[cluster]
+        out = []
+        for i in ids:
+            out.append(
+                (
+                    i,
+                    [
+                        float(b + 0.01 * ((i * 7 + d) % 5))
+                        for d, b in enumerate(base)
+                    ],
+                )
+            )
+        return out
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def _corpus(self):
+        return (
+            self._vecs(range(0, 10), 0)
+            + self._vecs(range(10, 20), 1)
+            + self._vecs(range(20, 30), 2)
+        )
+
+    def test_appends_assign_to_fixed_centroids(self, spark, tmp_path):
+        """Three batches build the full index; every row's cell is
+        the numpy argmin against the PERSISTED centroids (fit once,
+        fixed thereafter) — including batches processed by a FRESH
+        sink instance with a different constructor default (the
+        store's _PARAMS is authoritative on restart)."""
+        import numpy as np
+
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        root = str(tmp_path / "ivf")
+        corpus = self._corpus()
+        sink = IvfIndexSink(root, n_cells=3, seed=7)
+        sink.process(self._batch(spark, corpus[:10]), 0)
+        sink.process(self._batch(spark, corpus[10:20]), 1)
+        # restart: new instance, wrong default — store params must win
+        sink2 = IvfIndexSink(root, n_cells=99, seed=123)
+        sink2.process(self._batch(spark, corpus[20:]), 2)
+
+        idx = sink2.read_index(spark)
+        assert idx.count() == 30
+        centers = np.stack(
+            [
+                np.asarray(r.center)
+                for r in spark.read.parquet(f"{root}/centroids")
+                .orderBy("cell")
+                .collect()
+            ]
+        )
+        assert centers.shape[0] == 3  # fit k, not the restart default
+        got = {r.vec_id: r.cell for r in idx.collect()}
+        for vid, vec in corpus:
+            d2 = ((np.asarray(vec) - centers) ** 2).sum(axis=1)
+            assert got[vid] == int(np.argmin(d2)), vid
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        root = str(tmp_path / "ivf")
+        sink = IvfIndexSink(root, n_cells=3)
+        corpus = self._corpus()
+        sink.process(self._batch(spark, corpus[:15]), 0)
+        sink.process(self._batch(spark, corpus[15:]), 1)
+        n = sink.read_index(spark).count()
+        sink.process(self._batch(spark, corpus[15:]), 1)  # re-delivery
+        assert sink.read_index(spark).count() == n
+
+    def test_empty_first_batch_defers_fit(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        root = str(tmp_path / "ivf")
+        sink = IvfIndexSink(root, n_cells=3)
+        sink.process(self._batch(spark, []), 0)
+        import os
+
+        assert not os.path.exists(f"{root}/centroids")  # nothing to fit
+        sink.process(self._batch(spark, self._corpus()), 1)
+        assert sink.read_index(spark).count() == 30
+
+    def test_search_parity_with_batch_layout(self, spark, tmp_path):
+        """The serving path is IDENTICAL to the batch index's: an
+        index directory hand-built from the sink's own centroids +
+        the same rows probes to row-identical top-k."""
+        import numpy as np
+
+        from tidb_cdc_spark.functions.similarity import ivf_probe_index
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        root = str(tmp_path / "stream")
+        corpus = self._corpus()
+        sink = IvfIndexSink(root, n_cells=3, seed=7)
+        for b, lo in enumerate(range(0, 30, 10)):
+            sink.process(self._batch(spark, corpus[lo : lo + 10]), b)
+
+        # batch twin: same centroids, same rows, written in one shot
+        batch_root = str(tmp_path / "batch")
+        centers = np.stack(
+            [
+                np.asarray(r.center)
+                for r in spark.read.parquet(f"{root}/centroids")
+                .orderBy("cell")
+                .collect()
+            ]
+        )
+        rows = [
+            (vid, vec, int(((np.asarray(vec) - centers) ** 2).sum(1).argmin()))
+            for vid, vec in corpus
+        ]
+        (
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, cell int"
+            )
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .parquet(f"{batch_root}/index")
+        )
+        import shutil
+
+        shutil.copytree(f"{root}/centroids", f"{batch_root}/centroids")
+
+        queries = self._batch(spark, self._vecs(range(100, 103), 1))
+        a = sink.search(spark, queries, k=5, n_probe=2).collect()
+        b = ivf_probe_index(
+            spark, batch_root, queries, k=5, n_probe=2
+        ).collect()
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key)
+        # and the near cluster's members are what comes back
+        assert all(10 <= r.neighbor_id < 20 for r in a)
+
+    def test_compact_collapses_files_preserves_search(self, spark, tmp_path):
+        import glob
+
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        root = str(tmp_path / "ivf")
+        corpus = self._corpus()
+        sink = IvfIndexSink(root, n_cells=3, seed=7)
+        for b, lo in enumerate(range(0, 30, 6)):
+            sink.process(self._batch(spark, corpus[lo : lo + 6]), b)
+        queries = self._batch(spark, self._vecs(range(100, 102), 2))
+        before = sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in sink.search(spark, queries, k=4).collect()
+        )
+        files_before = len(
+            glob.glob(f"{root}/index/**/*.parquet", recursive=True)
+        )
+        stats = sink.compact(spark)
+        files_after = len(
+            glob.glob(f"{root}/index/**/*.parquet", recursive=True)
+        )
+        assert files_after < files_before
+        assert stats["index"][1] == files_after
+        after = sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in sink.search(spark, queries, k=4).collect()
+        )
+        assert before == after

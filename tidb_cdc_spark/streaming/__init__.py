@@ -16,6 +16,7 @@ from tidb_cdc_spark.streaming.enrich import (
     CountMinSink,
     DigestAdmissionSink,
     HllDistinctSink,
+    IvfIndexSink,
     NearDupAdmissionSink,
     PcaMomentSink,
     PhashAdmissionSink,
@@ -29,6 +30,7 @@ __all__ = [
     "CountMinSink",
     "DigestAdmissionSink",
     "HllDistinctSink",
+    "IvfIndexSink",
     "NearDupAdmissionSink",
     "PcaMomentSink",
     "PhashAdmissionSink",

@@ -1678,3 +1678,182 @@ class HllDistinctSink:
             merged = hll_merge_tables(merged, existing, self.group_cols)
         # one sketch row per group — one file is the right layout
         _swap_commit(merged, self._path("sketches"), batch_id, params)
+
+
+class IvfIndexSink:
+    """foreachBatch body that maintains a persisted IVF
+    (inverted-file) ANN index under continuous embedding ingest —
+    the streaming twin of ``functions.similarity.ivf_write_index``,
+    and the missing lifecycle piece of the ANN family: a production
+    embedding index is not built once, it is APPENDED TO as the
+    corpus grows, and ``functions.similarity.ivf_probe_index`` must
+    serve queries against the live index between appends.
+
+    The on-disk layout IS the batch path's (``<root>/index``
+    partitioned by ``cell`` + ``<root>/centroids``), so the probe
+    side needs zero code changes — partition pruning to probed
+    cells, broadcast tagged queries, exact cosine rerank, all
+    inherited.
+
+    - centroids are fit ONCE, on the first non-empty batch (seeded
+      sampled KMeans — the sampled-fit story of the whole ANN
+      family: at 100 TB nobody k-means the full corpus; a first
+      ingest batch IS a sample of the stream). ``k`` is capped by
+      the fit batch's row count; the fitted value is recorded in
+      ``_PARAMS`` and is authoritative over the constructor default
+      on restart. Centroids stay FIXED across appends — cell
+      boundaries must not move under a partitioned index (a refit
+      re-buckets everything; that is a ``rebuild()``-scale
+      maintenance event, deliberately not a per-batch one);
+    - per-batch work: ONE Arrow pass assigning each vector to its
+      nearest centroid (broadcast k×d matrix, the batch path's
+      ``_probe_cells_udf`` with n_probe=1) and ONE append of
+      (id, vec, cell) clustered on ``cell`` — ≤1 file per touched
+      cell per batch. Cost is ∝ batch by construction: the sink
+      never reads the store (append-only ingest has no screen —
+      compose with ``DigestAdmissionSink`` upstream when ingest
+      must also dedup);
+    - replay: batch-id watermark written LAST (atomic rename) makes
+      re-delivery a no-op — appends are not idempotent;
+    - ``compact()`` collapses the per-batch file fragments per cell
+      (rename-swap, torn-state healed — the admission sinks'
+      shared mechanics).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        seed: int = 7,
+    ):
+        self.root = root
+        self.id_col, self.vec_col = id_col, vec_col
+        # creation default only — a live store's _PARAMS wins
+        self.n_cells, self.seed = n_cells, seed
+        self._centers = None  # driver cache: k×d, metadata-sized
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        return _watermark_read(self.root)
+
+    def _load_centers(self, spark):
+        """k×d numpy centroid matrix (driver cache — k rows of
+        metadata, never corpus-sized), or None before the fit."""
+        import os
+
+        import numpy as np
+
+        if self._centers is None and os.path.exists(self._path("centroids")):
+            rows = (
+                spark.read.parquet(self._path("centroids"))
+                .orderBy("cell")
+                .collect()
+            )
+            self._centers = np.stack([np.asarray(r.center) for r in rows])
+        return self._centers
+
+    def _fit_centroids(self, spark, batch: DataFrame) -> None:
+        """Seeded KMeans on the first non-empty batch; k capped by
+        the batch size. Writes ``<root>/centroids`` then _PARAMS —
+        a crash in between refits on the next batch (the layout is
+        authoritative only once _PARAMS exists)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from tidb_cdc_spark.functions.similarity import as_double
+
+        c = batch.select(
+            as_double(F.col(self.vec_col)).alias("_v")
+        ).withColumn("_fv", array_to_vector(F.col("_v")))
+        k = min(self.n_cells, c.count())
+        km = KMeans(k=k, seed=self.seed, maxIter=10, featuresCol="_fv").fit(c)
+        centers = [
+            (i, [float(x) for x in ctr])
+            for i, ctr in enumerate(km.clusterCenters())
+        ]
+        spark.createDataFrame(
+            centers, "cell int, center array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(self._path("centroids"))
+        _store_params_write(
+            self.root, {"layout": "ivf", "n_cells": k, "seed": self.seed}
+        )
+        self._centers = None  # reload from the authoritative store
+
+    def search(
+        self, spark, queries: DataFrame, k: int, n_probe: int = 4
+    ) -> DataFrame:
+        """Top-k over the live index — ``ivf_probe_index`` verbatim
+        (same layout, same plan: partition-pruned scan, broadcast
+        tagged queries, exact rerank)."""
+        from tidb_cdc_spark.functions.similarity import ivf_probe_index
+
+        return ivf_probe_index(
+            spark,
+            self.root,
+            queries,
+            k,
+            n_probe=n_probe,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+
+    def read_index(self, spark) -> DataFrame | None:
+        import os
+
+        p = self._path("index")
+        _table_recover_compact(p)
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    def compact(self, spark, files_per_table: int | None = None) -> dict:
+        """Collapse per-batch appends to ~one file per cell (stream
+        stopped — same operational contract as the admission sinks'
+        ``compact``)."""
+        return _tables_compact(
+            spark,
+            {"index": self._path("index")},
+            files_per_table,
+            partitioned={"index": ["cell"]},
+        )
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        from tidb_cdc_spark.functions.similarity import (
+            _probe_cells_udf,
+            as_double,
+        )
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(
+            self._last_batch_id(), batch_id, "IVF index"
+        ):
+            return  # at-least-once re-delivery
+        params = _store_params_read(self.root)
+        if params is None:
+            if batch.isEmpty():
+                return  # nothing to fit on; watermark NOT advanced —
+                # an empty batch re-delivered later is still a no-op
+            self._fit_centroids(spark=batch.sparkSession, batch=batch)
+        centers = self._load_centers(batch.sparkSession)
+        assign = _probe_cells_udf(centers, 1)
+        _table_recover_compact(self._path("index"))
+        (
+            batch.select(
+                self.id_col, as_double(F.col(self.vec_col)).alias(self.vec_col)
+            )
+            .withColumn(
+                "cell", F.element_at(assign(F.col(self.vec_col)), 1)
+            )
+            # cluster on the partition key before the dynamic-
+            # partition append: ≤1 file per touched cell per batch
+            # (the digest sink's measured small-files discipline)
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(self._path("index"))
+        )
+        _watermark_commit(self.root, batch_id)
