@@ -169,6 +169,7 @@ def main() -> None:
         "multimodal_audio_trim_audit",
         "multimodal_dct_phash_audit",
         "media_curation_pipeline",
+        "audio_curation_pipeline",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

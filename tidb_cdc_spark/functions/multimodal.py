@@ -9,7 +9,11 @@ headers in pure Python (no codec libraries needed — the pass a
 crawl-scale metadata probe actually runs). PIXEL decode is REAL for
 uncompressed 24-bpp BMP (``decode_bmp_pixels`` — no codec library
 required), feeding the perceptual-hash chain (``ahash64`` /
-``dhash64`` / ``perceptual_hashes`` / ``phash_near_dup_pairs``).
+``dhash64`` / ``dct_phash64`` / ``perceptual_hashes`` /
+``dct_phashes`` / ``phash_near_dup_pairs``); sample decode is REAL
+for 16-bit PCM WAV (whole-clip and per-window fingerprints — the
+latter trim-robust via ``audio_near_dup_pairs``) and frame decode
+for uncompressed AVI.
 Compressed-format pixel decode remains codec territory: PIL is used
 automatically when importable, and ``_decode_image_stub``
 (deterministic fake, clearly marked) now covers ONLY bytes no real

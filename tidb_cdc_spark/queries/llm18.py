@@ -720,6 +720,95 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def audio_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio curation pipeline as ONE composed, fully
+    value-oracled query — the audio twin of
+    ``media_curation_pipeline``: exact payload dedup (JVM sha2
+    min-id representative) → TRIM-ROBUST window-hash collapse over
+    the SURVIVORS (real PCM decode → per-window fingerprints →
+    inverted-index containment pairs → hash-min connected components
+    → min-id representative) → per-stage scorecard. The composition
+    a speech/music crawl actually runs: exact dedup catches
+    byte-identical re-uploads; the window pass catches the
+    trimmed+regained re-encodes that survive it.
+
+    Plant: the ``multimodal_audio_trim_audit`` structure (cluster
+    ``pid = doc_id % 101``; variants 0/1 byte-identical full clips,
+    variant 2 a trim(2 windows)+regain(×3) copy), so both stage
+    outputs derive from id arithmetic: ``after_exact`` = distinct
+    (pid, trimmed) payload classes; ``after_trim_robust`` = distinct
+    pid (the trimmed copy shares 6 ≥ 4 window hashes with its full
+    twin; 16-bit window-word injectivity forbids cross-pid edges).
+
+    Scale shape: stage 1 shuffles 32 B digests, stage 2 ~20 B window
+    hashes — payload bytes never reach a shuffle; pairs are
+    inverted-index (linear in total windows), CC is the
+    checkpoint-truncated hash-min loop over nodes-in-pairs only."""
+    from tidb_cdc_spark.functions.clusters import cluster_representatives
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_near_dup_pairs,
+        audio_window_hashes,
+        synth_wav_windowed_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("base"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(2))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("gain"),
+        )
+    )
+    media = synth_wav_windowed_media(planted, "media_id")
+    # stage 1: exact payload dedup — min id per digest, digests only
+    # through the shuffle; survivors feed stage 2 AND the scorecard
+    exact_reps = materialize(
+        media.groupBy(F.sha2("payload", 256).alias("_digest"))
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    survivors = media.join(exact_reps, "media_id", "left_semi")
+    # stage 2: trim-robust collapse over survivors only (~20 B
+    # window-hash rows; two consumers → materialized once)
+    wh = materialize(audio_window_hashes(survivors))
+    pairs = audio_near_dup_pairs(
+        wh, min_shared_windows=4, max_window_freq=None
+    )
+    reps = cluster_representatives(
+        wh.select(F.col("media_id").alias("doc_id")).distinct(), pairs
+    )
+    n_all = media.agg(F.count(F.lit(1)).alias("n_media"))
+    n_exact = exact_reps.agg(F.count(F.lit(1)).alias("after_exact"))
+    n_trim = reps.filter("is_representative").agg(
+        F.count(F.lit(1)).alias("after_trim_robust")
+    )
+    return (
+        n_all.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_trim))
+        .select("n_media", "after_exact", "after_trim_robust")
+    )
+
+
+_AUDIO_CURATION_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(COUNT(DISTINCT pid * 10 + trimmed) AS BIGINT) AS after_exact,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS after_trim_robust
+FROM m
+"""
+
+
 def multimodal_dct_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT perceptual hash (the pHash algorithm proper) over REAL
     decoded pixels — completes the perceptual family (aHash/dHash/
@@ -832,6 +921,7 @@ QUERIES = {
     "multimodal_video_audit": multimodal_video_audit,
     "multimodal_audio_trim_audit": multimodal_audio_trim_audit,
     "multimodal_dct_phash_audit": multimodal_dct_phash_audit,
+    "audio_curation_pipeline": audio_curation_pipeline,
 }
 
 ORACLE = {
@@ -845,4 +935,5 @@ ORACLE = {
     "multimodal_video_audit": _VIDEO_SQL,
     "multimodal_audio_trim_audit": _AUDIO_TRIM_SQL,
     "multimodal_dct_phash_audit": _DCT_PHASH_SQL,
+    "audio_curation_pipeline": _AUDIO_CURATION_SQL,
 }

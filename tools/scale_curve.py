@@ -140,6 +140,62 @@ def video_fp_pass(spark, sf_dir: str):
     )
 
 
+def dct_phash_pass(spark, sf_dir: str):
+    """DCT-pHash chain (late r12): synth 2-D block BMPs → pixel
+    decode → 32×32 box means → 2-D DCT → hash. Same linear per-row
+    shape as phash_hash_pass plus two 32×32 float matmuls/row."""
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.functions.multimodal import (
+        dct_phashes,
+        synth_bmp_block16_media,
+    )
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(1) + F.col("doc_id") * 643 % 65534).alias("word"),
+            (F.col("doc_id") % 41).alias("shift"),
+            (F.col("doc_id") % 7).alias("noise"),
+        )
+    )
+    return dct_phashes(synth_bmp_block16_media(ids, "media_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("phash").alias("dp"),
+    )
+
+
+def audio_window_pass(spark, sf_dir: str):
+    """Windowed-audio chain (late r12): synth 8-window WAVs → PCM
+    decode → 8 per-window fingerprints/row, linear in total
+    windows over ~8 KB payloads."""
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_window_hashes,
+        synth_wav_windowed_media,
+    )
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("doc_id").alias("base"),
+            (F.col("doc_id") % 3).cast("int").alias("skip"),
+            (F.lit(1) + F.col("doc_id") % 7).alias("gain"),
+        )
+    )
+    return audio_window_hashes(
+        synth_wav_windowed_media(ids, "media_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("whash").alias("dw"),
+    )
+
+
 def main() -> None:
     out100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1x100"
     out10 = "/tmp/spark_graft_sf1x10"
@@ -183,6 +239,8 @@ def main() -> None:
         ("phash_hash_pass (inline)", phash_hash_pass),
         ("audio_fp_pass (inline)", audio_fp_pass),
         ("video_fp_pass (inline)", video_fp_pass),
+        ("dct_phash_pass (inline)", dct_phash_pass),
+        ("audio_window_pass (inline)", audio_window_pass),
     ):
         row = {}
         for label, d in (("1x", src), ("10x", out10), ("100x", out100)):

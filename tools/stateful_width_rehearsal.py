@@ -466,6 +466,68 @@ def digest_admission_batches(
     }
 
 
+def ivf_index_batches(
+    spark, batches: int, per_batch: int, compact_every: int | None
+) -> dict:
+    """Per-batch cost of ``IvfIndexSink`` as the index grows. The
+    claim under test is structural — the sink never reads the store,
+    so appends must stay FLAT — plus the honest counterpoint: SEARCH
+    cost grows with the probed cells' share of the index (that is
+    the n_cells sizing lever: at 100 TB you raise n_cells so
+    probed-bytes stays bounded, exactly like the digest sink's
+    n_buckets). Vectors are deterministic 16-dim cluster plants."""
+    from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+    root = os.path.join(TMP, "ivfidx")
+    shutil.rmtree(root, ignore_errors=True)
+    sink = IvfIndexSink(os.path.join(root, "store"), n_cells=16)
+    dim = 16
+    per_batch_sec: list[float] = []
+    search_sec: list[tuple[int, float]] = []
+
+    def _vec(gid: int) -> list[float]:
+        c = gid % 16
+        return [
+            float((10.0 if d == c else 0.0) + 0.01 * ((gid * 7 + d) % 5))
+            for d in range(dim)
+        ]
+
+    queries = spark.createDataFrame(
+        [(10**9 + i, _vec(i)) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    for b in range(batches):
+        rows = [
+            (b * per_batch + j, _vec(b * per_batch + j))
+            for j in range(per_batch)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(8)
+        t0 = time.perf_counter()
+        sink.process(df, b)
+        per_batch_sec.append(round(time.perf_counter() - t0, 2))
+        if compact_every and (b + 1) % compact_every == 0:
+            sink.compact(spark)
+        if b in (0, batches // 2, batches - 1):
+            t0 = time.perf_counter()
+            sink.search(spark, queries, k=10, n_probe=4).count()
+            search_sec.append((b, round(time.perf_counter() - t0, 2)))
+    idx = sink.read_index(spark)
+    return {
+        "experiment": "ivf_index_batches",
+        "batches": batches,
+        "vectors_per_batch": per_batch,
+        "compact_every": compact_every,
+        "per_batch_sec": per_batch_sec,
+        "search_sec_at_batch": search_sec,
+        "index_rows": 0 if idx is None else idx.count(),
+        "append_last_over_first": round(
+            per_batch_sec[-1] / max(per_batch_sec[0], 1e-9), 2
+        ),
+    }
+
+
 def _build_digest_index(spark, root: str, n_rows: int, n_buckets: int) -> float:
     """Prebuild a digest index of ``n_rows`` unique payload digests
     in the sink's EXACT on-disk layout (bucket-partitioned parquet +
@@ -668,6 +730,27 @@ def main() -> None:
         spark = get_spark("digest-scale")
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps(digest_scale(spark, batches, per_batch)), flush=True)
+        spark.stop()
+        return
+
+    # ivf mode (late r12): per-batch append cost of IvfIndexSink as
+    # the index grows (must be flat — append-only by construction)
+    # plus live-search latency at three index sizes.
+    # Run: PYTHONPATH=. python3 tools/stateful_width_rehearsal.py \
+    #   ivf [batches=12] [per_batch=2000] [compact_every|'nc']
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf":
+        batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+        per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+        ce = sys.argv[4] if len(sys.argv) > 4 else "6"
+        compact_every = None if ce == "nc" else int(ce)
+        from tidb_cdc_spark import get_spark
+
+        spark = get_spark("ivf-index")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(
+            json.dumps(ivf_index_batches(spark, batches, per_batch, compact_every)),
+            flush=True,
+        )
         spark.stop()
         return
 
