@@ -266,7 +266,7 @@ GATE = [
     "events_sessions",
     # CDC consumers
     "cdc_parse_typed",
-    "cdc_apply_latest",
+    "audio_curation_pipeline",
     "cdc_scd2_history",
     # LATE-R12 SWAP: the composed media curation pipeline (new op,
     # queries/llm18.py — exact sha2 dedup → perceptual collapse →
@@ -274,8 +274,15 @@ GATE = [
     # cdc_incremental_agg slot (r11-green, unchanged, mirror-kept;
     # queues for r13)
     "media_curation_pipeline",
-    "cdc_schema_drift",
-    "cdc_decimal_agg",
+    # LATE-R12 SWAPS 4-6: the trim-robust audio window audit, the
+    # DCT pHash audit, and (above, in the CDC block) the composed
+    # audio curation pipeline (new ops, queries/llm18.py — each
+    # verified hash-green directly at sf0.001+sf0.01+sf0.1 before
+    # the swap) take the cdc_schema_drift / cdc_decimal_agg /
+    # cdc_apply_latest slots (all r11 DRIVER-green, unchanged,
+    # mirror-kept; queue for r13 alongside the other swap victims)
+    "multimodal_audio_trim_audit",
+    "multimodal_dct_phash_audit",
     # LATE-R12 SWAP 3: the video frame-path audit (new op,
     # queries/llm18.py — real AVI frame decode → per-frame aHash →
     # inverted-index near-dup incl. the planted TRIM transform,
