@@ -1254,3 +1254,42 @@ class TestIvfIndexSink:
             for r in sink.search(spark, queries, k=4).collect()
         )
         assert before == after
+
+    def test_file_stream_e2e(self, spark, tmp_path):
+        """Real readStream → foreachBatch(sink.process) → live
+        search, two availableNow triggers with a checkpoint (the
+        deployment shape, not just direct process() calls)."""
+        from tidb_cdc_spark.streaming import IvfIndexSink
+
+        sink = IvfIndexSink(str(tmp_path / "store"), n_cells=3, seed=7)
+        corpus = self._corpus()
+        d = tmp_path / "vec_in"
+        os.makedirs(d, exist_ok=True)
+
+        def run_batch(name, rows):
+            tmp = d / f".{name}.tmp"
+            with open(tmp, "w") as f:
+                f.write(
+                    "\n".join(
+                        json.dumps({"vec_id": i, "embedding": v})
+                        for i, v in rows
+                    )
+                )
+            os.replace(tmp, d / name)
+            q = (
+                spark.readStream.format("json")
+                .schema("vec_id long, embedding array<double>")
+                .load(str(d))
+                .writeStream.foreachBatch(sink.process)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_batch("b1.jsonl", corpus[:15])
+        run_batch("b2.jsonl", corpus[15:])
+        assert sink.read_index(spark).count() == 30
+        queries = self._batch(spark, self._vecs(range(200, 202), 0))
+        hits = sink.search(spark, queries, k=3, n_probe=1).collect()
+        assert hits and all(0 <= r.neighbor_id < 10 for r in hits)
