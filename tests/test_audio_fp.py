@@ -237,3 +237,21 @@ def test_audio_window_hashes_skip_non_pcm(spark):
         [(1, b"\x89PNG not audio")], "media_id long, payload binary"
     )
     assert audio_window_hashes(media).count() == 0
+
+
+def test_fully_trimmed_clip_is_valid_empty_wav(spark):
+    """skip >= n_windows plants a zero-sample (still valid) WAV:
+    no window rows, no crash in the Arrow pass."""
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_window_hashes,
+        decode_wav_samples,
+        synth_wav_windowed_media,
+    )
+
+    ids = spark.createDataFrame(
+        [(1, 5, 8, 1)], "media_id long, base long, skip int, gain int"
+    )
+    media = synth_wav_windowed_media(ids, "media_id")
+    row = media.collect()[0]
+    assert len(decode_wav_samples(bytes(row.payload))) == 0
+    assert audio_window_hashes(media).count() == 0

@@ -1446,7 +1446,12 @@ def synth_wav_windowed_media(
                         v = 1 + (base * n_windows + w) % 65534
                         amp = np.where((v >> frame_bit) & 1, 180, 60) * g
                         parts.append((amp * sign).astype("<i2"))
-                    pcm = np.concatenate(parts).tobytes()
+                    # skip ≥ n_windows plants a real zero-sample WAV
+                    # (still a valid RIFF; the window pass emits no
+                    # rows for it) rather than crashing the Arrow pass
+                    pcm = (
+                        np.concatenate(parts).tobytes() if parts else b""
+                    )
                     body = (
                         b"WAVE"
                         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
