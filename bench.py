@@ -170,6 +170,7 @@ def main() -> None:
         "multimodal_dct_phash_audit",
         "media_curation_pipeline",
         "audio_curation_pipeline",
+        "video_curation_pipeline",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

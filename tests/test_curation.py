@@ -325,3 +325,19 @@ class TestExactStratifiedSplit:
             exact_stratified_split(
                 df, quotas_ppm=(("t", 500_000), ("t", 500_000))
             )
+
+
+def test_audio_video_curation_stages_strictly_shrink(spark):
+    """Both late-r12 composed pipelines do real work at every stage
+    at sf0.001: exact dedup collapses byte-identical plants, the
+    fuzzy stage collapses the planted transform survivors (guards
+    against a degenerate plant where a stage is a no-op)."""
+    from tidb_cdc_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["audio_curation_pipeline"](spark, sf).collect()[0]
+    assert a.n_media > a.after_exact > a.after_trim_robust
+    v = QUERIES["video_curation_pipeline"](spark, sf).collect()[0]
+    assert v.n_media > v.after_exact > v.after_shot_robust
+    # fuzzy stages land exactly on the cluster count (101 pids)
+    assert a.after_trim_robust == v.after_shot_robust == 101

@@ -55,6 +55,7 @@ ROUND_ADDITIONS = [
     "multimodal_audio_trim_audit",  # r12 NEW windowed trim-robust audit
     "multimodal_dct_phash_audit",  # r12 NEW DCT pHash (low-pass) audit
     "audio_curation_pipeline",  # r12 NEW composed exact->trim-robust op
+    "video_curation_pipeline",  # r12 NEW composed exact->shot-robust op
     "multimodal_image_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_dedup_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_probe_audit",  # r12 changed: doc_id >= 0 guard

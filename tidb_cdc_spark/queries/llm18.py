@@ -809,6 +809,92 @@ FROM m
 """
 
 
+def video_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video curation pipeline as ONE composed, fully
+    value-oracled query — completing the composed triple
+    (``media_curation_pipeline`` for images,
+    ``audio_curation_pipeline`` for audio): exact payload dedup (JVM
+    sha2 min-id representative) → shot-level frame-hash collapse
+    over the SURVIVORS (real AVI frame decode → per-frame aHash →
+    inverted-index containment pairs → hash-min connected components
+    → min-id representative) → per-stage scorecard. Exact dedup
+    catches byte-identical re-uploads; the frame pass catches the
+    trimmed+brightness-shifted re-encodes that survive it.
+
+    Plant: the ``multimodal_video_audit`` structure (cluster
+    ``pid = doc_id % 101``; variants 0/1 byte-identical 8-frame
+    AVIs, variant 2 a trim(first frame)+shift(+20) copy), so both
+    stage outputs derive from id arithmetic: ``after_exact`` =
+    distinct (pid, trimmed) payload classes; ``after_shot_robust`` =
+    distinct pid (the trimmed copy shares 7 ≥ 4 frame hashes with
+    its full twin; 16-bit frame-word injectivity forbids cross-pid
+    edges).
+
+    Scale shape: stage 1 shuffles 32 B digests, stage 2 ~28 B frame
+    hashes — frame bytes never reach a shuffle; pairs are
+    inverted-index (linear in total frames), CC is the
+    checkpoint-truncated hash-min loop over nodes-in-pairs only."""
+    from tidb_cdc_spark.functions.clusters import cluster_representatives
+    from tidb_cdc_spark.functions.multimodal import (
+        synth_avi_media,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("base"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_avi_media(planted, "media_id")
+    exact_reps = materialize(
+        media.groupBy(F.sha2("payload", 256).alias("_digest"))
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    survivors = media.join(exact_reps, "media_id", "left_semi")
+    fh = materialize(video_frame_hashes(survivors))
+    pairs = video_near_dup_pairs(
+        fh, min_shared_frames=4, max_frame_freq=None
+    )
+    reps = cluster_representatives(
+        fh.select(F.col("media_id").alias("doc_id")).distinct(), pairs
+    )
+    n_all = media.agg(F.count(F.lit(1)).alias("n_media"))
+    n_exact = exact_reps.agg(F.count(F.lit(1)).alias("after_exact"))
+    n_shot = reps.filter("is_representative").agg(
+        F.count(F.lit(1)).alias("after_shot_robust")
+    )
+    return (
+        n_all.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_shot))
+        .select("n_media", "after_exact", "after_shot_robust")
+    )
+
+
+_VIDEO_CURATION_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(COUNT(DISTINCT pid * 10 + trimmed) AS BIGINT) AS after_exact,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS after_shot_robust
+FROM m
+"""
+
+
 def multimodal_dct_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT perceptual hash (the pHash algorithm proper) over REAL
     decoded pixels — completes the perceptual family (aHash/dHash/
@@ -922,6 +1008,7 @@ QUERIES = {
     "multimodal_audio_trim_audit": multimodal_audio_trim_audit,
     "multimodal_dct_phash_audit": multimodal_dct_phash_audit,
     "audio_curation_pipeline": audio_curation_pipeline,
+    "video_curation_pipeline": video_curation_pipeline,
 }
 
 ORACLE = {
@@ -936,4 +1023,5 @@ ORACLE = {
     "multimodal_audio_trim_audit": _AUDIO_TRIM_SQL,
     "multimodal_dct_phash_audit": _DCT_PHASH_SQL,
     "audio_curation_pipeline": _AUDIO_CURATION_SQL,
+    "video_curation_pipeline": _VIDEO_CURATION_SQL,
 }
