@@ -56,6 +56,10 @@ PICKS = {
     "media_curation_pipeline": "composed media curation: sha2 min-id exact dedup (32 B digest shuffle) -> perceptual collapse over survivors only (hash rows -> banded pairs -> checkpoint-truncated CC) -> 1-row scorecard",
     "multimodal_audio_audit": "audio sample-path near-dup: synth -> PCM decode/fingerprint Arrow passes emit 16 B rows, materialized for three agg consumers; pair stage is the shared Manku banded equi-join",
     "multimodal_video_audit": "video frame-path near-dup: synth -> AVI frame decode/hash Arrow passes emit 28 B frame rows, materialized; pair stage is the inverted-index frame-hash equi-join (viral-frame capped in the generic op)",
+    "multimodal_audio_trim_audit": "trim-robust audio near-dup: synth -> PCM decode -> per-window fingerprint Arrow passes emit ~20 B window rows, materialized; pair stage is the same inverted-index containment join as video",
+    "multimodal_dct_phash_audit": "DCT pHash near-dup: synth -> decode -> 32x32 box means -> 2-D DCT Arrow passes emit 16 B hash rows (payloads never shuffle); pair stage is the Manku banded equi-join",
+    "audio_curation_pipeline": "composed audio curation: sha2 min-id exact dedup (32 B digest shuffle) -> trim-robust window collapse over survivors only (window hashes -> inverted-index pairs -> checkpoint-truncated CC) -> 1-row scorecard",
+    "video_curation_pipeline": "composed video curation: sha2 min-id exact dedup -> shot-level frame-hash collapse over survivors only (frame hashes -> inverted-index pairs -> checkpoint-truncated CC) -> 1-row scorecard",
 }
 
 HEADER = (
