@@ -149,6 +149,7 @@ def main() -> None:
         "text_bigram_surprisal",
         "corpus_perplexity_buckets",
         "corpus_curation_pipeline",
+        "corpus_curation_provenance",
         "corpus_dsir_select",
         "corpus_collocations_pmi",
         "corpus_lm_stupid_backoff",

@@ -56,6 +56,7 @@ ROUND_ADDITIONS = [
     "multimodal_dct_phash_audit",  # r12 NEW DCT pHash (low-pass) audit
     "audio_curation_pipeline",  # r12 NEW composed exact->trim-robust op
     "video_curation_pipeline",  # r12 NEW composed exact->shot-robust op
+    "corpus_curation_provenance",  # r12 NEW row-level funnel audit
     "multimodal_image_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_dedup_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_probe_audit",  # r12 changed: doc_id >= 0 guard

@@ -332,14 +332,137 @@ ORDER BY query_id, rank
 """
 
 
+def corpus_curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance for the curation funnel — the "why did
+    my document disappear" audit every production pipeline needs
+    next to its data card: ONE row per input document naming the
+    stage that dropped it and the evidence (the scorecard twin is
+    ``corpus_curation_pipeline``; this is the same funnel with the
+    per-doc outcomes kept instead of folded into counts):
+
+    - ``dropped_quality`` + the ordered ``fail_reasons`` codes
+      (functions/quality.py's audit-trail column);
+    - ``dropped_duplicate`` + the representative doc id it lost to
+      (the min-id keeper of its md5 class — actionable: that IS the
+      copy that survived);
+    - ``dropped_budget`` (kept, unique, but below the quality-ranked
+      token-budget cut);
+    - ``selected``.
+
+    Scale shape: identical to the scorecard funnel — the explode
+    stays inside two combining groupBys, dedup shuffles 16 B
+    fingerprints, selection is the banded prefix scan (no global
+    single-task window), and the provenance join fans ids only. The
+    output is corpus-sized BY DESIGN (one row per doc — it is the
+    audit artifact a run writes next to the corpus), so at 100 TB
+    it is a write-to-parquet job, not a collect."""
+    docs = _docs(spark, sf_dir)
+    qf = Q.quality_filter(docs).select(
+        "doc_id", "n_tokens", "symbol_ppm", "keep", "fail_reasons"
+    )
+    base = materialize(
+        docs.select("doc_id", "lang", F.md5(F.col("text")).alias("_fp")).join(
+            qf, "doc_id"
+        )
+    )
+    kept = base.filter(F.col("keep"))
+    reps = kept.groupBy("_fp").agg(F.min("doc_id").alias("_rep"))
+    rep_map = kept.join(reps, "_fp").select("doc_id", "_rep")
+    survivors = (
+        base.join(rep_map.filter(F.col("doc_id") == F.col("_rep")), "doc_id")
+        .select(
+            "doc_id",
+            (F.lit(_PPM) - F.col("symbol_ppm")).alias("quality_ppm"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    sel = SEL.budget_head(survivors).select("doc_id", "selected")
+    out = (
+        base.join(rep_map.select("doc_id", "_rep"), "doc_id", "left")
+        .join(sel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.when(~F.col("keep"), F.lit("dropped_quality"))
+            .when(F.col("_rep") != F.col("doc_id"), F.lit("dropped_duplicate"))
+            .when(F.col("selected"), F.lit("selected"))
+            .otherwise(F.lit("dropped_budget"))
+            .alias("outcome"),
+            F.when(~F.col("keep"), F.col("fail_reasons"))
+            .when(
+                F.col("_rep") != F.col("doc_id"),
+                F.col("_rep").cast("string"),
+            )
+            .otherwise(F.lit(""))
+            .alias("detail"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+# the oracle replays the identical funnel row-wise: the same stats
+# CTE, the same ordered fail-reason codes (concat_ws skips NULLs in
+# both engines), md5 min-id dedup with the lost-to id surfaced, and
+# the same inclusive-cumsum half-token budget cut
+_PROVENANCE_SQL = (
+    _STATS_CTE
+    + f"""
+, base AS (
+  SELECT d.doc_id, d.lang, md5(d.text) AS fp, s.n_tokens, s.symbol_ppm,
+         concat_ws(',',
+           CASE WHEN s.n_tokens < {_T.min_tokens} THEN 'too_short' END,
+           CASE WHEN s.n_tokens > {_T.max_tokens} THEN 'too_long' END,
+           CASE WHEN s.top_token_ppm > {_T.max_top_token_ppm}
+                THEN 'top_token' END,
+           CASE WHEN s.dup_2gram_ppm > {_T.max_dup_2gram_ppm}
+                THEN 'dup_2gram' END,
+           CASE WHEN s.symbol_ppm > {_T.max_symbol_ppm} THEN 'symbols' END
+         ) AS fail_reasons
+  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+), rep AS (
+  SELECT b.doc_id, MIN(b2.doc_id) AS rep
+  FROM base b JOIN base b2 ON b.fp = b2.fp
+  WHERE b.fail_reasons = '' AND b2.fail_reasons = ''
+  GROUP BY b.doc_id
+), sel AS (
+  SELECT doc_id, selected FROM (
+    SELECT b.doc_id,
+           CAST(SUM(b.n_tokens) OVER (
+                ORDER BY {_PPM} - b.symbol_ppm DESC, b.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) * 2
+             <= CAST(SUM(b.n_tokens) OVER () AS BIGINT) AS selected
+    FROM base b JOIN rep r ON b.doc_id = r.doc_id AND b.doc_id = r.rep
+  )
+)
+SELECT b.doc_id, b.lang, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN b.fail_reasons <> '' THEN 'dropped_quality'
+            WHEN r.rep <> b.doc_id THEN 'dropped_duplicate'
+            WHEN s.selected THEN 'selected'
+            ELSE 'dropped_budget' END AS outcome,
+       CASE WHEN b.fail_reasons <> '' THEN b.fail_reasons
+            WHEN r.rep <> b.doc_id THEN CAST(r.rep AS VARCHAR)
+            ELSE '' END AS detail
+FROM base b
+LEFT JOIN rep r ON b.doc_id = r.doc_id
+LEFT JOIN sel s ON b.doc_id = s.doc_id
+ORDER BY b.doc_id
+"""
+)
+
+
 QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
+    "corpus_curation_provenance": corpus_curation_provenance,
     "rag_retrieve_topk": rag_retrieve_topk,
     "rag_hybrid_rrf": rag_hybrid_rrf,
 }
 
 ORACLE = {
     "corpus_curation_pipeline": _PIPELINE_SQL,
+    "corpus_curation_provenance": _PROVENANCE_SQL,
     "rag_retrieve_topk": _RAG_SQL,
     "rag_hybrid_rrf": _HYBRID_SQL,
 }
