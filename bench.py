@@ -172,6 +172,7 @@ def main() -> None:
         "media_curation_pipeline",
         "audio_curation_pipeline",
         "video_curation_pipeline",
+        "media_curation_provenance",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

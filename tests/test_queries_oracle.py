@@ -57,6 +57,7 @@ ROUND_ADDITIONS = [
     "audio_curation_pipeline",  # r12 NEW composed exact->trim-robust op
     "video_curation_pipeline",  # r12 NEW composed exact->shot-robust op
     "corpus_curation_provenance",  # r12 NEW row-level funnel audit
+    "media_curation_provenance",  # r12 NEW row-level media funnel audit
     "multimodal_image_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_dedup_audit",  # r12 changed: doc_id >= 0 guard
     "multimodal_probe_audit",  # r12 changed: doc_id >= 0 guard

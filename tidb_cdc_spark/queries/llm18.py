@@ -428,6 +428,111 @@ FROM m
 """
 
 
+def media_curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance for the media curation funnel — the
+    media twin of ``corpus_curation_provenance``: ONE row per input
+    media naming the stage that dropped it and where its content
+    lives now: ``exact_rep`` (the min-id keeper of its byte-identical
+    sha2 class) and ``canonical_id`` (the TRANSITIVE representative —
+    the exact rep may itself lose the perceptual stage, so the
+    canonical is its perceptual cluster's min id; dedup tooling
+    needs the transitive answer to rewrite references).
+
+    Plant: the ``media_curation_pipeline`` structure (cluster
+    ``pid = doc_id % 101``, byte-identical twins within (pid, δ),
+    δ=+20 shifted copies across variants), so both representatives
+    derive from id arithmetic: ``exact_rep`` = min id of the
+    (pid, δ) class, ``canonical_id`` = min id of the pid cluster
+    (the pid minimum is necessarily also its own exact rep, so the
+    transitive chain is exactly one hop here — asserted by the
+    oracle equality itself).
+
+    Scale shape: digests and 24 B hash rows through the shuffles,
+    payloads never; output corpus-sized BY DESIGN (the audit
+    artifact, a write job at 100 TB)."""
+    from tidb_cdc_spark.functions.clusters import cluster_representatives
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_bmp_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(1) + (F.col("doc_id") % 101) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_bmp_pixel_media(planted, "media_id")
+    # (id, exact_rep) for every media: min id per sha2 class
+    digests = materialize(
+        media.select(
+            "media_id", F.sha2("payload", 256).alias("_digest")
+        )
+    )
+    reps = digests.groupBy("_digest").agg(F.min("media_id").alias("_rep"))
+    rep_map = digests.join(reps, "_digest").select("media_id", "_rep")
+    survivors = media.join(
+        rep_map.filter(F.col("media_id") == F.col("_rep")),
+        "media_id",
+        "left_semi",
+    )
+    hashes = materialize(perceptual_hashes(survivors))
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    cr = cluster_representatives(
+        hashes.select(F.col("media_id").alias("doc_id")), pairs
+    ).select(
+        F.col("doc_id").alias("_rep"),
+        F.col("cluster_id").alias("canonical_id"),
+        "is_representative",
+    )
+    # every media's exact rep IS a survivor, so this join covers all
+    return (
+        rep_map.join(cr, "_rep")
+        .select(
+            "media_id",
+            F.when(F.col("media_id") != F.col("_rep"), F.lit("dropped_exact_dup"))
+            .when(~F.col("is_representative"), F.lit("dropped_perceptual_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("outcome"),
+            F.col("_rep").alias("exact_rep"),
+            "canonical_id",
+        )
+        .orderBy("media_id")
+    )
+
+
+# plant arithmetic: exact classes are (pid, δ) with min-id reps;
+# perceptual clusters are pid (shift-invariant aHash, ≥8-bit
+# cross-cluster margin) with min-id canonicals — and the pid minimum
+# is necessarily its own exact rep, so one hop resolves transitively
+_MEDIA_PROVENANCE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 20 ELSE 0 END AS shift
+  FROM documents WHERE doc_id >= 0
+), e AS (
+  SELECT media_id,
+         MIN(media_id) OVER (PARTITION BY pid, shift) AS exact_rep,
+         MIN(media_id) OVER (PARTITION BY pid) AS canonical_id
+  FROM m
+)
+SELECT media_id,
+       CASE WHEN media_id <> exact_rep THEN 'dropped_exact_dup'
+            WHEN media_id <> canonical_id THEN 'dropped_perceptual_dup'
+            ELSE 'kept' END AS outcome,
+       CAST(exact_rep AS BIGINT) AS exact_rep,
+       CAST(canonical_id AS BIGINT) AS canonical_id
+FROM e ORDER BY media_id
+"""
+
+
 def multimodal_audio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio perceptual near-dup over REAL decoded PCM samples — the
     audio member of the r12 pixel-path family: decode 16-bit PCM WAV
@@ -1009,6 +1114,7 @@ QUERIES = {
     "multimodal_dct_phash_audit": multimodal_dct_phash_audit,
     "audio_curation_pipeline": audio_curation_pipeline,
     "video_curation_pipeline": video_curation_pipeline,
+    "media_curation_provenance": media_curation_provenance,
 }
 
 ORACLE = {
@@ -1024,4 +1130,5 @@ ORACLE = {
     "multimodal_dct_phash_audit": _DCT_PHASH_SQL,
     "audio_curation_pipeline": _AUDIO_CURATION_SQL,
     "video_curation_pipeline": _VIDEO_CURATION_SQL,
+    "media_curation_provenance": _MEDIA_PROVENANCE_SQL,
 }
