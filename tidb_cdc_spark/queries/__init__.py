@@ -216,86 +216,108 @@ for _mod in (
 # corpus_mojibake_audit, embedding_pca_audit,
 # doc_semantic_dedup_audit, corpus_curation_pipeline,
 # text_token_entropy), then the r11 block.
+# ROUND-13 ROTATION (applied): IN — the 3 NEVER-driver-gated rows
+# first per the r12 verdict (video_curation_pipeline,
+# corpus_curation_provenance, media_curation_provenance — all three
+# hash-green at sf0.001+sf0.01+sf0.1 at the r12 final tree and
+# re-verified at sf0.01 before this swap), then the ENTIRE r10 block
+# (the oldest driver rows in the registry: q12/q18/q19/q20/q21
+# heads, events asof/hourly/sliding/cohort/json showcases,
+# sketch_approx, full_outer_nation_presence,
+# suppliers_of_large_parts, scalar/date/array showcases,
+# grouping_sets_orders, corpus_lm_quality_buckets,
+# corpus_perplexity_buckets, corpus_lm_stupid_backoff,
+# dedup_containment_pairs, embedding_random_projection,
+# dedup_span_rewrite, events_engagement_pagerank,
+# corpus_mojibake_audit, embedding_pca_audit,
+# doc_semantic_dedup_audit, corpus_curation_pipeline,
+# text_token_entropy — 29 rows), then the six r12 swap victims
+# (r11 rows: cdc_incremental_agg, skew_salted_agg,
+# contamination_containment_screen, cdc_schema_drift,
+# cdc_decimal_agg, cdc_apply_latest), then the first 9 of the r11
+# block (dedup_minhash_star_audit, dedup_minhash_audit,
+# dedup_simhash_audit, winnow_repr_audit, rag_retrieval_eval,
+# corpus_stratified_split, containment_repr_audit, text_token_stats,
+# text_quality_by_lang). OUT — 47 r12-green rows with UNCHANGED
+# code (the five multimodal container/image/dedup/phash audits, the
+# r12 rotation block q2/q11/q4/q14/q16/q17/q22/q1/q6/q7/q10/q13/q15
+# heads, rollup_revenue, topk_orders_per_customer, price_band_pairs,
+# events_daily_gapfill, events_value_percentiles_by_type,
+# sketch_percentiles, embedding_whiten_audit,
+# events_distinct_hll_audit, events_value_outliers,
+# rag_rerank_cascade, dedup jaccard/embedding/clusters audits,
+# knn_ivf_audit, setops_nation_overlap, cube_order_stats,
+# window_functions_showcase, corpus_collocations_pmi,
+# corpus_tokenizer_fertility, rag_bm25_topk, events_sessions,
+# cdc_parse_typed, cdc_scd2_history, and the r12 media family:
+# media/audio curation pipelines, audio_trim/dct_phash/video/audio
+# audits) — each keeps its r12 driver row + the strict mirror in
+# tests/test_queries_oracle.py. R14 rotation queue (oldest rows
+# after this round): the remaining 26 r11-block rows
+# (text_lang_id, text_fingerprint_md5, sample_* ×3, tfidf_top_terms,
+# pii_scrub_stats, text_repetition_stats, token_length_histogram,
+# vocab_top_terms, source_overlap_matrix, doc_length_band,
+# embedding_int8_quantize, quality_budget_head,
+# cdc_dead_letter_stats, text_bpe_tokens, multimodal_doc_features,
+# q3/q5/q8/q9 heads, doc_hashed_tf, events_rolling_features,
+# table_profile_lineitem, events_transition_matrix,
+# events_pivot_by_type), then the r12 block.
 GATE = [
     # exact dedup/ANN family anchors (kept fresh every round)
     "dedup_exact_docs",
     "knn_bruteforce_cosine",
     "dedup_clusters_exact",
-    # multimodal audits: all four CHANGED this round (doc_id >= 0
-    # domain guard), phash audit NEW this round
-    "multimodal_probe_audit",
-    "multimodal_frame_plan",
-    "multimodal_image_audit",
-    "multimodal_dedup_audit",
-    "multimodal_phash_audit",
-    # round-12 rotation: the full pre-certified r8/r9 queue
-    # (see rotation comment above)
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q4_order_priority",
-    "q14_promo_effect",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q22_customers_without_orders",
-    "rollup_revenue",
-    "topk_orders_per_customer",
-    "price_band_pairs",
-    "events_daily_gapfill",
-    "events_value_percentiles_by_type",
-    "sketch_percentiles",
-    "embedding_whiten_audit",
-    "events_distinct_hll_audit",
-    "events_value_outliers",
-    "rag_rerank_cascade",
-    "dedup_jaccard_audit",
-    "dedup_embedding_audit",
-    "dedup_clusters_audit",
-    "knn_ivf_audit",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "setops_nation_overlap",
-    "cube_order_stats",
-    "window_functions_showcase",
-    "corpus_collocations_pmi",
-    "corpus_tokenizer_fertility",
-    "rag_bm25_topk",
-    "events_sessions",
-    # CDC consumers
-    "cdc_parse_typed",
-    "audio_curation_pipeline",
-    "cdc_scd2_history",
-    # LATE-R12 SWAP: the composed media curation pipeline (new op,
-    # queries/llm18.py — exact sha2 dedup → perceptual collapse →
-    # scorecard under the planted-transform value oracle) takes the
-    # cdc_incremental_agg slot (r11-green, unchanged, mirror-kept;
-    # queues for r13)
-    "media_curation_pipeline",
-    # LATE-R12 SWAPS 4-6: the trim-robust audio window audit, the
-    # DCT pHash audit, and (above, in the CDC block) the composed
-    # audio curation pipeline (new ops, queries/llm18.py — each
-    # verified hash-green directly at sf0.001+sf0.01+sf0.1 before
-    # the swap) take the cdc_schema_drift / cdc_decimal_agg /
-    # cdc_apply_latest slots (all r11 DRIVER-green, unchanged,
-    # mirror-kept; queue for r13 alongside the other swap victims)
-    "multimodal_audio_trim_audit",
-    "multimodal_dct_phash_audit",
-    # LATE-R12 SWAP 3: the video frame-path audit (new op,
-    # queries/llm18.py — real AVI frame decode → per-frame aHash →
-    # inverted-index near-dup incl. the planted TRIM transform,
-    # under the planted-transform value oracle) takes the
-    # contamination_containment_screen slot (r11-green, unchanged,
-    # mirror-kept; queues for r13)
-    "multimodal_video_audit",
-    # LATE-R12 SWAP 2: the audio sample-path audit (new op,
-    # queries/llm18.py — real PCM decode → energy aHash → banded
-    # near-dup under the planted-transform value oracle) takes the
-    # skew_salted_agg slot (r11-green, unchanged, mirror-kept;
-    # queues for r13)
-    "multimodal_audio_audit",
+    # never-driver-gated rows, in FIRST per the r12 verdict
+    "video_curation_pipeline",
+    "corpus_curation_provenance",
+    "media_curation_provenance",
+    # the r10 block — oldest driver rows in the registry
+    "q12_priority_lines",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "events_asof_purchase_click",
+    "events_hourly",
+    "events_sliding_1h",
+    "events_cohort_retention",
+    "events_json_extract",
+    "sketch_approx",
+    "full_outer_nation_presence",
+    "suppliers_of_large_parts",
+    "scalar_functions_showcase",
+    "date_functions_showcase",
+    "array_map_functions_showcase",
+    "grouping_sets_orders",
+    "corpus_lm_quality_buckets",
+    "corpus_perplexity_buckets",
+    "corpus_lm_stupid_backoff",
+    "dedup_containment_pairs",
+    "embedding_random_projection",
+    "dedup_span_rewrite",
+    "events_engagement_pagerank",
+    "corpus_mojibake_audit",
+    "embedding_pca_audit",
+    "doc_semantic_dedup_audit",
+    "corpus_curation_pipeline",
+    "text_token_entropy",
+    # the six r12 swap victims (r11 driver rows)
+    "cdc_incremental_agg",
+    "skew_salted_agg",
+    "contamination_containment_screen",
+    "cdc_schema_drift",
+    "cdc_decimal_agg",
+    "cdc_apply_latest",
+    # first 9 of the r11 block (remainder queues for r14)
+    "dedup_minhash_star_audit",
+    "dedup_minhash_audit",
+    "dedup_simhash_audit",
+    "winnow_repr_audit",
+    "rag_retrieval_eval",
+    "corpus_stratified_split",
+    "containment_repr_audit",
+    "text_token_stats",
+    "text_quality_by_lang",
 ]
 
 assert len(GATE) == 50 and len(set(GATE)) == 50, "gate must be 50 distinct"
