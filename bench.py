@@ -173,6 +173,9 @@ def main() -> None:
         "audio_curation_pipeline",
         "video_curation_pipeline",
         "media_curation_provenance",
+        # no-silent-caps reports (r13)
+        "phash_cap_report",
+        "video_frame_cap_report",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -48,20 +48,12 @@ def test_every_query_runs(spark):
 SF_LARGE = "/root/testdata/sf0.1"
 ROUND_ADDITIONS = [
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
-    "multimodal_phash_audit",  # r12 NEW pixel-decode perceptual audit
-    "media_curation_pipeline",  # r12 NEW composed exact->perceptual op
-    "multimodal_audio_audit",  # r12 NEW PCM sample-path audit
-    "multimodal_video_audit",  # r12 NEW AVI frame-path audit
-    "multimodal_audio_trim_audit",  # r12 NEW windowed trim-robust audit
-    "multimodal_dct_phash_audit",  # r12 NEW DCT pHash (low-pass) audit
-    "audio_curation_pipeline",  # r12 NEW composed exact->trim-robust op
-    "video_curation_pipeline",  # r12 NEW composed exact->shot-robust op
-    "corpus_curation_provenance",  # r12 NEW row-level funnel audit
-    "media_curation_provenance",  # r12 NEW row-level media funnel audit
-    "multimodal_image_audit",  # r12 changed: doc_id >= 0 guard
-    "multimodal_dedup_audit",  # r12 changed: doc_id >= 0 guard
-    "multimodal_probe_audit",  # r12 changed: doc_id >= 0 guard
-    "multimodal_frame_plan",  # r12 changed: doc_id >= 0 guard
+    "phash_cap_report",  # r13 NEW Manku-bucket cap-exclusion audit
+    "video_frame_cap_report",  # r13 NEW inverted-index cap audit
+    "media_curation_pipeline",  # r13 changed: capped pair join default
+    "audio_curation_pipeline",  # r13 changed: capped pair join default
+    "video_curation_pipeline",  # r13 changed: capped pair join default
+    "media_curation_provenance",  # r13 changed: capped pair join default
 ]
 
 

@@ -900,6 +900,45 @@ def video_near_dup_pairs(
     )
 
 
+def video_frame_cap_report(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "fhash",
+    max_frame_freq: int = 1000,
+) -> DataFrame:
+    """One-row audit of what :func:`video_near_dup_pairs`'s
+    ``max_frame_freq`` viral-frame guard EXCLUDES — the video member
+    of the no-silent-caps family (``winnow_cap_report`` template):
+    ``(capped_fhashes, affected_media, total_fhashes, max_freq)``
+    over the distinct ``(media, frame-hash)`` inverted index the
+    pair join runs on. ``affected_media`` counts videos holding ≥1
+    over-cap frame hash — for those, shared-frame counts (and hence
+    the ≥``min_shared_frames`` containment test) run over a reduced
+    frame set. A run reads this row next to the pair list to see
+    which slice of the catalog the shot-level guarantee is weakened
+    for (black frames, logo cards). Cost: the same distinct +
+    frame-frequency pass the guarded join already runs; the viral
+    list is tiny at any scale."""
+    fh = frame_hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_fh")
+    ).distinct()
+    freq = fh.groupBy("_fh").agg(F.count(F.lit(1)).alias("_ff"))
+    stats = freq.agg(
+        F.count(F.when(F.col("_ff") > max_frame_freq, F.lit(1))).alias(
+            "capped_fhashes"
+        ),
+        F.count(F.lit(1)).alias("total_fhashes"),
+        F.coalesce(F.max("_ff"), F.lit(0)).cast("long").alias("max_freq"),
+    )
+    viral = freq.filter(F.col("_ff") > max_frame_freq).select("_fh")
+    affected = fh.join(F.broadcast(viral), "_fh", "left_semi").agg(
+        F.count_distinct("_id").alias("affected_media")
+    )
+    return stats.crossJoin(F.broadcast(affected)).select(
+        "capped_fhashes", "affected_media", "total_fhashes", "max_freq"
+    )
+
+
 def synth_avi_media(
     ids: DataFrame,
     id_col: str = "media_id",
@@ -1178,6 +1217,85 @@ def phash_near_dup_pairs(
     )
     return simhash_pairs_from_sigs(
         sig, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
+def phash_cap_report(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    blocks: int = 6,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """One-row audit of what :func:`phash_near_dup_pairs`'s
+    ``max_bucket_size`` skew guard EXCLUDES — the perceptual-hash
+    member of the repo's no-silent-caps family
+    (``functions/winnow.py::winnow_cap_report`` is the template):
+    ``(capped_buckets, affected_media, blinded_media, total_buckets,
+    max_bucket)`` over the SAME Manku permuted-table buckets the
+    pair join keys on.
+
+    ``affected_media`` counts media sitting in ≥1 oversized
+    ``(table, key)`` bucket — their recall is degraded (some clean-
+    block tables dropped). ``blinded_media`` counts media whose
+    EVERY table bucket is oversized — these are fully invisible to
+    the banded join (the only way a true pair is lost, per
+    ``simhash_pairs_from_sigs``'s contract: all of a pair's
+    clean-block tables oversized ⇒ both sides inside a ≥cap-sized
+    mutual near-dup family). A curation run reads this row next to
+    the pair list to see exactly which recall statement it still
+    has.
+
+    Cost: the identical explode + bucket-count window pass the
+    guarded pair join already runs, minus the self-join — linear in
+    n, ids and two longs through the shuffle. The per-id
+    oversized-membership count is a second window over the SAME
+    explode output (each id appears exactly once per table)."""
+    from math import comb
+
+    from pyspark.sql import Window
+
+    from tidb_cdc_spark.functions.dedup import manku_table_keys
+
+    n_tables = comb(blocks, blocks - max_hamming)
+    sig = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh")
+    )
+    keyed = manku_table_keys(
+        sig, max_hamming=max_hamming, blocks=blocks
+    ).withColumn(
+        "_bs", F.count(F.lit(1)).over(Window.partitionBy("_table", "_key"))
+    )
+    buckets = keyed.groupBy("_table", "_key").agg(
+        F.first("_bs").alias("_bs")
+    )
+    stats = buckets.agg(
+        F.count(F.when(F.col("_bs") > max_bucket_size, F.lit(1))).alias(
+            "capped_buckets"
+        ),
+        F.count(F.lit(1)).alias("total_buckets"),
+        F.coalesce(F.max("_bs"), F.lit(0)).cast("long").alias("max_bucket"),
+    )
+    per_id = keyed.groupBy("_id").agg(
+        F.count(
+            F.when(F.col("_bs") > max_bucket_size, F.lit(1))
+        ).alias("_over")
+    )
+    impact = per_id.agg(
+        F.count(F.when(F.col("_over") > 0, F.lit(1))).alias(
+            "affected_media"
+        ),
+        F.count(F.when(F.col("_over") == n_tables, F.lit(1))).alias(
+            "blinded_media"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(impact)).select(
+        "capped_buckets",
+        "affected_media",
+        "blinded_media",
+        "total_buckets",
+        "max_bucket",
     )
 
 

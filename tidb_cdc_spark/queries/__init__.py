@@ -308,16 +308,28 @@ GATE = [
     "cdc_schema_drift",
     "cdc_decimal_agg",
     "cdc_apply_latest",
-    # first 9 of the r11 block (remainder queues for r14)
+    # first 5 of the r11 block (remainder queues for r14)
     "dedup_minhash_star_audit",
     "dedup_minhash_audit",
     "dedup_simhash_audit",
     "winnow_repr_audit",
     "rag_retrieval_eval",
-    "corpus_stratified_split",
-    "containment_repr_audit",
-    "text_token_stats",
-    "text_quality_by_lang",
+    # EARLY-R13 SWAP (no-silent-caps directive): the four planned
+    # r11-block fills (corpus_stratified_split, containment_repr_audit,
+    # text_token_stats, text_quality_by_lang — all r11-green,
+    # unchanged, mirror-kept; queue for r14) yield to CHANGED and NEW
+    # code needing fresh certification: the two composed pipelines
+    # whose pair joins gained the capped production default this round
+    # (media/audio curation — video_curation_pipeline and
+    # media_curation_provenance share the change and are already gate
+    # rows above), and the two NEW cap-report audits (queries/llm18.py
+    # — Manku-bucket / inverted-index exclusion reports under the
+    # planted-arithmetic oracles, verified at sf0.001+sf0.01+sf0.1
+    # before this swap).
+    "media_curation_pipeline",
+    "audio_curation_pipeline",
+    "phash_cap_report",
+    "video_frame_cap_report",
 ]
 
 assert len(GATE) == 50 and len(set(GATE)) == 50, "gate must be 50 distinct"

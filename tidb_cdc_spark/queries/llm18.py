@@ -397,9 +397,12 @@ def media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = media.join(exact_reps, "media_id", "left_semi")
     # stage 2: perceptual collapse over survivors only (24 B hash
-    # rows; three consumers → materialized once)
+    # rows; three consumers → materialized once). Production path ⇒
+    # the CAPPED default (survivor families here are ≤2 per cluster
+    # by the plant construction — asserted in tests/test_curation.py;
+    # what a cap would exclude is never silent: phash_cap_report)
     hashes = materialize(perceptual_hashes(survivors))
-    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=1000)
     reps = cluster_representatives(
         hashes.select(F.col("media_id").alias("doc_id")), pairs
     )
@@ -483,8 +486,11 @@ def media_curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "left_semi",
     )
+    # production path ⇒ capped default (survivor families ≤2 per
+    # cluster by construction; cap exclusions surface via
+    # phash_cap_report, never silently)
     hashes = materialize(perceptual_hashes(survivors))
-    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=1000)
     cr = cluster_representatives(
         hashes.select(F.col("media_id").alias("doc_id")), pairs
     ).select(
@@ -883,8 +889,10 @@ def audio_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 2: trim-robust collapse over survivors only (~20 B
     # window-hash rows; two consumers → materialized once)
     wh = materialize(audio_window_hashes(survivors))
+    # production path ⇒ capped default (survivor window-hash doc
+    # frequency ≤2 per cluster by construction — asserted in tests)
     pairs = audio_near_dup_pairs(
-        wh, min_shared_windows=4, max_window_freq=None
+        wh, min_shared_windows=4, max_window_freq=1000
     )
     reps = cluster_representatives(
         wh.select(F.col("media_id").alias("doc_id")).distinct(), pairs
@@ -969,8 +977,11 @@ def video_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = media.join(exact_reps, "media_id", "left_semi")
     fh = materialize(video_frame_hashes(survivors))
+    # production path ⇒ capped default (survivor frame-hash doc
+    # frequency ≤2 per cluster by construction — asserted in tests;
+    # cap exclusions surface via video_frame_cap_report)
     pairs = video_near_dup_pairs(
-        fh, min_shared_frames=4, max_frame_freq=None
+        fh, min_shared_frames=4, max_frame_freq=1000
     )
     reps = cluster_representatives(
         fh.select(F.col("media_id").alias("doc_id")).distinct(), pairs
@@ -1101,6 +1112,126 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def phash_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit for the perceptual-hash banded join —
+    what ``phash_near_dup_pairs``'s ``max_bucket_size`` guard
+    excludes, reported over the SAME Manku ``(table, key)`` buckets
+    the join keys on (``functions/multimodal.py::phash_cap_report``;
+    ``winnow_cap_report`` is the template). Run here with cap=4 over
+    the ``multimodal_phash_audit`` plant so the exclusions are
+    non-trivial and DERIVABLE: within cluster ``pid = doc_id % 101``
+    every member's aHash is identical (shift-invariant, injective
+    across clusters), so each of the C(6,3)=20 permuted tables holds
+    exactly one bucket per pid of size m_pid — the cluster size —
+    and (asserted over the full 101-hash family in
+    tests/test_cap_reports.py) no two clusters collide on any table
+    key. Hence: total_buckets = 20·n_clusters, capped_buckets =
+    20·#{pid: m_pid > 4}, affected = blinded = Σ m_pid over capped
+    clusters (an identical-hash family floods ALL its tables — the
+    equality is itself the structural statement), max_bucket =
+    max m_pid — all pure id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_cap_report as _report,
+        synth_bmp_pixel_media,
+    )
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(1) + (F.col("doc_id") % 101) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_bmp_pixel_media(planted, "media_id")
+    return _report(
+        perceptual_hashes(media), max_hamming=3, max_bucket_size=4
+    )
+
+
+# plant arithmetic: identical per-cluster aHash ⇒ one bucket per
+# (table, pid) of size m_pid in each of the 20 tables; cross-cluster
+# key collisions excluded by the tested no-collision lemma
+_PHASH_CAP_SQL = """
+WITH fam AS (
+  SELECT doc_id % 101 AS pid, COUNT(*) AS m
+  FROM documents WHERE doc_id >= 0 GROUP BY pid
+)
+SELECT CAST(20 * COUNT(*) FILTER (WHERE m > 4) AS BIGINT)
+         AS capped_buckets,
+       CAST(COALESCE(SUM(m) FILTER (WHERE m > 4), 0) AS BIGINT)
+         AS affected_media,
+       CAST(COALESCE(SUM(m) FILTER (WHERE m > 4), 0) AS BIGINT)
+         AS blinded_media,
+       CAST(20 * COUNT(*) AS BIGINT) AS total_buckets,
+       CAST(MAX(m) AS BIGINT) AS max_bucket
+FROM fam
+"""
+
+
+def video_frame_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit for the video inverted-index join — what
+    ``video_near_dup_pairs``'s ``max_frame_freq`` viral-frame guard
+    excludes (``functions/multimodal.py::video_frame_cap_report``).
+    Run with cap=4 over the ``multimodal_video_audit`` plant so the
+    exclusions derive from id arithmetic: cluster ``pid = doc_id %
+    101`` plants n members of which the trimmed variants drop frame
+    0 (shift-invariant per-frame aHash ⇒ trimmed frames 1..7 hash
+    identically to the full copy's), so frame hash (pid, 0) has doc
+    frequency n_full (un-trimmed members) and (pid, 1..7) have
+    frequency n — whence capped_fhashes = Σ (7·[n>4] + [n_full>4]),
+    affected_media = Σ n over clusters with n>4 (every member holds
+    frames 1..7; n_full ≤ n makes the frame-0 term subsumed),
+    total_fhashes = Σ (7 + [n_full>0]), max_freq = max n."""
+    from tidb_cdc_spark.functions.multimodal import (
+        synth_avi_media,
+        video_frame_hashes,
+        video_frame_cap_report as _report,
+    )
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("base"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_avi_media(planted, "media_id")
+    return _report(video_frame_hashes(media), max_frame_freq=4)
+
+
+_VIDEO_CAP_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n, SUM(1 - trimmed) AS n_full
+  FROM m GROUP BY pid
+)
+SELECT CAST(SUM(7 * CASE WHEN n > 4 THEN 1 ELSE 0 END
+             + CASE WHEN n_full > 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS capped_fhashes,
+       CAST(SUM(CASE WHEN n > 4 THEN n ELSE 0 END) AS BIGINT)
+         AS affected_media,
+       CAST(SUM(7 + CASE WHEN n_full > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_fhashes,
+       CAST(MAX(n) AS BIGINT) AS max_freq
+FROM c
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -1115,6 +1246,8 @@ QUERIES = {
     "audio_curation_pipeline": audio_curation_pipeline,
     "video_curation_pipeline": video_curation_pipeline,
     "media_curation_provenance": media_curation_provenance,
+    "phash_cap_report": phash_cap_report,
+    "video_frame_cap_report": video_frame_cap_report,
 }
 
 ORACLE = {
@@ -1131,4 +1264,6 @@ ORACLE = {
     "audio_curation_pipeline": _AUDIO_CURATION_SQL,
     "video_curation_pipeline": _VIDEO_CURATION_SQL,
     "media_curation_provenance": _MEDIA_PROVENANCE_SQL,
+    "phash_cap_report": _PHASH_CAP_SQL,
+    "video_frame_cap_report": _VIDEO_CAP_SQL,
 }
