@@ -608,6 +608,39 @@ def decode_bmp_pixels(payload: bytes):
     return (r * 299 + g * 587 + b * 114) // 1000
 
 
+def decode_pixels(payload: bytes):
+    """THE pixel-decode boundary for the perceptual-hash chain, kept
+    to one function like ``decode_image_dims`` is for dims: the
+    pure-Python uncompressed-BMP path first (deterministic,
+    platform-pinned by tests — preferred even when a codec library
+    is present so BMP hashes never depend on the environment), then
+    the guarded PIL branch for compressed formats (JPEG/PNG/... get
+    REAL pixels when PIL is importable: decoded to RGB and reduced
+    with the SAME BT.601 integer luma the BMP path uses, so a
+    losslessly re-encoded image hashes identically), else None —
+    the documented NULL-hash path (``perceptual_hashes`` admits no
+    perceptual claim without pixel evidence). A decode fleet with
+    codec libs installed gets JPEG/PNG admission screening with no
+    code change; this container has no PIL, so the branch is pinned
+    by a guarded test (tests/test_phash.py)."""
+    gray = decode_bmp_pixels(payload)
+    if gray is not None:
+        return gray
+    if _PIL_Image is not None:  # pragma: no cover — no PIL here
+        import io
+
+        import numpy as np
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                arr = np.asarray(im.convert("RGB"), dtype=np.int64)
+        except Exception:
+            return None
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        return (r * 299 + g * 587 + b * 114) // 1000
+    return None
+
+
 def _box_means(gray, cells_w: int, cells_h: int):
     """Integer box-downsample: cell (i, j) is the truncating mean of
     pixels x ∈ [j·W//cw, (j+1)·W//cw), y ∈ [i·H//ch, (i+1)·H//ch).
@@ -676,14 +709,15 @@ def perceptual_hashes(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Per-media perceptual hashes via the REAL pixel path: one
-    Arrow-batched pass decoding uncompressed-BMP payloads
-    (:func:`decode_bmp_pixels`) and emitting (id, ahash, dhash).
-    Payloads without a pure-Python pixel path (JPEG/PNG/... — codec
-    territory) emit NULL hashes rather than a fake value; a decoding
-    fleet with codec libs swaps ``decode_bmp_pixels`` for the real
-    decoder and keeps everything else. Output rows are 24 B — at
-    100 TB of media the hashes shuffle, the pixels never do. The id
-    column keeps its incoming name and type."""
+    Arrow-batched pass decoding payloads through the
+    :func:`decode_pixels` boundary (pure-Python uncompressed-BMP
+    decode always; compressed JPEG/PNG/... via the guarded PIL
+    branch when a codec library is importable) and emitting
+    (id, ahash, dhash). Payloads with no available pixel path emit
+    NULL hashes rather than a fake value — no pixel evidence, no
+    perceptual claim. Output rows are 24 B — at 100 TB of media the
+    hashes shuffle, the pixels never do. The id column keeps its
+    incoming name and type."""
     out_schema = StructType(
         [
             media.schema[id_col],
@@ -697,7 +731,7 @@ def perceptual_hashes(
             a_out, d_out = [], []
             for raw in pdf[payload_col]:
                 gray = (
-                    decode_bmp_pixels(bytes(raw)) if raw is not None else None
+                    decode_pixels(bytes(raw)) if raw is not None else None
                 )
                 if gray is None:
                     a_out.append(None)
@@ -1653,10 +1687,11 @@ def dct_phashes(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Per-media DCT perceptual hashes via the REAL pixel path —
-    (id, phash) over decodable uncompressed-BMP payloads, NULL for
-    everything else (same contract as :func:`perceptual_hashes`;
-    swap :func:`decode_bmp_pixels` for a codec decoder on a decoding
-    fleet and keep the rest). Near-dup pairs over the hash reuse
+    (id, phash) over payloads decodable through the
+    :func:`decode_pixels` boundary (uncompressed BMP always;
+    JPEG/PNG via the guarded PIL branch where a codec library
+    exists), NULL for everything else — the same contract as
+    :func:`perceptual_hashes`. Near-dup pairs over the hash reuse
     :func:`phash_near_dup_pairs` (``hash_col="phash"``)."""
     out_schema = StructType(
         [media.schema[id_col], StructField("phash", LongType())]
@@ -1667,7 +1702,7 @@ def dct_phashes(
             out = []
             for raw in pdf[payload_col]:
                 gray = (
-                    decode_bmp_pixels(bytes(raw)) if raw is not None else None
+                    decode_pixels(bytes(raw)) if raw is not None else None
                 )
                 out.append(None if gray is None else dct_phash64(gray))
             yield pd.DataFrame(

@@ -852,10 +852,15 @@ class PhashAdmissionSink:
       smallest id (same conservative chain rule as
       ``near_dup_ingest`` — C colliding only with rejected B is
       still rejected);
-    - rows whose payload has no real pixel path (NULL hash —
-      compressed formats without a codec) are ADMITTED unscreened
-      and not indexed: no pixel evidence, no perceptual claim
-      (route them through ``DigestAdmissionSink`` for exact dedup).
+    - rows whose payload has no available pixel path (NULL hash)
+      are ADMITTED unscreened and not indexed: no pixel evidence,
+      no perceptual claim (route them through
+      ``DigestAdmissionSink`` for exact dedup). The pixel boundary
+      is ``functions/multimodal.decode_pixels``: uncompressed BMP
+      always (pure Python); compressed JPEG/PNG get REAL pixels via
+      the guarded PIL branch wherever a codec library is importable
+      — a decode fleet with PIL installed screens those formats
+      with no sink change.
 
     ``_PARAMS`` pins ``n_buckets`` AND the key layout
     (``blocks``/``max_hamming``/``hash_col``): a restart with a
