@@ -1225,6 +1225,49 @@ class TestIvfIndexSink:
         # and the near cluster's members are what comes back
         assert all(10 <= r.neighbor_id < 20 for r in a)
 
+    def test_torn_append_healed_by_search_and_compact(self, spark, tmp_path):
+        """ADVICE r12: a crash AFTER the index append but BEFORE the
+        watermark commit duplicates the batch on re-delivery. The
+        raw store then really holds duplicate (vec_id, cell) rows —
+        but search() dedupes candidates (no neighbor consumes two
+        top-k slots) and compact() removes them permanently."""
+        import os
+
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        root = str(tmp_path / "ivf")
+        corpus = self._corpus()
+        sink = IvfIndexSink(root, n_cells=3, seed=7)
+        sink.process(self._batch(spark, corpus[:20]), 0)
+        sink.process(self._batch(spark, corpus[20:]), 1)
+        # simulate the torn window: append of batch 1 landed, its
+        # watermark commit did not
+        os.remove(os.path.join(root, "_BATCH"))
+        # hack: restore watermark to batch 0 (the last COMMITTED one)
+        from tidb_cdc_spark.streaming.enrich import _watermark_commit
+
+        _watermark_commit(root, 0)
+        sink.process(self._batch(spark, corpus[20:]), 1)  # re-delivery
+        raw = sink.read_index(spark)
+        assert raw.count() == 40  # duplicates really exist on disk
+        assert raw.select("vec_id").distinct().count() == 30
+
+        queries = self._batch(spark, self._vecs(range(100, 103), 2))
+        res = sink.search(spark, queries, k=8, n_probe=3).collect()
+        for qid in {r.query_id for r in res}:
+            ns = [r.neighbor_id for r in res if r.query_id == qid]
+            assert len(ns) == len(set(ns)), "duplicate neighbor in top-k"
+        # the duplicated cluster's ten members all make top-8's pool:
+        # a duplicate consuming two slots would push one out
+        assert {r.neighbor_id for r in res} >= set(range(20, 28))
+
+        sink.compact(spark)
+        healed = sink.read_index(spark)
+        assert healed.count() == 30  # permanent heal
+        res2 = sink.search(spark, queries, k=8, n_probe=3).collect()
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        assert sorted(res, key=key) == sorted(res2, key=key)
+
     def test_compact_collapses_files_preserves_search(self, spark, tmp_path):
         import glob
 

@@ -330,3 +330,36 @@ def test_pil_absent_in_container_pins_skip_reason():
     except ImportError:
         have_pil = False
     assert (_PIL_Image is not None) == have_pil
+
+
+def test_dct_plant_coefficients_clear_rounding_boundaries():
+    """ADVICE r12: dct_phash64 is float64 (BLAS matmuls) — rounding
+    determinism across platforms holds only if no true coefficient
+    sits near an x.5 boundary where float residue could flip
+    np.rint the other way. Prove the audit family is safe: every
+    low-frequency coefficient of all 101 plant words, BOTH variants,
+    sits >= 1e-4 from the nearest .5 boundary (measured minimum
+    2.99e-4). Cross-BLAS evaluation error on a 32-point orthonormal
+    DCT of means <= ~6400 is O(n*eps*|x|) ~ 1e-11 — the margin
+    dominates it by seven orders, so cross-platform drift is
+    provably absorbed. (The r12 advice suggested asserting 0.05;
+    that margin is empirically FALSE for this family — 200 of the
+    12,928 coefficients sit closer — so the guard pins the margin
+    that is actually true and still conclusive.)"""
+    from tidb_cdc_spark.functions.multimodal import (
+        _box_means,
+        _dct32_basis,
+    )
+
+    c = _dct32_basis()
+    worst = 1.0
+    for pid in range(101):
+        wd = 1 + (pid * 643) % 65534
+        for delta, eps in [(0, 0), (20, 6)]:
+            m = _box_means(_block16_gray(wd, delta, eps), 32, 32).astype(
+                np.float64
+            )
+            low = (c @ m @ c.T)[:8, :8].ravel()
+            frac = np.abs(low - np.floor(low) - 0.5)  # 0 at a boundary
+            worst = min(worst, float(frac.min()))
+    assert worst >= 1e-4, f"coefficient within {worst} of a .5 boundary"

@@ -1664,7 +1664,22 @@ def dct_phash64(gray) -> "int | None":
     otherwise be float-noise coin flips. Rounding quantizes the
     residue away, making the hash tie-deterministic and
     brightness-shift invariant exactly (pinned over the audit's full
-    plant domain in tests/test_phash.py). Signed 64-bit."""
+    plant domain in tests/test_phash.py). Signed 64-bit.
+
+    Platform caveat (ADVICE r12): this is the one hash in the
+    perceptual family computed in float64 (np.cos basis + two
+    matmuls) — aHash/dHash's all-integer determinism does NOT carry
+    over. ``np.rint`` absorbs the ~1e-13 residue only while no true
+    coefficient lands near an x.5 boundary, where a different
+    BLAS/platform could round the other way. For the planted audit
+    family this is PROVABLY absorbed: tests/test_phash.py asserts
+    every low-frequency coefficient of all 101 plant words (both
+    variants) sits ≥1e-4 from the nearest .5 boundary (measured min
+    2.99e-4) — seven orders above the ~1e-11 cross-BLAS evaluation
+    error bound — so the oracle hash is platform-independent.
+    Arbitrary real images carry no such
+    guarantee; treat cross-platform pHash equality as probabilistic
+    at the last ulp."""
     import numpy as np
 
     if gray.shape[0] < 32 or gray.shape[1] < 32:

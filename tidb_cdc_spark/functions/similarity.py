@@ -272,6 +272,7 @@ def ivf_probe_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedupe_ids: bool = False,
 ) -> DataFrame:
     """Top-k search against a persisted ``ivf_write_index`` layout.
 
@@ -283,6 +284,12 @@ def ivf_probe_index(
     ``PartitionFilters``, independent of runtime DPP heuristics.
     Candidates then equi-join on cell against the broadcast tagged
     queries; exact cosine re-ranks (same contract as ``knn_ivf``).
+
+    ``dedupe_ids`` drops duplicate ``id_col`` rows from the pruned
+    scan before the join — the streaming ``IvfIndexSink`` sets it to
+    heal torn-append replay duplicates (bit-identical rows under its
+    fixed-centroid contract, so keep-any is exact). A batch-built
+    index has no duplicates; the default skips the extra exchange.
     """
     from tidb_cdc_spark.session import materialize
 
@@ -308,6 +315,9 @@ def ivf_probe_index(
             F.col("cell").alias("_cell"),
         )
     )
+    if dedupe_ids:
+        # pruned-subset-sized exchange only (probed cells, not corpus)
+        scan = scan.dropDuplicates(["neighbor_id"])
     cands = scan.join(F.broadcast(qd), "_cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

@@ -137,6 +137,7 @@ def _tables_compact(
     paths: dict[str, str],
     files_per_table: int | None = None,
     partitioned: dict[str, list[str]] | None = None,
+    dedupe: dict[str, list[str]] | None = None,
 ) -> dict:
     """Rewrite each store table into ~128 MB files (or exactly
     ``files_per_table``) and swap the directory in; returns
@@ -144,7 +145,10 @@ def _tables_compact(
     with ``_table_recover_compact`` healing either torn state.
     Tables named in ``partitioned`` keep their directory-partition
     columns through the rewrite (one file per partition value after
-    clustering on the partition key)."""
+    clustering on the partition key). Tables named in ``dedupe``
+    additionally drop duplicate rows on the given key columns during
+    the rewrite — the permanent heal for a sink whose appends can be
+    torn-duplicated on replay (``IvfIndexSink``)."""
     import glob
     import os
     import shutil
@@ -162,20 +166,21 @@ def _tables_compact(
         tmp, old = p + ".compact.tmp", p + ".compact.old"
         shutil.rmtree(tmp, ignore_errors=True)
         part_cols = (partitioned or {}).get(name)
+        src = spark.read.parquet(p)
+        dedupe_cols = (dedupe or {}).get(name)
+        if dedupe_cols:
+            src = src.dropDuplicates(dedupe_cols)
         if part_cols:
             # cluster on the partition key so every partition dir
             # collapses to one file regardless of task count
             (
-                spark.read.parquet(p)
-                .repartition(n, *part_cols)
+                src.repartition(n, *part_cols)
                 .write.partitionBy(*part_cols)
                 .mode("overwrite")
                 .parquet(tmp)
             )
         else:
-            spark.read.parquet(p).repartition(n).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            src.repartition(n).write.mode("overwrite").parquet(tmp)
         os.rename(p, old)
         os.rename(tmp, p)
         shutil.rmtree(old)
@@ -1719,10 +1724,20 @@ class IvfIndexSink:
       compose with ``DigestAdmissionSink`` upstream when ingest
       must also dedup);
     - replay: batch-id watermark written LAST (atomic rename) makes
-      re-delivery a no-op — appends are not idempotent;
+      re-delivery a no-op ONCE the watermark commit succeeded. The
+      window in between is NOT idempotent: a crash after the index
+      append but before the commit means the re-delivered batch
+      appends the same vectors again (duplicate (vec_id, cell) rows
+      — duplication, never loss, the admission stores' shared
+      failure direction). Both read surfaces heal it: ``search()``
+      dedupes candidates on vec_id over the PRUNED probed-cell scan
+      (fixed centroids ⇒ torn duplicates are bit-identical rows, so
+      keep-any is exact; cost ∝ probed cells, not the corpus), and
+      ``compact()`` drops duplicate vec_ids during the rewrite — the
+      permanent heal;
     - ``compact()`` collapses the per-batch file fragments per cell
       (rename-swap, torn-state healed — the admission sinks'
-      shared mechanics).
+      shared mechanics) and dedupes vec_id as above.
     """
 
     def __init__(
@@ -1806,6 +1821,9 @@ class IvfIndexSink:
             n_probe=n_probe,
             id_col=self.id_col,
             vec_col=self.vec_col,
+            # heal torn-append duplicates (see class docstring) so a
+            # replayed batch can never consume top-k slots twice
+            dedupe_ids=True,
         )
 
     def read_index(self, spark) -> DataFrame | None:
@@ -1824,6 +1842,7 @@ class IvfIndexSink:
             {"index": self._path("index")},
             files_per_table,
             partitioned={"index": ["cell"]},
+            dedupe={"index": [self.id_col]},
         )
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
