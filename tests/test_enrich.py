@@ -840,10 +840,16 @@ class TestBucketedIndexScale:
         plan = seen._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
-        assert "PartitionFilters" in plan
-        # the bucket filter reached the scan's partition pruning
-        pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
-        assert any("bucket" in l for l in pf_lines), pf_lines
+        # r13 manifest screen: pruning happens BEFORE the plan — the
+        # scan's input files are exactly the touched buckets' files
+        # from the manifest, with zero directory listing (stronger
+        # than the old PartitionFilters pin)
+        assert os.path.exists(os.path.join(root, "digests.manifest"))
+        in_buckets = {
+            int(f.split("bucket=")[1].split("/")[0])
+            for f in store.inputFiles()
+        }
+        assert in_buckets <= set(touched), (in_buckets, touched)
         assert seen.count() == 1  # exactly the planted dup
 
     def test_bucketed_store_without_params_refuses(self, spark, tmp_path):
@@ -930,11 +936,12 @@ class TestBucketedIndexScale:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
-        assert any(
-            "bucket" in l
-            for l in plan.splitlines()
-            if "PartitionFilters" in l
-        )
+        # r13 manifest screen (see the digest sink's plan test)
+        in_buckets = {
+            int(f.split("bucket=")[1].split("/")[0])
+            for f in store.inputFiles()
+        }
+        assert in_buckets <= set(touched), (in_buckets, touched)
         pairs = {(r.new_id, r.corpus_id) for r in candidates.collect()}
         assert (10, 3) in pairs  # the planted cross-batch near-dup
 
@@ -1069,9 +1076,12 @@ class TestPhashAdmissionSink:
         plan = cand._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
-        assert any(
-            "bucket" in l for l in plan.splitlines() if "PartitionFilters" in l
-        )
+        # r13 manifest screen (see the digest sink's plan test)
+        in_buckets = {
+            int(f.split("bucket=")[1].split("/")[0])
+            for f in store.inputFiles()
+        }
+        assert in_buckets <= set(touched), (in_buckets, touched)
 
 
 
@@ -1336,3 +1346,128 @@ class TestIvfIndexSink:
         queries = self._batch(spark, self._vecs(range(200, 202), 0))
         hits = sink.search(spark, queries, k=3, n_probe=1).collect()
         assert hits and all(0 <= r.neighbor_id < 10 for r in hits)
+
+
+class TestAudioWindowAdmissionSink:
+    """Trim-robust audio admission: the ingest twin of
+    multimodal_audio_trim_audit. Plants use synth_wav_windowed_media
+    (real PCM payloads); a trim(2 windows)+regain(x3) copy has
+    DIFFERENT bytes and a different clip fingerprint but shares 6
+    window hashes — exactly the transform the exact-digest and
+    clip-fingerprint screens structurally cannot catch."""
+
+    def _media(self, spark, rows):
+        """rows: (media_id, base, skip, gain) → real WAV batch."""
+        from tidb_cdc_spark.functions.multimodal import (
+            synth_wav_windowed_media,
+        )
+
+        ids = spark.createDataFrame(
+            rows, "media_id long, base int, skip int, gain int"
+        )
+        return synth_wav_windowed_media(ids, "media_id")
+
+    def test_trimmed_copy_screened_novel_admitted(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import AudioWindowAdmissionSink
+
+        root = str(tmp_path / "store")
+        sink = AudioWindowAdmissionSink(root)
+        sink.process(self._media(spark, [(1, 5, 0, 1), (2, 9, 0, 1)]), 0)
+        # 10 = trim+regain of stored clip 1 (different bytes, shares
+        # 6 >= 4 window hashes); 11 = novel
+        sink.process(self._media(spark, [(10, 5, 2, 3), (11, 42, 0, 1)]), 1)
+        got = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert got == {1, 2, 11}
+        # index holds only admitted clips' windows
+        idx = spark.read.parquet(f"{root}/windows")
+        assert set(r.media_id for r in idx.collect()) == {1, 2, 11}
+        # manifest-backed screen store
+        assert os.path.exists(f"{root}/windows.manifest")
+
+    def test_intra_batch_chain_rule(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import AudioWindowAdmissionSink
+
+        root = str(tmp_path / "store")
+        sink = AudioWindowAdmissionSink(root)
+        # full clip + its trimmed copy in the SAME batch: smallest
+        # id admitted, the copy rejected
+        sink.process(self._media(spark, [(3, 7, 0, 1), (8, 7, 2, 3)]), 0)
+        got = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert got == {3}
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import AudioWindowAdmissionSink
+
+        root = str(tmp_path / "store")
+        sink = AudioWindowAdmissionSink(root)
+        sink.process(self._media(spark, [(1, 5, 0, 1)]), 0)
+        sink.process(self._media(spark, [(2, 6, 0, 1)]), 1)
+        n = sink.read_corpus(spark).count()
+        ni = spark.read.parquet(f"{root}/windows").count()
+        sink.process(self._media(spark, [(2, 6, 0, 1)]), 1)  # re-delivery
+        assert sink.read_corpus(spark).count() == n
+        assert spark.read.parquet(f"{root}/windows").count() == ni
+
+    def test_compaction_preserves_screen(self, spark, tmp_path):
+        import glob
+
+        from tidb_cdc_spark.streaming import AudioWindowAdmissionSink
+
+        root = str(tmp_path / "store")
+        sink = AudioWindowAdmissionSink(root)
+        for b in range(4):
+            sink.process(self._media(spark, [(b, b, 0, 1)]), b)
+        before = len(glob.glob(f"{root}/windows/**/*.parquet", recursive=True))
+        stats = sink.compact(spark)
+        after = len(glob.glob(f"{root}/windows/**/*.parquet", recursive=True))
+        assert after < before and stats["windows"][1] == after
+        # screen still catches a trimmed copy of a pre-compact clip
+        sink.process(self._media(spark, [(50, 2, 2, 3), (51, 77, 0, 1)]), 4)
+        got = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert 51 in got and 50 not in got
+
+    def test_layout_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tidb_cdc_spark.streaming import AudioWindowAdmissionSink
+
+        root = str(tmp_path / "store")
+        sink = AudioWindowAdmissionSink(root)
+        sink.process(self._media(spark, [(1, 5, 0, 1)]), 0)
+        # mismatched window layout refuses
+        with _pytest.raises(ValueError, match="window_samples"):
+            AudioWindowAdmissionSink(root, window_samples=256).process(
+                self._media(spark, [(2, 6, 0, 1)]), 1
+            )
+        # mismatched threshold refuses
+        with _pytest.raises(ValueError, match="min_shared_windows"):
+            AudioWindowAdmissionSink(root, min_shared_windows=2).process(
+                self._media(spark, [(2, 6, 0, 1)]), 1
+            )
+        # lost _PARAMS with an existing index refuses
+        os.remove(os.path.join(root, "_PARAMS"))
+        with _pytest.raises(ValueError, match="_PARAMS"):
+            AudioWindowAdmissionSink(root).process(
+                self._media(spark, [(2, 6, 0, 1)]), 1
+            )
+
+    def test_null_sample_path_admitted_unscreened(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming import AudioWindowAdmissionSink
+
+        root = str(tmp_path / "store")
+        sink = AudioWindowAdmissionSink(root)
+        sink.process(self._media(spark, [(1, 5, 0, 1)]), 0)
+        # a payload with no decodable PCM: admitted, not indexed
+        undecodable = spark.createDataFrame(
+            [(9, "audio", None, None, None, None, bytearray(b"not-a-wav"))],
+            "media_id long, kind string, mime string, width int, "
+            "height int, duration_ms long, payload binary",
+        )
+        sink.process(undecodable, 1)
+        got = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert 9 in got
+        idx_ids = {
+            r.media_id
+            for r in spark.read.parquet(f"{root}/windows").collect()
+        }
+        assert 9 not in idx_ids

@@ -150,3 +150,110 @@ class TestCdcToCorpusChain:
         # in test_cdc_apply.py)
         assert (10, "already shipped body") not in got
         assert (11, "fresh body A") in got and (11, "fresh body B") in got
+
+
+class TestCdcFeedsCurationSurface:
+    """r12 verdict #6: the "CDC feeds the curation surface" story
+    (SURVEY §0) as ONE executed test instead of prose — file-stream
+    Maxwell events carrying document payloads → Connector →
+    ParquetSnapshotSink → corpus_curation_provenance over the
+    CDC-maintained snapshot EQUALS the batch run over the same
+    final table state (inserts + an update + a delete applied)."""
+
+    def test_provenance_over_cdc_snapshot_equals_batch(self, spark, tmp_path):
+        from tidb_cdc_spark.cdc.spec import ColumnSpec, TableSpec
+        from tidb_cdc_spark.queries.llm9 import corpus_curation_provenance
+        from tidb_cdc_spark.sources import maxwell_file_stream
+        from tidb_cdc_spark.streaming import (
+            Connector,
+            ConnectorConfig,
+            ParquetSnapshotSink,
+        )
+
+        docs = [
+            r.asDict()
+            for r in read_table(spark, SF, "documents")
+            .orderBy("doc_id")
+            .limit(150)
+            .collect()
+        ]
+        spec = TableSpec(
+            database="crawl",
+            table="documents",
+            columns=(
+                ColumnSpec("DocId", "bigint", column="doc_id", pk=True),
+                ColumnSpec("Text", "string", column="text"),
+                ColumnSpec("Lang", "string", column="lang"),
+                ColumnSpec("Source", "string", column="source"),
+                ColumnSpec("NChars", "bigint", column="n_chars"),
+            ),
+        )
+
+        def msg(op, d, ts):
+            return json.dumps(
+                {
+                    "database": "crawl",
+                    "table": "documents",
+                    "type": op,
+                    "ts": ts,
+                    "data": d,
+                }
+            )
+
+        events = tmp_path / "events"
+        os.makedirs(events, exist_ok=True)
+        # batch 1: the initial crawl inserts
+        with open(events / "b1.jsonl", "w") as f:
+            f.write("\n".join(msg("insert", d, 100 + i) for i, d in enumerate(docs)))
+        # batch 2: CDC churn — one doc re-crawled with new text (an
+        # exact copy of another doc: the funnel must now dedup it),
+        # one doc deleted (must vanish from every provenance row)
+        upd = dict(docs[7])
+        upd["text"] = docs[3]["text"]
+        upd["n_chars"] = docs[3]["n_chars"]
+        dele = dict(docs[11])
+        with open(events / "b2.jsonl", "w") as f:
+            f.write(msg("update", upd, 500) + "\n" + msg("delete", dele, 501))
+
+        sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+        conn = Connector(
+            ConnectorConfig(
+                server_name="srv", checkpoint_root=str(tmp_path / "ck")
+            )
+        )
+        conn.register(spec, [sink], source=maxwell_file_stream(spark, str(events)))
+        for q in conn.start(spark, available_now=True):
+            q.awaitTermination()
+
+        snapshot = sink.read_current(spark)
+        assert snapshot.count() == len(docs) - 1  # delete applied
+        # the snapshot IS the curation input: write it as the
+        # documents table of a scale-factor directory
+        cdc_sf = str(tmp_path / "cdc_sf")
+        snapshot.write.parquet(os.path.join(cdc_sf, "documents.parquet"))
+
+        # the same final state, built batch-side
+        batch_sf = str(tmp_path / "batch_sf")
+        expected = [d for d in docs if d["doc_id"] != dele["doc_id"]]
+        expected = [upd if d["doc_id"] == upd["doc_id"] else d for d in expected]
+        spark.createDataFrame(expected).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).write.parquet(os.path.join(batch_sf, "documents.parquet"))
+
+        got = {
+            tuple(r)
+            for r in corpus_curation_provenance(spark, cdc_sf).collect()
+        }
+        want = {
+            tuple(r)
+            for r in corpus_curation_provenance(spark, batch_sf).collect()
+        }
+        assert got == want and len(got) == len(docs) - 1
+        # and the churn is visible in the funnel itself: the
+        # re-crawled doc now loses exact dedup to its copy
+        outcome = {
+            r.doc_id: r.outcome
+            for r in corpus_curation_provenance(spark, cdc_sf).collect()
+        }
+        assert outcome[upd["doc_id"]] == "dropped_duplicate"
+        assert dele["doc_id"] not in outcome

@@ -306,9 +306,19 @@ def ivf_probe_index(
     )
     # distinct probed cells: ≤ n_cells values (index metadata, not data)
     probed = sorted(r._cell for r in qd.select("_cell").distinct().collect())
+    # listing-free scan when the index has a manifest (the streaming
+    # IvfIndexSink maintains one; a batch-built index reads the
+    # classic way): probed cells resolve to explicit file paths, so
+    # the probe never lists the cell directories
+    from tidb_cdc_spark.manifest import _manifest_pruned_scan
+
+    idx = _manifest_pruned_scan(spark, f"{path}/index", "cell", probed)
+    if idx is None:
+        idx = spark.read.parquet(f"{path}/index").filter(
+            F.col("cell").isin(probed)
+        )
     scan = (
-        spark.read.parquet(f"{path}/index")
-        .filter(F.col("cell").isin(probed))
+        idx
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cv"),

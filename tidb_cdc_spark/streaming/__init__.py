@@ -14,6 +14,7 @@ from tidb_cdc_spark.streaming.sinks import (
 from tidb_cdc_spark.streaming.connector import Connector, ConnectorConfig
 from tidb_cdc_spark.streaming.enrich import (
     CountMinSink,
+    AudioWindowAdmissionSink,
     DigestAdmissionSink,
     HllDistinctSink,
     IvfIndexSink,
@@ -28,6 +29,7 @@ __all__ = [
     "Connector",
     "ConnectorConfig",
     "CountMinSink",
+    "AudioWindowAdmissionSink",
     "DigestAdmissionSink",
     "HllDistinctSink",
     "IvfIndexSink",

@@ -184,6 +184,10 @@ def _tables_compact(
         os.rename(p, old)
         os.rename(tmp, p)
         shutil.rmtree(old)
+        if part_cols:
+            # the rewrite replaced every file: swap a fresh manifest
+            # in so the listing-free screen never sees dead entries
+            _manifest_rebuild(p, part_cols[0])
         stats[name] = (
             len(files),
             len(
@@ -253,6 +257,20 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
     ).cast("int")
 
 
+# store-manifest helpers live in a neutral module so the batch probe
+# side (functions/similarity.ivf_probe_index) can share them without
+# importing the streaming layer; re-exported here because they are
+# part of the admission stores' mechanics
+from tidb_cdc_spark.manifest import (  # noqa: E402
+    _manifest_file,
+    _manifest_pruned_scan,
+    _manifest_read,
+    _manifest_rebuild,
+    _manifest_update,
+    _manifest_write,
+)
+
+
 def _flat_files(path: str) -> list[str]:
     import glob
     import os
@@ -298,6 +316,7 @@ def _migrate_flat_index(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    _manifest_rebuild(path, "bucket")
 
 
 class NearDupAdmissionSink:
@@ -383,10 +402,19 @@ class NearDupAdmissionSink:
 
         p = self._path("bands")
         if os.path.exists(p):
+            if touched:
+                # listing-free screen: touched buckets resolved to
+                # explicit files from the manifest (r13 — removes
+                # the per-directory listing constant the r12
+                # rehearsal measured)
+                pruned = _manifest_pruned_scan(spark, p, "bucket", touched)
+                if pruned is not None:
+                    return pruned
             store = spark.read.parquet(p)
             if touched is not None:
                 # empty batch => empty touched: read nothing rather
-                # than lean on isin([]) semantics
+                # than lean on isin([]) semantics; no-manifest
+                # legacy stores keep the listing + partition filter
                 store = (
                     store.filter(F.col("bucket").isin(touched))
                     if touched
@@ -547,6 +575,11 @@ class NearDupAdmissionSink:
             candidates.write.mode("append").parquet(self._path("candidates"))
         finally:
             clean.unpersist()
+        # refresh the touched buckets' manifest entries (relists only
+        # the dirs this append wrote); committed BEFORE the watermark
+        # so replay-after-crash relists the same dirs and re-covers
+        # any unmanifested files
+        _manifest_update(self._path("bands"), "bucket", touched)
         _watermark_commit(self.root, batch_id)
 
 
@@ -659,10 +692,19 @@ class DigestAdmissionSink:
         p = self._path("digests")
         _table_recover_compact(p)
         if os.path.exists(p):
+            if touched:
+                # listing-free screen: touched buckets resolved to
+                # explicit files from the manifest (r13 — removes
+                # the per-directory listing constant the r12
+                # rehearsal measured)
+                pruned = _manifest_pruned_scan(spark, p, "bucket", touched)
+                if pruned is not None:
+                    return pruned
             store = spark.read.parquet(p)
             if touched is not None:
                 # empty batch => empty touched: read nothing rather
-                # than lean on isin([]) semantics
+                # than lean on isin([]) semantics; no-manifest
+                # legacy stores keep the listing + partition filter
                 store = (
                     store.filter(F.col("bucket").isin(touched))
                     if touched
@@ -826,6 +868,9 @@ class DigestAdmissionSink:
                 seen.unpersist()
         finally:
             rep.unpersist()
+        # touched-dirs-only manifest refresh, before the watermark
+        # (see NearDupAdmissionSink.process)
+        _manifest_update(self._path("digests"), "bucket", touched)
         _watermark_commit(self.root, batch_id)
 
 
@@ -947,10 +992,19 @@ class PhashAdmissionSink:
         p = self._path("phashes")
         _table_recover_compact(p)
         if os.path.exists(p):
+            if touched:
+                # listing-free screen: touched buckets resolved to
+                # explicit files from the manifest (r13 — removes
+                # the per-directory listing constant the r12
+                # rehearsal measured)
+                pruned = _manifest_pruned_scan(spark, p, "bucket", touched)
+                if pruned is not None:
+                    return pruned
             store = spark.read.parquet(p)
             if touched is not None:
                 # empty batch => empty touched: read nothing rather
-                # than lean on isin([]) semantics
+                # than lean on isin([]) semantics; no-manifest
+                # legacy stores keep the listing + partition filter
                 store = (
                     store.filter(F.col("bucket").isin(touched))
                     if touched
@@ -1116,6 +1170,298 @@ class PhashAdmissionSink:
                 rejected.unpersist()
         finally:
             keyed.unpersist()
+        # touched-dirs-only manifest refresh, before the watermark
+        # (see NearDupAdmissionSink.process)
+        _manifest_update(self._path("phashes"), "bucket", touched)
+        _watermark_commit(self.root, batch_id)
+
+
+class AudioWindowAdmissionSink:
+    """foreachBatch body for TRIM-ROBUST audio admission — the
+    ingest twin of ``multimodal_audio_trim_audit`` (its batch form),
+    closing the transform gap the other two media admission passes
+    leave open: ``DigestAdmissionSink`` catches byte-identical
+    re-uploads, a clip-fingerprint screen would catch regained
+    copies, but a copy TRIMMED by whole windows moves every
+    clip-level frame boundary — only the per-window inverted index
+    catches it. Admit a clip only if it shares fewer than
+    ``min_shared_windows`` DISTINCT window hashes with every stored
+    clip (the same containment test ``functions/multimodal.
+    audio_near_dup_pairs`` runs in batch; reference parity:
+    SURVEY §2's north-star ingest additions, not a reference op).
+
+    - window hashes come from the REAL sample path
+      (``audio_window_hashes`` — pure-Python 16-bit PCM decode in
+      the Arrow pass, fixed 512-sample windows, gain-invariant
+      energy fingerprints; ~20 B rows, samples never shuffle);
+    - the persisted index ``<root>/windows`` holds the DISTINCT
+      (id, whash) rows of admitted clips, bucket-partitioned on
+      ``pmod(xxhash64(whash), n_buckets)`` with the admission
+      stores' shared screen shape: touched buckets resolve to
+      explicit files via the store manifest (listing-free), the
+      index is STREAMED against the broadcast batch windows, never
+      shuffled, never sorted;
+    - cross-batch: candidates count DISTINCT shared windows per
+      (new, stored) pair; ≥ ``min_shared_windows`` rejects the new
+      clip. A viral window (digital silence, a jingle sting) fans
+      out like a viral frame in ``video_near_dup_pairs`` — the
+      batch-side cap-report (``video_frame_cap_report`` over the
+      window index) is the offline quantifier; at ingest the fanout
+      is bounded by batch windows × the viral hash's bucket rows,
+      still shuffle-free;
+    - intra-batch: near-dup pairs within the batch admit the
+      smallest id (the conservative chain rule shared with
+      ``near_dup_ingest``/``PhashAdmissionSink``);
+    - clips with NO decodable PCM emit no windows and are ADMITTED
+      unscreened and not indexed: no sample evidence, no window
+      claim (route through ``DigestAdmissionSink`` for exact dedup).
+
+    ``_PARAMS`` pins ``n_buckets`` AND the window layout
+    (``window_samples`` — stored hashes are meaningless under a
+    different window size) AND ``min_shared_windows`` (a restart
+    with a different threshold would silently change which stored
+    evidence rejects); a mismatch raises. Replay safety and
+    maintenance follow the admission-store conventions (batch-id
+    watermark written LAST, corpus-first append order — duplication
+    on replay, never loss; manifest refreshed per touched bucket
+    before the watermark; rename-swap ``compact()``)."""
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "media_id",
+        payload_col: str = "payload",
+        window_samples: int = 512,
+        min_shared_windows: int = 4,
+        n_buckets: int = 64,
+    ):
+        self.root = root
+        self.id_col, self.payload_col = id_col, payload_col
+        self.window_samples = window_samples
+        self.min_shared_windows = min_shared_windows
+        self.n_buckets = n_buckets  # creation default; _PARAMS wins
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.root, name)
+
+    def _last_batch_id(self) -> int | None:
+        return _watermark_read(self.root)
+
+    def _params(self) -> dict:
+        """Live store parameters; creates them for a fresh store,
+        refuses a layout mismatch or a store with lost _PARAMS."""
+        import os
+
+        want = {
+            "layout": "bucketed",
+            "n_buckets": self.n_buckets,
+            "window_samples": self.window_samples,
+            "min_shared_windows": self.min_shared_windows,
+        }
+        params = _store_params_read(self.root)
+        if params is None:
+            if os.path.exists(self._path("windows")):
+                raise ValueError(
+                    f"window index at {self._path('windows')} exists "
+                    "but the store's _PARAMS file is missing — restore "
+                    "it (the window layout cannot be inferred from data)"
+                )
+            _store_params_write(self.root, want)
+            return want
+        for k in ("window_samples", "min_shared_windows"):
+            if params.get(k) != want[k]:
+                raise ValueError(
+                    f"audio window store {k}={params.get(k)!r} does not "
+                    f"match sink {k}={want[k]!r} — the persisted window "
+                    "hashes are layout-specific; rebuild the store or "
+                    "match the sink configuration"
+                )
+        return params
+
+    def read_corpus(self, spark) -> DataFrame | None:
+        import os
+
+        p = self._path("corpus")
+        _table_recover_compact(p)
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    def _window_store(
+        self, spark, batch: DataFrame, touched: "list[int] | None" = None
+    ) -> DataFrame:
+        import os
+
+        p = self._path("windows")
+        _table_recover_compact(p)
+        if os.path.exists(p):
+            if touched:
+                # listing-free screen via the store manifest (r13)
+                pruned = _manifest_pruned_scan(spark, p, "bucket", touched)
+                if pruned is not None:
+                    return pruned
+            store = spark.read.parquet(p)
+            if touched is not None:
+                store = (
+                    store.filter(F.col("bucket").isin(touched))
+                    if touched
+                    else store.limit(0)
+                )
+            return store
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(
+                        self.id_col, batch.schema[self.id_col].dataType
+                    ),
+                    StructField("whash", LongType()),
+                ]
+            ),
+        )
+
+    def compact(
+        self,
+        spark,
+        files_per_table: int | None = None,
+        n_buckets: int | None = None,
+    ) -> dict:
+        """Small-files maintenance, stream stopped — shared
+        mechanics; ``n_buckets`` re-buckets the window index while
+        compacting (manifest rebuilt by the rewrite)."""
+        params = self._params()
+        if n_buckets is not None and n_buckets != params["n_buckets"]:
+            import os
+            import shutil
+
+            p = self._path("windows")
+            _table_recover_compact(p)
+            if os.path.exists(p):
+                tmp, old = p + ".compact.tmp", p + ".compact.old"
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    spark.read.parquet(p)
+                    .drop("bucket")
+                    .withColumn("bucket", _bucket_expr(["whash"], n_buckets))
+                    .repartition("bucket")
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(tmp)
+                )
+                os.rename(p, old)
+                os.rename(tmp, p)
+                shutil.rmtree(old)
+                _manifest_rebuild(p, "bucket")
+            _store_params_write(self.root, {**params, "n_buckets": n_buckets})
+        return _tables_compact(
+            spark,
+            {n: self._path(n) for n in ("corpus", "windows")},
+            files_per_table,
+            partitioned={"windows": ["bucket"]},
+        )
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        from tidb_cdc_spark.functions.multimodal import audio_window_hashes
+        from tidb_cdc_spark.streaming.sinks import guard_batch_watermark
+
+        if guard_batch_watermark(
+            self._last_batch_id(), batch_id, "audio window store"
+        ):
+            return  # at-least-once re-delivery
+        _table_recover_compact(self._path("corpus"))
+        params = self._params()
+        nb = int(params["n_buckets"])
+        spark = batch.sparkSession
+        # DISTINCT (id, whash) rows off the real sample path; clips
+        # without decodable PCM emit no rows and bypass the screen.
+        # Persisted: probe filter, store join, intra-batch join, and
+        # the index append all consume it.
+        wh = (
+            audio_window_hashes(
+                batch,
+                self.id_col,
+                self.payload_col,
+                window_samples=self.window_samples,
+            )
+            .select(
+                F.col(self.id_col).alias("_id"),
+                F.col("whash").alias("_wh"),
+            )
+            .distinct()
+            .withColumn("_bucket", _bucket_expr(["_wh"], nb))
+            .persist()
+        )
+        try:
+            touched = [
+                r[0] for r in wh.select("_bucket").distinct().collect()
+            ]
+            store = self._window_store(spark, batch, touched)
+            # cross-batch: shared-window counts per (new, stored)
+            # pair — index STREAMED against the broadcast batch rows
+            cross = (
+                store.select(
+                    F.col(self.id_col).alias("_corpus_id"),
+                    F.col("whash").alias("_wh"),
+                )
+                .join(F.broadcast(wh.select("_id", "_wh")), "_wh")
+                .groupBy("_id", "_corpus_id")
+                .agg(F.count(F.lit(1)).alias("_shared"))
+                .filter(F.col("_shared") >= self.min_shared_windows)
+                .select("_id")
+                .distinct()
+            )
+            # intra-batch: shared-window pairs within the batch;
+            # smallest id per family admitted (conservative chain)
+            l = wh.select(F.col("_id").alias("id_a"), "_wh")
+            r = wh.select(F.col("_id").alias("id_b"), "_wh")
+            intra = (
+                l.join(r, "_wh")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("_shared"))
+                .filter(F.col("_shared") >= self.min_shared_windows)
+                .select(F.col("id_b").alias("_id"))
+                .distinct()
+            )
+            rejected = cross.unionByName(intra).distinct().persist()
+            try:
+                admitted = batch.join(
+                    F.broadcast(
+                        rejected.select(F.col("_id").alias(self.id_col))
+                    ),
+                    self.id_col,
+                    "left_anti",
+                ).persist()
+                try:
+                    # corpus-first append order (duplication on
+                    # replay, never loss)
+                    admitted.write.mode("append").parquet(
+                        self._path("corpus")
+                    )
+                    (
+                        wh.join(
+                            F.broadcast(rejected), "_id", "left_anti"
+                        )
+                        .select(
+                            F.col("_id").alias(self.id_col),
+                            F.col("_wh").alias("whash"),
+                            F.col("_bucket").alias("bucket"),
+                        )
+                        .repartition("bucket")
+                        .write.partitionBy("bucket")
+                        .mode("append")
+                        .parquet(self._path("windows"))
+                    )
+                finally:
+                    admitted.unpersist()
+            finally:
+                rejected.unpersist()
+        finally:
+            wh.unpersist()
+        # touched-dirs-only manifest refresh, before the watermark
+        _manifest_update(self._path("windows"), "bucket", touched)
         _watermark_commit(self.root, batch_id)
 
 
@@ -1865,7 +2211,7 @@ class IvfIndexSink:
         centers = self._load_centers(batch.sparkSession)
         assign = _probe_cells_udf(centers, 1)
         _table_recover_compact(self._path("index"))
-        (
+        assigned = (
             batch.select(
                 self.id_col, as_double(F.col(self.vec_col)).alias(self.vec_col)
             )
@@ -1876,8 +2222,23 @@ class IvfIndexSink:
             # partition append: ≤1 file per touched cell per batch
             # (the digest sink's measured small-files discipline)
             .repartition("cell")
-            .write.partitionBy("cell")
-            .mode("append")
-            .parquet(self._path("index"))
+            # persisted: the append AND the touched-cell collect for
+            # the manifest refresh both consume it — without this the
+            # Arrow assignment pass runs twice
+            .persist()
         )
+        try:
+            assigned.write.partitionBy("cell").mode("append").parquet(
+                self._path("index")
+            )
+            # bounded driver collect: ≤ n_cells small ints
+            touched = [
+                r[0] for r in assigned.select("cell").distinct().collect()
+            ]
+        finally:
+            assigned.unpersist()
+        # touched-dirs-only manifest refresh, before the watermark —
+        # search() probes read file lists from the manifest instead
+        # of listing the cell directories (see tidb_cdc_spark.manifest)
+        _manifest_update(self._path("index"), "cell", touched)
         _watermark_commit(self.root, batch_id)

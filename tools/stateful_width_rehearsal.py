@@ -560,6 +560,127 @@ def _build_digest_index(spark, root: str, n_rows: int, n_buckets: int) -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def _digest_scale_config(
+    spark, name: str, n_rows: int, nb: int, batches: int, per_batch: int
+) -> dict:
+    """One digest-scale configuration: prebuild the index, drive
+    ``batches`` screening batches (20% planted dups), report the
+    per-batch series."""
+    from tidb_cdc_spark.streaming.enrich import DigestAdmissionSink
+
+    root = os.path.join(TMP, f"digscale_{name}")
+    build_sec = _build_digest_index(spark, root, n_rows, nb)
+    sink = DigestAdmissionSink(root, n_buckets=nb)
+    per_batch_sec: list[float] = []
+    for b in range(batches):
+        rows = []
+        for j in range(per_batch):
+            k = b * per_batch + j
+            if j % 5 == 0:  # planted dup of an indexed payload
+                payload = f"idx-{(k * 7919) % n_rows}".encode()
+            else:
+                payload = f"new-{name}-{k}".encode()
+            rows.append((n_rows + k, "image", bytearray(payload)))
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        ).repartition(8)
+        t0 = time.perf_counter()
+        sink.process(df, b)
+        per_batch_sec.append(round(time.perf_counter() - t0, 2))
+    corpus = sink.read_corpus(spark)
+    srt = sorted(per_batch_sec)
+    return {
+        "index_rows": n_rows,
+        "n_buckets": nb,
+        "index_over_batch": n_rows // per_batch,
+        "build_sec": build_sec,
+        "per_batch_sec": per_batch_sec,
+        "median_sec": srt[len(srt) // 2],
+        "last_over_first": round(
+            per_batch_sec[-1] / max(per_batch_sec[0], 1e-9), 2
+        ),
+        "admitted_rows": 0 if corpus is None else corpus.count(),
+    }
+
+
+def audio_window_batches(spark, batches: int, per_batch: int) -> dict:
+    """Per-batch cost of AudioWindowAdmissionSink as the index grows
+    — 20% of each batch are trim+regain copies of earlier admitted
+    clips (must be screened), 80% novel. Expect flat: the screen is
+    manifest-pruned + broadcast, the appends are ∝ batch."""
+    from tidb_cdc_spark.functions.multimodal import synth_wav_windowed_media
+    from tidb_cdc_spark.streaming.enrich import AudioWindowAdmissionSink
+
+    root = os.path.join(TMP, "audiowindow_store")
+    shutil.rmtree(root, ignore_errors=True)
+    sink = AudioWindowAdmissionSink(root)
+    per_batch_sec: list[float] = []
+    for b in range(batches):
+        rows = []
+        for j in range(per_batch):
+            k = b * per_batch + j
+            if b > 0 and j % 5 == 0:
+                # trim+regain copy of an earlier batch's clip
+                prev = (k * 7919) % (b * per_batch)
+                rows.append((1_000_000 + k, prev, 2, 3))
+            else:
+                rows.append((k, k, 0, 1))
+        ids = spark.createDataFrame(
+            rows, "media_id long, base int, skip int, gain int"
+        ).repartition(8)
+        df = synth_wav_windowed_media(ids, "media_id")
+        t0 = time.perf_counter()
+        sink.process(df, b)
+        per_batch_sec.append(round(time.perf_counter() - t0, 2))
+    corpus = sink.read_corpus(spark)
+    srt = sorted(per_batch_sec)
+    return {
+        "experiment": "audio_window_batches",
+        "batches": batches,
+        "clips_per_batch": per_batch,
+        "per_batch_sec": per_batch_sec,
+        "median_sec": srt[len(srt) // 2],
+        "last_over_first": round(
+            per_batch_sec[-1] / max(per_batch_sec[0], 1e-9), 2
+        ),
+        "corpus_rows": 0 if corpus is None else corpus.count(),
+        "index_rows": spark.read.parquet(
+            os.path.join(root, "windows")
+        ).count(),
+    }
+
+
+def digest_prune(spark, batches: int, per_batch: int) -> dict:
+    """The PRUNED regime (n_buckets > batch), r12's separate
+    measurement re-run to price the r13 manifest: at nb=1024 and
+    batch 500, the pre-manifest screen paid a constant partition-
+    discovery term (listing all 1024 bucket dirs per batch — r12
+    medians 12.59 s at 2M rows, 13.28 s at 20M). With the manifest,
+    touched buckets resolve to explicit files and the read path
+    lists NOTHING; the first batch pays the one-time full rebuild
+    (legacy index migration), so the series' first value is the
+    migration cost, the rest is the steady state. Expect: constant
+    term down, 2M -> 20M flatness preserved."""
+    out: dict = {
+        "experiment": "digest_prune",
+        "batches": batches,
+        "per_batch_rows": per_batch,
+        "configs": {},
+    }
+    for name, (n_rows, nb) in {
+        "P_2M_nb1024": (2_000_000, 1024),
+        "P_20M_nb1024": (20_000_000, 1024),
+    }.items():
+        out["configs"][name] = _digest_scale_config(
+            spark, name, n_rows, nb, batches, per_batch
+        )
+    a = out["configs"]["P_2M_nb1024"]["median_sec"]
+    b_ = out["configs"]["P_20M_nb1024"]["median_sec"]
+    out["flat_10x_ratio"] = round(b_ / max(a, 1e-9), 2)
+    out["r12_pre_manifest_medians"] = {"2M": 12.59, "20M": 13.28}
+    return out
+
+
 def digest_scale(spark, batches: int, per_batch: int) -> dict:
     """The r11 verdict's 'done' bar for the admission-sink scale
     claim, measured: per-batch screen cost with the index ≥100× the
@@ -598,41 +719,9 @@ def digest_scale(spark, batches: int, per_batch: int) -> dict:
         "B_20M_nb64": (20_000_000, 64),
         "C_20M_nb640": (20_000_000, 640),
     }.items():
-        root = os.path.join(TMP, f"digscale_{name}")
-        build_sec = _build_digest_index(spark, root, n_rows, nb)
-        sink = DigestAdmissionSink(root, n_buckets=nb)
-        per_batch_sec: list[float] = []
-        admitted_total = 0
-        for b in range(batches):
-            rows = []
-            for j in range(per_batch):
-                k = b * per_batch + j
-                if j % 5 == 0:  # planted dup of an indexed payload
-                    payload = f"idx-{(k * 7919) % n_rows}".encode()
-                else:
-                    payload = f"new-{name}-{k}".encode()
-                rows.append((n_rows + k, "image", bytearray(payload)))
-            df = spark.createDataFrame(
-                rows, "media_id long, kind string, payload binary"
-            ).repartition(8)
-            t0 = time.perf_counter()
-            sink.process(df, b)
-            per_batch_sec.append(round(time.perf_counter() - t0, 2))
-        corpus = sink.read_corpus(spark)
-        admitted_total = 0 if corpus is None else corpus.count()
-        srt = sorted(per_batch_sec)
-        out["configs"][name] = {
-            "index_rows": n_rows,
-            "n_buckets": nb,
-            "index_over_batch": n_rows // per_batch,
-            "build_sec": build_sec,
-            "per_batch_sec": per_batch_sec,
-            "median_sec": srt[len(srt) // 2],
-            "last_over_first": round(
-                per_batch_sec[-1] / max(per_batch_sec[0], 1e-9), 2
-            ),
-            "admitted_rows": admitted_total,
-        }
+        out["configs"][name] = _digest_scale_config(
+            spark, name, n_rows, nb, batches, per_batch
+        )
     a = out["configs"]["A_2M_nb64"]["median_sec"]
     b_ = out["configs"]["B_20M_nb64"]["median_sec"]
     c = out["configs"]["C_20M_nb640"]["median_sec"]
@@ -730,6 +819,38 @@ def main() -> None:
         spark = get_spark("digest-scale")
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps(digest_scale(spark, batches, per_batch)), flush=True)
+        spark.stop()
+        return
+
+    # digest-prune mode (r13): the pruned regime at nb=1024 with the
+    # manifest screen — compare against the r12 pre-manifest medians.
+    # Run: PYTHONPATH=. python3 tools/stateful_width_rehearsal.py \
+    #   digestprune [batches=12] [per_batch=500]
+    if len(sys.argv) > 1 and sys.argv[1] == "digestprune":
+        batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+        per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+        from tidb_cdc_spark import get_spark
+
+        spark = get_spark("digest-prune")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(digest_prune(spark, batches, per_batch)), flush=True)
+        spark.stop()
+        return
+
+    # audio-window mode (r13): per-batch cost of the trim-robust
+    # audio admission sink. Run: PYTHONPATH=. python3 \
+    #   tools/stateful_width_rehearsal.py audiowindow [batches=10] [per_batch=400]
+    if len(sys.argv) > 1 and sys.argv[1] == "audiowindow":
+        batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+        from tidb_cdc_spark import get_spark
+
+        spark = get_spark("audio-window")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(
+            json.dumps(audio_window_batches(spark, batches, per_batch)),
+            flush=True,
+        )
         spark.stop()
         return
 
