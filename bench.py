@@ -71,6 +71,30 @@ def main() -> None:
     load_start = os.getloadavg()[0]
     load_start_5m = os.getloadavg()[1]
 
+    # --requiet[=threshold] (r12 verdict #7): wait (bounded) for the
+    # box to quiet down before the first query instead of stamping a
+    # degraded record on a settling box. Both samples are recorded
+    # either way (pre-wait under load_prewait_*); the degraded
+    # verdict's formula and threshold are UNCHANGED — it keys on the
+    # 1-min sample taken when measurement actually starts.
+    requiet = None
+    for a in sys.argv[1:]:
+        if a == "--requiet":
+            requiet = 0.5 * ncpu
+        elif a.startswith("--requiet="):
+            requiet = float(a.split("=", 1)[1])
+    load_prewait, load_prewait_5m = load_start, load_start_5m
+    requiet_waited = 0.0
+    if requiet is not None:
+        deadline = time.monotonic() + float(
+            os.environ.get("SPARK_GRAFT_REQUIET_MAX_SEC", "600")
+        )
+        while load_start > requiet and time.monotonic() < deadline:
+            time.sleep(15)
+            requiet_waited += 15
+            load_start = os.getloadavg()[0]
+        load_start_5m = os.getloadavg()[1]
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -231,6 +255,10 @@ def main() -> None:
                 "raw_runs": raw,
                 "load_start_1m": round(load_start, 2),
                 "load_start_5m": round(load_start_5m, 2),
+                "load_prewait_1m": round(load_prewait, 2),
+                "load_prewait_5m": round(load_prewait_5m, 2),
+                "requiet_threshold": requiet,
+                "requiet_waited_sec": requiet_waited,
                 "n_cpus": ncpu,
                 "retry_frac": round(retry_frac, 3),
                 "degraded": degraded,

@@ -86,3 +86,16 @@ def test_load_guard_is_wired():
     # the quoted key must be written into the payload, not merely
     # mentioned in comments
     assert 'payload["degraded"] = True' in src
+
+
+def test_requiet_is_wired():
+    """r12 verdict #7: --requiet waits (bounded) before the first
+    query, records both load samples, and leaves the degraded
+    verdict's formula untouched."""
+    src = _bench_source()
+    assert "--requiet" in src
+    assert "load_prewait_1m" in src and "load_prewait_5m" in src
+    assert "SPARK_GRAFT_REQUIET_MAX_SEC" in src  # bounded wait
+    # degraded formula unchanged: keys on the measurement-start 1-min
+    # sample at the original threshold
+    assert "degraded = load_start > 0.5 * ncpu or retry_frac > 0.15" in src
