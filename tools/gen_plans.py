@@ -60,6 +60,8 @@ PICKS = {
     "multimodal_dct_phash_audit": "DCT pHash near-dup: synth -> decode -> 32x32 box means -> 2-D DCT Arrow passes emit 16 B hash rows (payloads never shuffle); pair stage is the Manku banded equi-join",
     "audio_curation_pipeline": "composed audio curation: sha2 min-id exact dedup (32 B digest shuffle) -> trim-robust window collapse over survivors only (window hashes -> inverted-index pairs -> checkpoint-truncated CC) -> 1-row scorecard",
     "video_curation_pipeline": "composed video curation: sha2 min-id exact dedup -> shot-level frame-hash collapse over survivors only (frame hashes -> inverted-index pairs -> checkpoint-truncated CC) -> 1-row scorecard",
+    "phash_cap_report": "no-silent-caps audit: ONE Manku explode + bucket-count window pass (the guarded pair join's own shape minus the self-join), two 1-row aggs crossed via broadcast",
+    "video_frame_cap_report": "no-silent-caps audit: distinct (id,fhash) -> frequency agg; viral list broadcast back for the affected-media semi-join",
 }
 
 HEADER = (
