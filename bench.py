@@ -200,6 +200,7 @@ def main() -> None:
         # no-silent-caps reports (r13)
         "phash_cap_report",
         "video_frame_cap_report",
+        "audio_window_cap_report",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

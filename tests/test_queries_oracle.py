@@ -50,6 +50,7 @@ ROUND_ADDITIONS = [
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
     "phash_cap_report",  # r13 NEW Manku-bucket cap-exclusion audit
     "video_frame_cap_report",  # r13 NEW inverted-index cap audit
+    "audio_window_cap_report",  # r13 NEW audio inverted-index cap audit
     "media_curation_pipeline",  # r13 changed: capped pair join default
     "audio_curation_pipeline",  # r13 changed: capped pair join default
     "video_curation_pipeline",  # r13 changed: capped pair join default

@@ -1538,6 +1538,30 @@ def audio_near_dup_pairs(
     ).withColumnRenamed("shared_frames", "shared_windows")
 
 
+def audio_window_cap_report(
+    window_hashes: DataFrame,
+    id_col: str = "media_id",
+    max_window_freq: int = 1000,
+) -> DataFrame:
+    """One-row audit of what :func:`audio_near_dup_pairs`'s
+    ``max_window_freq`` viral-window guard EXCLUDES — the audio
+    member of the no-silent-caps family, and (like the pair join
+    itself) a direct reuse of the video machinery: digital silence
+    or a jingle sting is the audio analog of the black frame.
+    Columns ``(capped_whashes, affected_media, total_whashes,
+    max_freq)`` over the distinct ``(media, whash)`` inverted index."""
+    wh = window_hashes.select(
+        F.col(id_col), F.col("whash").alias("fhash")
+    )
+    return (
+        video_frame_cap_report(
+            wh, id_col=id_col, max_frame_freq=max_window_freq
+        )
+        .withColumnRenamed("capped_fhashes", "capped_whashes")
+        .withColumnRenamed("total_fhashes", "total_whashes")
+    )
+
+
 def synth_wav_windowed_media(
     ids: DataFrame,
     id_col: str = "media_id",

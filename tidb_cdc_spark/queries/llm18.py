@@ -1232,6 +1232,66 @@ FROM c
 """
 
 
+def audio_window_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit for the audio inverted-index join — what
+    ``audio_near_dup_pairs``'s ``max_window_freq`` viral-window
+    guard excludes (``functions/multimodal.py::
+    audio_window_cap_report``), completing the cap-report family
+    (winnow / phash / video / audio — every guarded join in the repo
+    now has its exclusion report). Run with cap=4 over the
+    ``multimodal_audio_trim_audit`` plant: cluster ``pid = doc_id %
+    101`` plants n members of which the trimmed variants cut windows
+    0-1 and regain ×3 (gain-invariant per-window hashes ⇒ trimmed
+    windows 2..7 hash identically to the full copy's), so window
+    hash (pid, 0..1) has doc frequency n_full and (pid, 2..7) has n
+    — whence capped_whashes = Σ (6·[n>4] + 2·[n_full>4]),
+    affected_media = Σ n over clusters with n>4, total_whashes =
+    Σ (6 + 2·[n_full>0]), max_freq = max n. Pure id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_window_cap_report as _report,
+        audio_window_hashes,
+        synth_wav_windowed_media,
+    )
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("base"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(2))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("gain"),
+        )
+    )
+    media = synth_wav_windowed_media(planted, "media_id")
+    return _report(audio_window_hashes(media), max_window_freq=4)
+
+
+_AUDIO_CAP_SQL = """
+WITH m AS (
+  SELECT doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n, SUM(1 - trimmed) AS n_full
+  FROM m GROUP BY pid
+)
+SELECT CAST(SUM(6 * CASE WHEN n > 4 THEN 1 ELSE 0 END
+             + 2 * CASE WHEN n_full > 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS capped_whashes,
+       CAST(SUM(CASE WHEN n > 4 THEN n ELSE 0 END) AS BIGINT)
+         AS affected_media,
+       CAST(SUM(6 + 2 * CASE WHEN n_full > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_whashes,
+       CAST(MAX(n) AS BIGINT) AS max_freq
+FROM c
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -1248,6 +1308,7 @@ QUERIES = {
     "media_curation_provenance": media_curation_provenance,
     "phash_cap_report": phash_cap_report,
     "video_frame_cap_report": video_frame_cap_report,
+    "audio_window_cap_report": audio_window_cap_report,
 }
 
 ORACLE = {
@@ -1266,4 +1327,5 @@ ORACLE = {
     "media_curation_provenance": _MEDIA_PROVENANCE_SQL,
     "phash_cap_report": _PHASH_CAP_SQL,
     "video_frame_cap_report": _VIDEO_CAP_SQL,
+    "audio_window_cap_report": _AUDIO_CAP_SQL,
 }
