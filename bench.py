@@ -201,6 +201,8 @@ def main() -> None:
         "phash_cap_report",
         "video_frame_cap_report",
         "audio_window_cap_report",
+        "audio_curation_provenance",
+        "video_curation_provenance",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

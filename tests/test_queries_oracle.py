@@ -51,6 +51,8 @@ ROUND_ADDITIONS = [
     "phash_cap_report",  # r13 NEW Manku-bucket cap-exclusion audit
     "video_frame_cap_report",  # r13 NEW inverted-index cap audit
     "audio_window_cap_report",  # r13 NEW audio inverted-index cap audit
+    "audio_curation_provenance",  # r13 NEW row-level audio funnel audit
+    "video_curation_provenance",  # r13 NEW row-level video funnel audit
     "media_curation_pipeline",  # r13 changed: capped pair join default
     "audio_curation_pipeline",  # r13 changed: capped pair join default
     "video_curation_pipeline",  # r13 changed: capped pair join default

@@ -539,6 +539,208 @@ FROM e ORDER BY media_id
 """
 
 
+def audio_curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance for the AUDIO curation funnel —
+    completing the provenance triple exactly as
+    ``video_curation_pipeline`` completed the scorecard triple: ONE
+    row per input clip with (outcome, exact_rep, canonical_id),
+    where the fuzzy stage is the trim-robust window collapse
+    (``audio_curation_pipeline``'s stage 2) instead of the
+    perceptual hash. ``canonical_id`` is TRANSITIVE: the exact rep
+    may itself lose the window stage; rewriting references needs
+    the final keeper.
+
+    Plant: the ``multimodal_audio_trim_audit`` structure (cluster
+    ``pid = doc_id % 101``; byte-identical full clips within
+    (pid, trimmed); variant 2 a trim(2 windows)+regain(×3) copy —
+    different bytes, 6 ≥ 4 shared window hashes), so both
+    representatives derive from id arithmetic: ``exact_rep`` = min
+    id of the (pid, trimmed) class, ``canonical_id`` = min id of
+    the pid cluster; the cluster minimum (variant 0, untrimmed) is
+    necessarily its own exact rep, so the transitive chain is one
+    hop — asserted by the oracle equality itself.
+
+    Scale shape: 32 B digests and ~20 B window hashes through the
+    shuffles, samples never; output corpus-sized BY DESIGN (the
+    audit artifact a run writes next to the corpus)."""
+    from tidb_cdc_spark.functions.clusters import cluster_representatives
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_near_dup_pairs,
+        audio_window_hashes,
+        synth_wav_windowed_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("base"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(2))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("gain"),
+        )
+    )
+    media = synth_wav_windowed_media(planted, "media_id")
+    digests = materialize(
+        media.select("media_id", F.sha2("payload", 256).alias("_digest"))
+    )
+    reps = digests.groupBy("_digest").agg(F.min("media_id").alias("_rep"))
+    rep_map = digests.join(reps, "_digest").select("media_id", "_rep")
+    survivors = media.join(
+        rep_map.filter(F.col("media_id") == F.col("_rep")),
+        "media_id",
+        "left_semi",
+    )
+    wh = materialize(audio_window_hashes(survivors))
+    pairs = audio_near_dup_pairs(
+        wh, min_shared_windows=4, max_window_freq=1000
+    )
+    cr = cluster_representatives(
+        wh.select(F.col("media_id").alias("doc_id")).distinct(), pairs
+    ).select(
+        F.col("doc_id").alias("_rep"),
+        F.col("cluster_id").alias("canonical_id"),
+        "is_representative",
+    )
+    return (
+        rep_map.join(cr, "_rep")
+        .select(
+            "media_id",
+            F.when(F.col("media_id") != F.col("_rep"), F.lit("dropped_exact_dup"))
+            .when(~F.col("is_representative"), F.lit("dropped_trim_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("outcome"),
+            F.col("_rep").alias("exact_rep"),
+            "canonical_id",
+        )
+        .orderBy("media_id")
+    )
+
+
+# plant arithmetic: exact classes are (pid, trimmed) with min-id
+# reps; trim-robust clusters are pid (6 shared windows ≥ 4; 16-bit
+# window-word injectivity forbids cross-pid edges) with min-id
+# canonicals — the pid minimum (variant 0) is its own exact rep, so
+# one hop resolves transitively
+_AUDIO_PROVENANCE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), e AS (
+  SELECT media_id,
+         MIN(media_id) OVER (PARTITION BY pid, trimmed) AS exact_rep,
+         MIN(media_id) OVER (PARTITION BY pid) AS canonical_id
+  FROM m
+)
+SELECT media_id,
+       CASE WHEN media_id <> exact_rep THEN 'dropped_exact_dup'
+            WHEN media_id <> canonical_id THEN 'dropped_trim_dup'
+            ELSE 'kept' END AS outcome,
+       CAST(exact_rep AS BIGINT) AS exact_rep,
+       CAST(canonical_id AS BIGINT) AS canonical_id
+FROM e ORDER BY media_id
+"""
+
+
+def video_curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance for the VIDEO curation funnel — the last
+    member of the provenance triple: ONE row per input video with
+    (outcome, exact_rep, canonical_id), the fuzzy stage being the
+    shot-level frame-hash collapse (``video_curation_pipeline``'s
+    stage 2). Plant: the ``multimodal_video_audit`` structure
+    (byte-identical 8-frame AVIs within (pid, trimmed); variant 2 a
+    trim(first frame)+shift(+20) copy sharing 7 ≥ 4 frame hashes),
+    so ``exact_rep`` = min id of the (pid, trimmed) class and
+    ``canonical_id`` = min id of the pid cluster, with the one-hop
+    transitive property under the oracle equality. Scale shape as
+    the audio twin (digests + 28 B frame hashes, frames never
+    shuffle; corpus-sized audit artifact by design)."""
+    from tidb_cdc_spark.functions.clusters import cluster_representatives
+    from tidb_cdc_spark.functions.multimodal import (
+        synth_avi_media,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)  # non-negative-id contract
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 101).alias("base"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 101") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_avi_media(planted, "media_id")
+    digests = materialize(
+        media.select("media_id", F.sha2("payload", 256).alias("_digest"))
+    )
+    reps = digests.groupBy("_digest").agg(F.min("media_id").alias("_rep"))
+    rep_map = digests.join(reps, "_digest").select("media_id", "_rep")
+    survivors = media.join(
+        rep_map.filter(F.col("media_id") == F.col("_rep")),
+        "media_id",
+        "left_semi",
+    )
+    fh = materialize(video_frame_hashes(survivors))
+    pairs = video_near_dup_pairs(
+        fh, min_shared_frames=4, max_frame_freq=1000
+    )
+    cr = cluster_representatives(
+        fh.select(F.col("media_id").alias("doc_id")).distinct(), pairs
+    ).select(
+        F.col("doc_id").alias("_rep"),
+        F.col("cluster_id").alias("canonical_id"),
+        "is_representative",
+    )
+    return (
+        rep_map.join(cr, "_rep")
+        .select(
+            "media_id",
+            F.when(F.col("media_id") != F.col("_rep"), F.lit("dropped_exact_dup"))
+            .when(~F.col("is_representative"), F.lit("dropped_shot_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("outcome"),
+            F.col("_rep").alias("exact_rep"),
+            "canonical_id",
+        )
+        .orderBy("media_id")
+    )
+
+
+_VIDEO_PROVENANCE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 101 AS pid,
+         CASE WHEN (doc_id // 101) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), e AS (
+  SELECT media_id,
+         MIN(media_id) OVER (PARTITION BY pid, trimmed) AS exact_rep,
+         MIN(media_id) OVER (PARTITION BY pid) AS canonical_id
+  FROM m
+)
+SELECT media_id,
+       CASE WHEN media_id <> exact_rep THEN 'dropped_exact_dup'
+            WHEN media_id <> canonical_id THEN 'dropped_shot_dup'
+            ELSE 'kept' END AS outcome,
+       CAST(exact_rep AS BIGINT) AS exact_rep,
+       CAST(canonical_id AS BIGINT) AS canonical_id
+FROM e ORDER BY media_id
+"""
+
+
 def multimodal_audio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio perceptual near-dup over REAL decoded PCM samples — the
     audio member of the r12 pixel-path family: decode 16-bit PCM WAV
@@ -1309,6 +1511,8 @@ QUERIES = {
     "phash_cap_report": phash_cap_report,
     "video_frame_cap_report": video_frame_cap_report,
     "audio_window_cap_report": audio_window_cap_report,
+    "audio_curation_provenance": audio_curation_provenance,
+    "video_curation_provenance": video_curation_provenance,
 }
 
 ORACLE = {
@@ -1328,4 +1532,6 @@ ORACLE = {
     "phash_cap_report": _PHASH_CAP_SQL,
     "video_frame_cap_report": _VIDEO_CAP_SQL,
     "audio_window_cap_report": _AUDIO_CAP_SQL,
+    "audio_curation_provenance": _AUDIO_PROVENANCE_SQL,
+    "video_curation_provenance": _VIDEO_PROVENANCE_SQL,
 }
