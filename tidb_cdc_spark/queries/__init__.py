@@ -308,12 +308,19 @@ GATE = [
     "cdc_schema_drift",
     "cdc_decimal_agg",
     "cdc_apply_latest",
-    # first 5 of the r11 block (remainder queues for r14)
+    # first 2 of the r11 block (remainder queues for r14)
     "dedup_minhash_star_audit",
     "dedup_minhash_audit",
-    "dedup_simhash_audit",
-    "winnow_repr_audit",
-    "rag_retrieval_eval",
+    # LATE-R13 SWAPS: the three remaining planned r11-block fills
+    # (dedup_simhash_audit, winnow_repr_audit, rag_retrieval_eval —
+    # all r11-green, unchanged, mirror-kept; queue for r14) yield to
+    # NEW never-gated rows per the never-gated-first doctrine: the
+    # audio cap report and the two row-level provenance twins that
+    # complete the provenance triple (queries/llm18.py — all three
+    # verified hash-green at sf0.001+sf0.01+sf0.1 before this swap).
+    "audio_window_cap_report",
+    "audio_curation_provenance",
+    "video_curation_provenance",
     # EARLY-R13 SWAP (no-silent-caps directive): the four planned
     # r11-block fills (corpus_stratified_split, containment_repr_audit,
     # text_token_stats, text_quality_by_lang — all r11-green,
