@@ -1471,3 +1471,45 @@ class TestAudioWindowAdmissionSink:
             for r in spark.read.parquet(f"{root}/windows").collect()
         }
         assert 9 not in idx_ids
+
+    def test_file_stream_e2e(self, spark, tmp_path):
+        """Real readStream(parquet, binary payloads) →
+        foreachBatch(sink.process) across two checkpointed stream
+        batches: the second batch's trim+regain copy of a
+        first-batch clip is screened, the novel clip admitted."""
+        from tidb_cdc_spark.streaming import AudioWindowAdmissionSink
+
+        d = tmp_path / "media_in"
+        os.makedirs(d, exist_ok=True)
+
+        def drop(name, rows):
+            df = self._media(spark, rows)
+            df.coalesce(1).write.parquet(str(tmp_path / ("stage_" + name)))
+            import glob
+            import shutil
+
+            src = glob.glob(str(tmp_path / ("stage_" + name) / "*.parquet"))[0]
+            shutil.move(src, str(d / name))
+            return df.schema
+
+        schema = drop("b1.parquet", [(1, 5, 0, 1), (2, 9, 0, 1)])
+        sink = AudioWindowAdmissionSink(str(tmp_path / "store"))
+
+        def run():
+            q = (
+                spark.readStream.format("parquet")
+                .schema(schema)
+                .load(str(d))
+                .writeStream.foreachBatch(sink.process)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        assert {r.media_id for r in sink.read_corpus(spark).collect()} == {1, 2}
+        drop("b2.parquet", [(10, 5, 2, 3), (11, 42, 0, 1)])
+        run()
+        got = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert got == {1, 2, 11}
