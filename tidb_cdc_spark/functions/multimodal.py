@@ -953,10 +953,20 @@ def video_frame_cap_report(
     for (black frames, logo cards). Cost: the same distinct +
     frame-frequency pass the guarded join already runs; the viral
     list is tiny at any scale."""
-    fh = frame_hashes.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_fh")
-    ).distinct()
-    freq = fh.groupBy("_fh").agg(F.count(F.lit(1)).alias("_ff"))
+    from tidb_cdc_spark.session import materialize
+
+    # materialized twice over: fh feeds the frequency agg AND the
+    # affected-media semi-join, freq feeds the stats AND the viral
+    # list — without this the upstream synth/decode Arrow chain runs
+    # once per consumer (measured 7.5 s → ~2 s on the audit plant)
+    fh = materialize(
+        frame_hashes.select(
+            F.col(id_col).alias("_id"), F.col(hash_col).alias("_fh")
+        ).distinct()
+    )
+    freq = materialize(
+        fh.groupBy("_fh").agg(F.count(F.lit(1)).alias("_ff"))
+    )
     stats = freq.agg(
         F.count(F.when(F.col("_ff") > max_frame_freq, F.lit(1))).alias(
             "capped_fhashes"
@@ -1296,10 +1306,18 @@ def phash_cap_report(
     sig = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh")
     )
-    keyed = manku_table_keys(
-        sig, max_hamming=max_hamming, blocks=blocks
-    ).withColumn(
-        "_bs", F.count(F.lit(1)).over(Window.partitionBy("_table", "_key"))
+    from tidb_cdc_spark.session import materialize
+
+    # materialized: the bucket stats AND the per-id oversized count
+    # both consume the exploded keys — without this the upstream
+    # hash/decode chain runs once per consumer
+    keyed = materialize(
+        manku_table_keys(
+            sig, max_hamming=max_hamming, blocks=blocks
+        ).withColumn(
+            "_bs",
+            F.count(F.lit(1)).over(Window.partitionBy("_table", "_key")),
+        )
     )
     buckets = keyed.groupBy("_table", "_key").agg(
         F.first("_bs").alias("_bs")
