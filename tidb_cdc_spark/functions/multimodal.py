@@ -958,7 +958,7 @@ def video_frame_cap_report(
     # materialized twice over: fh feeds the frequency agg AND the
     # affected-media semi-join, freq feeds the stats AND the viral
     # list — without this the upstream synth/decode Arrow chain runs
-    # once per consumer (measured 7.5 s → ~2 s on the audit plant)
+    # once per consumer (measured 7.5 s → 0.34 s on the audit plant)
     fh = materialize(
         frame_hashes.select(
             F.col(id_col).alias("_id"), F.col(hash_col).alias("_fh")
