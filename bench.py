@@ -203,6 +203,10 @@ def main() -> None:
         "audio_window_cap_report",
         "audio_curation_provenance",
         "video_curation_provenance",
+        # compressed-codec pixel decode (r13: PNG zlib+unfilter, GIF
+        # LZW — the CPU-heavier decode legs, priced from day one)
+        "multimodal_png_phash_audit",
+        "multimodal_codec_matrix_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -1007,6 +1007,31 @@ class TestPhashAdmissionSink:
         sink.process(b, 0)
         assert sink.read_corpus(spark).count() == 1
 
+    def test_cross_codec_reencode_screened_at_ingest(self, spark, tmp_path):
+        """r13: the decode_pixels boundary now inflates PNG and
+        GIF, so a COMPRESSED re-encode of an admitted BMP — byte-
+        disjoint, exact-digest-invisible — is perceptually screened
+        at ingest with no sink change."""
+        from tidb_cdc_spark.functions.multimodal import (
+            synth_codec_pixel_media,
+        )
+        from tidb_cdc_spark.streaming import PhashAdmissionSink
+
+        sink = PhashAdmissionSink(str(tmp_path / "store"))
+        sink.process(self._media(spark, [(1, 5, 0)]), 0)  # BMP admitted
+        legs = spark.createDataFrame(
+            [
+                (20, 5, 0, "png"),  # zlib re-encode of pattern 5
+                (21, 5, 20, "png_pal"),  # palette + brightness shift
+                (22, 5, 0, "gif_i"),  # interlaced LZW re-encode
+                (23, 123, 0, "png"),  # novel pattern → admitted
+            ],
+            "media_id long, pattern int, shift int, codec string",
+        )
+        sink.process(synth_codec_pixel_media(legs), 1)
+        corpus = {r.media_id for r in sink.read_corpus(spark).collect()}
+        assert corpus == {1, 23}
+
     def test_compact_preserves_screening(self, spark, tmp_path):
         from tidb_cdc_spark.streaming import PhashAdmissionSink
 

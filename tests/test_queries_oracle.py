@@ -57,6 +57,8 @@ ROUND_ADDITIONS = [
     "audio_curation_pipeline",  # r13 changed: capped pair join default
     "video_curation_pipeline",  # r13 changed: capped pair join default
     "media_curation_provenance",  # r13 changed: capped pair join default
+    "multimodal_png_phash_audit",  # r13 NEW compressed PNG pixel audit
+    "multimodal_codec_matrix_audit",  # r13 NEW cross-codec re-encode audit
 ]
 
 

@@ -7,14 +7,17 @@ North-star operator (BASELINE.json). Metadata extraction is REAL:
 dimensions and durations from PNG/GIF/JPEG/BMP/WAV/MP4 container
 headers in pure Python (no codec libraries needed — the pass a
 crawl-scale metadata probe actually runs). PIXEL decode is REAL for
-uncompressed 24-bpp BMP (``decode_bmp_pixels`` — no codec library
-required), feeding the perceptual-hash chain (``ahash64`` /
-``dhash64`` / ``dct_phash64`` / ``perceptual_hashes`` /
-``dct_phashes`` / ``phash_near_dup_pairs``); sample decode is REAL
-for 16-bit PCM WAV (whole-clip and per-window fingerprints — the
-latter trim-robust via ``audio_near_dup_pairs``) and frame decode
-for uncompressed AVI.
-Compressed-format pixel decode remains codec territory: PIL is used
+uncompressed 24-bpp BMP (``decode_bmp_pixels``) AND for COMPRESSED
+8-bit PNG (``decode_png_pixels`` — stdlib ``zlib`` inflate, all
+five scanline unfilters, color types 0/2/3, per-chunk CRC) and GIF
+(``decode_gif_pixels`` — pure-Python LZW, sequential + interlaced),
+all feeding the perceptual-hash chain (``ahash64`` / ``dhash64`` /
+``dct_phash64`` / ``perceptual_hashes`` / ``dct_phashes`` /
+``phash_near_dup_pairs``) through the single ``decode_pixels``
+boundary; sample decode is REAL for 16-bit PCM WAV (whole-clip and
+per-window fingerprints — the latter trim-robust via
+``audio_near_dup_pairs``) and frame decode for uncompressed AVI.
+Remaining codec territory (JPEG/WebP/16-bit/Adam7): PIL is used
 automatically when importable, and ``_decode_image_stub``
 (deterministic fake, clearly marked) now covers ONLY bytes no real
 path recognizes — swapping in libvips/ffmpeg is a one-function
@@ -608,24 +611,289 @@ def decode_bmp_pixels(payload: bytes):
     return (r * 299 + g * 587 + b * 114) // 1000
 
 
+def decode_png_pixels(payload: bytes):
+    """REAL pixel decode for non-interlaced 8-bit PNGs — compressed
+    bytes, pure Python + stdlib ``zlib`` (DEFLATE is in the standard
+    library; no codec package needed). Supports the three 8-bit
+    color types a crawl actually sees in volume — 0 (grayscale),
+    2 (truecolor RGB), 3 (palette) — and ALL FIVE scanline filters
+    (None/Sub/Up/Average/Paeth, inverted per the PNG spec's exact
+    mod-256 recurrences). Every chunk CRC is verified; corrupt,
+    truncated, interlaced (Adam7), 16-bit, or alpha-bearing payloads
+    return ``None`` (header-probe-only treatment — no pixel
+    evidence, no perceptual claim). Grayscale returns the stored
+    gray directly: BT.601 integer luma of (g,g,g) is exactly g
+    (299+587+114 = 1000), so a gray-encoded twin of an RGB image
+    hashes identically. Returns the int64 luma array (h, w).
+
+    Scale: filters Sub/Average/Paeth are sequential along x by
+    definition, so those rows decode in a Python byte loop — fine
+    for the thumbnail/screen sizes perceptual hashing runs on
+    (decode cost is ∝ pixel bytes, measured µs-scale per image, and
+    the pass is the same Arrow-batched linear scan as BMP: pixels
+    never shuffle). A codec fleet swaps in libpng via the PIL branch
+    below with no plan change."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    p = payload
+    if len(p) < 45 or p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 12 <= len(p):
+        (clen,) = struct.unpack_from(">I", p, pos)
+        ctype = p[pos + 4 : pos + 8]
+        data = p[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            return None  # truncated
+        (crc,) = struct.unpack_from(">I", p, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if clen % 3 != 0:
+                return None
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if color not in (0, 2, 3) or w <= 0 or h <= 0:
+        return None
+    if color == 3 and plte is None:
+        return None
+    ch = 3 if color == 2 else 1
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    rowlen = w * ch
+    if len(raw) != h * (1 + rowlen):
+        return None
+    out = np.empty((h, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (1 + rowlen)]
+        line = raw[y * (1 + rowlen) + 1 : (y + 1) * (1 + rowlen)]
+        if f == 0:
+            cur = np.frombuffer(line, dtype=np.uint8).copy()
+        elif f == 2:  # Up — vectorized
+            cur = np.frombuffer(line, dtype=np.uint8) + prev
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            cur_b = bytearray(line)
+            pv = prev
+            for i in range(rowlen):
+                a = cur_b[i - ch] if i >= ch else 0
+                b = int(pv[i])
+                if f == 1:
+                    cur_b[i] = (cur_b[i] + a) & 0xFF
+                elif f == 3:
+                    cur_b[i] = (cur_b[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(pv[i - ch]) if i >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur_b[i] = (cur_b[i] + pr) & 0xFF
+            cur = np.frombuffer(bytes(cur_b), dtype=np.uint8)
+        else:
+            return None  # invalid filter byte
+        out[y] = cur
+        prev = out[y]
+    if color == 0:
+        return out.astype(np.int64)
+    if color == 2:
+        rgb = out.reshape(h, w, 3).astype(np.int64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        return (r * 299 + g * 587 + b * 114) // 1000
+    # color == 3: palette indices through PLTE
+    idx = out.astype(np.int64)
+    if int(idx.max()) * 3 + 2 >= len(plte):
+        return None  # index past the palette
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    r, g, b = pal[idx, 0], pal[idx, 1], pal[idx, 2]
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int):
+    """GIF-flavor LZW decode (variable code width, LSB-first bit
+    packing, clear/EOI codes, 12-bit dictionary cap). Returns the
+    palette-index list or None on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = []
+    prev_entry = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # stream ended without EOI — accept
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev_entry = None
+            continue
+        if code == eoi:
+            return out
+        if prev_entry is None:
+            if code >= len(table) or table[code] is None:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev_entry + (entry[0],))
+        elif code == len(table) and len(table) < 4096:
+            entry = prev_entry + (prev_entry[0],)
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev_entry = entry
+    return out
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL pixel decode for GIF87a/GIF89a — compressed bytes, pure
+    Python (the LZW codec is ~40 lines; no library needed). Decodes
+    the FIRST image frame: global or local color table, interlaced
+    (4-pass row shuffle) or sequential, extensions skipped. Returns
+    the int64 BT.601 luma array, or ``None`` for malformed streams
+    or palette-index overruns. Same scale shape as the PNG path:
+    the decode is ∝ pixel bytes inside the Arrow pass."""
+    import struct
+
+    import numpy as np
+
+    p = payload
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, flags = struct.unpack_from("<HHB", p, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = p[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(p):
+        b0 = p[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label + sub-blocks
+            if pos >= len(p):
+                return None
+            pos += 1
+            while pos < len(p) and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 9 > len(p):
+                return None
+            _lx, _ty, iw, ih, iflags = struct.unpack_from("<HHHHB", p, pos)
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = p[pos : pos + 3 * n]
+                if len(pal) != 3 * n:
+                    return None
+                pos += 3 * n
+            if pal is None or iw <= 0 or ih <= 0:
+                return None
+            if pos >= len(p):
+                return None
+            min_code = p[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            chunks = []
+            while pos < len(p) and p[pos] != 0:
+                n = p[pos]
+                chunks.append(p[pos + 1 : pos + 1 + n])
+                if len(chunks[-1]) != n:
+                    return None
+                pos += 1 + n
+            idx = _gif_lzw_decode(b"".join(chunks), min_code)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            arr = np.array(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = [
+                    *range(0, ih, 8),
+                    *range(4, ih, 8),
+                    *range(2, ih, 4),
+                    *range(1, ih, 2),
+                ]
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            if int(arr.max()) * 3 + 2 >= len(pal):
+                return None
+            pt = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            pt = pt.astype(np.int64)
+            r, g, b = pt[arr, 0], pt[arr, 1], pt[arr, 2]
+            return (r * 299 + g * 587 + b * 114) // 1000
+        elif b0 == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_pixels(payload: bytes):
     """THE pixel-decode boundary for the perceptual-hash chain, kept
     to one function like ``decode_image_dims`` is for dims: the
-    pure-Python uncompressed-BMP path first (deterministic,
-    platform-pinned by tests — preferred even when a codec library
-    is present so BMP hashes never depend on the environment), then
-    the guarded PIL branch for compressed formats (JPEG/PNG/... get
+    pure-Python deterministic paths first (uncompressed 24-bpp BMP,
+    then COMPRESSED formats decodable with the standard library —
+    8-bit PNG via stdlib zlib with all five scanline filters and
+    color types 0/2/3, and GIF via the hand-rolled LZW codec —
+    preferred even when a codec library is present so these hashes
+    never depend on the environment), then the guarded PIL branch
+    for the remaining codec territory (JPEG/WebP/16-bit/Adam7 get
     REAL pixels when PIL is importable: decoded to RGB and reduced
-    with the SAME BT.601 integer luma the BMP path uses, so a
+    with the SAME BT.601 integer luma every pure path uses, so a
     losslessly re-encoded image hashes identically), else None —
     the documented NULL-hash path (``perceptual_hashes`` admits no
     perceptual claim without pixel evidence). A decode fleet with
-    codec libs installed gets JPEG/PNG admission screening with no
-    code change; this container has no PIL, so the branch is pinned
-    by a guarded test (tests/test_phash.py)."""
+    codec libs installed gets JPEG admission screening with no code
+    change; this container has no PIL, so that branch is pinned by a
+    guarded test (tests/test_phash.py)."""
     gray = decode_bmp_pixels(payload)
     if gray is not None:
         return gray
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        gray = decode_png_pixels(payload)
+        if gray is not None:
+            return gray
+    if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        gray = decode_gif_pixels(payload)
+        if gray is not None:
+            return gray
     if _PIL_Image is not None:  # pragma: no cover — no PIL here
         import io
 
@@ -1456,6 +1724,287 @@ def synth_bmp_pixel_media(
                             None,
                             hdr + body.tobytes(),
                         )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------ compressed-codec pixel plants
+# Encoders for the synth side of the PNG/GIF decode audits. These
+# are TEST-FIXTURE writers (the engine only decodes); they live here
+# so the planted-formula synthesis runs inside the same Arrow pass
+# as the other media plants.
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(gray, mode: str, filter_seed: int = 0) -> bytes:
+    """Encode an int64 gray array as a REAL 8-bit PNG in the given
+    mode — ``rgb`` (color type 2, gray replicated to 3 channels),
+    ``gray`` (type 0) or ``pal`` (type 3, palette of the distinct
+    gray values as (g,g,g) entries). Scanline filters CYCLE through
+    all five types (``(y + filter_seed) % 5``) so every decode-side
+    unfilter recurrence is exercised by every payload."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    g8 = gray.astype(np.uint8)
+    h, w = g8.shape
+    if mode == "rgb":
+        raw_rows = np.repeat(g8, 3, axis=1)
+        color, ch = 2, 3
+        plte = b""
+    elif mode == "gray":
+        raw_rows = g8
+        color, ch = 0, 1
+        plte = b""
+    else:  # pal
+        vals = np.unique(g8)
+        idx = np.searchsorted(vals, g8).astype(np.uint8)
+        raw_rows = idx
+        color, ch = 3, 1
+        plte = _png_chunk(b"PLTE", np.repeat(vals, 3).tobytes())
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = raw_rows[y].astype(np.int64)
+        f = (y + filter_seed) % 5
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            pa = np.abs(prev - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + prev - 2 * upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + plte
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encode — the exact inverse convention of
+    :func:`_gif_lzw_decode`: LSB-first packing, width grows when
+    ``next_code`` passes ``2^width`` (one code after the decoder's
+    table reaches it — the standard one-in-flight lag), clear code
+    emitted at the 4096 cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, code_size = fresh()
+    emit(clear, code_size)
+    w = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear, code_size)
+            table, next_code, code_size = fresh()
+        w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(gray, interlaced: bool = False) -> bytes:
+    """Encode an int64 gray array as a REAL GIF87a: palette of the
+    distinct gray values as (g,g,g) entries (padded to a power of
+    two), LZW-compressed indices, optionally interlaced (rows stored
+    in the 4-pass order the decoder must invert)."""
+    import struct
+
+    import numpy as np
+
+    g8 = gray.astype(np.uint8)
+    h, w = g8.shape
+    vals = np.unique(g8)
+    bits = max(1, int(len(vals) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(vals)] = np.repeat(vals, 3).reshape(-1, 3)
+    idx = np.searchsorted(vals, g8)
+    if interlaced:
+        order = [
+            *range(0, h, 8),
+            *range(4, h, 8),
+            *range(2, h, 4),
+            *range(1, h, 2),
+        ]
+        idx = idx[order]
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode(idx.ravel(), min_code)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        sub += bytes([len(blk)]) + blk
+    sub += b"\x00"
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0
+        )
+        + bytes([min_code])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
+#: codec legs of :func:`synth_codec_pixel_media`; each maps the
+#: planted gray array to REAL encoded bytes of that format.
+CODEC_LEGS = ("bmp", "png", "png_gray", "png_pal", "gif", "gif_i")
+
+
+def synth_codec_pixel_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    pattern_col: str = "pattern",
+    shift_col: str = "shift",
+    codec_col: str = "codec",
+    width: int = 70,
+    height: int = 64,
+) -> DataFrame:
+    """Plant the SAME 8×8 block pattern as ``synth_bmp_pixel_media``
+    (block (bx, by) bright 180+δ iff bit ``(by·8+bx) % 8`` of the
+    pattern byte is set, else dark 60+δ — so ``ahash64`` provably
+    equals the pattern bits replicated, injective per pattern,
+    shift-invariant, ≥8-bit cross-pattern Hamming margin) but
+    encoded per-row in the CODEC named by ``codec_col``:
+
+    - ``bmp`` — uncompressed 24-bpp bottom-up BMP (byte-layout twin
+      of ``synth_bmp_pixel_media``);
+    - ``png`` / ``png_gray`` / ``png_pal`` — real zlib-compressed
+      8-bit PNGs in color types 2 / 0 / 3, scanline filters cycling
+      through ALL FIVE types (seed = pattern, so different plants
+      start the cycle at different rows);
+    - ``gif`` / ``gif_i`` — real LZW-compressed GIF87a, sequential
+      and interlaced.
+
+    Identical (pattern, shift) pixels re-encoded across codecs are
+    byte-DIFFERENT payloads with IDENTICAL luma — the cross-codec
+    re-encode case perceptual dedup exists to catch. Metadata is
+    NULL (decoders must recover everything from the bytes)."""
+    import struct
+
+    import numpy as np
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(pattern_col).cast("int").alias("_v"),
+        F.col(shift_col).cast("int").alias("_d"),
+        F.col(codec_col).cast("string").alias("_c"),
+    )
+
+    def _cells(n: int) -> "np.ndarray":
+        bounds = [i * n // 8 for i in range(1, 8)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    xb, yb = _cells(width), _cells(height)
+    bit_idx = (yb[:, None] * 8 + xb[None, :]) % 8
+    stride = (width * 3 + 3) & ~3
+    bmp_size = 54 + stride * height
+    chunk = 512
+
+    def _bmp(gray) -> bytes:
+        hdr = (
+            b"BM"
+            + struct.pack("<IHHI", bmp_size, 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0,
+            )
+        )
+        body = np.zeros((height, stride), dtype=np.uint8)
+        body[:, : width * 3] = np.repeat(
+            gray[::-1].astype(np.uint8), 3, axis=1
+        )
+        return hdr + body.tobytes()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, v, d, c in zip(
+                    seg["media_id"], seg["_v"], seg["_d"], seg["_c"]
+                ):
+                    mid, v, d = int(mid), int(v), int(d)
+                    gray = np.where((v >> bit_idx) & 1, 180, 60) + d
+                    if c == "bmp":
+                        payload = _bmp(gray)
+                    elif c == "png":
+                        payload = _encode_png(gray, "rgb", filter_seed=v)
+                    elif c == "png_gray":
+                        payload = _encode_png(gray, "gray", filter_seed=v)
+                    elif c == "png_pal":
+                        payload = _encode_png(gray, "pal", filter_seed=v)
+                    elif c == "gif":
+                        payload = _encode_gif(gray, interlaced=False)
+                    elif c == "gif_i":
+                        payload = _encode_gif(gray, interlaced=True)
+                    else:
+                        raise ValueError(f"unknown codec leg: {c!r}")
+                    rows.append(
+                        (mid, "image", None, None, None, None, payload)
                     )
                 yield pd.DataFrame(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]

@@ -42,6 +42,7 @@ from tidb_cdc_spark.queries import (
     llm16,
     llm17,
     llm18,
+    llm19,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -50,7 +51,7 @@ ORACLE: dict[str, str] = {}
 for _mod in (
     llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10,
     audits, cdcq, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
-    llm18,
+    llm18, llm19,
     batch, batch2, batch3, batch4, batch5,
 ):
     QUERIES.update(_mod.QUERIES)
@@ -308,9 +309,15 @@ GATE = [
     "cdc_schema_drift",
     "cdc_decimal_agg",
     "cdc_apply_latest",
-    # first 2 of the r11 block (remainder queues for r14)
-    "dedup_minhash_star_audit",
-    "dedup_minhash_audit",
+    # LATE-R13 SWAP 3 (never-gated-first doctrine, same session): the
+    # two planned r11-block fills (dedup_minhash_star_audit,
+    # dedup_minhash_audit — r11-green, unchanged, mirror-kept; queue
+    # for r14) yield to the NEW compressed-codec pixel audits
+    # (queries/llm19.py — real PNG zlib+unfilter and GIF LZW decode
+    # under planted-arithmetic oracles, verified hash-green at
+    # sf0.001+sf0.01+sf0.1 before this swap).
+    "multimodal_png_phash_audit",
+    "multimodal_codec_matrix_audit",
     # LATE-R13 SWAPS: the three remaining planned r11-block fills
     # (dedup_simhash_audit, winnow_repr_audit, rag_retrieval_eval —
     # all r11-green, unchanged, mirror-kept; queue for r14) yield to

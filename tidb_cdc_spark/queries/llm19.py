@@ -1,0 +1,259 @@
+"""Nineteenth wave: COMPRESSED-codec pixel decode as driver-gated,
+fully value-oracled queries — closing the r12 verdict's #1 remaining
+gap ("the pixel paths cover uncompressed BMP/PCM/AVI; real crawls
+are JPEG/PNG/...").
+
+PNG and GIF are now REAL pure-Python pixel paths (no codec library:
+DEFLATE is stdlib ``zlib``; GIF's LZW is ~40 lines —
+``functions/multimodal.py::decode_png_pixels`` /
+``decode_gif_pixels``), wired into the single ``decode_pixels``
+boundary the whole perceptual chain reads. These two audits pin
+them end-to-end under the same planted-formula design as
+``multimodal_phash_audit`` (queries/llm18.py): payloads are pure
+integer functions of the id, every output column is derivable from
+id arithmetic alone, and DuckDB recomputes that arithmetic.
+
+Scale shape: identical to the BMP audit — the synth→decode→hash
+chain is ONE Arrow-batched linear pass per consumer (materialized
+to run once), hashes are 24 B/row, pixels never shuffle. Compressed
+decode adds CPU ∝ pixel bytes (the PNG Sub/Average/Paeth unfilters
+are sequential along x by spec), which rides inside the same pass;
+a codec fleet swaps libpng/PIL in at the same boundary with no plan
+change. JPEG remains codec territory (guarded PIL branch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def multimodal_png_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over REAL decoded PNG pixels — the
+    compressed twin of ``multimodal_phash_audit``: zlib-inflate +
+    unfilter 8-bit PNGs in pure Python inside the sanctioned Arrow
+    pass (``decode_png_pixels`` via the ``decode_pixels`` boundary),
+    compute aHash/dHash, find Hamming-≤3 pairs with the Manku banded
+    join.
+
+    Planted-transform oracle: cluster ``pid = doc_id % 97``; variant
+    ``doc_id div 97 % 3`` selects the COLOR TYPE — 0 → truecolor RGB
+    (type 2), 1 → grayscale (type 0), 2 → palette (type 3) with a
+    +20 uniform brightness shift. Scanline filters cycle through all
+    five types per row (seed = pattern), so every unfilter
+    recurrence (None/Sub/Up/Average/Paeth) is under the oracle on
+    every payload. The 8×8 block pattern makes ``ahash64`` provably
+    the pattern byte's bits replicated (injective per cluster,
+    ≥8-bit cross-cluster margin, shift- and colortype-invariant:
+    BT.601 luma of (g,g,g) is exactly g), so:
+
+    - ``distinct_ahash = n_clusters`` fails if inflate → unfilter →
+      palette/luma → downsample → threshold is colortype- or
+      shift-variant OR collides across clusters;
+    - ``max_cluster_*_variants = 1`` fails if any hash varies within
+      a cluster (three byte-disjoint encodings of the same pixels);
+    - ``neardup_pairs = Σ C(m_pid, 2)`` fails if the banded join
+      misses a true pair or admits a cross-cluster one.
+      ``max_bucket_size=None`` because the planted clusters ARE the
+      duplicate families being measured.
+    """
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 97).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 97) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 97") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+            F.element_at(
+                F.array(F.lit("png"), F.lit("png_gray"), F.lit("png_pal")),
+                (F.expr("doc_id div 97") % 3 + 1).cast("int"),
+            ).alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id")
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# every column derives from the plant arithmetic: payloads are pure
+# functions of (pid-pattern, colortype-variant, shift); ahash is
+# provably the pattern's replicated bits — injective across clusters,
+# invariant across color types (luma(g,g,g) = g) and shift, ≥8-bit
+# cross-cluster margin ⇒ τ=3 pairs are exactly the within-cluster ones
+_PNG_PHASH_SQL = """
+WITH m AS (
+  SELECT doc_id % 97 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
+def multimodal_codec_matrix_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The cross-codec re-encode audit — the case perceptual dedup
+    EXISTS for: the same image saved as BMP, PNG (all three 8-bit
+    color types), and GIF (sequential AND interlaced) is six
+    byte-disjoint payloads that must collapse to ONE perceptual
+    identity. Variant ``doc_id div 89 % 6`` selects the codec leg
+    for cluster ``pid = doc_id % 89`` (same planted 8×8 block
+    pattern; shift 0 so pixels are bit-identical across legs);
+    every payload goes through the ONE ``decode_pixels`` boundary —
+    BMP through the uncompressed path, PNG through stdlib-zlib
+    inflate + unfilter, GIF through the pure-Python LZW codec
+    (+ 4-pass deinterlace for ``gif_i``).
+
+    - ``n_codecs`` pins that the plant actually spans codecs (id
+      arithmetic, SQL-recomputable);
+    - ``distinct_ahash = n_clusters`` + ``max_cluster_ahash_variants
+      = 1`` ARE the cross-codec equality claim: one decoder
+      diverging by a single pixel breaks them;
+    - ``neardup_pairs = Σ C(m_pid, 2)``: the banded join sees every
+      re-encoded pair and no cross-cluster one (≥8-bit margin).
+      ``max_bucket_size=None`` — the planted families are the
+      signal.
+    """
+    from tidb_cdc_spark.functions.multimodal import (
+        CODEC_LEGS,
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 89).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 89) % 254).alias("pattern"),
+            F.lit(0).alias("shift"),
+            F.element_at(
+                F.array(*[F.lit(c) for c in CODEC_LEGS]),
+                (F.expr("doc_id div 89") % 6 + 1).cast("int"),
+            ).alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id")
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid", "codec"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("codec").alias("n_codecs"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "n_codecs",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: the codec leg is (doc_id div 89) % 6 — byte-level
+# encodings differ, pixels are identical, so distinct_ahash collapses
+# to the cluster count iff all six decode paths agree pixel-for-pixel
+_CODEC_MATRIX_SQL = """
+WITH m AS (
+  SELECT doc_id % 89 AS pid, (doc_id // 89) % 6 AS leg
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT leg) FROM m) AS BIGINT) AS n_codecs,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
+QUERIES = {
+    "multimodal_png_phash_audit": multimodal_png_phash_audit,
+    "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
+}
+
+ORACLE = {
+    "multimodal_png_phash_audit": _PNG_PHASH_SQL,
+    "multimodal_codec_matrix_audit": _CODEC_MATRIX_SQL,
+}
