@@ -207,6 +207,7 @@ def main() -> None:
         # LZW — the CPU-heavier decode legs, priced from day one)
         "multimodal_png_phash_audit",
         "multimodal_codec_matrix_audit",
+        "multimodal_jpeg_phash_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -1,0 +1,174 @@
+"""Baseline-JPEG decode (functions/jpeg.py): the lossy codec made
+provably exact on block-aligned flat plants (DC-only spectra, quant
+step 1), with round-trip tolerance bounds for general images and
+rejects pinned for everything outside the supported envelope."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tidb_cdc_spark.functions.jpeg import (
+    _IDCT_M,
+    decode_jpeg_pixels,
+    encode_jpeg,
+)
+from tidb_cdc_spark.functions.multimodal import ahash64, decode_pixels
+
+
+def _rng():
+    return np.random.default_rng(20260817)
+
+
+def _pattern64(v: int, shift: int = 0):
+    """The 64×64 block-aligned plant (8×8 cells coincide with JPEG
+    blocks — every block flat)."""
+    idx = np.arange(64) // 8
+    bit_idx = (idx[:, None] * 8 + idx[None, :]) % 8
+    return np.where((v >> bit_idx) & 1, 180, 60) + shift
+
+
+class TestFlatBlockExactness:
+    @pytest.mark.parametrize("v", [1, 37, 85, 170, 254])
+    def test_gray_exact(self, v):
+        g = _pattern64(v)
+        got = decode_jpeg_pixels(encode_jpeg(g))
+        assert (got == g).all()
+
+    @pytest.mark.parametrize("v", [1, 85, 254])
+    def test_color_exact(self, v):
+        """Neutral-chroma 3-component scan decodes to the same gray
+        bit-for-bit (JFIF integer conversion with Cb = Cr = 0)."""
+        g = _pattern64(v)
+        got = decode_jpeg_pixels(encode_jpeg(g, color=True))
+        assert (got == g).all()
+
+    def test_shift_exact_and_hash_invariant(self):
+        g0, g20 = _pattern64(85), _pattern64(85, 20)
+        d0 = decode_jpeg_pixels(encode_jpeg(g0))
+        d20 = decode_jpeg_pixels(encode_jpeg(g20))
+        assert (d0 == g0).all() and (d20 == g20).all()
+        assert ahash64(d0) == ahash64(d20)
+
+    def test_dc_coefficients_clear_rounding_boundaries(self):
+        """ADVICE-r12 pattern: the exactness lemma rests on np.rint
+        of float64 DCs — assert every planted DC sits ≥0.4 from the
+        nearest .5 boundary over the full (v, shift) domain, so
+        cross-platform BLAS residue (~1e-13) is provably absorbed."""
+        for v in range(1, 255):
+            for shift in (0, 20):
+                g = _pattern64(v, shift)
+                for by in range(8):
+                    for bx in range(8):
+                        blk = g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                        f = _IDCT_M @ (blk - 128.0) @ _IDCT_M.T
+                        frac = np.abs(f - np.floor(f) - 0.5)
+                        assert frac.min() >= 0.4
+
+
+class TestGeneralRoundTrip:
+    def test_gray_tolerance(self):
+        g = _rng().integers(0, 256, size=(64, 64)).astype(np.int64)
+        got = decode_jpeg_pixels(encode_jpeg(g))
+        assert np.abs(got - g).max() <= 2
+
+    def test_color_tolerance(self):
+        g = _rng().integers(0, 256, size=(48, 48)).astype(np.int64)
+        got = decode_jpeg_pixels(encode_jpeg(g, color=True))
+        assert np.abs(got - g).max() <= 3
+
+    def test_non_multiple_of_8_dims_cropped(self):
+        g = _rng().integers(0, 256, size=(33, 70)).astype(np.int64)
+        got = decode_jpeg_pixels(encode_jpeg(g))
+        assert got.shape == (33, 70) and np.abs(got - g).max() <= 2
+
+    def test_restart_markers(self):
+        g = _rng().integers(0, 256, size=(24, 40)).astype(np.int64)
+        raw = encode_jpeg(g, restart_interval=2)
+        assert any(
+            raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7
+            for i in range(len(raw) - 1)
+        )
+        got = decode_jpeg_pixels(raw)
+        assert np.abs(got - g).max() <= 2
+
+    def test_byte_stuffing_exercised(self):
+        """The pinned seed produces 0xFF entropy bytes, so the
+        0xFF00 stuff/unstuff pair is actually on the tested path."""
+        g = _rng().integers(0, 256, size=(64, 64)).astype(np.int64)
+        raw = encode_jpeg(g)
+        body = raw[raw.index(b"\xff\xda") :]
+        assert b"\xff\x00" in body
+
+    def test_extreme_values_spec_valid(self):
+        """All-0 / all-255 / checkerboard extremes stay within the
+        baseline AC category range (the encoder clamp) and decode
+        within tolerance."""
+        for g in (
+            np.zeros((16, 16), dtype=np.int64),
+            np.full((16, 16), 255, dtype=np.int64),
+            np.indices((16, 16)).sum(0) % 2 * 255,
+        ):
+            got = decode_jpeg_pixels(encode_jpeg(g))
+            assert got is not None and np.abs(got - g).max() <= 3
+
+
+class TestRejects:
+    def test_garbage_and_truncation(self):
+        assert decode_jpeg_pixels(b"\xff\xd8junk") is None
+        g = _rng().integers(0, 256, size=(16, 16)).astype(np.int64)
+        raw = encode_jpeg(g)
+        assert decode_jpeg_pixels(raw[: len(raw) // 2]) is None
+        assert decode_jpeg_pixels(b"") is None
+
+    def _patch_sof(self, raw: bytes, marker=0xC0, prec=8, hv=0x11) -> bytes:
+        i = raw.index(b"\xff\xc0")
+        out = bytearray(raw)
+        out[i + 1] = marker
+        out[i + 4] = prec
+        out[i + 11] = hv  # first component's sampling factors
+        return bytes(out)
+
+    def test_progressive_rejected(self):
+        g = _rng().integers(0, 256, size=(16, 16)).astype(np.int64)
+        raw = encode_jpeg(g)
+        assert decode_jpeg_pixels(self._patch_sof(raw, marker=0xC2)) is None
+
+    def test_12bit_rejected(self):
+        g = _rng().integers(0, 256, size=(16, 16)).astype(np.int64)
+        raw = encode_jpeg(g)
+        assert decode_jpeg_pixels(self._patch_sof(raw, prec=12)) is None
+
+    def test_subsampled_rejected(self):
+        """4:2:0 chroma needs upsampling interpolation — codec
+        territory, guarded-PIL path."""
+        g = _rng().integers(0, 256, size=(16, 16)).astype(np.int64)
+        raw = encode_jpeg(g, color=True)
+        assert decode_jpeg_pixels(self._patch_sof(raw, hv=0x22)) is None
+
+
+class TestBoundary:
+    def test_decode_pixels_routes_jpeg(self):
+        g = _pattern64(85)
+        got = decode_pixels(encode_jpeg(g))
+        assert got is not None and (got == g).all()
+
+    def test_synth_leg(self, spark):
+        """Spark-side: jpeg and jpeg_rgb legs of the codec synth
+        hash identically to each other and to the formula."""
+        from tidb_cdc_spark.functions.multimodal import (
+            perceptual_hashes,
+            synth_codec_pixel_media,
+        )
+
+        ids = spark.createDataFrame(
+            [(1, 85, 0, "jpeg"), (2, 85, 0, "jpeg_rgb"), (3, 85, 20, "jpeg")],
+            "media_id long, pattern int, shift int, codec string",
+        )
+        media = synth_codec_pixel_media(ids, width=64, height=64)
+        got = perceptual_hashes(media).toPandas()
+        assert got["ahash"].notna().all()
+        assert got["ahash"].nunique() == 1
+        assert int(got["ahash"].iloc[0]) == ahash64(_pattern64(85))

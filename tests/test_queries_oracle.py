@@ -59,6 +59,7 @@ ROUND_ADDITIONS = [
     "media_curation_provenance",  # r13 changed: capped pair join default
     "multimodal_png_phash_audit",  # r13 NEW compressed PNG pixel audit
     "multimodal_codec_matrix_audit",  # r13 NEW cross-codec re-encode audit
+    "multimodal_jpeg_phash_audit",  # r13 NEW baseline-JPEG pixel audit
 ]
 
 

@@ -10,14 +10,17 @@ crawl-scale metadata probe actually runs). PIXEL decode is REAL for
 uncompressed 24-bpp BMP (``decode_bmp_pixels``) AND for COMPRESSED
 8-bit PNG (``decode_png_pixels`` — stdlib ``zlib`` inflate, all
 five scanline unfilters, color types 0/2/3, per-chunk CRC) and GIF
-(``decode_gif_pixels`` — pure-Python LZW, sequential + interlaced),
+(``decode_gif_pixels`` — pure-Python LZW, sequential + interlaced)
+and baseline JPEG (``functions/jpeg.py::decode_jpeg_pixels`` —
+table-driven Huffman + orthogonal IDCT, grayscale and 4:4:4 color),
 all feeding the perceptual-hash chain (``ahash64`` / ``dhash64`` /
 ``dct_phash64`` / ``perceptual_hashes`` / ``dct_phashes`` /
 ``phash_near_dup_pairs``) through the single ``decode_pixels``
 boundary; sample decode is REAL for 16-bit PCM WAV (whole-clip and
 per-window fingerprints — the latter trim-robust via
 ``audio_near_dup_pairs``) and frame decode for uncompressed AVI.
-Remaining codec territory (JPEG/WebP/16-bit/Adam7): PIL is used
+Remaining codec territory (progressive/subsampled JPEG, WebP,
+16-bit, Adam7): PIL is used
 automatically when importable, and ``_decode_image_stub``
 (deterministic fake, clearly marked) now covers ONLY bytes no real
 path recognizes — swapping in libvips/ffmpeg is a one-function
@@ -892,6 +895,12 @@ def decode_pixels(payload: bytes):
             return gray
     if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
         gray = decode_gif_pixels(payload)
+        if gray is not None:
+            return gray
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        from tidb_cdc_spark.functions.jpeg import decode_jpeg_pixels
+
+        gray = decode_jpeg_pixels(payload)
         if gray is not None:
             return gray
     if _PIL_Image is not None:  # pragma: no cover — no PIL here
@@ -1909,8 +1918,14 @@ def _encode_gif(gray, interlaced: bool = False) -> bytes:
     )
 
 
-#: codec legs of :func:`synth_codec_pixel_media`; each maps the
-#: planted gray array to REAL encoded bytes of that format.
+#: the six codec legs of `multimodal_codec_matrix_audit`; each maps
+#: the planted gray array to REAL encoded bytes of that format.
+#: `synth_codec_pixel_media` additionally accepts the lossy legs
+#: "jpeg" (grayscale baseline) and "jpeg_rgb" (3-component 4:4:4) —
+#: kept out of the 70-px-wide matrix because JPEG's 8×8 blocks only
+#: round-trip BIT-exactly when they align with the flat plant cells
+#: (width/height multiples of 8 — `multimodal_jpeg_phash_audit`
+#: plants 64×64).
 CODEC_LEGS = ("bmp", "png", "png_gray", "png_pal", "gif", "gif_i")
 
 
@@ -2001,6 +2016,14 @@ def synth_codec_pixel_media(
                         payload = _encode_gif(gray, interlaced=False)
                     elif c == "gif_i":
                         payload = _encode_gif(gray, interlaced=True)
+                    elif c == "jpeg":
+                        from tidb_cdc_spark.functions.jpeg import encode_jpeg
+
+                        payload = encode_jpeg(gray, color=False)
+                    elif c == "jpeg_rgb":
+                        from tidb_cdc_spark.functions.jpeg import encode_jpeg
+
+                        payload = encode_jpeg(gray, color=True)
                     else:
                         raise ValueError(f"unknown codec leg: {c!r}")
                     rows.append(

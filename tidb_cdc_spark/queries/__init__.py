@@ -282,7 +282,12 @@ GATE = [
     "events_hourly",
     "events_sliding_1h",
     "events_cohort_retention",
-    "events_json_extract",
+    # LATE-R13 SWAP 4 (never-gated-first): events_json_extract
+    # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
+    # to the NEW baseline-JPEG pixel audit (queries/llm19.py — lossy
+    # codec made provably exact on block-aligned flat plants; verified
+    # hash-green at sf0.001+sf0.01+sf0.1 before this swap).
+    "multimodal_jpeg_phash_audit",
     "sketch_approx",
     "full_outer_nation_presence",
     "suppliers_of_large_parts",

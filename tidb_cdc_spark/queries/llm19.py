@@ -248,12 +248,119 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_jpeg_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over REAL decoded BASELINE-JPEG pixels —
+    the lossy-codec member of the family, and the format the r12
+    verdict named as the gap: pure-Python/numpy Huffman + zigzag +
+    dequant + orthogonal IDCT (``functions/jpeg.py``), no codec
+    library, wired through the same ``decode_pixels`` boundary.
+
+    JPEG is lossy in general, so the plant is chosen where it is
+    provably EXACT: 64×64 images whose 8×8 aHash grid cells coincide
+    with the JPEG block grid — every block is FLAT, its spectrum is
+    DC-only, quantization step 1 stores ``8·(v−128)`` exactly, and
+    the IDCT reproduces the flat value bit-for-bit. The planted
+    lemma (``ahash64`` = pattern bits replicated; injective, ≥8-bit
+    cross-cluster margin, shift-invariant) therefore carries over
+    from the BMP audit UNCHANGED even through the lossy codec.
+
+    Variants per cluster ``pid = doc_id % 83``: 0 → grayscale scan,
+    1 → 3-component 4:4:4 with neutral chroma (the Huffman-coded
+    stream triples its block count; decoded RGB equals the gray
+    exactly under the JFIF integer conversion), 2 → grayscale with a
+    +20 brightness shift (different DCs, different BYTES, same
+    hash). Scorecard semantics identical to the PNG audit; all
+    columns from id arithmetic alone."""
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 83).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 83) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 83") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+            F.when(F.expr("doc_id div 83") % 3 == 1, F.lit("jpeg_rgb"))
+            .otherwise(F.lit("jpeg"))
+            .alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id", width=64, height=64)
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: 64×64 flat-block plants make the lossy codec
+# EXACT (DC-only spectra at quant 1), so ahash is provably the
+# pattern's replicated bits — injective across clusters, invariant
+# across scan type (gray vs neutral-chroma color) and brightness
+# shift, ≥8-bit margin ⇒ τ=3 pairs are exactly the within-cluster ones
+_JPEG_PHASH_SQL = """
+WITH m AS (
+  SELECT doc_id % 83 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
+    "multimodal_jpeg_phash_audit": multimodal_jpeg_phash_audit,
 }
 
 ORACLE = {
     "multimodal_png_phash_audit": _PNG_PHASH_SQL,
     "multimodal_codec_matrix_audit": _CODEC_MATRIX_SQL,
+    "multimodal_jpeg_phash_audit": _JPEG_PHASH_SQL,
 }
