@@ -45,6 +45,48 @@ class TestFlatBlockExactness:
         got = decode_jpeg_pixels(encode_jpeg(g, color=True))
         assert (got == g).all()
 
+    @pytest.mark.parametrize("v", [1, 85, 254])
+    def test_420_exact(self, v):
+        """4:2:0 — general interleaved MCUs (2×2 Y blocks + 1 Cb +
+        1 Cr), flat zero chroma through the replication upsample:
+        still bit-exact on block-aligned plants."""
+        g = _pattern64(v)
+        got = decode_jpeg_pixels(encode_jpeg(g, color=True, subsampling="420"))
+        assert (got == g).all()
+
+    def test_nonzero_flat_chroma_exact_conversion(self):
+        """A flat nonzero chroma plane quantizes exactly, so the
+        decoded luma must equal the JFIF integer conversion computed
+        independently — the color path under test with real chroma
+        signal, through BOTH sampling layouts."""
+        g = _pattern64(37)
+        for sub in ("444", "420"):
+            raw = encode_jpeg(
+                g, color=True, subsampling=sub, cb_const=-24, cr_const=16
+            )
+            got = decode_jpeg_pixels(raw)
+            y = g.astype(np.float64)
+            r = np.clip(np.floor(y + 1.402 * 16 + 0.5), 0, 255).astype(np.int64)
+            gg = np.clip(
+                np.floor(y - 0.344136 * -24 - 0.714136 * 16 + 0.5), 0, 255
+            ).astype(np.int64)
+            b = np.clip(np.floor(y + 1.772 * -24 + 0.5), 0, 255).astype(np.int64)
+            expect = (r * 299 + gg * 587 + b * 114) // 1000
+            assert (got == expect).all(), sub
+
+    def test_420_random_tolerance_and_odd_dims(self):
+        g = _rng().integers(0, 256, size=(35, 41)).astype(np.int64)
+        got = decode_jpeg_pixels(encode_jpeg(g, color=True, subsampling="420"))
+        assert got.shape == (35, 41) and np.abs(got - g).max() <= 3
+
+    def test_420_restart_markers(self):
+        g = _rng().integers(0, 256, size=(32, 48)).astype(np.int64)
+        raw = encode_jpeg(
+            g, color=True, subsampling="420", restart_interval=2
+        )
+        got = decode_jpeg_pixels(raw)
+        assert got is not None and np.abs(got - g).max() <= 3
+
     def test_shift_exact_and_hash_invariant(self):
         g0, g20 = _pattern64(85), _pattern64(85, 20)
         d0 = decode_jpeg_pixels(encode_jpeg(g0))
@@ -141,12 +183,22 @@ class TestRejects:
         raw = encode_jpeg(g)
         assert decode_jpeg_pixels(self._patch_sof(raw, prec=12)) is None
 
-    def test_subsampled_rejected(self):
-        """4:2:0 chroma needs upsampling interpolation — codec
-        territory, guarded-PIL path."""
+    def test_invalid_sampling_rejected(self):
+        """Zero or >4 sampling factors, and non-integer upsample
+        ratios (hmax % h_i != 0), are malformed/unsupported — None,
+        never a guess."""
         g = _rng().integers(0, 256, size=(16, 16)).astype(np.int64)
         raw = encode_jpeg(g, color=True)
-        assert decode_jpeg_pixels(self._patch_sof(raw, hv=0x22)) is None
+        assert decode_jpeg_pixels(self._patch_sof(raw, hv=0x00)) is None
+        assert decode_jpeg_pixels(self._patch_sof(raw, hv=0x53)) is None
+        # Y at 3×3 with Cb at 2×2 → upsample ratio 3/2: reject at
+        # the SOF parse (before any entropy decode is attempted)
+        raw420 = encode_jpeg(g, color=True, subsampling="420")
+        i = raw420.index(b"\xff\xc0")
+        patched = bytearray(raw420)
+        patched[i + 11] = 0x33  # Y
+        patched[i + 14] = 0x22  # Cb
+        assert decode_jpeg_pixels(bytes(patched)) is None
 
 
 class TestBoundary:

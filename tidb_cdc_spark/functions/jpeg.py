@@ -3,11 +3,13 @@ codec library. The last compressed image format a crawl sees in
 volume becomes a REAL pixel path: table-driven Huffman (the tables
 come from the file's DHT segments, so Annex-K and custom-table
 JPEGs both decode), zigzag + dequantization, an orthogonal float64
-IDCT, 0xFF00 byte-unstuffing, DRI/RSTn restart handling, and 1- or
-3-component non-subsampled scans (all sampling factors 1 — the
-4:4:4 and grayscale cases; 4:2:0 chroma upsampling interpolation is
-genuine codec territory and returns None for the guarded PIL
-branch, as do progressive SOF2 and arithmetic coding).
+IDCT, 0xFF00 byte-unstuffing, DRI/RSTn restart handling, and
+general interleaved MCUs — ANY sampling-factor combination with
+integer upsample ratios (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...), chroma
+upsampled by deterministic pixel replication (libjpeg's "fancy"
+bilinear variant is a smoothing choice, not bitstream semantics).
+Progressive SOF2 and arithmetic coding return None for the guarded
+PIL branch.
 
 Exactness model (what the audits pin): JPEG is lossy in general,
 but a FLAT 8×8 block is DC-only — with quantization step 1 the DC
@@ -168,11 +170,13 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg_pixels(payload: bytes):
     """REAL baseline-JPEG pixel decode → int64 BT.601 luma array
     (h, w), or None for anything outside the supported envelope
-    (progressive, subsampled, 12-bit, arithmetic-coded, truncated,
-    or malformed streams — the guarded-PIL/NULL-hash treatment).
+    (progressive, 12-bit, arithmetic-coded, non-integer upsample
+    ratios, truncated, or malformed streams — the
+    guarded-PIL/NULL-hash treatment).
 
     Grayscale scans return Y directly (luma(g,g,g) = g); 3-component
-    scans convert YCbCr→RGB with the JFIF integer convention
+    scans (any sampling layout incl. 4:2:0, chroma upsampled by
+    replication) convert YCbCr→RGB with the JFIF integer convention
     (round-half-away via floor(x+0.5), clip 0..255) and reduce with
     the same BT.601 integer luma every other pixel path uses."""
     p = payload
@@ -237,9 +241,18 @@ def decode_jpeg_pixels(payload: bytes):
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                if hv != 0x11:
-                    return None  # subsampling: codec territory
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if ncomp == 1:
+                    # single-component scans are non-interleaved:
+                    # sampling factors are ignored (T.81 A.2)
+                    hi = vi = 1
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    return None
+                comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            if any(hmax % c[2] or vmax % c[3] for c in comps):
+                return None  # non-integer upsample ratio
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -263,70 +276,95 @@ def decode_jpeg_pixels(payload: bytes):
                 q = qt.get(comps[c][1])
                 if dc_t is None or ac_t is None or q is None:
                     return None
-                sel.append((dc_t, ac_t, q))
+                sel.append((dc_t, ac_t, q, comps[c][2], comps[c][3]))
             return _decode_scan(p, pos + 2 + seglen, h, w, sel, dri)
         # APPn / COM / others: skip
         pos += 2 + seglen
     return None
 
 
+def _decode_block(br, dc_t, ac_t, q, pred_box, ci):
+    """One entropy-coded 8×8 block → dequantized spatial pixels (or
+    None on a malformed stream). ``pred_box`` carries the per-
+    component DC predictors across MCUs."""
+    coef = np.zeros(64, dtype=np.int64)
+    t = _huff_decode(br, dc_t)
+    if t is None or t > 11:
+        return None
+    bits = br.read_bits(t) if t else 0
+    if bits is None:
+        return None
+    pred_box[ci] += _extend(bits, t)
+    coef[0] = pred_box[ci]
+    k = 1
+    while k < 64:
+        sym = _huff_decode(br, ac_t)
+        if sym is None:
+            return None
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k > 63 or size == 0:
+            return None
+        bits = br.read_bits(size)
+        if bits is None:
+            return None
+        coef[_ZZ[k]] = _extend(bits, size)
+        k += 1
+    blk = coef.reshape(8, 8) * q
+    return _IDCT_M.T @ blk.astype(np.float64) @ _IDCT_M
+
+
 def _decode_scan(p, pos, h, w, sel, dri):
+    """General interleaved-MCU scan: each MCU carries h_i×v_i blocks
+    per component; subsampled planes are upsampled by PIXEL
+    REPLICATION (each chroma sample covers its Hmax/h_i × Vmax/v_i
+    pixel footprint — deterministic; libjpeg's "fancy" bilinear
+    variant is a smoothing choice, not part of the bitstream)."""
     ncomp = len(sel)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in sel]
+    hmax = max(s[3] for s in sel)
+    vmax = max(s[4] for s in sel)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mh * vi * 8, mw * hi * 8), dtype=np.float64)
+        for (_, _, _, hi, vi) in sel
+    ]
     br = _BitReader(p, pos)
     pred = [0] * ncomp
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mh):
+        for mx in range(mw):
             if dri and mcu and mcu % dri == 0:
                 if not br.align_and_expect_rst():
                     return None
                 pred = [0] * ncomp
-            for ci, (dc_t, ac_t, q) in enumerate(sel):
-                coef = np.zeros(64, dtype=np.int64)
-                t = _huff_decode(br, dc_t)
-                if t is None or t > 11:
-                    return None
-                bits = br.read_bits(t) if t else 0
-                if bits is None:
-                    return None
-                pred[ci] += _extend(bits, t)
-                coef[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(br, ac_t)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63 or size == 0:
-                        return None
-                    bits = br.read_bits(size)
-                    if bits is None:
-                        return None
-                    coef[_ZZ[k]] = _extend(bits, size)
-                    k += 1
-                blk = coef.reshape(8, 8) * q
-                px = _IDCT_M.T @ blk.astype(np.float64) @ _IDCT_M
-                planes[ci][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = px
+            for ci, (dc_t, ac_t, q, hi, vi) in enumerate(sel):
+                for by in range(vi):
+                    for bx in range(hi):
+                        px = _decode_block(br, dc_t, ac_t, q, pred, ci)
+                        if px is None:
+                            return None
+                        r0 = (my * vi + by) * 8
+                        c0 = (mx * hi + bx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
-    out = [
-        np.clip(np.floor(pl + 128.5), 0, 255).astype(np.int64)[:h, :w]
-        for pl in planes
-    ]
+    up = []
+    for pl, (_, _, _, hi, vi) in zip(planes, sel):
+        if hi != hmax or vi != vmax:
+            pl = np.repeat(
+                np.repeat(pl, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        up.append(pl[:h, :w])
     if ncomp == 1:
-        return out[0]
-    y = planes[0][:h, :w] + 128.0
-    cb = planes[1][:h, :w]
-    cr = planes[2][:h, :w]
+        return np.clip(np.floor(up[0] + 128.5), 0, 255).astype(np.int64)
+    y = up[0] + 128.0
+    cb = up[1]
+    cr = up[2]
     # JFIF YCbCr→RGB, round-half-up then clip (Cb/Cr already
     # level-shifted around 0 here since +128 was not applied)
     r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255).astype(np.int64)
@@ -400,29 +438,99 @@ def _size_cat(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def encode_jpeg(gray, color: bool = False, restart_interval: int = 0) -> bytes:
+def _fwd_block(blk) -> np.ndarray:
+    """Forward DCT of one level-shifted spatial block → clamped
+    integer coefficients in NATURAL order (quant step 1)."""
+    f = _IDCT_M @ np.asarray(blk, dtype=np.float64) @ _IDCT_M.T
+    coef = np.rint(f).astype(np.int64).ravel()
+    # baseline 8-bit AC categories stop at 10 (|v| ≤ 1023); the
+    # exact-basis-matching adversarial block can round to ±1024 —
+    # clamp (1-LSB distortion on a synthetic extreme, spec-valid
+    # stream always)
+    coef[1:] = np.clip(coef[1:], -1023, 1023)
+    return coef.reshape(8, 8)
+
+
+def _write_block(bwr, coef, pred, ci, dc_enc, ac_enc):
+    cvec = coef.ravel()[_ZZ]
+    diff = int(cvec[0]) - pred[ci]
+    pred[ci] = int(cvec[0])
+    t = _size_cat(diff)
+    code, ln = dc_enc[t]
+    bwr.write(code, ln)
+    if t:
+        bwr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(cvec[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bwr.write(code, ln)
+            run -= 16
+        s = _size_cat(v)
+        code, ln = ac_enc[(run << 4) | s]
+        bwr.write(code, ln)
+        bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_enc[0x00]
+        bwr.write(code, ln)
+
+
+def _pad_replicate(g, ph: int, pw: int) -> np.ndarray:
+    h, w = g.shape
+    padded = np.zeros((ph, pw), dtype=np.int64)
+    padded[:h, :w] = g
+    if h < ph:
+        padded[h:, :w] = g[-1:, :]
+    if w < pw:
+        padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def encode_jpeg(
+    gray,
+    color: bool = False,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    cb_const: int = 0,
+    cr_const: int = 0,
+) -> bytes:
     """TEST FIXTURE: encode an int64 gray array as a REAL baseline
     JFIF JPEG with quantization step 1 everywhere (so flat 8×8
     blocks round-trip exactly) and the self-generated fixed-length
-    Huffman tables above. ``color=True`` writes a 3-component 4:4:4
-    scan with Cb = Cr = 0 signal (neutral chroma: decoded RGB equals
-    the gray exactly under the JFIF integer conversion).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that
-    many MCUs (exercises the decoder's restart path)."""
+    Huffman tables above. ``color=True`` writes a 3-component scan —
+    ``subsampling="444"`` (all factors 1) or ``"420"`` (Y at 2×2,
+    chroma quarter-res: the layout most real crawls carry) — whose
+    chroma planes are FLAT at ``cb_const``/``cr_const`` (signed,
+    around the 128 level shift). Flat chroma quantizes exactly, so
+    the decoded RGB is an exact integer function of (gray, cb, cr)
+    under the JFIF conversion — including through the replication
+    upsample. ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (exercises the decoder's restart path)."""
     g = np.asarray(gray, dtype=np.int64)
     h, w = g.shape
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-    padded[:h, :w] = g
-    if h < bh * 8:
-        padded[h:, :w] = g[-1:, :]  # edge replication
-    if w < bw * 8:
-        padded[:, w:] = padded[:, w - 1 : w]
+    if not color:
+        comps = [(0x11, None)]
+    elif subsampling == "444":
+        comps = [(0x11, None), (0x11, cb_const), (0x11, cr_const)]
+    elif subsampling == "420":
+        comps = [(0x22, None), (0x11, cb_const), (0x11, cr_const)]
+    else:
+        raise ValueError(f"unsupported subsampling: {subsampling!r}")
+    hmax = max(c[0] >> 4 for c in comps)
+    vmax = max(c[0] & 0xF for c in comps)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = _pad_replicate(g, mh * vmax * 8, mw * hmax * 8)
     dc_counts, dc_syms = _huff_spec_dc()
     ac_counts, ac_syms = _huff_spec_ac()
     dc_enc = _enc_table(dc_counts, dc_syms)
     ac_enc = _enc_table(ac_counts, ac_syms)
-    ncomp = 3 if color else 1
+    ncomp = len(comps)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF
@@ -432,8 +540,8 @@ def encode_jpeg(gray, color: bool = False, restart_interval: int = 0) -> bytes:
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
     # SOF0
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])
+    for c, (hv, _) in enumerate(comps):
+        sof += bytes([c + 1, hv, 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC class 0 id 0, AC class 1 id 0
     dht = bytes([0x00]) + bytes(dc_counts) + dc_syms
@@ -448,12 +556,18 @@ def encode_jpeg(gray, color: bool = False, restart_interval: int = 0) -> bytes:
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
+    # flat chroma block coefficients: DC = 8·const, AC = 0 (exact)
+    flat_coef = {
+        cst: _fwd_block(np.full((8, 8), cst, dtype=np.int64))
+        for _, cst in comps
+        if cst is not None
+    }
     bwr = _BitWriter()
     pred = [0] * ncomp
     mcu = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mh):
+        for mx in range(mw):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bwr.flush()
                 out += bwr.out
@@ -461,44 +575,18 @@ def encode_jpeg(gray, color: bool = False, restart_interval: int = 0) -> bytes:
                 out += bytes([0xFF, 0xD0 + (rst % 8)])
                 rst += 1
                 pred = [0] * ncomp
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            f = _IDCT_M @ (blk - 128).astype(np.float64) @ _IDCT_M.T
-            coef = np.rint(f).astype(np.int64).ravel()
-            # baseline 8-bit AC categories stop at 10 (|v| ≤ 1023);
-            # the exact-basis-matching adversarial block can round
-            # to ±1024 — clamp (1-LSB distortion on a synthetic
-            # extreme, spec-valid stream always)
-            coef[1:] = np.clip(coef[1:], -1023, 1023)
-            coef = coef.reshape(8, 8)
-            for ci in range(ncomp):
-                cvec = coef.ravel()[_ZZ] if ci == 0 else np.zeros(
-                    64, dtype=np.int64
-                )
-                diff = int(cvec[0]) - pred[ci]
-                pred[ci] = int(cvec[0])
-                t = _size_cat(diff)
-                code, ln = dc_enc[t]
-                bwr.write(code, ln)
-                if t:
-                    bwr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                for k in range(1, 64):
-                    v = int(cvec[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_enc[0xF0]
-                        bwr.write(code, ln)
-                        run -= 16
-                    s = _size_cat(v)
-                    code, ln = ac_enc[(run << 4) | s]
-                    bwr.write(code, ln)
-                    bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if run:
-                    code, ln = ac_enc[0x00]
-                    bwr.write(code, ln)
+            for ci, (hv, cst) in enumerate(comps):
+                hi, vi = hv >> 4, hv & 0xF
+                for by in range(vi):
+                    for bx in range(hi):
+                        if cst is not None:
+                            coef = flat_coef[cst]
+                        else:
+                            r0 = (my * vi + by) * 8
+                            c0 = (mx * hi + bx) * 8
+                            blk = padded[r0 : r0 + 8, c0 : c0 + 8]
+                            coef = _fwd_block(blk - 128)
+                        _write_block(bwr, coef, pred, ci, dc_enc, ac_enc)
             mcu += 1
     bwr.flush()
     out += bwr.out

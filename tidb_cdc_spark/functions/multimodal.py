@@ -2024,6 +2024,12 @@ def synth_codec_pixel_media(
                         from tidb_cdc_spark.functions.jpeg import encode_jpeg
 
                         payload = encode_jpeg(gray, color=True)
+                    elif c == "jpeg_420":
+                        from tidb_cdc_spark.functions.jpeg import encode_jpeg
+
+                        payload = encode_jpeg(
+                            gray, color=True, subsampling="420"
+                        )
                     else:
                         raise ValueError(f"unknown codec leg: {c!r}")
                     rows.append(

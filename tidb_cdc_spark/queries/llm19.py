@@ -267,10 +267,12 @@ def multimodal_jpeg_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Variants per cluster ``pid = doc_id % 83``: 0 → grayscale scan,
     1 → 3-component 4:4:4 with neutral chroma (the Huffman-coded
     stream triples its block count; decoded RGB equals the gray
-    exactly under the JFIF integer conversion), 2 → grayscale with a
-    +20 brightness shift (different DCs, different BYTES, same
-    hash). Scorecard semantics identical to the PNG audit; all
-    columns from id arithmetic alone."""
+    exactly under the JFIF integer conversion), 2 → 4:2:0 — the
+    layout most real crawls carry (general interleaved MCUs, chroma
+    quarter-res through the replication upsample; flat zero chroma
+    stays exact) — with a +20 brightness shift (different DCs,
+    different BYTES, same hash). Scorecard semantics identical to
+    the PNG audit; all columns from id arithmetic alone."""
     from tidb_cdc_spark.functions.multimodal import (
         perceptual_hashes,
         phash_near_dup_pairs,
@@ -289,6 +291,7 @@ def multimodal_jpeg_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .alias("shift"),
             F.when(F.expr("doc_id div 83") % 3 == 1, F.lit("jpeg_rgb"))
+            .when(F.expr("doc_id div 83") % 3 == 2, F.lit("jpeg_420"))
             .otherwise(F.lit("jpeg"))
             .alias("codec"),
         )
