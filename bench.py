@@ -208,6 +208,7 @@ def main() -> None:
         "multimodal_png_phash_audit",
         "multimodal_codec_matrix_audit",
         "multimodal_jpeg_phash_audit",
+        "multimodal_png_deep_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -65,10 +65,11 @@ class TestPngDecode:
         raw = _encode_png(g, "rgb")
         assert decode_png_pixels(raw[: len(raw) // 2]) is None
 
-    def test_unsupported_shapes_rejected(self):
-        """Adam7 interlace, 16-bit depth, RGBA: codec territory for
-        the guarded PIL branch — the pure path must return None, not
-        guess."""
+    def test_spec_illegal_shapes_rejected(self):
+        """Spec-ILLEGAL (color, depth) combinations and unknown
+        interlace methods must return None, not guess (the legal
+        envelope — Adam7, 16-bit, alpha, sub-byte — is a real path
+        since r13, covered by TestPngFullEnvelope)."""
         import struct
         import zlib
 
@@ -83,9 +84,12 @@ class TestPngDecode:
                 + _png_chunk(b"IEND", b"")
             )
 
-        assert decode_png_pixels(png_with_ihdr(8, 2, 1)) is None  # Adam7
-        assert decode_png_pixels(png_with_ihdr(16, 2, 0)) is None
-        assert decode_png_pixels(png_with_ihdr(8, 6, 0)) is None  # RGBA
+        assert decode_png_pixels(png_with_ihdr(4, 2, 0)) is None  # RGB@4
+        assert decode_png_pixels(png_with_ihdr(16, 3, 0)) is None  # pal@16
+        assert decode_png_pixels(png_with_ihdr(2, 6, 0)) is None  # RGBA@2
+        assert decode_png_pixels(png_with_ihdr(3, 0, 0)) is None  # depth 3
+        assert decode_png_pixels(png_with_ihdr(8, 5, 0)) is None  # color 5
+        assert decode_png_pixels(png_with_ihdr(8, 2, 2)) is None  # method 2
 
     def test_palette_index_overrun_rejected(self):
         """An index past PLTE is malformed — None, not a wrapped
@@ -108,6 +112,195 @@ class TestPngDecode:
             out += _png_chunk(ctype, data)
             pos += 12 + clen
         assert decode_png_pixels(out) is None
+
+
+class TestPngFullEnvelope:
+    """r13: Adam7 interlace, 16-bit, sub-byte depths, alpha — every
+    spec-legal shape is a REAL pure-Python path through the same
+    ``decode_png_pixels``."""
+
+    @pytest.mark.parametrize("interlaced", [False, True])
+    @pytest.mark.parametrize("size", [(13, 17), (5, 3), (1, 1), (2, 2)])
+    def test_roundtrip_gray_and_rgb_all_depths(self, interlaced, size):
+        from tidb_cdc_spark.functions.multimodal import _encode_png_ex
+
+        h, w = size
+        rng = _rng()
+        g = rng.integers(0, 256, (h, w)).astype(np.int64)
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.int64)
+        luma = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+        for seed in range(5):
+            got = decode_png_pixels(_encode_png_ex(g, 0, 8, interlaced, seed))
+            assert (got == g).all()
+            got = decode_png_pixels(_encode_png_ex(rgb, 2, 8, interlaced, seed))
+            assert (got == luma).all()
+            # 16-bit legs store v·257: high-byte reduction recovers v
+            got = decode_png_pixels(
+                _encode_png_ex(g[:, :, None] * 257, 0, 16, interlaced, seed)
+            )
+            assert (got == g).all()
+            got = decode_png_pixels(
+                _encode_png_ex(rgb * 257, 2, 16, interlaced, seed)
+            )
+            assert (got == luma).all()
+            # sub-byte grayscale: left-bit replication scaling
+            for d in (1, 2, 4):
+                gv = rng.integers(0, 1 << d, (h, w)).astype(np.int64)
+                got = decode_png_pixels(
+                    _encode_png_ex(gv[:, :, None], 0, d, interlaced, seed)
+                )
+                assert (got == gv * (255 // ((1 << d) - 1))).all()
+
+    @pytest.mark.parametrize("interlaced", [False, True])
+    def test_roundtrip_subbyte_palette(self, interlaced):
+        from tidb_cdc_spark.functions.multimodal import _encode_png_ex
+
+        rng = _rng()
+        vals = np.array([10, 60, 180, 240], dtype=np.int64)
+        idx = rng.integers(0, 4, (9, 7)).astype(np.int64)
+        pal = np.repeat(vals, 3).astype(np.uint8).tobytes()
+        for depth in (2, 4, 8):
+            got = decode_png_pixels(
+                _encode_png_ex(
+                    idx[:, :, None], 3, depth, interlaced, palette=pal
+                )
+            )
+            assert (got == vals[idx]).all()
+
+    def test_alpha_composites_over_white_round_half_up(self):
+        from tidb_cdc_spark.functions.multimodal import _encode_png_ex
+
+        g = np.full((4, 4), 100, dtype=np.int64)
+        a = np.array([[0, 64, 128, 255]] * 4, dtype=np.int64)
+        got = decode_png_pixels(
+            _encode_png_ex(np.stack([g, a], axis=2), 4, 8)
+        )
+        expect = (g * a + 255 * (255 - a) + 127) // 255
+        assert (got == expect).all()
+        assert got[0, 0] == 255 and got[0, 3] == 100  # a=0→white, a=255→v
+        # RGBA: per-channel composite, then luma
+        rgb = _rng().integers(0, 256, (4, 4, 3)).astype(np.int64)
+        rgba = np.concatenate([rgb, a[:, :, None]], axis=2)
+        comp = (rgb * a[:, :, None] + 255 * (255 - a[:, :, None]) + 127) // 255
+        expect = (
+            comp[:, :, 0] * 299 + comp[:, :, 1] * 587 + comp[:, :, 2] * 114
+        ) // 1000
+        assert (decode_png_pixels(_encode_png_ex(rgba, 6, 8)) == expect).all()
+
+    def test_opaque_alpha_is_luma_identical_to_rgb(self):
+        """a=255 composite is the identity: an opaque RGBA re-save of
+        an RGB image must hash identically — the perceptual-dedup
+        claim the deep audit pins at scale."""
+        from tidb_cdc_spark.functions.multimodal import _encode_png_ex
+
+        rgb = _rng().integers(0, 256, (8, 8, 3)).astype(np.int64)
+        rgba = np.concatenate(
+            [rgb, np.full((8, 8, 1), 255, dtype=np.int64)], axis=2
+        )
+        a = decode_png_pixels(_encode_png_ex(rgb, 2, 8))
+        b = decode_png_pixels(_encode_png_ex(rgba, 6, 8))
+        assert (a == b).all()
+
+    def test_16bit_msb_rule_on_non_replicated_samples(self):
+        """Arbitrary 16-bit samples (not of the v·257 form) reduce by
+        the HIGH byte — deterministic, platform-free."""
+        from tidb_cdc_spark.functions.multimodal import _encode_png_ex
+
+        v16 = np.array(
+            [[0x1234, 0xFFFF], [0x00FF, 0x8000]], dtype=np.int64
+        )
+        got = decode_png_pixels(_encode_png_ex(v16[:, :, None], 0, 16))
+        assert (got == (v16 >> 8)).all()
+
+    def test_adam7_truncated_pass_rejected(self):
+        """Dropping the last pass's bytes must fail the stream-length
+        check, not return a half-painted image."""
+        import struct
+        import zlib
+
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_png_ex,
+            _png_chunk,
+        )
+
+        g = _rng().integers(0, 256, (8, 8)).astype(np.int64)
+        raw = _encode_png_ex(g, 0, 8, interlaced=True)
+        # rebuild with the inflated stream cut short by one byte
+        pos = 8
+        out = b"\x89PNG\r\n\x1a\n"
+        while pos + 12 <= len(raw):
+            (clen,) = struct.unpack_from(">I", raw, pos)
+            ctype = raw[pos + 4 : pos + 8]
+            data = raw[pos + 8 : pos + 8 + clen]
+            if ctype == b"IDAT":
+                data = zlib.compress(zlib.decompress(data)[:-1])
+            out += _png_chunk(ctype, data)
+            pos += 12 + clen
+        assert decode_png_pixels(out) is None
+
+    def test_trailing_pixel_bytes_rejected(self):
+        """Extra bytes after the final pass are malformed — None."""
+        import struct
+        import zlib
+
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_png_ex,
+            _png_chunk,
+        )
+
+        g = _rng().integers(0, 256, (8, 8)).astype(np.int64)
+        for interlaced in (False, True):
+            raw = _encode_png_ex(g, 0, 8, interlaced=interlaced)
+            pos = 8
+            out = b"\x89PNG\r\n\x1a\n"
+            while pos + 12 <= len(raw):
+                (clen,) = struct.unpack_from(">I", raw, pos)
+                ctype = raw[pos + 4 : pos + 8]
+                data = raw[pos + 8 : pos + 8 + clen]
+                if ctype == b"IDAT":
+                    data = zlib.compress(zlib.decompress(data) + b"\x00")
+                out += _png_chunk(ctype, data)
+                pos += 12 + clen
+            assert decode_png_pixels(out) is None
+
+    def test_deep_legs_hash_identically_sparkside(self, spark):
+        """Spark-side: the six PNG_DEEP_LEGS byte-disjoint encodings
+        of the same pattern collapse to one (ahash, dhash) — the
+        deep audit's core claim in miniature."""
+        from tidb_cdc_spark.functions.multimodal import (
+            PNG_DEEP_LEGS,
+            perceptual_hashes,
+            synth_codec_pixel_media,
+        )
+
+        rows = []
+        for pid, v in enumerate((3, 170)):
+            for leg_i, leg in enumerate(PNG_DEEP_LEGS):
+                rows.append((pid * 10 + leg_i, v, 0, leg))
+        ids = spark.createDataFrame(
+            rows, "media_id long, pattern int, shift int, codec string"
+        )
+        media = synth_codec_pixel_media(ids)
+        got = perceptual_hashes(media).toPandas()
+        assert got["ahash"].notna().all()
+        by_pattern = {}
+        for _, r in got.iterrows():
+            by_pattern.setdefault(int(r["media_id"]) // 10, set()).add(
+                (int(r["ahash"]), int(r["dhash"]))
+            )
+        assert all(len(s) == 1 for s in by_pattern.values())
+        assert by_pattern[0] != by_pattern[1]
+        # and the deep legs agree with the classic 8-bit leg
+        classic = spark.createDataFrame(
+            [(0, 3, 0, "png")],
+            "media_id long, pattern int, shift int, codec string",
+        )
+        chash = (
+            perceptual_hashes(synth_codec_pixel_media(classic))
+            .toPandas()
+            .iloc[0]
+        )
+        assert (int(chash["ahash"]), int(chash["dhash"])) in by_pattern[0]
 
 
 class TestGifDecode:

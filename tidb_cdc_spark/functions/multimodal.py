@@ -8,19 +8,22 @@ dimensions and durations from PNG/GIF/JPEG/BMP/WAV/MP4 container
 headers in pure Python (no codec libraries needed — the pass a
 crawl-scale metadata probe actually runs). PIXEL decode is REAL for
 uncompressed 24-bpp BMP (``decode_bmp_pixels``) AND for COMPRESSED
-8-bit PNG (``decode_png_pixels`` — stdlib ``zlib`` inflate, all
-five scanline unfilters, color types 0/2/3, per-chunk CRC) and GIF
+PNG over its FULL still-image envelope (``decode_png_pixels`` —
+stdlib ``zlib`` inflate, all five scanline unfilters, every
+spec-legal color-type/bit-depth combination incl. 16-bit and
+sub-byte depths, alpha composited over white, Adam7 interlace,
+per-chunk CRC) and GIF
 (``decode_gif_pixels`` — pure-Python LZW, sequential + interlaced)
 and baseline JPEG (``functions/jpeg.py::decode_jpeg_pixels`` —
-table-driven Huffman + orthogonal IDCT, grayscale and 4:4:4 color),
+table-driven Huffman + orthogonal IDCT, grayscale and any
+integer-ratio chroma subsampling incl. 4:2:0),
 all feeding the perceptual-hash chain (``ahash64`` / ``dhash64`` /
 ``dct_phash64`` / ``perceptual_hashes`` / ``dct_phashes`` /
 ``phash_near_dup_pairs``) through the single ``decode_pixels``
 boundary; sample decode is REAL for 16-bit PCM WAV (whole-clip and
 per-window fingerprints — the latter trim-robust via
 ``audio_near_dup_pairs``) and frame decode for uncompressed AVI.
-Remaining codec territory (progressive/subsampled JPEG, WebP,
-16-bit, Adam7): PIL is used
+Remaining codec territory (progressive JPEG, WebP): PIL is used
 automatically when importable, and ``_decode_image_stub``
 (deterministic fake, clearly marked) now covers ONLY bytes no real
 path recognizes — swapping in libvips/ffmpeg is a one-function
@@ -615,19 +618,44 @@ def decode_bmp_pixels(payload: bytes):
 
 
 def decode_png_pixels(payload: bytes):
-    """REAL pixel decode for non-interlaced 8-bit PNGs — compressed
-    bytes, pure Python + stdlib ``zlib`` (DEFLATE is in the standard
-    library; no codec package needed). Supports the three 8-bit
-    color types a crawl actually sees in volume — 0 (grayscale),
-    2 (truecolor RGB), 3 (palette) — and ALL FIVE scanline filters
-    (None/Sub/Up/Average/Paeth, inverted per the PNG spec's exact
-    mod-256 recurrences). Every chunk CRC is verified; corrupt,
-    truncated, interlaced (Adam7), 16-bit, or alpha-bearing payloads
-    return ``None`` (header-probe-only treatment — no pixel
-    evidence, no perceptual claim). Grayscale returns the stored
-    gray directly: BT.601 integer luma of (g,g,g) is exactly g
-    (299+587+114 = 1000), so a gray-encoded twin of an RGB image
-    hashes identically. Returns the int64 luma array (h, w).
+    """REAL pixel decode for the FULL still-image PNG envelope —
+    compressed bytes, pure Python + stdlib ``zlib`` (DEFLATE is in
+    the standard library; no codec package needed). Supports every
+    spec-legal (color type, bit depth) combination and BOTH
+    interlace methods:
+
+    - color types 0 (grayscale, depths 1/2/4/8/16), 2 (truecolor
+      RGB, 8/16), 3 (palette, 1/2/4/8), 4 (gray+alpha, 8/16) and
+      6 (RGBA, 8/16);
+    - all FIVE scanline filters (None/Sub/Up/Average/Paeth, inverted
+      per the spec's exact mod-256 byte recurrences, filter unit =
+      ``bpp`` whole bytes — 1 byte for sub-byte depths);
+    - Adam7 interlace: seven reduced images, each independently
+      filtered, reassembled onto the (x0 + i·dx, y0 + j·dy) grid —
+      empty passes (too-small dimensions) contribute zero bytes,
+      exactly as encoders emit them.
+
+    Deterministic reductions into the 8-bit luma domain, chosen so
+    lossless re-encodes hash identically:
+
+    - 16-bit samples take the HIGH byte (``v >> 8``): the standard
+      8→16-bit expansion is ``v·257``, whose high byte is exactly
+      ``v``, so a 16-bit re-save of an 8-bit image is luma-identical;
+    - sub-byte grayscale left-bit-replicates (``v·255/(2^d −1)`` —
+      exact integers 255/85/17 for depths 1/2/4, per the spec's
+      sample-depth scaling);
+    - alpha composites over WHITE with round-half-up integer math
+      ``(v·a + 255·(255−a) + 127) // 255`` — a=255 returns ``v``
+      exactly (an opaque RGBA re-save of an RGB image is
+      luma-identical), a=0 returns 255;
+    - grayscale returns the scaled gray directly: BT.601 integer
+      luma of (g,g,g) is exactly g (299+587+114 = 1000).
+
+    Every chunk CRC is verified; corrupt, truncated, over-long,
+    spec-illegal (palette at depth 16, RGB at depth 4, interlace
+    method 2, ...) payloads return ``None`` (header-probe-only
+    treatment — no pixel evidence, no perceptual claim). Returns
+    the int64 luma array (h, w).
 
     Scale: filters Sub/Average/Paeth are sequential along x by
     definition, so those rows decode in a Python byte loop — fine
@@ -671,25 +699,94 @@ def decode_png_pixels(payload: bytes):
     if ihdr is None or not idat:
         return None
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    # spec-legal (color, depth) combinations — PNG spec table 11.1
+    _allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16)}
+    if color not in _allowed or depth not in _allowed[color]:
         return None
-    if color not in (0, 2, 3) or w <= 0 or h <= 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        return None
+    if w <= 0 or h <= 0:
         return None
     if color == 3 and plte is None:
         return None
-    ch = 3 if color == 2 else 1
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    rowlen = w * ch
-    if len(raw) != h * (1 + rowlen):
-        return None
-    out = np.empty((h, rowlen), dtype=np.uint8)
-    prev = np.zeros(rowlen, dtype=np.uint8)
+    bits_pp = depth * ch
+    bpp = max(1, bits_pp // 8)  # filter unit: whole bytes, min 1
+    samples = np.zeros((h, w, ch), dtype=np.int64)
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7_PASSES
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass: zero bytes in the stream
+        rowbytes = (pw * bits_pp + 7) // 8
+        need = ph * (1 + rowbytes)
+        if pos + need > len(raw):
+            return None  # truncated pixel stream
+        rows = _png_unfilter(raw[pos : pos + need], ph, rowbytes, bpp)
+        if rows is None:
+            return None  # invalid filter byte
+        pos += need
+        samples[y0::dy, x0::dx] = _png_samples(rows, pw, depth, ch)
+    if pos != len(raw):
+        return None  # trailing garbage after the final pass
+    # reduce to the 8-bit domain
+    if depth == 16:
+        samples >>= 8  # high byte: v·257 expansions reduce to v
+    elif depth < 8 and color == 0:
+        samples *= 255 // ((1 << depth) - 1)  # left-bit replication
+    if color == 0:
+        return samples[:, :, 0]  # luma(g,g,g) = g exactly
+    if color == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max()) * 3 + 2 >= len(plte):
+            return None  # index past the palette
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal.astype(np.int64)[idx]
+    elif color in (4, 6):
+        a = samples[:, :, -1:]
+        v = (samples[:, :, :-1] * a + 255 * (255 - a) + 127) // 255
+        rgb = np.repeat(v, 3, axis=2) if color == 4 else v
+    else:  # color == 2
+        rgb = samples
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+# Adam7: (x0, y0, dx, dy) per pass — PNG spec 8.2's starting offsets
+# and strides; pass k paints the (x0 + i·dx, y0 + j·dy) grid.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, rowbytes: int, bpp: int):
+    """Invert the five PNG scanline filters over one (sub-)image:
+    ``raw`` is ``h`` scanlines of (filter byte + ``rowbytes`` data),
+    ``bpp`` the filter unit in whole bytes. Returns the (h, rowbytes)
+    uint8 array, or ``None`` on an invalid filter byte. Up is
+    vectorized; Sub/Average/Paeth are sequential along x BY SPEC
+    (each byte depends on the reconstructed byte ``bpp`` to its
+    left), so those rows run in a Python byte loop."""
+    import numpy as np
+
+    out = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
     for y in range(h):
-        f = raw[y * (1 + rowlen)]
-        line = raw[y * (1 + rowlen) + 1 : (y + 1) * (1 + rowlen)]
+        f = raw[y * (1 + rowbytes)]
+        line = raw[y * (1 + rowbytes) + 1 : (y + 1) * (1 + rowbytes)]
         if f == 0:
             cur = np.frombuffer(line, dtype=np.uint8).copy()
         elif f == 2:  # Up — vectorized
@@ -697,15 +794,15 @@ def decode_png_pixels(payload: bytes):
         elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
             cur_b = bytearray(line)
             pv = prev
-            for i in range(rowlen):
-                a = cur_b[i - ch] if i >= ch else 0
+            for i in range(rowbytes):
+                a = cur_b[i - bpp] if i >= bpp else 0
                 b = int(pv[i])
                 if f == 1:
                     cur_b[i] = (cur_b[i] + a) & 0xFF
                 elif f == 3:
                     cur_b[i] = (cur_b[i] + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = int(pv[i - ch]) if i >= ch else 0
+                    c = int(pv[i - bpp]) if i >= bpp else 0
                     pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     cur_b[i] = (cur_b[i] + pr) & 0xFF
@@ -714,19 +811,29 @@ def decode_png_pixels(payload: bytes):
             return None  # invalid filter byte
         out[y] = cur
         prev = out[y]
-    if color == 0:
-        return out.astype(np.int64)
-    if color == 2:
-        rgb = out.reshape(h, w, 3).astype(np.int64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        return (r * 299 + g * 587 + b * 114) // 1000
-    # color == 3: palette indices through PLTE
-    idx = out.astype(np.int64)
-    if int(idx.max()) * 3 + 2 >= len(plte):
-        return None  # index past the palette
-    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
-    r, g, b = pal[idx, 0], pal[idx, 1], pal[idx, 2]
-    return (r * 299 + g * 587 + b * 114) // 1000
+    return out
+
+
+def _png_samples(rows, w: int, depth: int, ch: int):
+    """Unpack one (sub-)image's unfiltered scanline bytes into the
+    (h, w, ch) int64 sample array: big-endian pairs at depth 16,
+    straight bytes at 8, MSB-first bit fields below 8 (sub-byte
+    depths are single-channel by spec; row padding bits are
+    discarded by the trim to ``w``)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 16:
+        pairs = rows[:, : w * ch * 2].reshape(h, w, ch, 2).astype(np.int64)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch).astype(np.int64)
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    shifts = np.arange(per - 1, -1, -1, dtype=np.int64) * depth
+    expanded = (rows[:, :, None].astype(np.int64) >> shifts) & mask
+    return expanded.reshape(h, -1)[:, :w].reshape(h, w, 1)
+
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int):
@@ -873,19 +980,21 @@ def decode_pixels(payload: bytes):
     to one function like ``decode_image_dims`` is for dims: the
     pure-Python deterministic paths first (uncompressed 24-bpp BMP,
     then COMPRESSED formats decodable with the standard library —
-    8-bit PNG via stdlib zlib with all five scanline filters and
-    color types 0/2/3, and GIF via the hand-rolled LZW codec —
+    PNG over its full envelope via stdlib zlib with all five
+    scanline filters, every spec-legal color-type/depth combination,
+    alpha-over-white and Adam7, GIF via the hand-rolled LZW codec,
+    and baseline JPEG at any integer-ratio subsampling —
     preferred even when a codec library is present so these hashes
     never depend on the environment), then the guarded PIL branch
-    for the remaining codec territory (JPEG/WebP/16-bit/Adam7 get
+    for the remaining codec territory (progressive JPEG / WebP get
     REAL pixels when PIL is importable: decoded to RGB and reduced
     with the SAME BT.601 integer luma every pure path uses, so a
     losslessly re-encoded image hashes identically), else None —
     the documented NULL-hash path (``perceptual_hashes`` admits no
     perceptual claim without pixel evidence). A decode fleet with
-    codec libs installed gets JPEG admission screening with no code
-    change; this container has no PIL, so that branch is pinned by a
-    guarded test (tests/test_phash.py)."""
+    codec libs installed gets progressive-JPEG/WebP admission
+    screening with no code change; this container has no PIL, so
+    that branch is pinned by a guarded test (tests/test_phash.py)."""
     gray = decode_bmp_pixels(payload)
     if gray is not None:
         return gray
@@ -1823,6 +1932,111 @@ def _encode_png(gray, mode: str, filter_seed: int = 0) -> bytes:
     )
 
 
+def _png_pack_rows(sub, depth: int):
+    """Pack one (sub-)image's (h, w, ch) samples into PNG scanline
+    bytes — the exact inverse of :func:`_png_samples`: big-endian
+    pairs at depth 16, straight bytes at 8, MSB-first bit fields
+    below 8 (zero row-padding bits)."""
+    import numpy as np
+
+    h, w, ch = sub.shape
+    if depth == 16:
+        flat = sub.reshape(h, w * ch)
+        hi = (flat >> 8).astype(np.uint8)
+        lo = (flat & 0xFF).astype(np.uint8)
+        return np.stack([hi, lo], axis=2).reshape(h, -1)
+    if depth == 8:
+        return sub.reshape(h, w * ch).astype(np.uint8)
+    per = 8 // depth
+    rowbytes = (w * depth + 7) // 8
+    padded = np.zeros((h, rowbytes * per), dtype=np.int64)
+    padded[:, :w] = sub[:, :, 0]
+    shifts = np.arange(per - 1, -1, -1, dtype=np.int64) * depth
+    return (
+        (padded.reshape(h, rowbytes, per) << shifts).sum(axis=2).astype(np.uint8)
+    )
+
+
+def _encode_png_ex(
+    samples,
+    color: int,
+    depth: int,
+    interlaced: bool = False,
+    filter_seed: int = 0,
+    palette: bytes | None = None,
+) -> bytes:
+    """REAL general PNG encoder (test fixture, like ``_encode_png``
+    but spanning the whole decode envelope): any spec-legal
+    (``color``, ``depth``), optional Adam7 interlace. ``samples`` is
+    the (h, w, ch) int array in [0, 2^depth); ``palette`` the raw
+    PLTE bytes for color type 3. Scanline filters cycle through all
+    five types ACROSS pass boundaries (one global row counter), so
+    an interlaced payload exercises every unfilter recurrence in
+    every pass position. Adam7 passes are emitted in spec order;
+    empty passes contribute zero bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, ch = samples.shape
+    bits_pp = depth * ch
+    bpp = max(1, bits_pp // 8)
+    passes = _ADAM7_PASSES if interlaced else ((0, 0, 1, 1),)
+    out = bytearray()
+    row_counter = 0
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        packed = _png_pack_rows(sub, depth)
+        prev = np.zeros(packed.shape[1], dtype=np.int64)
+        for y in range(ph):
+            cur = packed[y].astype(np.int64)
+            f = (row_counter + filter_seed) % 5
+            row_counter += 1
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            upleft = np.concatenate(
+                [np.zeros(bpp, dtype=np.int64), prev[:-bpp]]
+            )
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - (left + prev) // 2
+            else:  # Paeth
+                pa = np.abs(prev - upleft)
+                pb = np.abs(left - upleft)
+                pc = np.abs(left + prev - 2 * upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, upleft),
+                )
+                filt = cur - pred
+            out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+            prev = cur
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlaced else 0
+    )
+    chunks = _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _png_chunk(b"PLTE", palette)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunks
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
     """GIF-flavor LZW encode — the exact inverse convention of
     :func:`_gif_lzw_decode`: LSB-first packing, width grows when
@@ -1928,6 +2142,18 @@ def _encode_gif(gray, interlaced: bool = False) -> bytes:
 #: plants 64×64).
 CODEC_LEGS = ("bmp", "png", "png_gray", "png_pal", "gif", "gif_i")
 
+# the full-envelope PNG legs (r13): Adam7 interlace, 16-bit samples
+# (stored as v·257 so the high-byte reduction recovers v exactly),
+# opaque RGBA / gray+alpha (white-compositing at a=255 is the
+# identity), depth-2 palette, and the Adam7+16-bit combination —
+# six byte-disjoint encodings of the SAME pixels, used by
+# multimodal_png_deep_audit the way CODEC_LEGS feeds the codec
+# matrix audit (kept separate: that audit's plant arithmetic is
+# pinned to these six legs in this order).
+PNG_DEEP_LEGS = (
+    "png_i", "png_16", "png_rgba", "png_ga", "png_pal2", "png_i16",
+)
+
 
 def synth_codec_pixel_media(
     ids: DataFrame,
@@ -1951,6 +2177,12 @@ def synth_codec_pixel_media(
       8-bit PNGs in color types 2 / 0 / 3, scanline filters cycling
       through ALL FIVE types (seed = pattern, so different plants
       start the cycle at different rows);
+    - ``png_i`` / ``png_16`` / ``png_rgba`` / ``png_ga`` /
+      ``png_pal2`` / ``png_i16`` (``PNG_DEEP_LEGS``) — the full PNG
+      envelope: Adam7-interlaced RGB, 16-bit grayscale (samples
+      stored as v·257, so the decoder's high-byte reduction recovers
+      v exactly), opaque RGBA and gray+alpha (white compositing at
+      a=255 is the identity), depth-2 palette, and Adam7+16-bit;
     - ``gif`` / ``gif_i`` — real LZW-compressed GIF87a, sequential
       and interlaced.
 
@@ -2012,6 +2244,47 @@ def synth_codec_pixel_media(
                         payload = _encode_png(gray, "gray", filter_seed=v)
                     elif c == "png_pal":
                         payload = _encode_png(gray, "pal", filter_seed=v)
+                    elif c == "png_i":
+                        payload = _encode_png_ex(
+                            np.repeat(gray[:, :, None], 3, axis=2),
+                            2, 8, interlaced=True, filter_seed=v,
+                        )
+                    elif c == "png_16":
+                        payload = _encode_png_ex(
+                            gray[:, :, None] * 257, 0, 16, filter_seed=v
+                        )
+                    elif c == "png_i16":
+                        payload = _encode_png_ex(
+                            gray[:, :, None] * 257,
+                            0, 16, interlaced=True, filter_seed=v,
+                        )
+                    elif c == "png_rgba":
+                        rgba = np.concatenate(
+                            [
+                                np.repeat(gray[:, :, None], 3, axis=2),
+                                np.full(
+                                    (height, width, 1), 255, dtype=np.int64
+                                ),
+                            ],
+                            axis=2,
+                        )
+                        payload = _encode_png_ex(rgba, 6, 8, filter_seed=v)
+                    elif c == "png_ga":
+                        ga = np.stack(
+                            [gray, np.full_like(gray, 255)], axis=2
+                        )
+                        payload = _encode_png_ex(ga, 4, 8, filter_seed=v)
+                    elif c == "png_pal2":
+                        vals = np.unique(gray)
+                        if len(vals) > 4:
+                            raise ValueError("png_pal2 needs ≤4 grays")
+                        idx = np.searchsorted(vals, gray)
+                        payload = _encode_png_ex(
+                            idx[:, :, None], 3, 2, filter_seed=v,
+                            palette=np.repeat(vals, 3)
+                            .astype(np.uint8)
+                            .tobytes(),
+                        )
                     elif c == "gif":
                         payload = _encode_gif(gray, interlaced=False)
                     elif c == "gif_i":

@@ -279,7 +279,13 @@ GATE = [
     "q20_promo_part_suppliers",
     "q21_waiting_suppliers",
     "events_asof_purchase_click",
-    "events_hourly",
+    # LATE-R13 SWAP 5 (never-gated-first): events_hourly (r10-green,
+    # unchanged, mirror-kept; queues FIRST for r14 with
+    # events_json_extract) yields to the NEW full-envelope PNG audit
+    # (queries/llm19.py — Adam7 / 16-bit / alpha / sub-byte-palette
+    # legs collapsing to one perceptual identity; verified hash-green
+    # at sf0.001+sf0.01+sf0.1 before this swap).
+    "multimodal_png_deep_audit",
     "events_sliding_1h",
     "events_cohort_retention",
     # LATE-R13 SWAP 4 (never-gated-first): events_json_extract

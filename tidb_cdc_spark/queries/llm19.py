@@ -356,14 +356,126 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_png_deep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-envelope PNG audit — the r13 close of the format's
+    remaining reject paths: Adam7 interlace, 16-bit samples, alpha,
+    sub-byte palette depths. Variant ``doc_id div 79 % 6`` selects
+    one of the six ``PNG_DEEP_LEGS`` for cluster ``pid = doc_id %
+    79``: Adam7-interlaced RGB, 16-bit grayscale (samples v·257 —
+    the standard bit-replication expansion, whose high byte is
+    exactly v), opaque RGBA and gray+alpha (white compositing at
+    a=255 is provably the identity: ``(v·255 + 127)//255 = v``),
+    depth-2 palette (the plant has exactly two distinct grays), and
+    Adam7+16-bit combined. Six byte-DISJOINT encodings of the SAME
+    pixels that must collapse to ONE perceptual identity through
+    ``decode_pixels``:
+
+    - ``n_codecs`` pins the plant spans all six legs (id arithmetic,
+      SQL-recomputable);
+    - ``distinct_ahash = n_clusters`` + ``max_cluster_ahash_variants
+      = 1`` ARE the envelope-equality claim — a deinterlace placing
+      one pixel wrong, a 16-bit reduction off by one, or compositing
+      drifting from the identity at a=255 breaks them;
+    - ``neardup_pairs = Σ C(m_pid, 2)``: the banded join sees every
+      re-encoded pair and no cross-cluster one (≥8-bit margin).
+      ``max_bucket_size=None`` — the planted families are the
+      signal.
+    """
+    from tidb_cdc_spark.functions.multimodal import (
+        PNG_DEEP_LEGS,
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 79).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 79) % 254).alias("pattern"),
+            F.lit(0).alias("shift"),
+            F.element_at(
+                F.array(*[F.lit(c) for c in PNG_DEEP_LEGS]),
+                (F.expr("doc_id div 79") % 6 + 1).cast("int"),
+            ).alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id")
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid", "codec"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("codec").alias("n_codecs"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "n_codecs",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: leg = (doc_id div 79) % 6 over PNG_DEEP_LEGS —
+# byte-disjoint encodings, identical pixels, so distinct_ahash
+# collapses to the cluster count iff Adam7 reassembly, the 16-bit
+# high-byte reduction, alpha-over-white compositing and the depth-2
+# palette all reproduce the 8-bit reference pixels exactly
+_PNG_DEEP_SQL = """
+WITH m AS (
+  SELECT doc_id % 79 AS pid, (doc_id // 79) % 6 AS leg
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT leg) FROM m) AS BIGINT) AS n_codecs,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
     "multimodal_jpeg_phash_audit": multimodal_jpeg_phash_audit,
+    "multimodal_png_deep_audit": multimodal_png_deep_audit,
 }
 
 ORACLE = {
     "multimodal_png_phash_audit": _PNG_PHASH_SQL,
     "multimodal_codec_matrix_audit": _CODEC_MATRIX_SQL,
     "multimodal_jpeg_phash_audit": _JPEG_PHASH_SQL,
+    "multimodal_png_deep_audit": _PNG_DEEP_SQL,
 }
