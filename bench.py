@@ -209,6 +209,7 @@ def main() -> None:
         "multimodal_codec_matrix_audit",
         "multimodal_jpeg_phash_audit",
         "multimodal_png_deep_audit",
+        "multimodal_jpeg_prog_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

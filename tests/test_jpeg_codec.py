@@ -14,6 +14,7 @@ from tidb_cdc_spark.functions.jpeg import (
     _IDCT_M,
     decode_jpeg_pixels,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 from tidb_cdc_spark.functions.multimodal import ahash64, decode_pixels
 
@@ -173,10 +174,19 @@ class TestRejects:
         out[i + 11] = hv  # first component's sampling factors
         return bytes(out)
 
-    def test_progressive_rejected(self):
+    def test_baseline_scan_header_invalid_in_progressive_frame(self):
+        """Re-marking a baseline file's SOF as SOF2 leaves a scan
+        header (Ss=0, Se=63) that is malformed for progressive —
+        DC scans must have Se=0. None, not a guess."""
         g = _rng().integers(0, 256, size=(16, 16)).astype(np.int64)
         raw = encode_jpeg(g)
         assert decode_jpeg_pixels(self._patch_sof(raw, marker=0xC2)) is None
+
+    def test_lossless_and_arithmetic_rejected(self):
+        g = _rng().integers(0, 256, size=(16, 16)).astype(np.int64)
+        raw = encode_jpeg(g)
+        for m in (0xC3, 0xC7, 0xC9, 0xCA, 0xCB):
+            assert decode_jpeg_pixels(self._patch_sof(raw, marker=m)) is None
 
     def test_12bit_rejected(self):
         g = _rng().integers(0, 256, size=(16, 16)).astype(np.int64)
@@ -199,6 +209,103 @@ class TestRejects:
         patched[i + 11] = 0x33  # Y
         patched[i + 14] = 0x22  # Cb
         assert decode_jpeg_pixels(bytes(patched)) is None
+
+
+class TestProgressive:
+    """SOF2: a lossless reordering of the same quantized
+    coefficients — the decode must be PIXEL-IDENTICAL to the
+    sequential twin once all scans are consumed. The fixture's
+    seven-stage scan script drives every progressive path: DC first
+    scan at Al=1, DC refinement bits, AC first scans with point
+    transform and EOB runs, two levels of AC refinement (ZRL,
+    correction bits, EOB-run folding), restart intervals in MCU and
+    block units."""
+
+    def test_gray_identical_to_sequential(self):
+        rng = _rng()
+        for h, w in [(8, 8), (16, 24), (13, 17), (64, 64), (1, 1), (100, 7)]:
+            g = rng.integers(0, 256, (h, w)).astype(np.int64)
+            base = decode_jpeg_pixels(encode_jpeg(g))
+            prog = decode_jpeg_pixels(encode_jpeg_progressive(g))
+            assert prog is not None, (h, w)
+            assert (prog == base).all(), (h, w)
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    def test_color_identical_to_sequential(self, sub):
+        rng = _rng()
+        for h, w in [(16, 24), (13, 17), (31, 33)]:
+            g = rng.integers(0, 256, (h, w)).astype(np.int64)
+            for cb, cr in [(0, 0), (17, -9)]:
+                base = decode_jpeg_pixels(
+                    encode_jpeg(
+                        g, color=True, subsampling=sub,
+                        cb_const=cb, cr_const=cr,
+                    )
+                )
+                prog = decode_jpeg_pixels(
+                    encode_jpeg_progressive(
+                        g, color=True, subsampling=sub,
+                        cb_const=cb, cr_const=cr,
+                    )
+                )
+                assert prog is not None, (h, w, sub, cb, cr)
+                assert (prog == base).all(), (h, w, sub, cb, cr)
+
+    def test_restart_intervals(self):
+        rng = _rng()
+        g = rng.integers(0, 256, (24, 40)).astype(np.int64)
+        base = decode_jpeg_pixels(encode_jpeg(g))
+        for ri in (1, 2, 3, 7):
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(g, restart_interval=ri)
+            )
+            assert prog is not None and (prog == base).all(), ri
+        g2 = rng.integers(0, 256, (24, 24)).astype(np.int64)
+        base2 = decode_jpeg_pixels(
+            encode_jpeg(g2, color=True, subsampling="420",
+                        cb_const=5, cr_const=-5)
+        )
+        for ri in (1, 2):
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(
+                    g2, color=True, subsampling="420",
+                    cb_const=5, cr_const=-5, restart_interval=ri,
+                )
+            )
+            assert prog is not None and (prog == base2).all(), ri
+
+    def test_flat_block_plants_exact(self):
+        """The audit lemma carries through progressive: block-aligned
+        flat plants decode BIT-exactly (DC-only spectra at quant 1,
+        reassembled across seven scans)."""
+        for v in (1, 85, 170, 254):
+            for shift in (0, 20):
+                g = _pattern64(v, shift)
+                got = decode_jpeg_pixels(encode_jpeg_progressive(g))
+                assert (got == g).all(), (v, shift)
+                got = decode_jpeg_pixels(
+                    encode_jpeg_progressive(
+                        g, color=True, subsampling="420"
+                    )
+                )
+                assert (got == g).all(), (v, shift, "420")
+                # and the hash identity the audit pins
+                assert ahash64(g) == ahash64(
+                    decode_jpeg_pixels(encode_jpeg_progressive(g))
+                )
+
+    def test_truncated_progressive_rejected(self):
+        g = _rng().integers(0, 256, (16, 16)).astype(np.int64)
+        raw = encode_jpeg_progressive(g)
+        # cut inside the scan sequence: no EOI ⇒ None (no guess from
+        # partial scans — a crawl stores the bytes it fetched)
+        assert decode_jpeg_pixels(raw[: len(raw) - 10]) is None
+        assert decode_jpeg_pixels(raw[: len(raw) // 2]) is None
+
+    def test_progressive_routes_through_decode_pixels(self):
+        g = _pattern64(85)
+        got = decode_pixels(encode_jpeg_progressive(g))
+        assert got is not None and (got == g).all()
 
 
 class TestBoundary:

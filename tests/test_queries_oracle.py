@@ -61,6 +61,7 @@ ROUND_ADDITIONS = [
     "multimodal_codec_matrix_audit",  # r13 NEW cross-codec re-encode audit
     "multimodal_jpeg_phash_audit",  # r13 NEW baseline-JPEG pixel audit
     "multimodal_png_deep_audit",  # r13 NEW full-envelope PNG audit
+    "multimodal_jpeg_prog_audit",  # r13 NEW progressive-JPEG audit
 ]
 
 

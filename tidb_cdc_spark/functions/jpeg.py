@@ -1,15 +1,24 @@
-"""Baseline JPEG (JFIF, SOF0) decode in pure Python + numpy — no
-codec library. The last compressed image format a crawl sees in
-volume becomes a REAL pixel path: table-driven Huffman (the tables
-come from the file's DHT segments, so Annex-K and custom-table
-JPEGs both decode), zigzag + dequantization, an orthogonal float64
-IDCT, 0xFF00 byte-unstuffing, DRI/RSTn restart handling, and
-general interleaved MCUs — ANY sampling-factor combination with
-integer upsample ratios (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...), chroma
-upsampled by deterministic pixel replication (libjpeg's "fancy"
-bilinear variant is a smoothing choice, not bitstream semantics).
-Progressive SOF2 and arithmetic coding return None for the guarded
-PIL branch.
+"""JPEG decode (JFIF — baseline SOF0, extended-sequential SOF1, and
+PROGRESSIVE SOF2) in pure Python + numpy — no codec library. The
+last compressed image format a crawl sees in volume becomes a REAL
+pixel path: table-driven Huffman (the tables come from the file's
+OWN DHT segments, so Annex-K and custom-table JPEGs both decode),
+zigzag + dequantization, an orthogonal float64 IDCT, 0xFF00
+byte-unstuffing, DRI/RSTn restart handling, and general interleaved
+MCUs — ANY sampling-factor combination with integer upsample ratios
+(4:4:4, 4:2:0, 4:2:2, 4:4:0, ...), chroma upsampled by
+deterministic pixel replication (libjpeg's "fancy" bilinear variant
+is a smoothing choice, not bitstream semantics). Progressive decode
+(the web's other dominant JPEG flavor) accumulates coefficients
+across scans: spectral selection, successive approximation — DC
+refinement bits and the T.81 G.1.2.3 AC refinement control flow —
+EOB-run coding, per-scan table redefinition, and restart intervals
+in MCU or block units. Since progressive mode is a LOSSLESS
+reordering of the same quantized coefficients, a fully-received
+progressive file decodes pixel-identically to its sequential twin
+(pinned by round-trip tests). Arithmetic coding, 12-bit precision
+and lossless/hierarchical frames return None for the guarded PIL
+branch.
 
 Exactness model (what the audits pin): JPEG is lossy in general,
 but a FLAT 8×8 block is DC-only — with quantization step 1 the DC
@@ -168,17 +177,29 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """REAL baseline-JPEG pixel decode → int64 BT.601 luma array
-    (h, w), or None for anything outside the supported envelope
-    (progressive, 12-bit, arithmetic-coded, non-integer upsample
+    """REAL JPEG pixel decode → int64 BT.601 luma array (h, w), or
+    None for anything outside the supported envelope (12-bit,
+    lossless/hierarchical, arithmetic-coded, non-integer upsample
     ratios, truncated, or malformed streams — the
-    guarded-PIL/NULL-hash treatment).
+    guarded-PIL/NULL-hash treatment). Supported frame types: SOF0
+    baseline, SOF1 extended sequential (identical decode at 8-bit
+    precision), and SOF2 PROGRESSIVE — multi-scan coefficient
+    accumulation with spectral selection, successive approximation
+    (DC and the T.81 G.1.2.3 AC refinement), EOB-run coding,
+    per-scan table redefinition, and restart intervals in both
+    interleaved-MCU and single-component block units.
 
     Grayscale scans return Y directly (luma(g,g,g) = g); 3-component
     scans (any sampling layout incl. 4:2:0, chroma upsampled by
     replication) convert YCbCr→RGB with the JFIF integer convention
     (round-half-away via floor(x+0.5), clip 0..255) and reduce with
-    the same BT.601 integer luma every other pixel path uses."""
+    the same BT.601 integer luma every other pixel path uses.
+
+    Progressive exactness note: a progressive file carries the SAME
+    quantized coefficients as its sequential twin, merely re-ordered
+    across scans — once every scan is consumed, reconstruction is
+    coefficient-identical to the baseline decode, so all the
+    flat-block exactness lemmas carry over unchanged."""
     p = payload
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         return None
@@ -186,8 +207,12 @@ def decode_jpeg_pixels(payload: bytes):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
     dri = 0
-    while pos + 4 <= len(p):
+    coefs = None  # progressive: per-component accumulated coefficients
+    geom = None
+    preds = None
+    while pos + 2 <= len(p):
         if p[pos] != 0xFF:
             return None
         marker = p[pos + 1]
@@ -195,7 +220,11 @@ def decode_jpeg_pixels(payload: bytes):
             pos += 2
             continue
         if marker == 0xD9:
-            return None  # EOI before SOS
+            if coefs is not None:
+                return _reconstruct_progressive(sof, qt, coefs, geom)
+            return None  # EOI before any decodable scan
+        if pos + 4 > len(p):
+            return None  # truncated segment header
         (seglen,) = struct.unpack_from(">H", p, pos + 2)
         seg = p[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -234,7 +263,8 @@ def decode_jpeg_pixels(payload: bytes):
                     return None
                 huff[(tc, th)] = t
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8 or ncomp not in (1, 3) or w == 0 or h == 0:
                 return None
@@ -254,9 +284,9 @@ def decode_jpeg_pixels(payload: bytes):
             if any(hmax % c[2] or vmax % c[3] for c in comps):
                 return None  # non-integer upsample ratio
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF / arithmetic coding
+            return None  # lossless/hierarchical/arithmetic coding
         elif marker == 0xDD:  # DRI
             if seglen != 4:
                 return None
@@ -264,23 +294,309 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 return None
-            ns = seg[0]
             h, w, comps = sof
-            if ns != len(comps):
-                return None
-            sel = []
-            for c in range(ns):
-                _cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
-                dc_t = huff.get((0, tda >> 4))
-                ac_t = huff.get((1, tda & 0xF))
-                q = qt.get(comps[c][1])
-                if dc_t is None or ac_t is None or q is None:
+            ns = seg[0]
+            if not progressive:
+                if ns != len(comps):
                     return None
-                sel.append((dc_t, ac_t, q, comps[c][2], comps[c][3]))
-            return _decode_scan(p, pos + 2 + seglen, h, w, sel, dri)
+                sel = []
+                for c in range(ns):
+                    _cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                    dc_t = huff.get((0, tda >> 4))
+                    ac_t = huff.get((1, tda & 0xF))
+                    q = qt.get(comps[c][1])
+                    if dc_t is None or ac_t is None or q is None:
+                        return None
+                    sel.append((dc_t, ac_t, q, comps[c][2], comps[c][3]))
+                return _decode_scan(p, pos + 2 + seglen, h, w, sel, dri)
+            # --- progressive scan ---
+            if len(seg) != 1 + 2 * ns + 3 or not 1 <= ns <= len(comps):
+                return None
+            if coefs is None:
+                geom = _prog_geometry(h, w, comps)
+                coefs = [
+                    np.zeros((bh_p * bw_p, 64), dtype=np.int64)
+                    for (bh_p, bw_p, _, _) in geom
+                ]
+                preds = None
+            scomp = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                matches = [i for i, cc in enumerate(comps) if cc[0] == cs]
+                if not matches:
+                    return None
+                ci = matches[0]
+                scomp.append(
+                    (ci, huff.get((0, tda >> 4)), huff.get((1, tda & 0xF)))
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            newpos = _decode_prog_scan(
+                p, pos + 2 + seglen, comps, scomp, ss, se, ah, al,
+                coefs, geom, dri,
+            )
+            if newpos is None:
+                return None
+            nm = _next_marker(p, newpos)
+            if nm is None:
+                return None
+            pos = nm
+            continue
         # APPn / COM / others: skip
         pos += 2 + seglen
     return None
+
+
+def _next_marker(p: bytes, pos: int):
+    """Scan forward to the next real marker (skips entropy padding,
+    stuffed 0xFF00 pairs, and stray RSTn)."""
+    while pos + 1 < len(p):
+        if (
+            p[pos] == 0xFF
+            and p[pos + 1] != 0x00
+            and not 0xD0 <= p[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return None
+
+
+def _prog_geometry(h, w, comps):
+    """Per-component block-grid geometry for progressive scans:
+    (bh_padded, bw_padded, bh_nonint, bw_nonint) — interleaved DC
+    scans cover the MCU-padded grid, single-component scans the
+    component's own ceil(dims/8) grid (T.81 A.2)."""
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    geom = []
+    for _, _, hi, vi in comps:
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        geom.append((mh * vi, mw * hi, -(-chh // 8), -(-cw // 8)))
+    return geom
+
+
+def _decode_prog_scan(p, pos, comps, scomp, ss, se, ah, al, coefs, geom, dri):
+    """One progressive scan's entropy data → updated ``coefs``;
+    returns the stream position after the scan (or None on a
+    malformed stream). DC scans (Ss=0) may be interleaved; AC scans
+    are single-component over the component's own block grid.
+    Restart intervals reset DC predictors and the EOB run."""
+    if ss == 0:
+        if se != 0 or al > 13:
+            return None
+    else:
+        if len(scomp) != 1 or not ss <= se <= 63 or al > 13:
+            return None
+        if scomp[0][2] is None:
+            return None  # AC scan needs its AC table
+    br = _BitReader(p, pos)
+    eobrun = 0
+    preds = [0] * len(comps)
+    interleaved = ss == 0 and len(scomp) > 1
+    if interleaved:
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        # MCU grid is shared: geom rows are (mh*vi, mw*hi, ...)
+        mh = geom[scomp[0][0]][0] // comps[scomp[0][0]][3]
+        mw = geom[scomp[0][0]][1] // comps[scomp[0][0]][2]
+        units = mh * mw
+    else:
+        ci0 = scomp[0][0]
+        if ss == 0:
+            bh, bw = geom[ci0][0], geom[ci0][1]
+        else:
+            bh, bw = geom[ci0][2], geom[ci0][3]
+        units = bh * bw
+    unit = 0
+    for uy in range(units):
+        if dri and unit and unit % dri == 0:
+            if not br.align_and_expect_rst():
+                return None
+            preds = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mw)
+            for ci, dc_t, _ in scomp:
+                _, _, hi, vi = comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bidx = (my * vi + by) * geom[ci][1] + (mx * hi + bx)
+                        ok = _prog_dc_block(
+                            br, coefs[ci][bidx], dc_t, ah, al, preds, ci
+                        )
+                        if not ok:
+                            return None
+        else:
+            ci, dc_t, ac_t = scomp[0]
+            if ss == 0:
+                bidx = unit
+                ok = _prog_dc_block(
+                    br, coefs[ci][bidx], dc_t, ah, al, preds, ci
+                )
+                if not ok:
+                    return None
+            else:
+                # single-component grid index → padded-grid index
+                by, bx = divmod(unit, geom[ci][3])
+                bidx = by * geom[ci][1] + bx
+                if ah == 0:
+                    eobrun = _prog_ac_first(
+                        br, coefs[ci][bidx], ac_t, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _prog_ac_refine(
+                        br, coefs[ci][bidx], ac_t, ss, se, al, eobrun
+                    )
+                if eobrun is None:
+                    return None
+        unit += 1
+    return br.pos
+
+
+def _prog_dc_block(br, coef, dc_t, ah, al, preds, ci) -> bool:
+    """DC coefficient of one block: first scan (Ah=0) is baseline
+    DPCM shifted left by Al; refinement appends bit Al."""
+    if ah == 0:
+        if dc_t is None:
+            return False
+        t = _huff_decode(br, dc_t)
+        if t is None or t > 11:
+            return False
+        bits = br.read_bits(t) if t else 0
+        if bits is None:
+            return False
+        preds[ci] += _extend(bits, t)
+        coef[0] = preds[ci] << al
+    else:
+        b = br.read_bit()
+        if b is None:
+            return False
+        if b:
+            coef[0] |= 1 << al
+    return True
+
+
+def _prog_ac_first(br, coef, ac_t, ss, se, al, eobrun):
+    """AC band, first scan (Ah=0): run/size coding with EOB runs;
+    new coefficients enter shifted left by Al. Returns the updated
+    EOB run (None on malformed streams)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(br, ac_t)
+        if sym is None:
+            return None
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r < 15:
+                eb = 1 << r
+                if r:
+                    bits = br.read_bits(r)
+                    if bits is None:
+                        return None
+                    eb += bits
+                return eb - 1  # this block consumes one
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            return None
+        bits = br.read_bits(s)
+        if bits is None:
+            return None
+        coef[_ZZ[k]] = _extend(bits, s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br, coef, ac_t, ss, se, al, eobrun):
+    """AC band refinement (T.81 G.1.2.3, the libjpeg-equivalent
+    control flow): correction bits for already-nonzero coefficients
+    are interleaved with run-coded newly-significant ±2^Al entries;
+    EOB runs carry correction bits for the remainder of each block.
+    Returns the updated EOB run (None on malformed streams)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(br, ac_t)
+            if sym is None:
+                return None
+            r, s = sym >> 4, sym & 0xF
+            if s:
+                if s != 1:
+                    return None  # refinement codes only size-1
+                b = br.read_bit()
+                if b is None:
+                    return None
+                s = p1 if b else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        bits = br.read_bits(r)
+                        if bits is None:
+                            return None
+                        eobrun += bits
+                    break
+                s = 0  # ZRL: 16 zero-history positions, no new coef
+            while k <= se:
+                z = _ZZ[k]
+                if coef[z] != 0:
+                    b = br.read_bit()
+                    if b is None:
+                        return None
+                    if b and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    return None  # newly-significant ran off the band
+                coef[_ZZ[k]] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZZ[k]
+            if coef[z] != 0:
+                b = br.read_bit()
+                if b is None:
+                    return None
+                if b and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(sof, qt, coefs, geom):
+    """After every scan is consumed: dequantize + IDCT each block
+    (vectorized einsum over the whole block grid), assemble planes,
+    and run the shared upsample/crop/color-convert tail."""
+    h, w, comps = sof
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    planes = []
+    for ci, (_, tq, hi, vi) in enumerate(comps):
+        q = qt.get(tq)
+        if q is None:
+            return None
+        bh_p, bw_p, _, _ = geom[ci]
+        blk = (
+            coefs[ci].reshape(bh_p, bw_p, 8, 8) * q
+        ).astype(np.float64)
+        px = np.einsum("ux,ijuv,vy->ijxy", _IDCT_M, blk, _IDCT_M)
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh_p * 8, bw_p * 8))
+    hvs = [(hi, vi) for (_, _, hi, vi) in comps]
+    return _planes_to_pixels(planes, hvs, hmax, vmax, h, w)
 
 
 def _decode_block(br, dc_t, ac_t, q, pred_box, ci):
@@ -353,14 +669,24 @@ def _decode_scan(p, pos, h, w, sel, dri):
                         c0 = (mx * hi + bx) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
+    hvs = [(hi, vi) for (_, _, _, hi, vi) in sel]
+    return _planes_to_pixels(planes, hvs, hmax, vmax, h, w)
+
+
+def _planes_to_pixels(planes, hvs, hmax, vmax, h, w):
+    """Shared tail of every JPEG decode path: upsample subsampled
+    planes by PIXEL REPLICATION, crop to the image rectangle, and
+    reduce to the BT.601 integer luma (grayscale returns Y directly;
+    3-component converts YCbCr→RGB with the JFIF integer
+    convention — round-half-up via floor(x+0.5), clip 0..255)."""
     up = []
-    for pl, (_, _, _, hi, vi) in zip(planes, sel):
+    for pl, (hi, vi) in zip(planes, hvs):
         if hi != hmax or vi != vmax:
             pl = np.repeat(
                 np.repeat(pl, vmax // vi, axis=0), hmax // hi, axis=1
             )
         up.append(pl[:h, :w])
-    if ncomp == 1:
+    if len(planes) == 1:
         return np.clip(np.floor(up[0] + 128.5), 0, 255).astype(np.int64)
     y = up[0] + 128.0
     cb = up[1]
@@ -592,3 +918,314 @@ def encode_jpeg(
     out += bwr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ------------------------------------- progressive encoder (fixture)
+
+
+def _huff_spec_ac_prog():
+    """All 176 progressive AC symbols at code length 8 (176 ≤ 2⁸−1):
+    the baseline 162 plus the EOBn run-length symbols 0x10..0xE0
+    that only exist in progressive scans."""
+    syms = sorted(
+        [(r << 4) for r in range(16)]  # EOB0..EOB14 + ZRL (0xF0)
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    counts = [0] * 16
+    counts[7] = len(syms)
+    return counts, bytes(syms)
+
+
+class _ProgAcState:
+    """Per-scan AC encoder state: the pending EOB run and the
+    correction bits buffered to be emitted with it (libjpeg's
+    BE/bit_buffer pairing)."""
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bits = []
+
+
+def _flush_eobrun(bwr, ac_enc, st: _ProgAcState):
+    """Emit the pending EOBn symbol (+ its extension bits) and the
+    buffered correction bits."""
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        code, ln = ac_enc[nbits << 4]
+        bwr.write(code, ln)
+        if nbits:
+            bwr.write(st.eobrun - (1 << nbits), nbits)
+        st.eobrun = 0
+    for b in st.bits:
+        bwr.write(b, 1)
+    st.bits = []
+
+
+def _enc_dc_first(bwr, dc_shifted, pred, ci, dc_enc):
+    diff = dc_shifted - pred[ci]
+    pred[ci] = dc_shifted
+    t = _size_cat(diff)
+    code, ln = dc_enc[t]
+    bwr.write(code, ln)
+    if t:
+        bwr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_ac_first(bwr, cvec, ss, se, al, ac_enc, st: _ProgAcState):
+    """AC band first scan: values are sign·(|v|>>Al) (point transform
+    toward zero, per T.81 A.4 / libjpeg); all-zero bands fold into
+    the EOB run."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(cvec[k])
+        t = (abs(v)) >> al
+        vals.append(-t if v < 0 else t)
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    if last_nz < 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(bwr, ac_enc, st)
+        return
+    _flush_eobrun(bwr, ac_enc, st)
+    r = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            bwr.write(code, ln)
+            r -= 16
+        s = _size_cat(v)
+        code, ln = ac_enc[(r << 4) | s]
+        bwr.write(code, ln)
+        bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last_nz < se - ss:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(bwr, ac_enc, st)
+
+
+def _enc_ac_refine(bwr, cvec, ss, se, al, ac_enc, st: _ProgAcState):
+    """AC band refinement: the encoder half of T.81 G.1.2.3 —
+    newly-significant coefficients (|v|>>Al == 1) are run-coded over
+    ZERO-HISTORY positions with a sign bit; already-significant ones
+    contribute buffered correction bits; trailing runs fold into the
+    EOB run (libjpeg jcphuff control flow, reimplemented)."""
+    absv = []
+    signs = []
+    for k in range(ss, se + 1):
+        v = int(cvec[k])
+        absv.append(abs(v) >> al)
+        signs.append(1 if v >= 0 else 0)
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    r = 0
+    br_bits = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            _flush_eobrun(bwr, ac_enc, st)
+            code, ln = ac_enc[0xF0]
+            bwr.write(code, ln)
+            r -= 16
+            for b in br_bits:
+                bwr.write(b, 1)
+            br_bits = []
+        if t > 1:
+            br_bits.append(t & 1)
+            continue
+        _flush_eobrun(bwr, ac_enc, st)
+        code, ln = ac_enc[(r << 4) | 1]
+        bwr.write(code, ln)
+        bwr.write(signs[i], 1)
+        for b in br_bits:
+            bwr.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        st.eobrun += 1
+        st.bits.extend(br_bits)
+        if st.eobrun == 0x7FFF or len(st.bits) > 900:
+            _flush_eobrun(bwr, ac_enc, st)
+
+
+def encode_jpeg_progressive(
+    gray,
+    color: bool = False,
+    subsampling: str = "444",
+    cb_const: int = 0,
+    cr_const: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """TEST FIXTURE: encode an int64 gray array as a REAL PROGRESSIVE
+    (SOF2) JFIF JPEG carrying the SAME quant-1 coefficients as
+    ``encode_jpeg`` would, re-ordered across a seven-stage scan
+    script that exercises every progressive decode path:
+
+    1. interleaved DC first scan at Al=1;
+    2. per component: AC band 1-5 first scan at Al=2;
+    3. per component: AC band 6-63 first scan at Al=1;
+    4. per component: AC band 1-5 refinement Ah=2→Al=1;
+    5. interleaved DC refinement Ah=1→Al=0;
+    6. per component: AC band 1-5 refinement Ah=1→Al=0;
+    7. per component: AC band 6-63 refinement Ah=1→Al=0.
+
+    Because progressive mode is a lossless reordering of the same
+    quantized coefficients, the decoded pixels are BIT-IDENTICAL to
+    the sequential encoding's — the round-trip tests pin exactly
+    that. ``restart_interval`` > 0 emits DRI once and RSTn inside
+    every scan (units: MCUs for the interleaved DC scans, blocks for
+    the single-component AC scans)."""
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    if not color:
+        comps = [(0x11, None)]
+    elif subsampling == "444":
+        comps = [(0x11, None), (0x11, cb_const), (0x11, cr_const)]
+    elif subsampling == "420":
+        comps = [(0x22, None), (0x11, cb_const), (0x11, cr_const)]
+    else:
+        raise ValueError(f"unsupported subsampling: {subsampling!r}")
+    ncomp = len(comps)
+    hmax = max(c[0] >> 4 for c in comps)
+    vmax = max(c[0] & 0xF for c in comps)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = _pad_replicate(g, mh * vmax * 8, mw * hmax * 8)
+
+    # per-component coefficient grids, zigzag order per block
+    grids = []  # (bh_pad, bw_pad, bh_non, bw_non, coef[bidx][64])
+    for hv, cst in comps:
+        hi, vi = hv >> 4, hv & 0xF
+        bh_p, bw_p = mh * vi, mw * hi
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        bh_n, bw_n = -(-chh // 8), -(-cw // 8)
+        coef = np.zeros((bh_p * bw_p, 64), dtype=np.int64)
+        if cst is not None:
+            flat = _fwd_block(np.full((8, 8), cst, dtype=np.int64))
+            coef[:] = flat.ravel()[_ZZ]
+        else:
+            for by in range(bh_p):
+                for bx in range(bw_p):
+                    blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    coef[by * bw_p + bx] = _fwd_block(blk - 128).ravel()[_ZZ]
+        grids.append((bh_p, bw_p, bh_n, bw_n, coef))
+
+    dc_counts, dc_syms = _huff_spec_dc()
+    ac_counts, ac_syms = _huff_spec_ac_prog()
+    dc_enc = _enc_table(dc_counts, dc_syms)
+    ac_enc = _enc_table(ac_counts, ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c, (hv, _) in enumerate(comps):
+        sof += bytes([c + 1, hv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    dht = bytes([0x00]) + bytes(dc_counts) + dc_syms
+    dht += bytes([0x10]) + bytes(ac_counts) + ac_syms
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    rstno = [0]
+
+    def sos_header(cs_list, ss, se, ah, al):
+        sos = bytes([len(cs_list)])
+        for cs in cs_list:
+            sos += bytes([cs + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def emit_restart(bwr):
+        bwr.flush()
+        nonlocal_out.extend(bwr.out)
+        bwr.out = bytearray()
+        bwr.acc = 0
+        bwr.nbits = 0
+        nonlocal_out.extend(bytes([0xFF, 0xD0 + (rstno[0] % 8)]))
+        rstno[0] += 1
+
+    nonlocal_out = out
+
+    # scan 1: interleaved DC first, Al=1
+    def dc_scan(ah, al):
+        nonlocal_out.extend(sos_header(list(range(ncomp)), 0, 0, ah, al))
+        bwr = _BitWriter()
+        pred = [0] * ncomp
+        unit = 0
+        for my in range(mh):
+            for mx in range(mw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    emit_restart(bwr)
+                    pred = [0] * ncomp
+                for ci, (hv, _) in enumerate(comps):
+                    hi, vi = hv >> 4, hv & 0xF
+                    bh_p, bw_p = grids[ci][0], grids[ci][1]
+                    coef = grids[ci][4]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bidx = (my * vi + by) * bw_p + (mx * hi + bx)
+                            dc = int(coef[bidx][0])
+                            if ah == 0:
+                                _enc_dc_first(
+                                    bwr, dc >> al, pred, ci, dc_enc
+                                )
+                            else:
+                                bwr.write((dc >> al) & 1, 1)
+                unit += 1
+        bwr.flush()
+        nonlocal_out.extend(bwr.out)
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal_out.extend(sos_header([ci], ss, se, ah, al))
+        bwr = _BitWriter()
+        st = _ProgAcState()
+        bh_n, bw_n = grids[ci][2], grids[ci][3]
+        bw_p = grids[ci][1]
+        coef = grids[ci][4]
+        unit = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _flush_eobrun(bwr, ac_enc, st)
+                    emit_restart(bwr)
+                cvec = coef[by * bw_p + bx]
+                # band vector in zigzag positions ss..se
+                if ah == 0:
+                    _enc_ac_first(bwr, cvec, ss, se, al, ac_enc, st)
+                else:
+                    _enc_ac_refine(bwr, cvec, ss, se, al, ac_enc, st)
+                unit += 1
+        _flush_eobrun(bwr, ac_enc, st)
+        bwr.flush()
+        nonlocal_out.extend(bwr.out)
+
+    dc_scan(0, 1)
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 5, 0, 2)
+    for ci in range(ncomp):
+        ac_scan(ci, 6, 63, 0, 1)
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 5, 2, 1)
+    dc_scan(1, 0)
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 5, 1, 0)
+    for ci in range(ncomp):
+        ac_scan(ci, 6, 63, 1, 0)
+
+    nonlocal_out.extend(b"\xff\xd9")
+    return bytes(nonlocal_out)

@@ -2303,6 +2303,20 @@ def synth_codec_pixel_media(
                         payload = encode_jpeg(
                             gray, color=True, subsampling="420"
                         )
+                    elif c == "jpeg_prog":
+                        from tidb_cdc_spark.functions.jpeg import (
+                            encode_jpeg_progressive,
+                        )
+
+                        payload = encode_jpeg_progressive(gray)
+                    elif c == "jpeg_prog_420":
+                        from tidb_cdc_spark.functions.jpeg import (
+                            encode_jpeg_progressive,
+                        )
+
+                        payload = encode_jpeg_progressive(
+                            gray, color=True, subsampling="420"
+                        )
                     else:
                         raise ValueError(f"unknown codec leg: {c!r}")
                     rows.append(

@@ -286,7 +286,13 @@ GATE = [
     # legs collapsing to one perceptual identity; verified hash-green
     # at sf0.001+sf0.01+sf0.1 before this swap).
     "multimodal_png_deep_audit",
-    "events_sliding_1h",
+    # LATE-R13 SWAP 6 (never-gated-first): events_sliding_1h
+    # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
+    # to the NEW progressive-JPEG audit (queries/llm19.py — SOF2
+    # multi-scan reassembly pinned coefficient-exact against the
+    # baseline leg; verified hash-green at sf0.001+sf0.01+sf0.1
+    # before this swap).
+    "multimodal_jpeg_prog_audit",
     "events_cohort_retention",
     # LATE-R13 SWAP 4 (never-gated-first): events_json_extract
     # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields

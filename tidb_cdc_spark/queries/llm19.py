@@ -466,11 +466,112 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_jpeg_prog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PROGRESSIVE-JPEG audit — SOF2 is the web's other dominant
+    JPEG flavor, and progressive mode is a LOSSLESS reordering of
+    the same quantized coefficients, so a progressive re-save of a
+    sequential JPEG must collapse to the SAME perceptual identity.
+    Variant ``doc_id div 73 % 3`` for cluster ``pid = doc_id % 73``:
+    0 → BASELINE grayscale scan (the cross-MODE reference leg),
+    1 → progressive grayscale (seven-stage scan script: DC first at
+    Al=1, banded AC first scans with EOB runs, two AC refinement
+    levels, DC refinement), 2 → progressive 4:2:0 color with a +20
+    brightness shift (interleaved DC scans over subsampled MCUs +
+    per-component AC scans whose flat chroma exercises EOB runs
+    spanning whole scans). The 64×64 flat-block plant keeps the
+    lossy codec provably exact (DC-only spectra at quant 1), so the
+    aHash lemma (pattern bits replicated, injective, ≥8-bit margin,
+    shift-invariant) carries through the multi-scan reassembly
+    unchanged. Scorecard semantics identical to the baseline JPEG
+    audit; all columns from id arithmetic alone."""
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 73).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 73) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 73") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+            F.when(F.expr("doc_id div 73") % 3 == 1, F.lit("jpeg_prog"))
+            .when(F.expr("doc_id div 73") % 3 == 2, F.lit("jpeg_prog_420"))
+            .otherwise(F.lit("jpeg"))
+            .alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id", width=64, height=64)
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: variant selects baseline gray / progressive gray /
+# progressive 4:2:0 (+20 shift) — byte-disjoint streams, identical
+# coefficients, so distinct_ahash collapses to the cluster count iff
+# the multi-scan progressive reassembly is coefficient-exact
+_JPEG_PROG_SQL = """
+WITH m AS (
+  SELECT doc_id % 73 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
     "multimodal_jpeg_phash_audit": multimodal_jpeg_phash_audit,
     "multimodal_png_deep_audit": multimodal_png_deep_audit,
+    "multimodal_jpeg_prog_audit": multimodal_jpeg_prog_audit,
 }
 
 ORACLE = {
@@ -478,4 +579,5 @@ ORACLE = {
     "multimodal_codec_matrix_audit": _CODEC_MATRIX_SQL,
     "multimodal_jpeg_phash_audit": _JPEG_PHASH_SQL,
     "multimodal_png_deep_audit": _PNG_DEEP_SQL,
+    "multimodal_jpeg_prog_audit": _JPEG_PROG_SQL,
 }
