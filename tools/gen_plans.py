@@ -62,6 +62,8 @@ PICKS = {
     "video_curation_pipeline": "composed video curation: sha2 min-id exact dedup -> shot-level frame-hash collapse over survivors only (frame hashes -> inverted-index pairs -> checkpoint-truncated CC) -> 1-row scorecard",
     "phash_cap_report": "no-silent-caps audit: ONE Manku explode + bucket-count window pass (the guarded pair join's own shape minus the self-join), two 1-row aggs crossed via broadcast",
     "video_frame_cap_report": "no-silent-caps audit: distinct (id,fhash) -> frequency agg; viral list broadcast back for the affected-media semi-join",
+    "multimodal_png_deep_audit": "full-envelope PNG audit (shape shared by all r13 codec audits): synth -> decode/hash Arrow passes emit 24 B hash rows, materialized once for three agg consumers; compressed decode rides inside the same pass as BMP",
+    "multimodal_jpeg_prog_audit": "progressive-JPEG audit: same synth -> decode/hash -> Manku-pair shape; the multi-scan entropy pass stays inside the Arrow stage, reconstruction is one einsum per batch",
 }
 
 HEADER = (
