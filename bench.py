@@ -210,6 +210,7 @@ def main() -> None:
         "multimodal_jpeg_phash_audit",
         "multimodal_png_deep_audit",
         "multimodal_jpeg_prog_audit",
+        "multimodal_webp_phash_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -1012,6 +1012,18 @@ def decode_pixels(payload: bytes):
         gray = decode_jpeg_pixels(payload)
         if gray is not None:
             return gray
+    if (
+        len(payload) >= 16
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        from tidb_cdc_spark.functions.webp import (
+            decode_webp_lossless_pixels,
+        )
+
+        gray = decode_webp_lossless_pixels(payload)
+        if gray is not None:
+            return gray
     if _PIL_Image is not None:  # pragma: no cover — no PIL here
         import io
 
@@ -2316,6 +2328,14 @@ def synth_codec_pixel_media(
 
                         payload = encode_jpeg_progressive(
                             gray, color=True, subsampling="420"
+                        )
+                    elif c.startswith("webp"):
+                        from tidb_cdc_spark.functions.webp import (
+                            encode_webp_lossless,
+                        )
+
+                        payload = encode_webp_lossless(
+                            gray, c[5:] if len(c) > 4 else "literal"
                         )
                     else:
                         raise ValueError(f"unknown codec leg: {c!r}")

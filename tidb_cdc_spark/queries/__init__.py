@@ -293,7 +293,12 @@ GATE = [
     # baseline leg; verified hash-green at sf0.001+sf0.01+sf0.1
     # before this swap).
     "multimodal_jpeg_prog_audit",
-    "events_cohort_retention",
+    # LATE-R13 SWAP 7 (never-gated-first): events_cohort_retention
+    # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
+    # to the NEW VP8L lossless-WebP audit (queries/llm19.py — the
+    # codec family's last named format; verified hash-green at
+    # sf0.001+sf0.01+sf0.1 before this swap).
+    "multimodal_webp_phash_audit",
     # LATE-R13 SWAP 4 (never-gated-first): events_json_extract
     # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
     # to the NEW baseline-JPEG pixel audit (queries/llm19.py — lossy

@@ -566,12 +566,108 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_webp_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VP8L lossless-WebP audit — the codec family's last named
+    format (`functions/webp.py`): RIFF walk, VP8L entropy-coded
+    images (simple + normal prefix codes with 16/17/18 repeats and
+    the max-symbol cap), LZ77 backrefs + color cache, and the
+    transform machinery, all pure Python. Variant ``doc_id div 71 %
+    3`` for cluster ``pid = doc_id % 71``: 0 → plain ARGB literals,
+    1 → color-indexing transform (2-entry palette ⇒ 8-pixel-per-byte
+    index bundling), 2 → LZ77 copy-above + color cache + max-symbol
+    cap, with a +20 brightness shift. Lossless format ⇒ the planted
+    aHash lemma carries over exactly (byte-disjoint encodings,
+    identical pixels). Scorecard semantics identical to the PNG
+    audit; all columns from id arithmetic alone."""
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 71).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 71) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 71") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+            F.when(F.expr("doc_id div 71") % 3 == 1, F.lit("webp_pal"))
+            .when(F.expr("doc_id div 71") % 3 == 2, F.lit("webp_lz"))
+            .otherwise(F.lit("webp"))
+            .alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id")
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: variant selects literal / palette-bundled / LZ77+
+# cache VP8L encodings (+20 shift on the third) — byte-disjoint,
+# lossless, identical pixels ⇒ distinct_ahash = cluster count iff the
+# VP8L entropy/transform machinery is pixel-exact
+_WEBP_PHASH_SQL = """
+WITH m AS (
+  SELECT doc_id % 71 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
     "multimodal_jpeg_phash_audit": multimodal_jpeg_phash_audit,
     "multimodal_png_deep_audit": multimodal_png_deep_audit,
     "multimodal_jpeg_prog_audit": multimodal_jpeg_prog_audit,
+    "multimodal_webp_phash_audit": multimodal_webp_phash_audit,
 }
 
 ORACLE = {
@@ -580,4 +676,5 @@ ORACLE = {
     "multimodal_jpeg_phash_audit": _JPEG_PHASH_SQL,
     "multimodal_png_deep_audit": _PNG_DEEP_SQL,
     "multimodal_jpeg_prog_audit": _JPEG_PROG_SQL,
+    "multimodal_webp_phash_audit": _WEBP_PHASH_SQL,
 }
