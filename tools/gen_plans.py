@@ -64,6 +64,7 @@ PICKS = {
     "video_frame_cap_report": "no-silent-caps audit: distinct (id,fhash) -> frequency agg; viral list broadcast back for the affected-media semi-join",
     "multimodal_png_deep_audit": "full-envelope PNG audit (shape shared by all r13 codec audits): synth -> decode/hash Arrow passes emit 24 B hash rows, materialized once for three agg consumers; compressed decode rides inside the same pass as BMP",
     "multimodal_jpeg_prog_audit": "progressive-JPEG audit: same synth -> decode/hash -> Manku-pair shape; the multi-scan entropy pass stays inside the Arrow stage, reconstruction is one einsum per batch",
+    "multimodal_webp_phash_audit": "VP8L lossless-WebP audit: same synth -> decode/hash -> Manku-pair shape; prefix-code/LZ77/transform machinery all inside the Arrow stage, 24 B hash rows shuffle",
 }
 
 HEADER = (
