@@ -222,6 +222,49 @@ class TestRejects:
         assert decode_webp_lossless_pixels(raw[: len(raw) // 2]) is None
 
 
+class TestHeaderProbe:
+    """parse_image_header knows all three WebP chunk flavors — the
+    crawl metadata pass needs dims without a codec library."""
+
+    def test_vp8l_dims(self):
+        from tidb_cdc_spark.functions.multimodal import parse_image_header
+
+        for h, w in [(1, 1), (13, 17), (480, 640), (16383, 16383)]:
+            g = np.zeros((min(h, 8), min(w, 8)), dtype=np.int64)
+            raw = bytearray(encode_webp_lossless(g, "literal"))
+            # patch the 14-bit dims to the probed values
+            wm1, hm1 = w - 1, h - 1
+            raw[21] = wm1 & 0xFF
+            raw[22] = (wm1 >> 8) | ((hm1 & 0x3) << 6)
+            raw[23] = (hm1 >> 2) & 0xFF
+            raw[24] = (raw[24] & 0xF0) | (hm1 >> 10)
+            got = parse_image_header(bytes(raw))
+            assert got == ("image/webp", w, h)
+
+    def test_vp8_lossy_dims(self):
+        from tidb_cdc_spark.functions.multimodal import parse_image_header
+
+        body = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+        body += bytes(10)
+        p = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(body)) + body
+        )
+        assert parse_image_header(p) == ("image/webp", 640, 480)
+
+    def test_vp8x_dims(self):
+        from tidb_cdc_spark.functions.multimodal import parse_image_header
+
+        body = bytes(4) + (639).to_bytes(3, "little") + (479).to_bytes(
+            3, "little"
+        ) + bytes(10)
+        p = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+            + b"VP8X" + struct.pack("<I", len(body)) + body
+        )
+        assert parse_image_header(p) == ("image/webp", 640, 480)
+
+
 class TestBoundary:
     def test_decode_pixels_routes_webp(self):
         g = _rng().integers(0, 256, (16, 16)).astype(np.int64)

@@ -135,6 +135,25 @@ def parse_image_header(payload: bytes) -> "tuple[str, int, int] | None":
                 abs(int.from_bytes(p[22:26], "little", signed=True)),
             )
         return None  # unknown DIB header size
+    if len(p) >= 30 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        tag = p[12:16]
+        if tag == b"VP8L" and p[20] == 0x2F:
+            # LSB-first bitstream: 14 bits width-1, 14 bits height-1
+            b1, b2, b3, b4 = p[21], p[22], p[23], p[24]
+            w = 1 + (b1 | (b2 & 0x3F) << 8)
+            h = 1 + ((b2 >> 6) | b3 << 2 | (b4 & 0xF) << 10)
+            return ("image/webp", w, h)
+        if tag == b"VP8 " and p[23:26] == b"\x9d\x01\x2a":
+            # lossy key frame: 14-bit dims after the start code
+            w = int.from_bytes(p[26:28], "little") & 0x3FFF
+            h = int.from_bytes(p[28:30], "little") & 0x3FFF
+            return ("image/webp", w, h)
+        if tag == b"VP8X":
+            # extended container: 24-bit canvas dims minus one
+            w = 1 + int.from_bytes(p[24:27], "little")
+            h = 1 + int.from_bytes(p[27:30], "little")
+            return ("image/webp", w, h)
+        return None
     if len(p) >= 4 and p[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(p):
