@@ -3,15 +3,18 @@ fully value-oracled queries — closing the r12 verdict's #1 remaining
 gap ("the pixel paths cover uncompressed BMP/PCM/AVI; real crawls
 are JPEG/PNG/...").
 
-PNG and GIF are now REAL pure-Python pixel paths (no codec library:
-DEFLATE is stdlib ``zlib``; GIF's LZW is ~40 lines —
+PNG (full envelope: every spec-legal color-type/bit-depth, Adam7,
+alpha-over-white), GIF, JPEG (sequential AND progressive, any
+integer-ratio subsampling) and lossless WebP (VP8L) are REAL
+pure-Python pixel paths (no codec library:
 ``functions/multimodal.py::decode_png_pixels`` /
-``decode_gif_pixels``), wired into the single ``decode_pixels``
-boundary the whole perceptual chain reads. These two audits pin
-them end-to-end under the same planted-formula design as
-``multimodal_phash_audit`` (queries/llm18.py): payloads are pure
-integer functions of the id, every output column is derivable from
-id arithmetic alone, and DuckDB recomputes that arithmetic.
+``decode_gif_pixels``, ``functions/jpeg.py``, ``functions/webp.py``)
+wired into the single ``decode_pixels`` boundary the whole
+perceptual chain reads. These audits pin them end-to-end under the
+same planted-formula design as ``multimodal_phash_audit``
+(queries/llm18.py): payloads are pure integer functions of the id,
+every output column is derivable from id arithmetic alone, and
+DuckDB recomputes that arithmetic.
 
 Scale shape: identical to the BMP audit — the synth→decode→hash
 chain is ONE Arrow-batched linear pass per consumer (materialized
@@ -19,7 +22,8 @@ to run once), hashes are 24 B/row, pixels never shuffle. Compressed
 decode adds CPU ∝ pixel bytes (the PNG Sub/Average/Paeth unfilters
 are sequential along x by spec), which rides inside the same pass;
 a codec fleet swaps libpng/PIL in at the same boundary with no plan
-change. JPEG remains codec territory (guarded PIL branch).
+change. Lossy VP8/H.264/MP3 remain codec territory (guarded PIL
+branch).
 """
 
 from __future__ import annotations
