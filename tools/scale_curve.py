@@ -196,6 +196,52 @@ def audio_window_pass(spark, sf_dir: str):
     )
 
 
+def codec_decode_pass(spark, sf_dir: str):
+    """Compressed-codec chain (r13): synth → decode → hash with the
+    codec leg CYCLING over every pure-Python decoder — BMP, the full
+    PNG envelope (incl. Adam7/16-bit/alpha/palette), GIF (both),
+    JPEG (sequential gray/4:4:4/4:2:0 AND progressive), lossless
+    WebP (all five variants). Linear per-row CPU ∝ pixel bytes; the
+    ratio evidence that the decode rides inside the Arrow pass at
+    any corpus size."""
+    from pyspark.sql import functions as F
+
+    from tidb_cdc_spark.functions.multimodal import (
+        CODEC_LEGS,
+        PNG_DEEP_LEGS,
+        perceptual_hashes,
+        synth_codec_pixel_media,
+    )
+
+    legs = (
+        list(CODEC_LEGS)
+        + list(PNG_DEEP_LEGS)
+        + ["jpeg", "jpeg_rgb", "jpeg_420", "jpeg_prog", "jpeg_prog_420"]
+        + ["webp", "webp_pal", "webp_sg", "webp_lz", "webp_pred"]
+    )
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(1) + F.col("doc_id") % 254).alias("pattern"),
+            F.lit(0).alias("shift"),
+            F.element_at(
+                F.array(*[F.lit(c) for c in legs]),
+                (F.col("doc_id") % len(legs) + 1).cast("int"),
+            ).alias("codec"),
+        )
+    )
+    # JPEG legs need the 64×64 block-aligned plant; the others
+    # accept it too, so one geometry serves every leg
+    return perceptual_hashes(
+        synth_codec_pixel_media(ids, "media_id", width=64, height=64)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("ahash").alias("da"),
+    )
+
+
 def main() -> None:
     out100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1x100"
     out10 = "/tmp/spark_graft_sf1x10"
@@ -241,6 +287,7 @@ def main() -> None:
         ("video_fp_pass (inline)", video_fp_pass),
         ("dct_phash_pass (inline)", dct_phash_pass),
         ("audio_window_pass (inline)", audio_window_pass),
+        ("codec_decode_pass (inline)", codec_decode_pass),
     ):
         row = {}
         for label, d in (("1x", src), ("10x", out10), ("100x", out100)):
