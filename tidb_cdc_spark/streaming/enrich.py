@@ -906,11 +906,14 @@ class PhashAdmissionSink:
       are ADMITTED unscreened and not indexed: no pixel evidence,
       no perceptual claim (route them through
       ``DigestAdmissionSink`` for exact dedup). The pixel boundary
-      is ``functions/multimodal.decode_pixels``: uncompressed BMP
-      always (pure Python); compressed JPEG/PNG get REAL pixels via
-      the guarded PIL branch wherever a codec library is importable
-      — a decode fleet with PIL installed screens those formats
-      with no sink change.
+      is ``functions/multimodal.decode_pixels``: pure-Python REAL
+      pixels for BMP, the full PNG envelope, GIF, sequential AND
+      progressive JPEG (any integer-ratio subsampling), and
+      lossless WebP — so all of those are screened everywhere; the
+      remaining codec territory (lossy VP8/H.264/...) gets REAL
+      pixels via the guarded PIL branch wherever a codec library is
+      importable — a decode fleet with PIL installed screens those
+      too with no sink change.
 
     ``_PARAMS`` pins ``n_buckets`` AND the key layout
     (``blocks``/``max_hamming``/``hash_col``): a restart with a
