@@ -415,7 +415,7 @@ class TestSynthCodecMedia:
         )
 
         ids = spark.createDataFrame(
-            [(1, 3, 0, "webp")],
+            [(1, 3, 0, "avif")],
             "media_id long, pattern int, shift int, codec string",
         )
         with pytest.raises(Exception, match="unknown codec leg"):
