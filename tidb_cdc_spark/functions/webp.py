@@ -18,22 +18,18 @@ math ((v·a + 255·(255−a) + 127)//255 — a=255 is the identity), then
 the BT.601 integer luma — so an opaque WebP re-save of a PNG/BMP
 image hashes IDENTICALLY (the cross-codec audit's claim).
 
-Envelope honesty — the LZ77 neighbor-distance map: distance codes
-1..120 name near pixels via the spec's published (dx, dy) table.
-The table follows a generative rule (sorted by dx²+dy², then larger
-dy first, then positive dx before negative) which this module uses
-to build it; the first 56 entries are additionally PINNED against a
-hand-transcribed copy of the published table (test + import-time
-assert). Codes beyond the pinned prefix are mapped by the same rule
-but are not independently verified against the spec text, so
-``decode_webp_lossless_pixels`` REJECTS streams using distance
-codes 57..120 (returns None — the documented no-guess treatment)
-rather than risk silently mis-placed pixels; direct distances
-(codes >120) and the pinned neighbor codes decode normally. Real
-encoders emit the full range, so crawl-scale WebP coverage keeps
-the guarded-PIL fallback; the pure path decodes the fixture
-envelope and any stream staying inside the pinned window. Lossy
-VP8 and the extended VP8X container return None (codec territory).
+Conformance: the implementation is verified against libwebp ITSELF
+wherever ``libwebp.so`` is importable via ctypes (this container
+ships it): tests/test_webp_conformance.py (a) encodes a diverse
+image battery with the REAL ``WebPEncodeLosslessRGBA`` and asserts
+this decoder reproduces the source pixels exactly, and (b)
+re-derives the COMPLETE 120-entry LZ77 neighbor-distance map by
+crafting one stream per distance code and comparing against the
+real ``WebPDecodeRGBA`` — the ``_DIST_MAP`` literal below is the
+table that derivation produced (all 120 codes agree pixel-exactly;
+on hosts without libwebp the tests skip and the literal stands as
+the verified record). Lossy VP8 and the extended VP8X container
+return None (codec territory — guarded PIL).
 
 Scale shape: identical to the other pixel paths — the decode rides
 the Arrow-batched ``mapInPandas`` pass via ``decode_pixels``; CPU is
@@ -56,39 +52,45 @@ import numpy as np
 # code-length-code read order (spec §"Decoding the Code Lengths")
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
-# The published neighbor map's hand-transcribed prefix (codes 1..56):
-# the generative rule below must reproduce these exactly (asserted).
-_DIST_MAP_PINNED = [
-    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
-    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
-    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
-    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
-    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
-    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+# The COMPLETE 120-entry LZ77 neighbor map — (dx, dy) per distance
+# code, dist = dy·width + dx (clamped to ≥1). Every entry verified
+# against libwebp's own decoder: per-code crafted streams decoded by
+# both implementations agree pixel-for-pixel (the guarded ctypes
+# conformance test in tests/test_webp_conformance.py re-derives the
+# whole table wherever libwebp.so is present).
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1),
+    (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2),
+    (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3),
+    (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1),
+    (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4),
+    (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1),
+    (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5),
+    (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1),
+    (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4),
+    (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7),
+    (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3),
+    (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4),
+    (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7),
+    (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5),
+    (7, 7), (-7, 7), (8, 6), (8, 7),
 ]
-_DIST_VERIFIED = len(_DIST_MAP_PINNED)  # codes 1.._DIST_VERIFIED decode
-
-
-def _gen_dist_map():
-    """Generate the 120-entry (dx, dy) neighbor table by the spec's
-    ordering: all near offsets sorted by squared distance, ties by
-    larger dy first, then positive dx before negative."""
-    cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
-            if dy == 0 and dx <= 0:
-                continue
-            cands.append((dx, dy))
-    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1],
-                              0 if p[0] >= 0 else 1, abs(p[0])))
-    return cands[:120]
-
-
-_DIST_MAP = _gen_dist_map()
-assert _DIST_MAP[:_DIST_VERIFIED] == _DIST_MAP_PINNED, (
-    "generated neighbor map diverges from the pinned spec prefix"
-)
+assert len(_DIST_MAP) == 120 and len(set(_DIST_MAP)) == 120
 
 
 class _LsbReader:
@@ -344,13 +346,11 @@ def _decode_entropy_image(br: _LsbReader, w: int, h: int, level0: bool):
                 return None
             if dval > 120:
                 dist = dval - 120
-            elif dval <= _DIST_VERIFIED:
+            else:
                 dx, dy = _DIST_MAP[dval - 1]
                 dist = dy * w + dx
                 if dist < 1:
                     dist = 1
-            else:
-                return None  # unpinned neighbor code: no guess
             if dist > pos or pos + length > n:
                 return None
             for _ in range(length):
