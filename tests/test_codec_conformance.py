@@ -1,0 +1,208 @@
+"""Codec conformance against an INDEPENDENT reference decoder —
+``javax.imageio`` on the JDK this container ships for Spark
+(compiled on the fly from tools/conformance/ImageDump.java; skips
+cleanly without javac/java). Complements the libwebp ctypes suite:
+
+- PNG: every envelope shape our fixture encoder emits (all color
+  types × depths × both interlace methods) decodes to EXACTLY the
+  raw samples ImageIO reports — Adam7 reassembly, the five filters,
+  sub-byte packing, 16-bit big-endian pairs, palettes, alpha, all
+  against the reference implementation.
+- GIF: sequential + interlaced LZW streams produce exactly the
+  palette indices ImageIO reports.
+- JPEG: ImageIO decodes our BASELINE and PROGRESSIVE fixtures
+  IDENTICALLY (the lossless-reordering invariant confirmed by the
+  reference decoder, not just our own round-trip), both within ±2
+  of the source (integer-IDCT approximation bound) and EXACT on the
+  flat-block plants the audits rely on. Chroma comparisons use flat
+  chroma planes, where ImageIO's fancy (bilinear) upsampling and
+  our replication upsampling provably coincide.
+"""
+
+from __future__ import annotations
+
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from tidb_cdc_spark.functions.jpeg import (
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+from tidb_cdc_spark.functions.multimodal import _encode_gif, _encode_png_ex
+
+_HAVE_JDK = shutil.which("javac") is not None and shutil.which("java") is not None
+pytestmark = pytest.mark.skipif(not _HAVE_JDK, reason="no JDK available")
+
+_TOOL_SRC = "tools/conformance/ImageDump.java"
+
+
+@pytest.fixture(scope="module")
+def dumper(tmp_path_factory):
+    """Compile ImageDump once; return a callable that reference-
+    decodes a dict of {name: payload bytes} and returns
+    {name: raw-sample array (h, w, bands)} (missing = unreadable)."""
+    import os
+
+    build = tmp_path_factory.mktemp("imagedump")
+    src = os.path.join(os.path.dirname(__file__), "..", _TOOL_SRC)
+    subprocess.run(
+        ["javac", "-d", str(build), src], check=True, capture_output=True
+    )
+
+    def run(payloads: dict) -> dict:
+        work = tmp_path_factory.mktemp("imgs")
+        for name, raw in payloads.items():
+            (work / name).write_bytes(raw)
+        subprocess.run(
+            ["java", "-cp", str(build), "ImageDump", str(work)],
+            check=True,
+            capture_output=True,
+        )
+        out = {}
+        for name in payloads:
+            p = work / (name + ".dump")
+            if not p.exists():
+                continue
+            d = p.read_bytes()
+            w, h, b = struct.unpack(">iii", d[:12])
+            out[name] = np.frombuffer(d[12:], ">i4").reshape(h, w, b)
+        return out
+
+    return run
+
+
+def _rng():
+    return np.random.default_rng(20260816)
+
+
+class TestPngAgainstImageIO:
+    def test_full_envelope_raw_samples_exact(self, dumper):
+        """Every encoder-envelope shape × both interlace methods:
+        ImageIO's raw raster equals our source samples exactly
+        (sub-byte gray and palettes report raw codes/indices)."""
+        rng = _rng()
+        payloads = {}
+        expects = {}
+        for il in (False, True):
+            tag = "i" if il else "s"
+            for d in (1, 2, 4, 8):
+                gv = rng.integers(0, 1 << d, (9, 11)).astype(np.int64)
+                payloads[f"gray{d}{tag}.png"] = _encode_png_ex(
+                    gv[:, :, None], 0, d, interlaced=il, filter_seed=d
+                )
+                expects[f"gray{d}{tag}.png"] = gv[:, :, None]
+            g16 = rng.integers(0, 65536, (9, 11, 1)).astype(np.int64)
+            payloads[f"gray16{tag}.png"] = _encode_png_ex(
+                g16, 0, 16, interlaced=il
+            )
+            expects[f"gray16{tag}.png"] = g16
+            for depth, nc in ((8, 3), (16, 3)):
+                top = 256 if depth == 8 else 65536
+                rgb = rng.integers(0, top, (9, 11, nc)).astype(np.int64)
+                payloads[f"rgb{depth}{tag}.png"] = _encode_png_ex(
+                    rgb, 2, depth, interlaced=il, filter_seed=depth
+                )
+                expects[f"rgb{depth}{tag}.png"] = rgb
+            vals = np.array([10, 60, 180, 240])
+            idx = rng.integers(0, 4, (9, 11)).astype(np.int64)
+            for pd in (2, 4, 8):
+                payloads[f"pal{pd}{tag}.png"] = _encode_png_ex(
+                    idx[:, :, None], 3, pd, interlaced=il,
+                    palette=np.repeat(vals, 3).astype(np.uint8).tobytes(),
+                )
+                expects[f"pal{pd}{tag}.png"] = idx[:, :, None]
+            rgba = rng.integers(0, 256, (9, 11, 4)).astype(np.int64)
+            payloads[f"rgba{tag}.png"] = _encode_png_ex(
+                rgba, 6, 8, interlaced=il
+            )
+            expects[f"rgba{tag}.png"] = rgba
+            ga = rng.integers(0, 256, (9, 11, 2)).astype(np.int64)
+            payloads[f"ga{tag}.png"] = _encode_png_ex(ga, 4, 8, interlaced=il)
+            expects[f"ga{tag}.png"] = ga
+        got = dumper(payloads)
+        missing = sorted(set(payloads) - set(got))
+        assert not missing, f"ImageIO could not read: {missing}"
+        for name, expect in expects.items():
+            assert got[name].shape == expect.shape, name
+            assert (got[name] == expect).all(), name
+
+
+class TestGifAgainstImageIO:
+    @pytest.mark.parametrize("interlaced", [False, True])
+    def test_lzw_indices_exact(self, dumper, interlaced):
+        rng = _rng()
+        vals = np.array([10, 60, 180, 240])
+        g = vals[rng.integers(0, 4, (13, 17))].astype(np.int64)
+        idx = np.searchsorted(np.unique(g), g)
+        tag = "i" if interlaced else "s"
+        got = dumper({f"g{tag}.gif": _encode_gif(g, interlaced=interlaced)})
+        assert (got[f"g{tag}.gif"][:, :, 0] == idx).all()
+
+
+class TestJpegAgainstImageIO:
+    def test_progressive_equals_baseline_by_reference_decoder(self, dumper):
+        """The lossless-reordering invariant confirmed by javax.
+        imageio: OUR progressive fixture and OUR baseline fixture of
+        the same image decode IDENTICALLY in the reference decoder,
+        and both land within ±2 of the source (integer-IDCT bound).
+        Our own decoder agrees with the reference within the same
+        bound (float vs integer IDCT)."""
+        from tidb_cdc_spark.functions.jpeg import decode_jpeg_pixels
+
+        rng = _rng()
+        g = rng.integers(0, 256, (24, 31)).astype(np.int64)
+        payloads = {
+            "base.jpg": encode_jpeg(g),
+            "prog.jpg": encode_jpeg_progressive(g),
+            "prog_rst.jpg": encode_jpeg_progressive(g, restart_interval=2),
+        }
+        got = dumper(payloads)
+        base = got["base.jpg"][:, :, 0].astype(np.int64)
+        for name in ("prog.jpg", "prog_rst.jpg"):
+            assert (got[name][:, :, 0].astype(np.int64) == base).all(), name
+        assert int(np.abs(base - g).max()) <= 2
+        mine = decode_jpeg_pixels(payloads["base.jpg"])
+        assert int(np.abs(mine - base).max()) <= 2
+
+    def test_flat_block_plants_exact_in_reference_decoder(self, dumper):
+        """The audits' exactness lemma holds in the reference decoder
+        too: flat-block plants decode bit-exactly from both our
+        baseline and progressive streams."""
+        idx = np.arange(64) // 8
+        bit_idx = (idx[:, None] * 8 + idx[None, :]) % 8
+        for v in (85, 170):
+            g = np.where((v >> bit_idx) & 1, 180, 60).astype(np.int64)
+            got = dumper({
+                "b.jpg": encode_jpeg(g),
+                "p.jpg": encode_jpeg_progressive(g),
+            })
+            assert (got["b.jpg"][:, :, 0] == g).all(), v
+            assert (got["p.jpg"][:, :, 0] == g).all(), v
+
+    def test_color_420_flat_chroma_matches_reference(self, dumper):
+        """With FLAT chroma planes, ImageIO's bilinear chroma
+        upsampling and our replication upsampling coincide, so the
+        4:2:0 color path is comparable: the reference decode of our
+        4:2:0 stream must match our decode within the IDCT bound."""
+        from tidb_cdc_spark.functions.jpeg import decode_jpeg_pixels
+
+        rng = _rng()
+        g = rng.integers(0, 256, (24, 24)).astype(np.int64)
+        raw = encode_jpeg(
+            g, color=True, subsampling="420", cb_const=17, cr_const=-9
+        )
+        praw = encode_jpeg_progressive(
+            g, color=True, subsampling="420", cb_const=17, cr_const=-9
+        )
+        got = dumper({"c.jpg": raw, "cp.jpg": praw})
+        ref = got["c.jpg"].astype(np.int64)
+        assert (got["cp.jpg"].astype(np.int64) == ref).all()
+        luma_ref = (
+            ref[:, :, 0] * 299 + ref[:, :, 1] * 587 + ref[:, :, 2] * 114
+        ) // 1000
+        mine = decode_jpeg_pixels(raw)
+        assert int(np.abs(mine - luma_ref).max()) <= 2

@@ -1163,6 +1163,7 @@ def encode_jpeg_progressive(
 
     # scan 1: interleaved DC first, Al=1
     def dc_scan(ah, al):
+        rstno[0] = 0  # T.81: the RSTn modulo counter resets per scan
         nonlocal_out.extend(sos_header(list(range(ncomp)), 0, 0, ah, al))
         bwr = _BitWriter()
         pred = [0] * ncomp
@@ -1191,6 +1192,7 @@ def encode_jpeg_progressive(
         nonlocal_out.extend(bwr.out)
 
     def ac_scan(ci, ss, se, ah, al):
+        rstno[0] = 0  # T.81: the RSTn modulo counter resets per scan
         nonlocal_out.extend(sos_header([ci], ss, se, ah, al))
         bwr = _BitWriter()
         st = _ProgAcState()
