@@ -41,6 +41,57 @@ _TOOL_SRC = "tools/conformance/ImageDump.java"
 
 
 @pytest.fixture(scope="module")
+def recoder(tmp_path_factory):
+    """Compile ImageRecode once; returns a callable that re-encodes
+    {name: bmp bytes} via ImageIO and returns
+    {name: (png bytes, jpg bytes)} — genuinely THIRD-PARTY-encoded
+    streams (ImageIO's own filter selection, Huffman tables, 4:2:0
+    subsampling) for our pure-Python decoders."""
+    import os
+
+    build = tmp_path_factory.mktemp("imagerecode")
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "tools/conformance/ImageRecode.java"
+    )
+    subprocess.run(
+        ["javac", "-encoding", "UTF-8", "-d", str(build), src],
+        check=True, capture_output=True,
+    )
+
+    def run(bmps: dict) -> dict:
+        work = tmp_path_factory.mktemp("recode")
+        for name, raw in bmps.items():
+            (work / (name + ".bmp")).write_bytes(raw)
+        subprocess.run(
+            ["java", "-cp", str(build), "ImageRecode", str(work)],
+            check=True, capture_output=True,
+        )
+        return {
+            name: (
+                (work / (name + ".iio.png")).read_bytes(),
+                (work / (name + ".iio.jpg")).read_bytes(),
+            )
+            for name in bmps
+        }
+
+    return run
+
+
+def _bmp_bytes(gray):
+    h, w = gray.shape
+    stride = (w * 3 + 3) & ~3
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+        )
+    )
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = np.repeat(gray[::-1].astype(np.uint8), 3, axis=1)
+    return hdr + body.tobytes()
+
+
+@pytest.fixture(scope="module")
 def dumper(tmp_path_factory):
     """Compile ImageDump once; return a callable that reference-
     decodes a dict of {name: payload bytes} and returns
@@ -205,4 +256,40 @@ class TestJpegAgainstImageIO:
             ref[:, :, 0] * 299 + ref[:, :, 1] * 587 + ref[:, :, 2] * 114
         ) // 1000
         mine = decode_jpeg_pixels(raw)
+        assert int(np.abs(mine - luma_ref).max()) <= 2
+
+
+class TestThirdPartyEncodedStreams:
+    """The reverse direction: files ENCODED by ImageIO (not our
+    fixtures) through our pure-Python decoders — real-world filter
+    selections, Huffman tables, and 4:2:0 subsampling."""
+
+    def test_imageio_png_decodes_exactly(self, recoder):
+        from tidb_cdc_spark.functions.multimodal import decode_png_pixels
+
+        rng = _rng()
+        for h, w in [(24, 31), (13, 7), (64, 64)]:
+            g = rng.integers(0, 256, (h, w)).astype(np.int64)
+            png, _ = recoder({f"g{h}x{w}": _bmp_bytes(g)})[f"g{h}x{w}"]
+            out = decode_png_pixels(png)
+            assert out is not None
+            assert (out == g).all(), (h, w)
+
+    def test_imageio_jpeg_matches_reference_decode(self, recoder, dumper):
+        """Decoder-vs-decoder on the SAME lossy third-party stream:
+        our decode must match ImageIO's own decode within the
+        integer-IDCT bound. Gray-replicated content keeps the
+        chroma planes ~neutral, where ImageIO's fancy (bilinear)
+        upsampling and our replication coincide."""
+        from tidb_cdc_spark.functions.jpeg import decode_jpeg_pixels
+
+        rng = _rng()
+        g = rng.integers(0, 256, (24, 31)).astype(np.int64)
+        _, jpg = recoder({"x": _bmp_bytes(g)})["x"]
+        ref = dumper({"x.jpg": jpg})["x.jpg"].astype(np.int64)
+        luma_ref = (
+            ref[:, :, 0] * 299 + ref[:, :, 1] * 587 + ref[:, :, 2] * 114
+        ) // 1000
+        mine = decode_jpeg_pixels(jpg)
+        assert mine is not None
         assert int(np.abs(mine - luma_ref).max()) <= 2
