@@ -211,6 +211,7 @@ def main() -> None:
         "multimodal_png_deep_audit",
         "multimodal_jpeg_prog_audit",
         "multimodal_webp_phash_audit",
+        "multimodal_exif_orientation_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -331,3 +331,85 @@ class TestBoundary:
         assert got["ahash"].notna().all()
         assert got["ahash"].nunique() == 1
         assert int(got["ahash"].iloc[0]) == ahash64(_pattern64(85))
+
+
+class TestExifOrientation:
+    """Camera rotation: the orientation tag in APP1 must normalize
+    at the decode boundary or rotated copies evade perceptual
+    dedup."""
+
+    @staticmethod
+    def _store_for(gray, o):
+        """Stored pixels whose normalization under orientation o
+        yields ``gray`` (inverse display transforms)."""
+        inv = {
+            1: lambda a: a,
+            2: lambda a: a[:, ::-1],
+            3: lambda a: a[::-1, ::-1],
+            4: lambda a: a[::-1, :],
+            5: lambda a: a.T,
+            6: lambda a: a[:, ::-1].T,
+            7: lambda a: a[::-1, ::-1].T,
+            8: lambda a: a.T[:, ::-1],
+        }
+        return np.ascontiguousarray(inv[o](gray))
+
+    def test_parse_and_default(self):
+        from tidb_cdc_spark.functions.jpeg import jpeg_exif_orientation
+
+        g = _rng().integers(0, 256, (8, 8)).astype(np.int64)
+        assert jpeg_exif_orientation(encode_jpeg(g)) == 1  # no APP1
+        for o in range(1, 9):
+            raw = encode_jpeg(g, exif_orientation=o)
+            assert jpeg_exif_orientation(raw) == o
+        # out-of-range values fall back to upright
+        raw = bytearray(encode_jpeg(g, exif_orientation=1))
+        i = raw.index(b"\x12\x01")  # tag 0x0112 little-endian
+        raw[i + 8] = 9
+        assert jpeg_exif_orientation(bytes(raw)) == 1
+
+    def test_big_endian_tiff_parsed(self):
+        """Cameras write MM (big-endian) TIFF headers too."""
+        import struct as _s
+
+        from tidb_cdc_spark.functions.jpeg import jpeg_exif_orientation
+
+        g = _rng().integers(0, 256, (8, 8)).astype(np.int64)
+        tiff = (
+            b"MM\x00*" + _s.pack(">I", 8)
+            + _s.pack(">H", 1)
+            + _s.pack(">HHIHH", 0x0112, 3, 1, 6, 0)
+            + _s.pack(">I", 0)
+        )
+        body = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + _s.pack(">H", 2 + len(body)) + body
+        raw = encode_jpeg(g)
+        assert jpeg_exif_orientation(raw[:2] + app1 + raw[2:]) == 6
+
+    def test_all_eight_orientations_normalize(self):
+        from tidb_cdc_spark.functions.jpeg import (
+            apply_exif_orientation,
+            decode_jpeg_pixels,
+            jpeg_exif_orientation,
+        )
+
+        g = _rng().integers(0, 256, (24, 16)).astype(np.int64)
+        for o in range(1, 9):
+            raw = encode_jpeg(self._store_for(g, o), exif_orientation=o)
+            norm = apply_exif_orientation(
+                decode_jpeg_pixels(raw), jpeg_exif_orientation(raw)
+            )
+            assert norm.shape == g.shape, o
+            assert int(np.abs(norm - g).max()) <= 2, o  # IDCT bound
+
+    def test_rotated_copies_hash_identically(self):
+        """The dedup claim: all eight tag-rotated encodings of the
+        same flat-block plant (rotations are index permutations —
+        exact) collapse to ONE hash through decode_pixels."""
+        g = _pattern64(85)
+        base = ahash64(decode_pixels(encode_jpeg(g)))
+        for o in range(1, 9):
+            raw = encode_jpeg(self._store_for(g, o), exif_orientation=o)
+            got = decode_pixels(raw)
+            assert (got == g).all(), o
+            assert ahash64(got) == base, o

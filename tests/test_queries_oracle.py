@@ -63,6 +63,7 @@ ROUND_ADDITIONS = [
     "multimodal_png_deep_audit",  # r13 NEW full-envelope PNG audit
     "multimodal_jpeg_prog_audit",  # r13 NEW progressive-JPEG audit
     "multimodal_webp_phash_audit",  # r13 NEW VP8L lossless-WebP audit
+    "multimodal_exif_orientation_audit",  # r13 NEW camera-rotation audit
 ]
 
 

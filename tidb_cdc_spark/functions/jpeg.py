@@ -817,6 +817,19 @@ def _pad_replicate(g, ph: int, pw: int) -> np.ndarray:
     return padded
 
 
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal APP1/EXIF segment carrying only the orientation tag:
+    TIFF little-endian header + a one-entry IFD0 (0x0112, SHORT)."""
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)  # IFD0 at offset 8
+        + struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+
+
 def encode_jpeg(
     gray,
     color: bool = False,
@@ -824,6 +837,7 @@ def encode_jpeg(
     subsampling: str = "444",
     cb_const: int = 0,
     cr_const: int = 0,
+    exif_orientation: int = 0,
 ) -> bytes:
     """TEST FIXTURE: encode an int64 gray array as a REAL baseline
     JFIF JPEG with quantization step 1 everywhere (so flat 8×8
@@ -862,6 +876,8 @@ def encode_jpeg(
     # APP0 JFIF
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if exif_orientation:
+        out += _exif_app1(exif_orientation)
     # DQT: table 0, all ones (zigzag order is all-ones too)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + b"\x01" * 64
     # SOF0
@@ -1231,3 +1247,80 @@ def encode_jpeg_progressive(
 
     nonlocal_out.extend(b"\xff\xd9")
     return bytes(nonlocal_out)
+
+
+# ------------------------------------------------ EXIF orientation
+
+
+def jpeg_exif_orientation(payload: bytes) -> int:
+    """EXIF orientation tag (1..8) from a JPEG's APP1 segment, or 1
+    (upright) when absent or malformed. Pure byte walk: APP1 scan →
+    "Exif\\0\\0" → TIFF header (II little-endian or MM big-endian) →
+    IFD0 entries → tag 0x0112 (SHORT). A camera that stores the
+    sensor's native landscape pixels plus this tag produces a
+    byte-different file whose DISPLAYED image is rotated — the
+    perceptual-dedup trap ``decode_pixels`` neutralizes by
+    normalizing through :func:`apply_exif_orientation`."""
+    p = payload
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            return 1
+        marker = p[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            return 1  # image data: no EXIF seen
+        (seglen,) = struct.unpack_from(">H", p, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(p):
+            return 1
+        if marker == 0xE1 and p[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            t = p[pos + 10 : pos + 2 + seglen]  # TIFF stream
+            if len(t) < 14:
+                return 1
+            if t[:4] == b"II*\x00":
+                end = "<"
+            elif t[:4] == b"MM\x00*":
+                end = ">"
+            else:
+                return 1
+            (ifd0,) = struct.unpack_from(end + "I", t, 4)
+            if ifd0 + 2 > len(t):
+                return 1
+            (n,) = struct.unpack_from(end + "H", t, ifd0)
+            for i in range(n):
+                off = ifd0 + 2 + 12 * i
+                if off + 12 > len(t):
+                    return 1
+                tag, typ = struct.unpack_from(end + "HH", t, off)
+                if tag == 0x0112 and typ == 3:  # SHORT
+                    (val,) = struct.unpack_from(end + "H", t, off + 8)
+                    return val if 1 <= val <= 8 else 1
+            return 1
+        pos += 2 + seglen
+    return 1
+
+
+def apply_exif_orientation(gray, orientation: int):
+    """Normalize a decoded luma array to upright per the EXIF
+    orientation value — pure index permutations (exact):
+    1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
+    6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW."""
+    if orientation == 2:
+        return gray[:, ::-1]
+    if orientation == 3:
+        return gray[::-1, ::-1]
+    if orientation == 4:
+        return gray[::-1, :]
+    if orientation == 5:
+        return gray.T
+    if orientation == 6:
+        return gray.T[:, ::-1]
+    if orientation == 7:
+        return gray.T[::-1, ::-1]
+    if orientation == 8:
+        return gray.T[::-1, :]
+    return gray

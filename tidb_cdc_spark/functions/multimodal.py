@@ -1026,11 +1026,20 @@ def decode_pixels(payload: bytes):
         if gray is not None:
             return gray
     if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
-        from tidb_cdc_spark.functions.jpeg import decode_jpeg_pixels
+        from tidb_cdc_spark.functions.jpeg import (
+            apply_exif_orientation,
+            decode_jpeg_pixels,
+            jpeg_exif_orientation,
+        )
 
         gray = decode_jpeg_pixels(payload)
         if gray is not None:
-            return gray
+            # normalize camera rotation: a tag-rotated copy must
+            # hash like its upright twin or it evades perceptual
+            # dedup entirely
+            return apply_exif_orientation(
+                gray, jpeg_exif_orientation(payload)
+            )
     if (
         len(payload) >= 16
         and payload[:4] == b"RIFF"
@@ -2347,6 +2356,26 @@ def synth_codec_pixel_media(
 
                         payload = encode_jpeg_progressive(
                             gray, color=True, subsampling="420"
+                        )
+                    elif c.startswith("jpeg_o"):
+                        from tidb_cdc_spark.functions.jpeg import (
+                            encode_jpeg,
+                        )
+
+                        o = int(c[6:])
+                        inv = {
+                            1: lambda a: a,
+                            2: lambda a: a[:, ::-1],
+                            3: lambda a: a[::-1, ::-1],
+                            4: lambda a: a[::-1, :],
+                            5: lambda a: a.T,
+                            6: lambda a: a[:, ::-1].T,
+                            7: lambda a: a[::-1, ::-1].T,
+                            8: lambda a: a.T[:, ::-1],
+                        }[o]
+                        payload = encode_jpeg(
+                            np.ascontiguousarray(inv(gray)),
+                            exif_orientation=o,
                         )
                     elif c.startswith("webp"):
                         from tidb_cdc_spark.functions.webp import (

@@ -273,7 +273,12 @@ GATE = [
     "corpus_curation_provenance",
     "media_curation_provenance",
     # the r10 block — oldest driver rows in the registry
-    "q12_priority_lines",
+    # LATE-R13 SWAP 8 (never-gated-first): q12_priority_lines
+    # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
+    # to the NEW EXIF-orientation audit (queries/llm19.py — camera
+    # rotation normalized at the decode boundary; verified hash-green
+    # at sf0.001+sf0.01+sf0.1 before this swap).
+    "multimodal_exif_orientation_audit",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "q20_promo_part_suppliers",

@@ -665,6 +665,111 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_exif_orientation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The camera-rotation audit — the perceptual-dedup trap EXIF
+    orientation creates: a camera stores the sensor's landscape
+    pixels plus an orientation tag, so the SAME photo exists as
+    byte-different, PIXEL-ROTATED files that only normalize to the
+    same image once the tag is honored. ``decode_pixels`` normalizes
+    through ``jpeg_exif_orientation`` + ``apply_exif_orientation``
+    (functions/jpeg.py); this audit pins it end-to-end: variant
+    ``doc_id div 67 % 4`` for cluster ``pid = doc_id % 67`` selects
+    orientation 1 (upright, no tag semantics), 3 (rotate 180), 6
+    (rotate 90 CW) or 8 (rotate 90 CCW) — each leg stores the
+    INVERSE-rotated pixels plus the tag, so normalization must
+    recover the identical upright plant. The 64×64 block-aligned
+    plant keeps every rotation block-aligned and flat (rotations are
+    index permutations), so the exactness lemma carries over and
+    ``distinct_ahash = n_clusters`` / ``max_cluster_*_variants = 1``
+    / exact τ=3 pair counts all hold iff the tag parse AND the
+    normalization transform are correct. All columns from id
+    arithmetic alone."""
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 67).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 67) % 254).alias("pattern"),
+            F.lit(0).alias("shift"),
+            F.element_at(
+                F.array(
+                    F.lit("jpeg"), F.lit("jpeg_o3"),
+                    F.lit("jpeg_o6"), F.lit("jpeg_o8"),
+                ),
+                (F.expr("doc_id div 67") % 4 + 1).cast("int"),
+            ).alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id", width=64, height=64)
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: variant selects the EXIF orientation leg — the
+# stored pixels are rotated, the tag says how to un-rotate them, and
+# distinct_ahash collapses to the cluster count iff the normalization
+# is exact. Rotations are index permutations of block-aligned flat
+# plants, so the JPEG exactness lemma is untouched.
+_EXIF_ORIENTATION_SQL = """
+WITH m AS (
+  SELECT doc_id % 67 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
@@ -672,6 +777,7 @@ QUERIES = {
     "multimodal_png_deep_audit": multimodal_png_deep_audit,
     "multimodal_jpeg_prog_audit": multimodal_jpeg_prog_audit,
     "multimodal_webp_phash_audit": multimodal_webp_phash_audit,
+    "multimodal_exif_orientation_audit": multimodal_exif_orientation_audit,
 }
 
 ORACLE = {
@@ -681,4 +787,5 @@ ORACLE = {
     "multimodal_png_deep_audit": _PNG_DEEP_SQL,
     "multimodal_jpeg_prog_audit": _JPEG_PROG_SQL,
     "multimodal_webp_phash_audit": _WEBP_PHASH_SQL,
+    "multimodal_exif_orientation_audit": _EXIF_ORIENTATION_SQL,
 }
