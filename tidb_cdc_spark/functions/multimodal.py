@@ -1063,7 +1063,19 @@ def decode_pixels(payload: bytes):
         except Exception:
             return None
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
-        return (r * 299 + g * 587 + b * 114) // 1000
+        gray = (r * 299 + g * 587 + b * 114) // 1000
+        if payload[:2] == b"\xff\xd8":
+            # JPEGs outside the native envelope still carry camera
+            # rotation — normalize here too (PIL does not)
+            from tidb_cdc_spark.functions.jpeg import (
+                apply_exif_orientation,
+                jpeg_exif_orientation,
+            )
+
+            gray = apply_exif_orientation(
+                gray, jpeg_exif_orientation(payload)
+            )
+        return gray
     return None
 
 
