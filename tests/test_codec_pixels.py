@@ -420,3 +420,54 @@ class TestSynthCodecMedia:
         )
         with pytest.raises(Exception, match="unknown codec leg"):
             synth_codec_pixel_media(ids).collect()
+
+
+class TestPngExifOrientation:
+    """PNG carries camera rotation too (the eXIf chunk, PNG 1.5
+    extension) — normalized at the decode boundary exactly like
+    JPEG APP1."""
+
+    @staticmethod
+    def _with_exif(raw: bytes, orientation: int) -> bytes:
+        import struct as _s
+
+        from tidb_cdc_spark.functions.multimodal import _png_chunk
+
+        tiff = (
+            b"II*\x00" + _s.pack("<I", 8) + _s.pack("<H", 1)
+            + _s.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+            + _s.pack("<I", 0)
+        )
+        i = raw.index(b"IDAT") - 4
+        return raw[:i] + _png_chunk(b"eXIf", tiff) + raw[i:]
+
+    def test_all_eight_orientations_normalize_exactly(self):
+        from tidb_cdc_spark.functions.multimodal import _encode_png_ex
+
+        g = _rng().integers(0, 256, (12, 9)).astype(np.int64)
+        inv = {
+            1: lambda a: a, 2: lambda a: a[:, ::-1],
+            3: lambda a: a[::-1, ::-1], 4: lambda a: a[::-1, :],
+            5: lambda a: a.T, 6: lambda a: a[:, ::-1].T,
+            7: lambda a: a[::-1, ::-1].T, 8: lambda a: a.T[:, ::-1],
+        }
+        for o in range(1, 9):
+            raw = self._with_exif(
+                _encode_png_ex(np.ascontiguousarray(inv[o](g)), 0, 8), o
+            )
+            out = decode_png_pixels(raw)
+            assert out is not None and out.shape == g.shape, o
+            assert (out == g).all(), o  # PNG is lossless: exact
+
+    def test_malformed_exif_falls_back_upright(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_png_ex,
+            _png_chunk,
+        )
+
+        g = _rng().integers(0, 256, (8, 8)).astype(np.int64)
+        raw = _encode_png_ex(g, 0, 8)
+        i = raw.index(b"IDAT") - 4
+        bad = raw[:i] + _png_chunk(b"eXIf", b"garbage") + raw[i:]
+        out = decode_png_pixels(bad)
+        assert out is not None and (out == g).all()

@@ -1278,29 +1278,35 @@ def jpeg_exif_orientation(payload: bytes) -> int:
         if seglen < 2 or pos + 2 + seglen > len(p):
             return 1
         if marker == 0xE1 and p[pos + 4 : pos + 10] == b"Exif\x00\x00":
-            t = p[pos + 10 : pos + 2 + seglen]  # TIFF stream
-            if len(t) < 14:
-                return 1
-            if t[:4] == b"II*\x00":
-                end = "<"
-            elif t[:4] == b"MM\x00*":
-                end = ">"
-            else:
-                return 1
-            (ifd0,) = struct.unpack_from(end + "I", t, 4)
-            if ifd0 + 2 > len(t):
-                return 1
-            (n,) = struct.unpack_from(end + "H", t, ifd0)
-            for i in range(n):
-                off = ifd0 + 2 + 12 * i
-                if off + 12 > len(t):
-                    return 1
-                tag, typ = struct.unpack_from(end + "HH", t, off)
-                if tag == 0x0112 and typ == 3:  # SHORT
-                    (val,) = struct.unpack_from(end + "H", t, off + 8)
-                    return val if 1 <= val <= 8 else 1
-            return 1
+            return tiff_orientation(p[pos + 10 : pos + 2 + seglen])
         pos += 2 + seglen
+    return 1
+
+
+def tiff_orientation(t: bytes) -> int:
+    """Orientation (1..8) from a raw TIFF stream (the payload of a
+    JPEG APP1/Exif segment or a PNG eXIf chunk), or 1 when absent or
+    malformed. Handles both byte orders (II/MM)."""
+    if len(t) < 14:
+        return 1
+    if t[:4] == b"II*\x00":
+        end = "<"
+    elif t[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        return 1
+    (ifd0,) = struct.unpack_from(end + "I", t, 4)
+    if ifd0 + 2 > len(t):
+        return 1
+    (n,) = struct.unpack_from(end + "H", t, ifd0)
+    for i in range(n):
+        off = ifd0 + 2 + 12 * i
+        if off + 12 > len(t):
+            return 1
+        tag, typ = struct.unpack_from(end + "HH", t, off)
+        if tag == 0x0112 and typ == 3:  # SHORT
+            (val,) = struct.unpack_from(end + "H", t, off + 8)
+            return val if 1 <= val <= 8 else 1
     return 1
 
 

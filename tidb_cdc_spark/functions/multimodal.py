@@ -694,6 +694,7 @@ def decode_png_pixels(payload: bytes):
     pos = 8
     ihdr = None
     plte = None
+    exif = None
     idat = []
     while pos + 12 <= len(p):
         (clen,) = struct.unpack_from(">I", p, pos)
@@ -712,6 +713,8 @@ def decode_png_pixels(payload: bytes):
             plte = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"eXIf":
+            exif = data  # raw TIFF stream (PNG 1.5 extension)
         elif ctype == b"IEND":
             break
         pos += 12 + clen
@@ -761,21 +764,31 @@ def decode_png_pixels(payload: bytes):
     elif depth < 8 and color == 0:
         samples *= 255 // ((1 << depth) - 1)  # left-bit replication
     if color == 0:
-        return samples[:, :, 0]  # luma(g,g,g) = g exactly
-    if color == 3:
-        idx = samples[:, :, 0]
-        if int(idx.max()) * 3 + 2 >= len(plte):
-            return None  # index past the palette
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        rgb = pal.astype(np.int64)[idx]
-    elif color in (4, 6):
-        a = samples[:, :, -1:]
-        v = (samples[:, :, :-1] * a + 255 * (255 - a) + 127) // 255
-        rgb = np.repeat(v, 3, axis=2) if color == 4 else v
-    else:  # color == 2
-        rgb = samples
-    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-    return (r * 299 + g * 587 + b * 114) // 1000
+        luma = samples[:, :, 0]  # luma(g,g,g) = g exactly
+    else:
+        if color == 3:
+            idx = samples[:, :, 0]
+            if int(idx.max()) * 3 + 2 >= len(plte):
+                return None  # index past the palette
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            rgb = pal.astype(np.int64)[idx]
+        elif color in (4, 6):
+            a = samples[:, :, -1:]
+            v = (samples[:, :, :-1] * a + 255 * (255 - a) + 127) // 255
+            rgb = np.repeat(v, 3, axis=2) if color == 4 else v
+        else:  # color == 2
+            rgb = samples
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        luma = (r * 299 + g * 587 + b * 114) // 1000
+    if exif is not None:
+        # PNG eXIf: same camera-rotation normalization as JPEG APP1
+        from tidb_cdc_spark.functions.jpeg import (
+            apply_exif_orientation,
+            tiff_orientation,
+        )
+
+        luma = apply_exif_orientation(luma, tiff_orientation(exif))
+    return luma
 
 
 # Adam7: (x0, y0, dx, dy) per pass — PNG spec 8.2's starting offsets
