@@ -70,6 +70,7 @@ def recoder(tmp_path_factory):
             name: (
                 (work / (name + ".iio.png")).read_bytes(),
                 (work / (name + ".iio.jpg")).read_bytes(),
+                (work / (name + ".iio.gif")).read_bytes(),
             )
             for name in bmps
         }
@@ -270,7 +271,7 @@ class TestThirdPartyEncodedStreams:
         rng = _rng()
         for h, w in [(24, 31), (13, 7), (64, 64)]:
             g = rng.integers(0, 256, (h, w)).astype(np.int64)
-            png, _ = recoder({f"g{h}x{w}": _bmp_bytes(g)})[f"g{h}x{w}"]
+            png, _, _ = recoder({f"g{h}x{w}": _bmp_bytes(g)})[f"g{h}x{w}"]
             out = decode_png_pixels(png)
             assert out is not None
             assert (out == g).all(), (h, w)
@@ -285,7 +286,7 @@ class TestThirdPartyEncodedStreams:
 
         rng = _rng()
         g = rng.integers(0, 256, (24, 31)).astype(np.int64)
-        _, jpg = recoder({"x": _bmp_bytes(g)})["x"]
+        _, jpg, _ = recoder({"x": _bmp_bytes(g)})["x"]
         ref = dumper({"x.jpg": jpg})["x.jpg"].astype(np.int64)
         luma_ref = (
             ref[:, :, 0] * 299 + ref[:, :, 1] * 587 + ref[:, :, 2] * 114
@@ -293,3 +294,20 @@ class TestThirdPartyEncodedStreams:
         mine = decode_jpeg_pixels(jpg)
         assert mine is not None
         assert int(np.abs(mine - luma_ref).max()) <= 2
+
+    def test_imageio_gif_decodes_exactly(self, recoder):
+        """ImageIO's GIF writer (its own LZW encoder and palette
+        construction) through our pure-Python decoder — gray
+        content keeps the palette lossless, so the decode must be
+        EXACT against the source."""
+        from tidb_cdc_spark.functions.multimodal import decode_gif_pixels
+
+        rng = _rng()
+        for h, w in [(24, 31), (9, 13)]:
+            g = rng.integers(0, 256, (h, w)).astype(np.int64)
+            work = recoder({f"t{h}x{w}": _bmp_bytes(g)})
+            # recoder returns (png, jpg); the gif sits next to them
+            # — extend the fixture contract instead of re-plumbing
+            out = decode_gif_pixels(work[f"t{h}x{w}"][2])
+            assert out is not None
+            assert (out == g).all(), (h, w)

@@ -19,6 +19,7 @@ public final class ImageRecode {
             String base = f.getPath().substring(0, f.getPath().length() - 4);
             ImageIO.write(img, "png", new File(base + ".iio.png"));
             ImageIO.write(img, "jpg", new File(base + ".iio.jpg"));
+            ImageIO.write(img, "gif", new File(base + ".iio.gif"));
             System.out.println("OK " + n);
         }
     }
