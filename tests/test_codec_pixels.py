@@ -1,9 +1,11 @@
-"""Compressed-codec pixel decode: PNG (stdlib zlib + all five
-scanline unfilters, color types 0/2/3) and GIF (pure-Python LZW,
-sequential + interlaced) — the r12 verdict's #1 gap closed with real
-byte paths. Round-trips are exact (encode is the test fixture,
-decode is the engine); rejects are pinned so corrupt/unsupported
-payloads keep the documented NULL-hash treatment."""
+"""Compressed-codec pixel decode: PNG over its FULL envelope
+(stdlib zlib + all five scanline unfilters, every spec-legal
+color-type/bit-depth combination, Adam7, alpha-over-white, eXIf
+orientation) and GIF (pure-Python LZW, sequential + interlaced) —
+the r12 verdict's #1 gap closed with real byte paths. Round-trips
+are exact (encode is the test fixture, decode is the engine);
+rejects are pinned so corrupt/spec-illegal payloads keep the
+documented NULL-hash treatment."""
 
 from __future__ import annotations
 

@@ -23,7 +23,10 @@ all feeding the perceptual-hash chain (``ahash64`` / ``dhash64`` /
 boundary; sample decode is REAL for 16-bit PCM WAV (whole-clip and
 per-window fingerprints — the latter trim-robust via
 ``audio_near_dup_pairs``) and frame decode for uncompressed AVI.
-Remaining codec territory (progressive JPEG, WebP): PIL is used
+and lossless WebP (``functions/webp.py`` — VP8L prefix codes,
+LZ77 + color cache, all four transforms, conformance-verified
+against libwebp itself), with EXIF/eXIf camera rotation normalized.
+Remaining codec territory (lossy VP8, H.264, MP3): PIL is used
 automatically when importable, and ``_decode_image_stub``
 (deterministic fake, clearly marked) now covers ONLY bytes no real
 path recognizes — swapping in libvips/ffmpeg is a one-function
@@ -1018,13 +1021,13 @@ def decode_pixels(payload: bytes):
     and baseline JPEG at any integer-ratio subsampling —
     preferred even when a codec library is present so these hashes
     never depend on the environment), then the guarded PIL branch
-    for the remaining codec territory (progressive JPEG / WebP get
+    for the remaining codec territory (lossy-VP8 WebP etc. get
     REAL pixels when PIL is importable: decoded to RGB and reduced
     with the SAME BT.601 integer luma every pure path uses, so a
     losslessly re-encoded image hashes identically), else None —
     the documented NULL-hash path (``perceptual_hashes`` admits no
     perceptual claim without pixel evidence). A decode fleet with
-    codec libs installed gets progressive-JPEG/WebP admission
+    codec libs installed gets lossy-codec admission
     screening with no code change; this container has no PIL, so
     that branch is pinned by a guarded test (tests/test_phash.py)."""
     gray = decode_bmp_pixels(payload)
