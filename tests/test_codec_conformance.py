@@ -220,6 +220,28 @@ class TestJpegAgainstImageIO:
         mine = decode_jpeg_pixels(payloads["base.jpg"])
         assert int(np.abs(mine - base).max()) <= 2
 
+    def test_dc_per_component_scans_accepted_by_reference(self, dumper):
+        """T.81 A.2: non-interleaved DC scans (Ns=1, Ss=0) cover the
+        component's own ceil(dims/8) grid. javax.imageio accepts the
+        shape and decodes it identically to the interleaved-DC twin;
+        our decoder must agree (r13 returned None on it)."""
+        from tidb_cdc_spark.functions.jpeg import decode_jpeg_pixels
+
+        rng = _rng()
+        g = rng.integers(0, 256, (24, 24)).astype(np.int64)
+        plain = encode_jpeg_progressive(
+            g, color=True, subsampling="420", cb_const=17, cr_const=-9
+        )
+        percomp = encode_jpeg_progressive(
+            g, color=True, subsampling="420", cb_const=17, cr_const=-9,
+            dc_per_component=True,
+        )
+        got = dumper({"i.jpg": plain, "s.jpg": percomp})
+        assert (got["s.jpg"].astype(np.int64)
+                == got["i.jpg"].astype(np.int64)).all()
+        assert (decode_jpeg_pixels(percomp)
+                == decode_jpeg_pixels(plain)).all()
+
     def test_flat_block_plants_exact_in_reference_decoder(self, dumper):
         """The audits' exactness lemma holds in the reference decoder
         too: flat-block plants decode bit-exactly from both our

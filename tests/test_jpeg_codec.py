@@ -294,6 +294,48 @@ class TestProgressive:
                     decode_jpeg_pixels(encode_jpeg_progressive(g))
                 )
 
+    def test_dc_per_component_identical_to_sequential(self):
+        """Non-interleaved DC scans (Ns=1, Ss=0) cover the
+        component's OWN ceil(dims/8) grid, not the MCU-padded one
+        (T.81 A.2) — the r13 decoder iterated the padded grid and
+        returned None on this spec-legal shape. Gray, 4:4:4, and the
+        4:2:0 case (where padded ≠ own grid for luma at odd MCU
+        counts) must all decode pixel-identically to sequential."""
+        rng = _rng()
+        for h, w in [(8, 8), (24, 24), (13, 17), (100, 7)]:
+            g = rng.integers(0, 256, (h, w)).astype(np.int64)
+            base = decode_jpeg_pixels(encode_jpeg(g))
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(g, dc_per_component=True)
+            )
+            assert prog is not None, (h, w)
+            assert (prog == base).all(), (h, w)
+        for sub in ("444", "420"):
+            for h, w in [(24, 24), (13, 17)]:
+                g = rng.integers(0, 256, (h, w)).astype(np.int64)
+                base = decode_jpeg_pixels(
+                    encode_jpeg(g, color=True, subsampling=sub,
+                                cb_const=17, cr_const=-9)
+                )
+                prog = decode_jpeg_pixels(
+                    encode_jpeg_progressive(
+                        g, color=True, subsampling=sub,
+                        cb_const=17, cr_const=-9, dc_per_component=True,
+                    )
+                )
+                assert prog is not None, (h, w, sub)
+                assert (prog == base).all(), (h, w, sub)
+        # restart intervals count in BLOCK units for Ns=1 DC scans
+        g = rng.integers(0, 256, (24, 40)).astype(np.int64)
+        base = decode_jpeg_pixels(encode_jpeg(g))
+        for ri in (1, 3):
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(
+                    g, dc_per_component=True, restart_interval=ri
+                )
+            )
+            assert prog is not None and (prog == base).all(), ri
+
     def test_truncated_progressive_rejected(self):
         g = _rng().integers(0, 256, (16, 16)).astype(np.int64)
         raw = encode_jpeg_progressive(g)

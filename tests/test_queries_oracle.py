@@ -48,22 +48,9 @@ def test_every_query_runs(spark):
 SF_LARGE = "/root/testdata/sf0.1"
 ROUND_ADDITIONS = [
     "q21_waiting_suppliers",  # vacuous below sf0.01 (0 rows) — pin here
-    "phash_cap_report",  # r13 NEW Manku-bucket cap-exclusion audit
-    "video_frame_cap_report",  # r13 NEW inverted-index cap audit
-    "audio_window_cap_report",  # r13 NEW audio inverted-index cap audit
-    "audio_curation_provenance",  # r13 NEW row-level audio funnel audit
-    "video_curation_provenance",  # r13 NEW row-level video funnel audit
-    "media_curation_pipeline",  # r13 changed: capped pair join default
-    "audio_curation_pipeline",  # r13 changed: capped pair join default
-    "video_curation_pipeline",  # r13 changed: capped pair join default
-    "media_curation_provenance",  # r13 changed: capped pair join default
-    "multimodal_png_phash_audit",  # r13 NEW compressed PNG pixel audit
-    "multimodal_codec_matrix_audit",  # r13 NEW cross-codec re-encode audit
-    "multimodal_jpeg_phash_audit",  # r13 NEW baseline-JPEG pixel audit
-    "multimodal_png_deep_audit",  # r13 NEW full-envelope PNG audit
-    "multimodal_jpeg_prog_audit",  # r13 NEW progressive-JPEG audit
-    "multimodal_webp_phash_audit",  # r13 NEW VP8L lossless-WebP audit
-    "multimodal_exif_orientation_audit",  # r13 NEW camera-rotation audit
+    "multimodal_webp_lossy_audit",  # r14 NEW lossy-VP8 ctypes decode audit
+    "multimodal_webp_phash_audit",  # r14 changed: predictor 11/13 fixes
+    "multimodal_jpeg_prog_audit",  # r14 changed: Ns=1 DC scan grid fix
 ]
 
 

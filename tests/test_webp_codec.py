@@ -128,15 +128,20 @@ class TestPredictorInverse:
                     elif mode == 10:
                         pred = ((L + TL) // 2 + (T + TR) // 2) // 2
                     elif mode == 11:
+                        # RFC 9649 Select: ties go to T (strict <)
                         p = L + T - TL
                         pe = int(np.abs(p - L).sum())
                         te = int(np.abs(p - T).sum())
-                        pred = L if pe <= te else T
+                        pred = L if pe < te else T
                     elif mode == 12:
                         pred = np.clip(L + T - TL, 0, 255)
                     else:
+                        # AddSubtractComponentHalf: C division
+                        # truncates toward zero, not floor
+                        a = (L + T) // 2
+                        d = a - TL
                         pred = np.clip(
-                            (L + T) // 2 + ((L + T) // 2 - TL) // 2, 0, 255
+                            a + np.sign(d) * (np.abs(d) // 2), 0, 255
                         )
                 d = (cur - pred) % 256
                 res[y, x] = (

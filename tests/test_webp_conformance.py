@@ -260,3 +260,196 @@ class TestDistanceMapDerivation:
             ) // 1000
             assert mine is not None, code
             assert (mine.reshape(-1) == tl).all(), code
+
+
+def _craft_predictor_stream(w, h, mode, rng):
+    """Minimal VP8L stream: predictor transform with ONE tile
+    (size_bits=9) set to ``mode``, main image = RANDOM residuals in
+    all four channels — the operand patterns the real encoder's
+    round-trips never exercise (it only picks a mode when residuals
+    are small), so each of the 14 inverse-predictor rules is pinned
+    directly against WebPDecodeRGBA."""
+    bw = W._LsbWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # predictor transform
+    bw.write(7, 3)  # size_bits = 9 -> one 512x512 tile
+
+    def emit_tree(symbols, alphabet):
+        symbols = sorted(set(symbols))
+        if len(symbols) <= 2 and all(s < 256 for s in symbols):
+            lengths = [0] * alphabet
+            for s in symbols:
+                lengths[s] = 1
+            W._write_prefix_code(bw, lengths)
+            if len(symbols) == 1:
+                return {symbols[0]: (0, 0)}
+            return W._canonical_codes(lengths)
+        lengths = W._balanced_lengths(symbols, alphabet)
+        W._write_prefix_code(bw, lengths, use_max=True)
+        return W._canonical_codes(lengths)
+
+    def wc(t, s):
+        c, ln = t[s]
+        bw.write_code(c, ln)
+
+    # tile entropy image (1x1 literal, mode in green)
+    bw.write(0, 1)  # no color cache
+    tg = emit_tree([mode], 280)
+    tr = emit_tree([0], 256)
+    tb = emit_tree([0], 256)
+    ta = emit_tree([0], 256)
+    td = emit_tree([0], 40)
+    wc(tg, mode)
+    wc(tr, 0)
+    wc(tb, 0)
+    wc(ta, 0)
+    bw.write(0, 1)  # no more transforms
+    # main image: random residuals, all four channels
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    res = rng.integers(0, 256, (h * w, 4))  # g, r, b, a
+    gt = emit_tree(res[:, 0].tolist(), 280)
+    rt = emit_tree(res[:, 1].tolist(), 256)
+    bt = emit_tree(res[:, 2].tolist(), 256)
+    at = emit_tree(res[:, 3].tolist(), 256)
+    dt = emit_tree([0], 40)
+    del dt  # no backrefs; the tree still had to be written
+    for g, r, b, a in res.tolist():
+        wc(gt, g)
+        wc(rt, r)
+        wc(bt, b)
+        wc(at, a)
+    data = b"\x2f" + bw.flush()
+    padded = data + (b"\x00" if len(data) % 2 else b"")
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(padded)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(data)) + padded
+    )
+
+
+class TestPredictorModeConformance:
+    """Directed per-mode streams (random residuals) vs WebPDecodeRGBA.
+
+    The encoder round-trip battery above cannot pin modes whose
+    divergent operand patterns the production encoder avoids — the
+    r13 Select tie-break and AddSubtractComponentHalf truncation
+    bugs both survived it. These streams force every mode over
+    uniform-random operands, so any arithmetic divergence in the
+    inverse predictor shows as a pixel mismatch."""
+
+    @pytest.mark.parametrize("mode", range(14))
+    def test_mode_matches_libwebp(self, mode):
+        rng = np.random.default_rng(77000 + mode)
+        for trial in range(3):
+            p = _craft_predictor_stream(17, 13, mode, rng)
+            truth = _libwebp_decode(p)
+            assert truth is not None, f"libwebp rejected mode {mode}"
+            mine = W.decode_webp_lossless_pixels(p)
+            assert mine is not None, f"mode {mode} trial {trial}"
+            assert (mine == _expected_luma(truth)).all(), (
+                f"mode {mode} trial {trial}: pixel divergence vs libwebp"
+            )
+
+
+class TestLossyVp8Decode:
+    """The lossy branch: `decode_webp_lossy_pixels` is ctypes to
+    THIS library, so conformance is definitional — these tests pin
+    the wiring (tag routing, luma reduction, hash survival) rather
+    than the codec math."""
+
+    def test_real_lossy_stream_decodes_close_to_source(self):
+        from tidb_cdc_spark.functions.multimodal import decode_pixels
+        from tidb_cdc_spark.functions.webp import (
+            decode_webp_lossless_pixels,
+            decode_webp_lossy_pixels,
+            encode_webp_lossy,
+        )
+
+        rng = np.random.default_rng(20260816)
+        h, w = 48, 64
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = np.clip(
+            128 + 60 * np.sin(yy / 11.0) + 40 * np.cos(xx / 13.0), 0, 255
+        ).astype(np.int64)
+        p = encode_webp_lossy(g, 95.0)
+        assert p[12:16] == b"VP8 "  # really lossy, not VP8L
+        assert decode_webp_lossless_pixels(p) is None  # pure path declines
+        got = decode_webp_lossy_pixels(p)
+        assert got is not None and got.shape == (h, w)
+        assert int(np.abs(got - g).max()) <= 16  # q=95 smooth image
+        # the boundary routes it identically
+        routed = decode_pixels(p)
+        assert routed is not None and (routed == got).all()
+
+    def test_luma_reduction_matches_reference_rgba(self):
+        """Our reduction of libwebp's RGBA equals the shared
+        alpha-over-white + BT.601 formula bit-for-bit (the same
+        _expected_luma the lossless battery uses)."""
+        from tidb_cdc_spark.functions.webp import (
+            decode_webp_lossy_pixels,
+        )
+
+        rng = np.random.default_rng(7)
+        x = np.zeros((20, 30, 4), np.uint8)
+        x[:, :, :3] = rng.integers(0, 256, (20, 30, 3))
+        x[:, :, 3] = rng.integers(0, 256, (20, 30))
+        payload = _encode_rgba(x)  # lossless — exact RGBA known
+        got = decode_webp_lossy_pixels(payload)  # ctypes handles VP8L too
+        assert got is not None
+        assert (got == _expected_luma(x)).all()
+
+    def test_flat_plant_hashes_survive_lossy_roundtrip(self):
+        """The audit lemma for `multimodal_webp_lossy_audit`: the
+        64×64 flat-block plant's aHash AND dHash survive the
+        WebPEncodeRGBA(q=95) → decode chain bit-exactly, for a
+        pattern sample and both shifts (the full 254×2 sweep was
+        run once during development: 0 mismatches)."""
+        from tidb_cdc_spark.functions.multimodal import ahash64, dhash64
+        from tidb_cdc_spark.functions.webp import (
+            decode_webp_lossy_pixels,
+            encode_webp_lossy,
+        )
+
+        idx = np.arange(64) // 8
+        bit_idx = (idx[:, None] * 8 + idx[None, :]) % 8
+        for v in (1, 37, 85, 170, 203, 254):
+            for d in (0, 20):
+                g = np.where((v >> bit_idx) & 1, 180, 60) + d
+                got = decode_webp_lossy_pixels(encode_webp_lossy(g, 95.0))
+                assert got is not None
+                assert ahash64(got) == ahash64(g), (v, d)
+                assert dhash64(got) == dhash64(g), (v, d)
+
+    def test_absent_library_is_null_hash_path(self, monkeypatch):
+        """Where libwebp is missing the branch degrades to the
+        documented NULL-hash admission, never an exception."""
+        import tidb_cdc_spark.functions.webp as WW
+
+        monkeypatch.setattr(WW, "_LIBWEBP", False)
+        fake_vp8 = (
+            b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", 8) + b"\x00" * 8
+        )
+        assert WW.decode_webp_lossy_pixels(fake_vp8) is None
+        with pytest.raises(RuntimeError):
+            WW.encode_webp_lossy(np.zeros((8, 8), dtype=np.int64))
+
+    def test_synth_leg_emits_real_vp8(self, spark):
+        from tidb_cdc_spark.functions.multimodal import (
+            synth_codec_pixel_media,
+        )
+
+        ids = spark.createDataFrame(
+            [(i, 1 + i % 254, 0, "webp_lossy") for i in range(4)],
+            "media_id long, pattern int, shift int, codec string",
+        )
+        rows = synth_codec_pixel_media(
+            ids, "media_id", width=64, height=64
+        ).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert bytes(r.payload[12:16]) == b"VP8 "

@@ -405,11 +405,10 @@ def _decode_prog_scan(p, pos, comps, scomp, ss, se, ah, al, coefs, geom, dri):
         mw = geom[scomp[0][0]][1] // comps[scomp[0][0]][2]
         units = mh * mw
     else:
+        # Non-interleaved scans (DC or AC) cover the component's OWN
+        # ceil(dims/8) grid (T.81 A.2), never the MCU-padded one.
         ci0 = scomp[0][0]
-        if ss == 0:
-            bh, bw = geom[ci0][0], geom[ci0][1]
-        else:
-            bh, bw = geom[ci0][2], geom[ci0][3]
+        bh, bw = geom[ci0][2], geom[ci0][3]
         units = bh * bw
     unit = 0
     for uy in range(units):
@@ -432,17 +431,16 @@ def _decode_prog_scan(p, pos, comps, scomp, ss, se, ah, al, coefs, geom, dri):
                             return None
         else:
             ci, dc_t, ac_t = scomp[0]
+            # single-component grid index → padded-grid index
+            by, bx = divmod(unit, geom[ci][3])
+            bidx = by * geom[ci][1] + bx
             if ss == 0:
-                bidx = unit
                 ok = _prog_dc_block(
                     br, coefs[ci][bidx], dc_t, ah, al, preds, ci
                 )
                 if not ok:
                     return None
             else:
-                # single-component grid index → padded-grid index
-                by, bx = divmod(unit, geom[ci][3])
-                bidx = by * geom[ci][1] + bx
                 if ah == 0:
                     eobrun = _prog_ac_first(
                         br, coefs[ci][bidx], ac_t, ss, se, al, eobrun
@@ -1082,6 +1080,7 @@ def encode_jpeg_progressive(
     cb_const: int = 0,
     cr_const: int = 0,
     restart_interval: int = 0,
+    dc_per_component: bool = False,
 ) -> bytes:
     """TEST FIXTURE: encode an int64 gray array as a REAL PROGRESSIVE
     (SOF2) JFIF JPEG carrying the SAME quant-1 coefficients as
@@ -1101,7 +1100,10 @@ def encode_jpeg_progressive(
     the sequential encoding's — the round-trip tests pin exactly
     that. ``restart_interval`` > 0 emits DRI once and RSTn inside
     every scan (units: MCUs for the interleaved DC scans, blocks for
-    the single-component AC scans)."""
+    the single-component AC scans). ``dc_per_component`` replaces
+    both interleaved DC scans with per-component Ns=1 DC scans over
+    each component's OWN ceil(dims/8) grid (T.81 A.2) — the shape
+    real encoders emit for subsampled chroma."""
     g = np.asarray(gray, dtype=np.int64)
     h, w = g.shape
     if not color:
@@ -1232,14 +1234,49 @@ def encode_jpeg_progressive(
         bwr.flush()
         nonlocal_out.extend(bwr.out)
 
-    dc_scan(0, 1)
+    def dc_scan_single(ci, ah, al):
+        """Non-interleaved DC scan (Ns=1, Ss=0): T.81 A.2 — covers
+        the component's OWN ceil(dims/8) grid, not the MCU-padded
+        one. Spec-legal and emitted by real encoders for the chroma
+        components of subsampled progressive files."""
+        rstno[0] = 0
+        nonlocal_out.extend(sos_header([ci], 0, 0, ah, al))
+        bwr = _BitWriter()
+        pred = [0] * ncomp
+        bh_n, bw_n = grids[ci][2], grids[ci][3]
+        bw_p = grids[ci][1]
+        coef = grids[ci][4]
+        unit = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    emit_restart(bwr)
+                    pred = [0] * ncomp
+                dc = int(coef[by * bw_p + bx][0])
+                if ah == 0:
+                    _enc_dc_first(bwr, dc >> al, pred, ci, dc_enc)
+                else:
+                    bwr.write((dc >> al) & 1, 1)
+                unit += 1
+        bwr.flush()
+        nonlocal_out.extend(bwr.out)
+
+    if dc_per_component:
+        for ci in range(ncomp):
+            dc_scan_single(ci, 0, 1)
+    else:
+        dc_scan(0, 1)
     for ci in range(ncomp):
         ac_scan(ci, 1, 5, 0, 2)
     for ci in range(ncomp):
         ac_scan(ci, 6, 63, 0, 1)
     for ci in range(ncomp):
         ac_scan(ci, 1, 5, 2, 1)
-    dc_scan(1, 0)
+    if dc_per_component:
+        for ci in range(ncomp):
+            dc_scan_single(ci, 1, 0)
+    else:
+        dc_scan(1, 0)
     for ci in range(ncomp):
         ac_scan(ci, 1, 5, 1, 0)
     for ci in range(ncomp):

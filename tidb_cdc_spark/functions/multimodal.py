@@ -1020,16 +1020,19 @@ def decode_pixels(payload: bytes):
     alpha-over-white and Adam7, GIF via the hand-rolled LZW codec,
     and baseline JPEG at any integer-ratio subsampling —
     preferred even when a codec library is present so these hashes
-    never depend on the environment), then the guarded PIL branch
-    for the remaining codec territory (lossy-VP8 WebP etc. get
-    REAL pixels when PIL is importable: decoded to RGB and reduced
-    with the SAME BT.601 integer luma every pure path uses, so a
-    losslessly re-encoded image hashes identically), else None —
-    the documented NULL-hash path (``perceptual_hashes`` admits no
-    perceptual claim without pixel evidence). A decode fleet with
-    codec libs installed gets lossy-codec admission
-    screening with no code change; this container has no PIL, so
-    that branch is pinned by a guarded test (tests/test_phash.py)."""
+    never depend on the environment), then the guarded libwebp
+    branch for lossy VP8 / VP8X (ctypes to the shared library this
+    container ships — libwebp's own decoder, reduced with the SAME
+    BT.601 luma-over-white as every pure path), then the guarded PIL
+    branch for the remaining codec territory (decoded to RGB and
+    reduced identically, so a losslessly re-encoded image hashes
+    identically), else None — the documented NULL-hash path
+    (``perceptual_hashes`` admits no perceptual claim without pixel
+    evidence). A decode fleet with codec libs installed gets
+    lossy-codec admission screening with no code change; this
+    container has libwebp but no PIL, so the WebP branch is
+    exercised for real and the PIL branch stays pinned by a guarded
+    test (tests/test_phash.py)."""
     gray = decode_bmp_pixels(payload)
     if gray is not None:
         return gray
@@ -1063,9 +1066,18 @@ def decode_pixels(payload: bytes):
     ):
         from tidb_cdc_spark.functions.webp import (
             decode_webp_lossless_pixels,
+            decode_webp_lossy_pixels,
         )
 
         gray = decode_webp_lossless_pixels(payload)
+        if gray is not None:
+            return gray
+        # lossy VP8 / VP8X territory: libwebp's own decoder via
+        # ctypes when the shared library exists (this container
+        # ships it) — REAL pixels with the same BT.601 luma
+        # reduction, deterministic per libwebp build. Pure VP8L
+        # stays first so lossless hashes never depend on the host.
+        gray = decode_webp_lossy_pixels(payload)
         if gray is not None:
             return gray
     if _PIL_Image is not None:  # pragma: no cover — no PIL here
@@ -2405,6 +2417,12 @@ def synth_codec_pixel_media(
                             np.ascontiguousarray(inv(gray)),
                             exif_orientation=o,
                         )
+                    elif c == "webp_lossy":
+                        from tidb_cdc_spark.functions.webp import (
+                            encode_webp_lossy,
+                        )
+
+                        payload = encode_webp_lossy(gray, 95.0)
                     elif c.startswith("webp"):
                         from tidb_cdc_spark.functions.webp import (
                             encode_webp_lossless,

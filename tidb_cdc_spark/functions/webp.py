@@ -28,8 +28,18 @@ crafting one stream per distance code and comparing against the
 real ``WebPDecodeRGBA`` — the ``_DIST_MAP`` literal below is the
 table that derivation produced (all 120 codes agree pixel-exactly;
 on hosts without libwebp the tests skip and the literal stands as
-the verified record). Lossy VP8 and the extended VP8X container
-return None (codec territory — guarded PIL).
+the verified record), and (c) pins each of the 14 predictor modes
+individually with crafted random-residual streams against
+``WebPDecodeRGBA`` — necessary because encoder round-trips never
+exercise the divergent operand patterns (the r13 Select tie-break
+and AddSubtractComponentHalf truncation bugs survived the battery
+and were caught only differentially). Lossy VP8 and the extended
+VP8X container return None from the PURE path, then get REAL pixels
+through :func:`decode_webp_lossy_pixels` — a lazy ctypes binding to
+libwebp's own ``WebPDecodeRGBA`` (this container ships the shared
+library) with the identical luma-over-white reduction; where
+libwebp is absent the guarded-PIL / NULL-hash admission path
+applies unchanged.
 
 Scale shape: identical to the other pixel paths — the decode rides
 the Arrow-batched ``mapInPandas`` pass via ``decode_pixels``; CPU is
@@ -433,7 +443,11 @@ def _clamp_add_sub_full(a, b, c):
 
 
 def _clamp_add_sub_half(a, b):
-    return np.clip(a + (a - b) // 2, 0, 255)
+    # RFC 9649 AddSubtractComponentHalf: (a - b) / 2 with C integer
+    # division (truncation toward ZERO), not Python floor division —
+    # they differ whenever a < b by an odd amount.
+    d = a - b
+    return np.clip(a + np.sign(d) * (np.abs(d) // 2), 0, 255)
 
 
 def _inv_predictor(px, w, h, bits, tiles):
@@ -489,7 +503,9 @@ def _inv_predictor(px, w, h, bits, tiles):
                     p = L + T - TL
                     perr = int(np.abs(p - L).sum())
                     terr = int(np.abs(p - T).sum())
-                    pred_b = L if perr <= terr else T
+                    # RFC 9649 Select: "if (pL < pT) return L; else
+                    # return T" — ties go to T (strict comparison).
+                    pred_b = L if perr < terr else T
                 elif mode == 12:
                     pred_b = _clamp_add_sub_full(L, T, TL)
                 else:  # 13
@@ -1082,3 +1098,129 @@ def encode_webp_lossless(
         b"RIFF" + struct.pack("<I", riff_len) + b"WEBP"
         + b"VP8L" + struct.pack("<I", len(data)) + padded
     )
+
+
+# ------------------------------------------- lossy VP8 via libwebp
+# Lossy VP8 (and the extended VP8X container) cannot be decoded
+# bit-deterministically in pure Python at pipeline cost, but this
+# container — like any decode-fleet image — ships libwebp's shared
+# library. A lazy ctypes binding gives lossy WebP REAL pixels with
+# no Python codec package: WebPDecodeRGBA handles every WebP flavor
+# (VP8 lossy, VP8L lossless, VP8X-wrapped either). The pure VP8L
+# path above stays FIRST in `decode_pixels` so lossless hashes never
+# depend on the environment; this branch only catches what the pure
+# path declines, exactly like the guarded PIL branch it upgrades.
+
+_LIBWEBP = None  # None = not yet probed; False = probed, absent
+
+
+def _libwebp():
+    """Lazily load libwebp via ctypes; None when the library is
+    absent (the NULL-hash admission path then applies). Loaded once
+    per Python worker process — the handle is reused across Arrow
+    batches."""
+    global _LIBWEBP
+    if _LIBWEBP is None:
+        import ctypes
+        import ctypes.util
+
+        lib = None
+        for name in ("libwebp.so.7", "libwebp.so", "libwebp.dylib"):
+            try:
+                lib = ctypes.CDLL(name)
+                break
+            except OSError:
+                continue
+        if lib is None:
+            found = ctypes.util.find_library("webp")
+            if found:
+                try:
+                    lib = ctypes.CDLL(found)
+                except OSError:
+                    lib = None
+        if lib is None:
+            _LIBWEBP = False
+        else:
+            lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+            lib.WebPDecodeRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+            lib.WebPEncodeRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ]
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+            _LIBWEBP = lib
+    return _LIBWEBP or None
+
+
+def decode_webp_lossy_pixels(payload: bytes):
+    """Decode ANY WebP flavor through libwebp's own WebPDecodeRGBA
+    (ctypes) → the same int64 BT.601 luma-over-white array every
+    pure path produces, or None when libwebp is absent or rejects
+    the stream. Deterministic for a given libwebp build (the decode
+    spec is exact; only the ENCODER side of lossy VP8 has freedom),
+    so hashes are stable within a fleet that pins its image."""
+    import ctypes
+
+    lib = _libwebp()
+    if lib is None:
+        return None
+    if (
+        len(payload) < 16
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+    ):
+        return None
+    wi, hi = ctypes.c_int(), ctypes.c_int()
+    ptr = lib.WebPDecodeRGBA(
+        payload, len(payload), ctypes.byref(wi), ctypes.byref(hi)
+    )
+    if not ptr:
+        return None
+    w, h = wi.value, hi.value
+    if w <= 0 or h <= 0:
+        lib.WebPFree(ptr)
+        return None
+    buf = ctypes.string_at(ptr, w * h * 4)
+    lib.WebPFree(ptr)
+    rgba = np.frombuffer(buf, np.uint8).reshape(h, w, 4).astype(np.int64)
+    a = rgba[:, :, 3]
+    comp = [
+        (rgba[:, :, c] * a + 255 * (255 - a) + 127) // 255
+        for c in range(3)
+    ]
+    return (comp[0] * 299 + comp[1] * 587 + comp[2] * 114) // 1000
+
+
+def encode_webp_lossy(gray, quality: float = 95.0) -> bytes:
+    """TEST/AUDIT FIXTURE: encode an int64 gray array as a REAL
+    lossy-VP8 WebP through libwebp's WebPEncodeRGBA. Raises
+    RuntimeError when libwebp is absent (the audit that plants lossy
+    copies is only meaningful where the decode branch is live)."""
+    import ctypes
+
+    lib = _libwebp()
+    if lib is None:
+        raise RuntimeError(
+            "encode_webp_lossy needs libwebp; not found on this host"
+        )
+    g = np.clip(np.asarray(gray, dtype=np.int64), 0, 255).astype(np.uint8)
+    h, w = g.shape
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[:, :, 0] = g
+    rgba[:, :, 1] = g
+    rgba[:, :, 2] = g
+    rgba[:, :, 3] = 255
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(
+        rgba.tobytes(), w, h, w * 4, float(quality), ctypes.byref(out)
+    )
+    if n == 0:
+        raise RuntimeError("WebPEncodeRGBA failed")
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data

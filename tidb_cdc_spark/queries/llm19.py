@@ -770,6 +770,107 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_webp_lossy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lossy-VP8 WebP audit — the first INHERENTLY-LOSSY codec
+    admitted with real pixels: `decode_pixels` routes VP8/VP8X
+    payloads the pure VP8L path declines through libwebp's own
+    ``WebPDecodeRGBA`` via ctypes (`functions/webp.py::
+    decode_webp_lossy_pixels` — this container ships the shared
+    library; hosts without it take the NULL-hash admission path and
+    this audit would raise at planting time, not lie). Variant
+    ``doc_id div 69 % 3`` for cluster ``pid = doc_id % 69``: 0 → the
+    exact BMP anchor, 1 → the SAME pixels through libwebp's REAL
+    lossy encoder (``WebPEncodeRGBA`` q=95), 2 → lossy with a +20
+    brightness shift. The 64×64 flat-block plant's ≥8-bit
+    cross-pattern margin absorbs VP8's quantization noise (verified
+    empirically over all 254 patterns × both shifts: aHash and dHash
+    both survive the lossy round-trip bit-exactly), so
+    ``distinct_ahash = n_clusters`` iff the tag-sniff → ctypes
+    decode → BT.601 reduction chain is correct — a lossy re-save of
+    an image collapses onto its exact twin, the admission claim this
+    branch exists for. All columns from id arithmetic alone."""
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 69).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 69) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 69") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+            F.when(F.expr("doc_id div 69") % 3 == 0, F.lit("bmp"))
+            .otherwise(F.lit("webp_lossy"))
+            .alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id", width=64, height=64)
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: variant selects exact-BMP anchor / lossy VP8 /
+# lossy VP8 +20 shift — the lossy copies must hash onto the anchor
+# (the flat plant's 120-gray-level margin dominates quantization
+# noise), so distinct_ahash = cluster count iff the libwebp decode
+# branch is live and reduction-exact
+_WEBP_LOSSY_SQL = """
+WITH m AS (
+  SELECT doc_id % 69 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
@@ -778,6 +879,7 @@ QUERIES = {
     "multimodal_jpeg_prog_audit": multimodal_jpeg_prog_audit,
     "multimodal_webp_phash_audit": multimodal_webp_phash_audit,
     "multimodal_exif_orientation_audit": multimodal_exif_orientation_audit,
+    "multimodal_webp_lossy_audit": multimodal_webp_lossy_audit,
 }
 
 ORACLE = {
@@ -788,4 +890,5 @@ ORACLE = {
     "multimodal_jpeg_prog_audit": _JPEG_PROG_SQL,
     "multimodal_webp_phash_audit": _WEBP_PHASH_SQL,
     "multimodal_exif_orientation_audit": _EXIF_ORIENTATION_SQL,
+    "multimodal_webp_lossy_audit": _WEBP_LOSSY_SQL,
 }
