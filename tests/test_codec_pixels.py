@@ -473,3 +473,134 @@ class TestPngExifOrientation:
         bad = raw[:i] + _png_chunk(b"eXIf", b"garbage") + raw[i:]
         out = decode_png_pixels(bad)
         assert out is not None and (out == g).all()
+
+
+class TestAnimatedGif:
+    """decode_gif_frames: the GIF89a animation semantics — per-block
+    composition with offsets, transparency, local palettes, disposal
+    0/1/2/3, app-extension skip — feeding the video frame path."""
+
+    def _quant(self, a):
+        # palette grays only (the fixture stores exact gray entries)
+        return (a // 30 * 30).astype(np.int64)
+
+    def test_delta_encoded_animation_composes_exactly(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_gif_anim,
+            decode_gif_frames,
+        )
+
+        rng = _rng()
+        f0 = rng.integers(0, 4, (24, 18)).astype(np.int64) * 60 + 30
+        f1 = f0.copy()
+        f1[5:12, 3:15] = 255 - f1[5:12, 3:15]
+        f2 = f1.copy()
+        f2[0:6, 0:6] = 0
+        d1 = np.where(f1 != f0, f1, -1)[5:12, 3:15]
+        d2 = np.where(f2 != f1, f2, -1)
+        p = _encode_gif_anim([(f0, 0, 0, 1), (d1, 3, 5, 1), (d2, 0, 0, 1)])
+        frames = decode_gif_frames(p)
+        assert frames is not None and len(frames) == 3
+        assert (frames[0] == f0).all()
+        assert (frames[1] == f1).all()
+        assert (frames[2] == f2).all()
+
+    def test_disposal_methods(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_gif_anim,
+            decode_gif_frames,
+        )
+
+        base = np.full((8, 8), 100, dtype=np.int64)
+        patch = np.full((4, 4), 0, dtype=np.int64)
+        probe = np.full((1, 1), -1, dtype=np.int64)  # all-transparent
+        # disposal 2: patched region restores to the white paper
+        fr = decode_gif_frames(
+            _encode_gif_anim(
+                [(base, 0, 0, 1), (patch, 2, 2, 2), (probe, 0, 0, 1)]
+            )
+        )
+        assert (fr[1][2:6, 2:6] == 0).all()
+        assert (fr[2][2:6, 2:6] == 255).all()
+        assert fr[2][0, 0] == 100  # outside the region untouched
+        # disposal 3: restores the previous contents
+        fr = decode_gif_frames(
+            _encode_gif_anim(
+                [(base, 0, 0, 1), (patch, 2, 2, 3), (probe, 0, 0, 1)]
+            )
+        )
+        assert (fr[1][2:6, 2:6] == 0).all()
+        assert (fr[2][2:6, 2:6] == 100).all()
+
+    def test_single_image_gif_is_one_frame_equal_to_image_path(self):
+        from tidb_cdc_spark.functions.multimodal import decode_gif_frames
+
+        g = np.where(
+            _rng().integers(0, 2, size=(16, 16)) == 1, 180, 60
+        ).astype(np.int64)
+        raw = _encode_gif(g)
+        frames = decode_gif_frames(raw)
+        assert len(frames) == 1
+        assert (frames[0] == decode_gif_pixels(raw)).all()
+
+    def test_out_of_screen_frame_and_truncation_rejected(self):
+        import struct
+
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_gif_anim,
+            decode_gif_frames,
+        )
+
+        base = np.full((8, 8), 100, dtype=np.int64)
+        p = _encode_gif_anim([(base, 0, 0, 1), (base, 4, 4, 1)])
+        assert decode_gif_frames(p) is None  # 4+8 > 8: outside screen
+        ok = _encode_gif_anim([(base, 0, 0, 1), (base[:4, :4], 4, 4, 1)])
+        assert decode_gif_frames(ok) is not None
+        assert decode_gif_frames(ok[: len(ok) - 12]) is None
+        assert decode_gif_frames(b"GIF89a" + struct.pack("<HHBBB", 0, 0, 0, 0, 0)) is None
+
+    def test_trim_shares_composed_hashes(self):
+        """The audit lemma: a trimmed delta re-encode shares all its
+        composed-frame hashes with the original's tail frames."""
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_gif_anim,
+            decode_gif_frames,
+        )
+
+        idx = np.arange(16) // 2
+        bit_idx = (idx[:, None] * 8 + idx[None, :]) % 16
+
+        def anim(skip, shift):
+            blocks, prev = [], None
+            for f in range(skip, 8):
+                v = 1 + (5 * 8 + f) % 65534
+                gray = np.where((v >> bit_idx) & 1, 180, 60) + shift
+                blocks.append(
+                    (gray, 0, 0, 1) if prev is None
+                    else (np.where(gray != prev, gray, -1), 0, 0, 1)
+                )
+                prev = gray
+            return _encode_gif_anim(blocks)
+
+        full = [ahash64(g) for g in decode_gif_frames(anim(0, 0))]
+        trim = [ahash64(g) for g in decode_gif_frames(anim(1, 20))]
+        assert len(full) == 8 and len(trim) == 7
+        assert full[1:] == trim  # shift-invariant, trim-aligned
+
+    def test_video_frame_hashes_routes_gif(self, spark):
+        from tidb_cdc_spark.functions.multimodal import (
+            synth_gif_anim_media,
+            video_frame_hashes,
+        )
+
+        ids = spark.createDataFrame(
+            [(1, 3, 0, 0), (2, 3, 1, 20)],
+            "media_id long, base long, skip int, shift int",
+        )
+        media = synth_gif_anim_media(ids)
+        rows = video_frame_hashes(media).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.media_id, []).append(r.fhash)
+        assert len(per[1]) == 8 and len(per[2]) == 7
+        assert per[1][1:] == per[2]

@@ -51,6 +51,7 @@ ROUND_ADDITIONS = [
     "multimodal_webp_lossy_audit",  # r14 NEW lossy-VP8 ctypes decode audit
     "multimodal_webp_phash_audit",  # r14 changed: predictor 11/13 fixes
     "multimodal_jpeg_prog_audit",  # r14 changed: Ns=1 DC scan grid fix
+    "animated_gif_video_audit",  # r14 NEW animated-GIF frame-path audit
 ]
 
 

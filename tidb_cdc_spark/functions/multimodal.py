@@ -1010,6 +1010,135 @@ def decode_gif_pixels(payload: bytes):
     return None
 
 
+def decode_gif_frames(payload: bytes):
+    """REAL frame decode for ANIMATED GIF (GIF89a) — the web's
+    actual animation format routed onto the same shot-level near-dup
+    path uncompressed AVI already has: every rendering block is
+    LZW-decoded (the same ~40-line codec the image path uses) and
+    COMPOSED onto the logical screen per the GIF89a rules — frame
+    offsets and sub-rectangle frames, local palettes, Graphic
+    Control Extension transparency (transparent pixels show what is
+    beneath), and disposal methods 0/1 (keep), 2 (restore the
+    frame's region to the paper color) and 3 (restore to the
+    previous contents). Returns the list of int64 BT.601 luma
+    snapshots of the FULL logical screen after each frame — so a
+    delta-encoded animation (each frame a transparent-patched
+    sub-rect, the format's whole point) yields the same frame
+    hashes as its full-frame re-encode — or ``None`` for malformed
+    streams. The paper color is WHITE (255), matching the
+    alpha-over-white convention every pixel path shares (GIF
+    backgrounds behind transparency are a viewer choice; white is
+    this engine's documented one). A plain single-image GIF returns
+    a one-element list, so ``video_frame_hashes`` over mixed media
+    needs no animated-or-not branch. Scale shape: frames ∝ decoded
+    bytes inside the Arrow pass; only 28 B hash rows shuffle."""
+    import struct
+
+    import numpy as np
+
+    p = payload
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, flags = struct.unpack_from("<HHB", p, 6)
+    if sw <= 0 or sh <= 0:
+        return None
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = p[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            return None
+        pos += 3 * n
+    canvas = np.full((sh, sw), 255, dtype=np.int64)  # white paper
+    frames = []
+    transp = None  # transparent index from the pending GCE
+    disposal = 0
+    while pos < len(p):
+        b0 = p[pos]
+        pos += 1
+        if b0 == 0x21:  # extension
+            if pos >= len(p):
+                return None
+            label = p[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(p) and p[pos] >= 4:
+                gflags = p[pos + 1]
+                disposal = (gflags >> 2) & 0x7
+                transp = p[pos + 4] if gflags & 1 else None
+            while pos < len(p) and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor — one rendering block
+            if pos + 9 > len(p):
+                return None
+            lx, ty, iw, ih, iflags = struct.unpack_from("<HHHHB", p, pos)
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = p[pos : pos + 3 * n]
+                if len(pal) != 3 * n:
+                    return None
+                pos += 3 * n
+            if pal is None or iw <= 0 or ih <= 0:
+                return None
+            if lx + iw > sw or ty + ih > sh:
+                return None  # frame outside the logical screen
+            if pos >= len(p):
+                return None
+            min_code = p[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            chunks = []
+            while pos < len(p) and p[pos] != 0:
+                n = p[pos]
+                chunks.append(p[pos + 1 : pos + 1 + n])
+                if len(chunks[-1]) != n:
+                    return None
+                pos += 1 + n
+            pos += 1  # block terminator
+            idx = _gif_lzw_decode(b"".join(chunks), min_code)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            arr = np.array(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced
+                order = [
+                    *range(0, ih, 8),
+                    *range(4, ih, 8),
+                    *range(2, ih, 4),
+                    *range(1, ih, 2),
+                ]
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            if int(arr.max()) * 3 + 2 >= len(pal):
+                return None
+            pt = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3).astype(
+                np.int64
+            )
+            lut = (pt[:, 0] * 299 + pt[:, 1] * 587 + pt[:, 2] * 114) // 1000
+            region = canvas[ty : ty + ih, lx : lx + iw]
+            saved = region.copy() if disposal == 3 else None
+            if transp is None:
+                region[:] = lut[arr]
+            else:
+                np.copyto(region, lut[arr], where=arr != transp)
+            frames.append(canvas.copy())
+            if disposal == 2:
+                region[:] = 255  # restore region to the paper color
+            elif disposal == 3:
+                region[:] = saved
+            transp = None  # a GCE governs exactly one rendering block
+            disposal = 0
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return frames or None
+
+
 def decode_pixels(payload: bytes):
     """THE pixel-decode boundary for the perceptual-hash chain, kept
     to one function like ``decode_image_dims`` is for dims: the
@@ -1318,11 +1447,14 @@ def video_frame_hashes(
 ) -> DataFrame:
     """(id, frame_idx, fhash): per-frame aHash rows via the REAL
     video path — one Arrow pass decoding uncompressed-AVI frames
-    (:func:`decode_avi_frames`) and hashing each with the shared
-    :func:`ahash64`. Media without a pure-Python frame path emit NO
-    rows here (route them through the header probe / exact digest
-    paths — no frame evidence, no frame claim). Output rows are
-    ~28 B: at 100 TB of video only frame hashes shuffle."""
+    (:func:`decode_avi_frames`) or ANIMATED-GIF rendering blocks
+    composed to logical-screen snapshots (:func:`decode_gif_frames`
+    — the web's actual animation format, routed by magic bytes) and
+    hashing each with the shared :func:`ahash64`. Media without a
+    pure-Python frame path emit NO rows here (route them through
+    the header probe / exact digest paths — no frame evidence, no
+    frame claim). Output rows are ~28 B: at 100 TB of video only
+    frame hashes shuffle."""
     out_schema = StructType(
         [
             media.schema[id_col],
@@ -1335,9 +1467,14 @@ def video_frame_hashes(
         for pdf in batches:
             ids, idxs, hs = [], [], []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                frames = (
-                    decode_avi_frames(bytes(raw)) if raw is not None else None
-                )
+                if raw is None:
+                    continue
+                b = bytes(raw)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: composed logical-screen snapshots
+                    frames = decode_gif_frames(b)
+                else:
+                    frames = decode_avi_frames(b)
                 if not frames:
                     continue
                 for k, gray in enumerate(frames):
@@ -1535,6 +1672,78 @@ def synth_avi_media(
                         + b"LIST" + struct.pack("<I", len(movi)) + movi
                     )
                     payload = b"RIFF" + struct.pack("<I", len(body)) + body
+                    rows.append(
+                        (mid, "video", None, None, None, None, payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def synth_gif_anim_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    base_col: str = "base",
+    skip_col: str = "skip",
+    shift_col: str = "shift",
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Plant REAL ANIMATED GIFs carrying the SAME per-frame formula
+    as :func:`synth_avi_media` (frame f of base B is the 8×8 block
+    pattern of the 16-bit word ``v = 1 + (B·n_frames + f) % 65534``,
+    bright 180+δ / dark 60+δ), but DELTA-ENCODED the way real
+    optimizing GIF encoders work: the first emitted frame is a full
+    keyframe, every later frame a transparent-patched full-size
+    block where only CHANGED pixels carry palette entries (the rest
+    are the GCE transparent index, so the decoder must compose onto
+    the previous canvas to recover the planted pattern — a frame
+    hash is only right if the GIF89a transparency machinery is).
+    ``skip=1`` plants the TRIMMED copy (first frame dropped —
+    byte-different stream whose keyframe is frame 1; n−1 shared
+    composed-frame hashes). Payloads are pure functions of
+    (B, s, δ); metadata NULL; ≤512-row yields."""
+    import numpy as np
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(base_col).cast("long").alias("_b"),
+        F.col(skip_col).cast("int").alias("_s"),
+        F.col(shift_col).cast("int").alias("_d"),
+    )
+
+    def _cells(n: int) -> "np.ndarray":
+        bounds = [i * n // 8 for i in range(1, 8)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    xb, yb = _cells(width), _cells(height)
+    bit_idx = (yb[:, None] * 8 + xb[None, :]) % 16
+    chunk = 512
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, base, skip, d in zip(
+                    seg["media_id"], seg["_b"], seg["_s"], seg["_d"]
+                ):
+                    mid, base, skip, d = int(mid), int(base), int(skip), int(d)
+                    blocks = []
+                    prev = None
+                    for f in range(skip, n_frames):
+                        v = 1 + (base * n_frames + f) % 65534
+                        gray = np.where((v >> bit_idx) & 1, 180, 60) + d
+                        if prev is None:
+                            blocks.append((gray, 0, 0, 1))
+                        else:
+                            delta = np.where(gray != prev, gray, -1)
+                            blocks.append((delta, 0, 0, 1))
+                        prev = gray
+                    payload = _encode_gif_anim(blocks)
                     rows.append(
                         (mid, "video", None, None, None, None, payload)
                     )
@@ -2210,6 +2419,67 @@ def _encode_gif(gray, interlaced: bool = False) -> bytes:
         + bytes(sub)
         + b"\x3b"
     )
+
+
+def _encode_gif_anim(frames, loop: bool = True) -> bytes:
+    """TEST/AUDIT FIXTURE: encode a REAL ANIMATED GIF89a. ``frames``
+    is a list of (gray, lx, ty, disposal) rendering blocks: ``gray``
+    an int64 array whose -1 entries are TRANSPARENT (previous canvas
+    shows through), placed at offset (lx, ty), with the GIF89a
+    disposal method for afterwards (0/1 keep, 2 restore-to-paper,
+    3 restore-to-previous). Each block gets its own Graphic Control
+    Extension and LOCAL palette (distinct grays as (g,g,g) entries
+    plus a reserved transparent slot when needed) — the shapes a
+    real optimizing encoder emits (delta patches over a keyframe).
+    ``loop`` adds the NETSCAPE2.0 application extension, so decoders
+    must skip an app-extension block too. The logical screen is
+    sized to the first block (which must be at (0, 0))."""
+    import struct
+
+    import numpy as np
+
+    g0, lx0, ty0, _ = frames[0]
+    assert lx0 == 0 and ty0 == 0, "first frame anchors the screen"
+    sh, sw = g0.shape
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0, 0, 0)
+    )  # no global color table
+    if loop:
+        out += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        )
+    for gray, lx, ty, disposal in frames:
+        g = np.asarray(gray, dtype=np.int64)
+        ih, iw = g.shape
+        vals = np.unique(g[g >= 0])
+        has_t = bool((g < 0).any())
+        nslots = len(vals) + (1 if has_t else 0)
+        bits = max(1, int(nslots - 1).bit_length())
+        pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+        pal[: len(vals)] = np.repeat(vals, 3).reshape(-1, 3).astype(
+            np.uint8
+        )
+        tidx = len(vals)  # transparent slot right after the grays
+        idx = np.where(
+            g < 0, tidx, np.searchsorted(vals, np.clip(g, 0, 255))
+        )
+        gflags = (disposal & 0x7) << 2 | (1 if has_t else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            [gflags, 4, 0, tidx if has_t else 0]
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", lx, ty, iw, ih, 0x80 | (bits - 1)
+        )
+        out += pal.tobytes()
+        min_code = max(2, bits)
+        lzw = _gif_lzw_encode(idx.ravel(), min_code)
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 #: the six codec legs of `multimodal_codec_matrix_audit`; each maps

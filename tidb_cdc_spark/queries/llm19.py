@@ -871,6 +871,97 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def animated_gif_video_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF near-dup over REAL composed frames — the web's
+    actual animation format reaching the shot-level path
+    uncompressed AVI already has (`multimodal_video_audit`):
+    `decode_gif_frames` (functions/multimodal.py) LZW-decodes every
+    rendering block and COMPOSES it onto the logical screen per
+    GIF89a — the planted streams are DELTA-encoded (first frame a
+    keyframe, later frames transparent-patched blocks), so each
+    frame hash is only right if the transparency compositing is.
+    Frames feed the same `video_frame_hashes` → inverted-index
+    `video_near_dup_pairs` chain.
+
+    Planted-transform oracle: cluster ``pid = doc_id % 103``;
+    variants 0/1 plant byte-identical 8-frame animations, variant 2
+    plants a TRIMMED (first frame dropped — its keyframe is frame 1)
+    AND brightness-shifted copy — different bytes, 7 shared composed
+    frame hashes. `synth_gif_anim_media`'s 16-bit frame words keep
+    every composed hash provably the word's replicated bits
+    (injective over (pid, frame): pid·8+7 ≤ 823 ≪ 65534;
+    shift-invariant), so all columns derive from id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        synth_gif_anim_media,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 103).alias("pid"),
+            (F.col("doc_id") % 103).alias("base"),
+            F.when(F.expr("doc_id div 103") % 3 == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 103") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_gif_anim_media(planted, "media_id")
+    fh = materialize(
+        video_frame_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = video_near_dup_pairs(
+        fh, min_shared_frames=4, max_frame_freq=None
+    )
+    return (
+        fh.agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_frame_rows"),
+            F.countDistinct("fhash").alias("distinct_fhash"),
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "n_frame_rows",
+            "distinct_fhash",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: trimmed members carry 7 frames; a cluster's
+# distinct composed-frame hashes are 8 iff any member is untrimmed
+# (frame words are disjoint across clusters)
+_GIF_ANIM_SQL = """
+WITH m AS (
+  SELECT doc_id % 103 AS pid,
+         CASE WHEN (doc_id // 103) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n, MIN(trimmed) AS min_tr FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT SUM(8 - trimmed) FROM m) AS BIGINT) AS n_frame_rows,
+       CAST((SELECT SUM(CASE WHEN min_tr = 0 THEN 8 ELSE 7 END) FROM c)
+            AS BIGINT) AS distinct_fhash,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
@@ -880,6 +971,7 @@ QUERIES = {
     "multimodal_webp_phash_audit": multimodal_webp_phash_audit,
     "multimodal_exif_orientation_audit": multimodal_exif_orientation_audit,
     "multimodal_webp_lossy_audit": multimodal_webp_lossy_audit,
+    "animated_gif_video_audit": animated_gif_video_audit,
 }
 
 ORACLE = {
@@ -891,4 +983,5 @@ ORACLE = {
     "multimodal_webp_phash_audit": _WEBP_PHASH_SQL,
     "multimodal_exif_orientation_audit": _EXIF_ORIENTATION_SQL,
     "multimodal_webp_lossy_audit": _WEBP_LOSSY_SQL,
+    "animated_gif_video_audit": _GIF_ANIM_SQL,
 }
