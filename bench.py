@@ -212,6 +212,12 @@ def main() -> None:
         "multimodal_jpeg_prog_audit",
         "multimodal_webp_phash_audit",
         "multimodal_exif_orientation_audit",
+        # r14: lossy-VP8 ctypes decode + animated-GIF frame path +
+        # animation header probe, priced from day one like the r13
+        # codec legs
+        "multimodal_webp_lossy_audit",
+        "animated_gif_video_audit",
+        "multimodal_anim_probe_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -604,3 +604,60 @@ class TestAnimatedGif:
             per.setdefault(r.media_id, []).append(r.fhash)
         assert len(per[1]) == 8 and len(per[2]) == 7
         assert per[1][1:] == per[2]
+
+
+class TestAnimationInfo:
+    """Header-only animation probes: GCE delay sums (GIF) and ANMF
+    duration sums (animated WebP) without decoding any frame."""
+
+    def test_gif_delays_summed(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_gif_anim,
+            gif_animation_info,
+        )
+
+        g = np.full((6, 8), 120, dtype=np.int64)
+        p = _encode_gif_anim(
+            [(g, 0, 0, 1), (g + 10, 0, 0, 1), (g + 20, 0, 0, 1)],
+            delays=[7, 12, 300],
+        )
+        assert gif_animation_info(p) == (3, 3190)
+        # single-image GIF: one frame, zero duration; non-GIF: None
+        assert gif_animation_info(_encode_gif(g)) == (1, 0)
+        assert gif_animation_info(b"GIF89a") is None
+        assert gif_animation_info(p[: len(p) - 9]) == (3, 3190)  # no trailer: accepted like the decoder
+
+    def test_webp_anmf_durations_summed(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_webp_anim,
+            parse_image_header,
+            webp_animation_info,
+        )
+        from tidb_cdc_spark.functions.webp import encode_webp_lossless
+
+        g = np.full((6, 8), 120, dtype=np.int64)
+        w = _encode_webp_anim([(g, 40), (g + 10, 70), (g + 20, 100000)], 8, 6)
+        assert webp_animation_info(w) == (3, 100110)
+        # the dims probe reads the VP8X canvas of the same bytes
+        assert parse_image_header(w) == ("image/webp", 8, 6)
+        # a still VP8L is the image path's business
+        assert webp_animation_info(encode_webp_lossless(g, "literal")) is None
+        # truncated ANMF chunk: reject, no partial sums
+        assert webp_animation_info(w[: len(w) - 4]) is None
+
+    def test_probe_media_fills_animation_duration(self, spark):
+        from tidb_cdc_spark.functions.multimodal import (
+            probe_media,
+            synth_anim_probe_media,
+        )
+
+        ids = spark.createDataFrame([(0,), (1,), (6,)], "doc_id long")
+        rows = {
+            r.media_id: r
+            for r in probe_media(synth_anim_probe_media(ids)).collect()
+        }
+        # id 0: GIF, 2 frames x 2 cs -> 40 ms; id 1: WebP, 3 x 21 ms
+        assert rows[0].mime == "image/gif" and rows[0].duration_ms == 40
+        assert rows[1].mime == "image/webp" and rows[1].duration_ms == 63
+        assert rows[6].duration_ms == (2 + 6 % 7) * (2 + 6 % 50) * 10
+        assert rows[0].width == 8 and rows[1].height == 9

@@ -52,6 +52,11 @@ ROUND_ADDITIONS = [
     "multimodal_webp_phash_audit",  # r14 changed: predictor 11/13 fixes
     "multimodal_jpeg_prog_audit",  # r14 changed: Ns=1 DC scan grid fix
     "animated_gif_video_audit",  # r14 NEW animated-GIF frame-path audit
+    "multimodal_anim_probe_audit",  # r14 NEW animation header probe
+    "video_curation_pipeline",  # r14 changed: GIF routing in frame path
+    "video_curation_provenance",  # r14 changed: GIF routing in frame path
+    "video_frame_cap_report",  # r14 changed: GIF routing in frame path
+    "multimodal_video_audit",  # r14 changed: GIF routing in frame path
 ]
 
 

@@ -568,6 +568,16 @@ def probe_media(media: DataFrame) -> DataFrame:
                         pdf.at[idx, "width"] = w
                     if pd.isna(pdf.at[idx, "height"]):
                         pdf.at[idx, "height"] = h
+                    if need_dur and mime in ("image/gif", "image/webp"):
+                        # animated containers carry a real duration —
+                        # header-only walk (frames length-skipped)
+                        info = (
+                            gif_animation_info(payload)
+                            if mime == "image/gif"
+                            else webp_animation_info(payload)
+                        )
+                        if info is not None and info[0] > 1:
+                            pdf.at[idx, "duration_ms"] = info[1]
                     continue
                 avi = parse_avi_header(payload)
                 if avi is not None:
@@ -1137,6 +1147,133 @@ def decode_gif_frames(payload: bytes):
         else:
             return None
     return frames or None
+
+
+def gif_animation_info(payload: bytes):
+    """(n_frames, duration_ms) for a GIF — the HEADER-ONLY animation
+    probe (no LZW decode: image data sub-blocks are length-skipped,
+    so cost is ∝ block count, not pixels — the crawl-scale metadata
+    pass shape). Durations are the GCE delay fields × 10 ms summed
+    over rendering blocks. Returns None for non-GIF or malformed
+    bytes; a plain single-image GIF returns (1, 0)."""
+    import struct
+
+    p = payload
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = p[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    n_frames = 0
+    total_cs = 0
+    delay = 0
+    while pos < len(p):
+        b0 = p[pos]
+        pos += 1
+        if b0 == 0x21:
+            if pos >= len(p):
+                return None
+            label = p[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(p) and p[pos] >= 4:
+                delay = p[pos + 2] | (p[pos + 3] << 8)
+            while pos < len(p) and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            if pos + 9 > len(p):
+                return None
+            iflags = p[pos + 8]
+            pos += 9
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))
+            if pos >= len(p):
+                return None
+            pos += 1  # min code size
+            while pos < len(p) and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+            n_frames += 1
+            total_cs += delay
+            delay = 0
+        elif b0 == 0x3B:
+            break
+        else:
+            return None
+    if n_frames == 0:
+        return None
+    return n_frames, total_cs * 10
+
+
+def webp_animation_info(payload: bytes):
+    """(n_frames, duration_ms) for an ANIMATED WebP — header-only:
+    requires the VP8X extended container with the animation flag
+    (bit 0x02), then walks the even-padded RIFF chunks summing each
+    ANMF frame's 24-bit millisecond duration (payload bytes 12..14
+    per RFC 9649 §2.5.3) — frame bitstreams are length-skipped, so
+    cost is ∝ frame count. Returns None for non-WebP, non-VP8X, or
+    a VP8X without the animation flag (a still extended WebP is the
+    image path's business)."""
+    import struct
+
+    p = payload
+    if len(p) < 30 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+        return None
+    if p[12:16] != b"VP8X" or not p[20] & 0x02:
+        return None
+    (vp8x_len,) = struct.unpack_from("<I", p, 16)
+    pos = 20 + vp8x_len + (vp8x_len & 1)
+    n_frames = 0
+    total_ms = 0
+    while pos + 8 <= len(p):
+        tag = p[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", p, pos + 4)
+        if pos + 8 + clen > len(p):
+            return None
+        if tag == b"ANMF":
+            if clen < 16:
+                return None
+            body = p[pos + 8 : pos + 8 + 16]
+            total_ms += body[12] | (body[13] << 8) | (body[14] << 16)
+            n_frames += 1
+        pos += 8 + clen + (clen & 1)
+    if n_frames == 0:
+        return None
+    return n_frames, total_ms
+
+
+def _encode_webp_anim(frames_ms, width: int, height: int) -> bytes:
+    """TEST/AUDIT FIXTURE: a REAL animated WebP — VP8X (animation
+    flag, 24-bit canvas dims minus one) + ANIM (background + loop) +
+    one ANMF per (gray, duration_ms) pair, each embedding a real
+    VP8L literal stream of the frame. ``webp_animation_info``
+    recovers (len(frames_ms), sum of durations)."""
+    import struct
+
+    from tidb_cdc_spark.functions.webp import encode_webp_lossless
+
+    vp8x = bytes([0x02, 0, 0, 0]) + (width - 1).to_bytes(3, "little") + (
+        height - 1
+    ).to_bytes(3, "little")
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = b"\xff\xff\xff\xff\x00\x00"  # bg BGRA + loop count 0
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for gray, dur in frames_ms:
+        sub = encode_webp_lossless(gray, "literal")
+        vp8l = sub[12:]  # the inner VP8L chunk (tag + len + data)
+        body = (
+            (0).to_bytes(3, "little") * 2  # frame x, y (in 2px units)
+            + (gray.shape[1] - 1).to_bytes(3, "little")
+            + (gray.shape[0] - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([0])  # blend/dispose flags
+            + vp8l
+        )
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
 
 
 def decode_pixels(payload: bytes):
@@ -2421,7 +2558,7 @@ def _encode_gif(gray, interlaced: bool = False) -> bytes:
     )
 
 
-def _encode_gif_anim(frames, loop: bool = True) -> bytes:
+def _encode_gif_anim(frames, loop: bool = True, delays=None) -> bytes:
     """TEST/AUDIT FIXTURE: encode a REAL ANIMATED GIF89a. ``frames``
     is a list of (gray, lx, ty, disposal) rendering blocks: ``gray``
     an int64 array whose -1 entries are TRANSPARENT (previous canvas
@@ -2432,8 +2569,10 @@ def _encode_gif_anim(frames, loop: bool = True) -> bytes:
     plus a reserved transparent slot when needed) — the shapes a
     real optimizing encoder emits (delta patches over a keyframe).
     ``loop`` adds the NETSCAPE2.0 application extension, so decoders
-    must skip an app-extension block too. The logical screen is
-    sized to the first block (which must be at (0, 0))."""
+    must skip an app-extension block too. ``delays`` (centiseconds
+    per block, default 4 each) feeds the GCE delay field —
+    ``gif_animation_info`` recovers their ×10 ms sum. The logical
+    screen is sized to the first block (which must be at (0, 0))."""
     import struct
 
     import numpy as np
@@ -2448,7 +2587,7 @@ def _encode_gif_anim(frames, loop: bool = True) -> bytes:
         out += (
             b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
         )
-    for gray, lx, ty, disposal in frames:
+    for fi, (gray, lx, ty, disposal) in enumerate(frames):
         g = np.asarray(gray, dtype=np.int64)
         ih, iw = g.shape
         vals = np.unique(g[g >= 0])
@@ -2464,8 +2603,10 @@ def _encode_gif_anim(frames, loop: bool = True) -> bytes:
             g < 0, tidx, np.searchsorted(vals, np.clip(g, 0, 255))
         )
         gflags = (disposal & 0x7) << 2 | (1 if has_t else 0)
+        delay = int(delays[fi]) if delays is not None else 4
         out += b"\x21\xf9\x04" + bytes(
-            [gflags, 4, 0, tidx if has_t else 0]
+            [gflags, delay & 0xFF, (delay >> 8) & 0xFF,
+             tidx if has_t else 0]
         ) + b"\x00"
         out += b"\x2c" + struct.pack(
             "<HHHHB", lx, ty, iw, ih, 0x80 | (bits - 1)
@@ -2480,6 +2621,54 @@ def _encode_gif_anim(frames, loop: bool = True) -> bytes:
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def synth_anim_probe_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Plant REAL animated containers with formula-valued animation
+    metadata for the header-only probe: even ids get an animated GIF
+    (``n = 2 + id % 7`` frames, per-frame GCE delay ``2 + id % 50``
+    centiseconds ⇒ duration ``n·(2+id%50)·10`` ms), odd ids an
+    animated WebP (VP8X+ANIM+ANMF, per-frame duration
+    ``20 + id % 500`` ms ⇒ ``n·(20+id%500)``). Canvas dims are
+    ``(8 + id % 24) × (8 + id % 16)``. Frame content is real
+    (flat-gray GIF blocks / VP8L literal streams) but irrelevant —
+    the probe walks headers only. Metadata NULL."""
+    import numpy as np
+
+    slim = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    chunk = 512
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                for mid in pdf["media_id"].iloc[lo : lo + chunk]:
+                    mid = int(mid)
+                    n = 2 + mid % 7
+                    w, h = 8 + mid % 24, 8 + mid % 16
+                    frames = [
+                        np.full((h, w), 80 + 10 * f, dtype=np.int64)
+                        for f in range(n)
+                    ]
+                    if mid % 2 == 0:
+                        delay = 2 + mid % 50
+                        payload = _encode_gif_anim(
+                            [(g, 0, 0, 1) for g in frames],
+                            delays=[delay] * n,
+                        )
+                    else:
+                        dur = 20 + mid % 500
+                        payload = _encode_webp_anim(
+                            [(g, dur) for g in frames], w, h
+                        )
+                    rows.append(
+                        (mid, "video", None, None, None, None, payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 #: the six codec legs of `multimodal_codec_matrix_audit`; each maps

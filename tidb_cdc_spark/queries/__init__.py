@@ -263,114 +263,101 @@ for _mod in (
 # q3/q5/q8/q9 heads, doc_hashed_tf, events_rolling_features,
 # table_profile_lineitem, events_transition_matrix,
 # events_pivot_by_type), then the r12 block.
+# ROUND-14 ROTATION (applied): the ENTIRE stale backlog clears this
+# round. IN — all 14 late-r13 swap victims (events_json_extract,
+# events_hourly, events_sliding_1h, events_cohort_retention,
+# q12_priority_lines, dedup_minhash_star_audit, dedup_minhash_audit,
+# dedup_simhash_audit, winnow_repr_audit, rag_retrieval_eval,
+# corpus_stratified_split, containment_repr_audit, text_token_stats,
+# text_quality_by_lang) and 25 of the 26 remaining r11-block rows —
+# every swap-in pre-verified hash-green at sf0.001+sf0.01+sf0.1
+# this session (120/120 OK) — plus the two r14-NEW rows
+# (multimodal_webp_lossy_audit, animated_gif_video_audit;
+# never-gated-first) and six CHANGED-code rows needing fresh
+# certification: multimodal_webp_phash_audit (VP8L predictor 11/13
+# fixes), multimodal_jpeg_prog_audit (Ns=1 DC scan grid fix), and
+# the four video_frame_hashes consumers (GIF routing added):
+# video_curation_pipeline, video_curation_provenance,
+# video_frame_cap_report, multimodal_video_audit — all six also
+# pre-verified at the three SFs. OUT — 39 r13-green rows with
+# UNCHANGED code (q18/q19/q20/q21 heads, events_asof_purchase_click,
+# sketch_approx, full_outer_nation_presence,
+# suppliers_of_large_parts, scalar/date/array showcases,
+# grouping_sets_orders, corpus_lm_quality_buckets,
+# corpus_perplexity_buckets, corpus_lm_stupid_backoff,
+# dedup_containment_pairs, embedding_random_projection,
+# dedup_span_rewrite, events_engagement_pagerank,
+# corpus_mojibake_audit, embedding_pca_audit,
+# doc_semantic_dedup_audit, corpus_curation_pipeline,
+# text_token_entropy, the six r12 CDC swap victims
+# (cdc_incremental_agg, skew_salted_agg,
+# contamination_containment_screen, cdc_schema_drift,
+# cdc_decimal_agg, cdc_apply_latest), multimodal_png_phash_audit,
+# multimodal_codec_matrix_audit, multimodal_png_deep_audit,
+# multimodal_jpeg_phash_audit, multimodal_exif_orientation_audit,
+# audio_window_cap_report, audio/corpus/media curation provenance,
+# media/audio curation pipelines, phash_cap_report) — each keeps its
+# r13 driver row + the strict mirror in tests/test_queries_oracle.py.
+# R15 rotation queue (oldest rows after this round):
+# events_pivot_by_type (the one r11-block row this rotation could
+# not seat — changed-code certification outranked it), then the r12
+# block, then this round's 39 OUT rows.
 GATE = [
     # exact dedup/ANN family anchors (kept fresh every round)
     "dedup_exact_docs",
     "knn_bruteforce_cosine",
     "dedup_clusters_exact",
-    # never-driver-gated rows, in FIRST per the r12 verdict
-    "video_curation_pipeline",
-    "corpus_curation_provenance",
-    "media_curation_provenance",
-    # the r10 block — oldest driver rows in the registry
-    # LATE-R13 SWAP 8 (never-gated-first): q12_priority_lines
-    # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
-    # to the NEW EXIF-orientation audit (queries/llm19.py — camera
-    # rotation normalized at the decode boundary; verified hash-green
-    # at sf0.001+sf0.01+sf0.1 before this swap).
-    "multimodal_exif_orientation_audit",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "events_asof_purchase_click",
-    # LATE-R13 SWAP 5 (never-gated-first): events_hourly (r10-green,
-    # unchanged, mirror-kept; queues FIRST for r14 with
-    # events_json_extract) yields to the NEW full-envelope PNG audit
-    # (queries/llm19.py — Adam7 / 16-bit / alpha / sub-byte-palette
-    # legs collapsing to one perceptual identity; verified hash-green
-    # at sf0.001+sf0.01+sf0.1 before this swap).
-    "multimodal_png_deep_audit",
-    # LATE-R13 SWAP 6 (never-gated-first): events_sliding_1h
-    # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
-    # to the NEW progressive-JPEG audit (queries/llm19.py — SOF2
-    # multi-scan reassembly pinned coefficient-exact against the
-    # baseline leg; verified hash-green at sf0.001+sf0.01+sf0.1
-    # before this swap).
-    "multimodal_jpeg_prog_audit",
-    # LATE-R13 SWAP 7 (never-gated-first): events_cohort_retention
-    # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
-    # to the NEW VP8L lossless-WebP audit (queries/llm19.py — the
-    # codec family's last named format; verified hash-green at
-    # sf0.001+sf0.01+sf0.1 before this swap).
+    # r14-NEW rows (never-gated-first doctrine)
+    "multimodal_webp_lossy_audit",
+    "animated_gif_video_audit",
+    # CHANGED code needing fresh certification (see rotation note)
     "multimodal_webp_phash_audit",
-    # LATE-R13 SWAP 4 (never-gated-first): events_json_extract
-    # (r10-green, unchanged, mirror-kept; queues FIRST for r14) yields
-    # to the NEW baseline-JPEG pixel audit (queries/llm19.py — lossy
-    # codec made provably exact on block-aligned flat plants; verified
-    # hash-green at sf0.001+sf0.01+sf0.1 before this swap).
-    "multimodal_jpeg_phash_audit",
-    "sketch_approx",
-    "full_outer_nation_presence",
-    "suppliers_of_large_parts",
-    "scalar_functions_showcase",
-    "date_functions_showcase",
-    "array_map_functions_showcase",
-    "grouping_sets_orders",
-    "corpus_lm_quality_buckets",
-    "corpus_perplexity_buckets",
-    "corpus_lm_stupid_backoff",
-    "dedup_containment_pairs",
-    "embedding_random_projection",
-    "dedup_span_rewrite",
-    "events_engagement_pagerank",
-    "corpus_mojibake_audit",
-    "embedding_pca_audit",
-    "doc_semantic_dedup_audit",
-    "corpus_curation_pipeline",
-    "text_token_entropy",
-    # the six r12 swap victims (r11 driver rows)
-    "cdc_incremental_agg",
-    "skew_salted_agg",
-    "contamination_containment_screen",
-    "cdc_schema_drift",
-    "cdc_decimal_agg",
-    "cdc_apply_latest",
-    # LATE-R13 SWAP 3 (never-gated-first doctrine, same session): the
-    # two planned r11-block fills (dedup_minhash_star_audit,
-    # dedup_minhash_audit — r11-green, unchanged, mirror-kept; queue
-    # for r14) yield to the NEW compressed-codec pixel audits
-    # (queries/llm19.py — real PNG zlib+unfilter and GIF LZW decode
-    # under planted-arithmetic oracles, verified hash-green at
-    # sf0.001+sf0.01+sf0.1 before this swap).
-    "multimodal_png_phash_audit",
-    "multimodal_codec_matrix_audit",
-    # LATE-R13 SWAPS: the three remaining planned r11-block fills
-    # (dedup_simhash_audit, winnow_repr_audit, rag_retrieval_eval —
-    # all r11-green, unchanged, mirror-kept; queue for r14) yield to
-    # NEW never-gated rows per the never-gated-first doctrine: the
-    # audio cap report and the two row-level provenance twins that
-    # complete the provenance triple (queries/llm18.py — all three
-    # verified hash-green at sf0.001+sf0.01+sf0.1 before this swap).
-    "audio_window_cap_report",
-    "audio_curation_provenance",
+    "multimodal_jpeg_prog_audit",
+    "video_curation_pipeline",
     "video_curation_provenance",
-    # EARLY-R13 SWAP (no-silent-caps directive): the four planned
-    # r11-block fills (corpus_stratified_split, containment_repr_audit,
-    # text_token_stats, text_quality_by_lang — all r11-green,
-    # unchanged, mirror-kept; queue for r14) yield to CHANGED and NEW
-    # code needing fresh certification: the two composed pipelines
-    # whose pair joins gained the capped production default this round
-    # (media/audio curation — video_curation_pipeline and
-    # media_curation_provenance share the change and are already gate
-    # rows above), and the two NEW cap-report audits (queries/llm18.py
-    # — Manku-bucket / inverted-index exclusion reports under the
-    # planted-arithmetic oracles, verified at sf0.001+sf0.01+sf0.1
-    # before this swap).
-    "media_curation_pipeline",
-    "audio_curation_pipeline",
-    "phash_cap_report",
     "video_frame_cap_report",
+    "multimodal_video_audit",
+    # the 14 late-r13 swap victims (oldest-first)
+    "events_json_extract",
+    "events_hourly",
+    "events_sliding_1h",
+    "events_cohort_retention",
+    "q12_priority_lines",
+    "dedup_minhash_star_audit",
+    "dedup_minhash_audit",
+    "dedup_simhash_audit",
+    "winnow_repr_audit",
+    "rag_retrieval_eval",
+    "corpus_stratified_split",
+    "containment_repr_audit",
+    "text_token_stats",
+    "text_quality_by_lang",
+    # 25 of the 26 remaining r11-block rows
+    "text_lang_id",
+    "text_fingerprint_md5",
+    "sample_hash_docs",
+    "sample_stratified_lang",
+    "sample_weighted_docs",
+    "tfidf_top_terms",
+    "pii_scrub_stats",
+    "text_repetition_stats",
+    "token_length_histogram",
+    "vocab_top_terms",
+    "source_overlap_matrix",
+    "doc_length_band",
+    "embedding_int8_quantize",
+    "quality_budget_head",
+    "cdc_dead_letter_stats",
+    "text_bpe_tokens",
+    "multimodal_doc_features",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "doc_hashed_tf",
+    "events_rolling_features",
+    "table_profile_lineitem",
+    "events_transition_matrix",
 ]
 
 assert len(GATE) == 50 and len(set(GATE)) == 50, "gate must be 50 distinct"

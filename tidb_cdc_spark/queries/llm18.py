@@ -1494,6 +1494,60 @@ FROM c
 """
 
 
+def multimodal_anim_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-container probe — the animation twin of the r10
+    WAV/MP4 audit: every document id gets a REAL animated container
+    with formula-valued animation metadata (`synth_anim_probe_media`
+    — even ids an animated GIF whose GCE delays are
+    ``2 + id % 50`` cs over ``2 + id % 7`` frames, odd ids an
+    animated WebP (VP8X+ANIM+ANMF) with ``20 + id % 500`` ms per
+    frame), and the output is what the HEADER-ONLY walks recovered
+    through the real Arrow-batched `probe_media` pass — mime, canvas
+    dims, and the summed duration (frame bitstreams length-skipped:
+    cost ∝ frame count, the crawl-scale metadata shape). Exact value
+    oracle: DuckDB computes the same integer formulas; any
+    divergence in the GCE delay bytes, the VP8X flag/canvas fields,
+    the ANMF 24-bit duration, or the even-padding walk flips the
+    hash."""
+    from tidb_cdc_spark.functions.multimodal import (
+        probe_media,
+        synth_anim_probe_media,
+    )
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") >= 0)
+    )
+    return (
+        probe_media(synth_anim_probe_media(ids, "doc_id"))
+        .select(
+            "media_id",
+            "mime",
+            "width",
+            "height",
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_ANIM_PROBE_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/gif'
+            ELSE 'image/webp' END AS mime,
+       CAST(8 + doc_id % 24 AS INT) AS width,
+       CAST(8 + doc_id % 16 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN (2 + doc_id % 7) * (2 + doc_id % 50) * 10
+                 ELSE (2 + doc_id % 7) * (20 + doc_id % 500)
+            END AS BIGINT) AS duration_ms
+FROM documents
+WHERE doc_id >= 0
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -1513,6 +1567,7 @@ QUERIES = {
     "audio_window_cap_report": audio_window_cap_report,
     "audio_curation_provenance": audio_curation_provenance,
     "video_curation_provenance": video_curation_provenance,
+    "multimodal_anim_probe_audit": multimodal_anim_probe_audit,
 }
 
 ORACLE = {
@@ -1534,4 +1589,5 @@ ORACLE = {
     "audio_window_cap_report": _AUDIO_CAP_SQL,
     "audio_curation_provenance": _AUDIO_PROVENANCE_SQL,
     "video_curation_provenance": _VIDEO_PROVENANCE_SQL,
+    "multimodal_anim_probe_audit": _ANIM_PROBE_SQL,
 }
