@@ -65,6 +65,9 @@ PICKS = {
     "multimodal_png_deep_audit": "full-envelope PNG audit (shape shared by all r13 codec audits): synth -> decode/hash Arrow passes emit 24 B hash rows, materialized once for three agg consumers; compressed decode rides inside the same pass as BMP",
     "multimodal_jpeg_prog_audit": "progressive-JPEG audit: same synth -> decode/hash -> Manku-pair shape; the multi-scan entropy pass stays inside the Arrow stage, reconstruction is one einsum per batch",
     "multimodal_webp_phash_audit": "VP8L lossless-WebP audit: same synth -> decode/hash -> Manku-pair shape; prefix-code/LZ77/transform machinery all inside the Arrow stage, 24 B hash rows shuffle",
+    "multimodal_webp_lossy_audit": "lossy-VP8 WebP audit (r14): same synth -> decode/hash -> Manku-pair shape; the ctypes libwebp decode rides the Arrow stage exactly like the pure paths, 24 B hash rows shuffle",
+    "animated_gif_video_audit": "animated-GIF frame path (r14): synth -> per-block LZW decode + logical-screen composition inside the Arrow pass -> 28 B frame rows; pair stage is the shared inverted-index frame-hash equi-join",
+    "multimodal_anim_probe_audit": "animation header probe (r14): two Arrow-batched mapInPandas passes (synth -> header-only walk) over id-sized rows; frame bitstreams length-skipped, payloads dropped before the presentation sort",
 }
 
 HEADER = (
