@@ -218,6 +218,7 @@ def main() -> None:
         "multimodal_webp_lossy_audit",
         "animated_gif_video_audit",
         "multimodal_anim_probe_audit",
+        "animated_webp_video_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -661,3 +661,84 @@ class TestAnimationInfo:
         assert rows[1].mime == "image/webp" and rows[1].duration_ms == 63
         assert rows[6].duration_ms == (2 + 6 % 7) * (2 + 6 % 50) * 10
         assert rows[0].width == 8 and rows[1].height == 9
+
+
+class TestAnimatedWebp:
+    """decode_webp_anim_frames: per-ANMF VP8L decode + RFC 9649
+    composition (2-px offsets, no-blend replace, dispose-to-white),
+    the WebP twin of TestAnimatedGif."""
+
+    def test_rect_composition_exact(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_webp_anim,
+            decode_webp_anim_frames,
+        )
+
+        rng = _rng()
+        f0 = rng.integers(0, 256, (12, 16)).astype(np.int64)
+        f1 = rng.integers(0, 256, (12, 16)).astype(np.int64)
+        patch = rng.integers(0, 256, (4, 6)).astype(np.int64)
+        p = _encode_webp_anim(
+            [(f0, 40), (f1, 70), (patch, 30, 4, 2, 0x03)], 16, 12
+        )
+        fr = decode_webp_anim_frames(p)
+        assert fr is not None and len(fr) == 3
+        assert (fr[0] == f0).all() and (fr[1] == f1).all()
+        exp = f1.copy()
+        exp[2:6, 4:10] = patch
+        assert (fr[2] == exp).all()
+
+    def test_dispose_to_background_is_white(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_webp_anim,
+            decode_webp_anim_frames,
+        )
+
+        f0 = np.full((12, 16), 100, dtype=np.int64)
+        patch = np.full((4, 6), 0, dtype=np.int64)
+        tail = np.full((2, 2), 7, dtype=np.int64)
+        p = _encode_webp_anim(
+            [(f0, 40), (patch, 30, 4, 2, 0x01), (tail, 10, 0, 0, 0)],
+            16, 12,
+        )
+        fr = decode_webp_anim_frames(p)
+        assert (fr[1][2:6, 4:10] == 0).all()
+        assert (fr[2][2:6, 4:10] == 255).all()
+        assert fr[2][0, 0] == 7
+
+    def test_rejects(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_webp_anim,
+            decode_webp_anim_frames,
+        )
+        from tidb_cdc_spark.functions.webp import encode_webp_lossless
+
+        f0 = np.full((12, 16), 100, dtype=np.int64)
+        patch = np.full((4, 6), 0, dtype=np.int64)
+        # frame rect outside the canvas
+        bad = _encode_webp_anim([(f0, 40), (patch, 30, 12, 10, 2)], 16, 12)
+        assert decode_webp_anim_frames(bad) is None
+        # truncated mid-ANMF
+        ok = _encode_webp_anim([(f0, 40), (f0, 40)], 16, 12)
+        assert decode_webp_anim_frames(ok[: len(ok) - 6]) is None
+        # a still VP8L is not an animation
+        assert decode_webp_anim_frames(
+            encode_webp_lossless(f0, "literal")
+        ) is None
+
+    def test_trim_shares_composed_hashes_and_routing(self, spark):
+        from tidb_cdc_spark.functions.multimodal import (
+            synth_webp_anim_media,
+            video_frame_hashes,
+        )
+
+        ids = spark.createDataFrame(
+            [(1, 5, 0, 0), (2, 5, 1, 20)],
+            "media_id long, base long, skip int, shift int",
+        )
+        rows = video_frame_hashes(synth_webp_anim_media(ids)).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.media_id, []).append(r.fhash)
+        assert len(per[1]) == 8 and len(per[2]) == 7
+        assert per[1][1:] == per[2]  # trim-aligned, shift-invariant

@@ -53,6 +53,7 @@ ROUND_ADDITIONS = [
     "multimodal_jpeg_prog_audit",  # r14 changed: Ns=1 DC scan grid fix
     "animated_gif_video_audit",  # r14 NEW animated-GIF frame-path audit
     "multimodal_anim_probe_audit",  # r14 NEW animation header probe
+    "animated_webp_video_audit",  # r14 NEW animated-WebP frame-path audit
     "video_curation_pipeline",  # r14 changed: GIF routing in frame path
     "video_curation_provenance",  # r14 changed: GIF routing in frame path
     "video_frame_cap_report",  # r14 changed: GIF routing in frame path

@@ -1246,9 +1246,14 @@ def webp_animation_info(payload: bytes):
 def _encode_webp_anim(frames_ms, width: int, height: int) -> bytes:
     """TEST/AUDIT FIXTURE: a REAL animated WebP — VP8X (animation
     flag, 24-bit canvas dims minus one) + ANIM (background + loop) +
-    one ANMF per (gray, duration_ms) pair, each embedding a real
-    VP8L literal stream of the frame. ``webp_animation_info``
-    recovers (len(frames_ms), sum of durations)."""
+    one ANMF per frame spec, each embedding a real VP8L literal
+    stream of the frame. A frame spec is ``(gray, duration_ms)`` —
+    full-canvas at (0, 0), alpha-blend+keep flags — or
+    ``(gray, duration_ms, fx, fy, flags)`` with the frame offset in
+    PIXELS (must be even: the ANMF fields store 2-px units) and the
+    raw ANMF flags byte (bit 1 = no-blend, bit 0 = dispose to
+    background). ``webp_animation_info`` recovers
+    (n_frames, summed duration)."""
     import struct
 
     from tidb_cdc_spark.functions.webp import encode_webp_lossless
@@ -1259,21 +1264,130 @@ def _encode_webp_anim(frames_ms, width: int, height: int) -> bytes:
     chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
     anim = b"\xff\xff\xff\xff\x00\x00"  # bg BGRA + loop count 0
     chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
-    for gray, dur in frames_ms:
+    for spec in frames_ms:
+        gray, dur = spec[0], spec[1]
+        fx, fy, flags = (spec[2], spec[3], spec[4]) if len(spec) > 2 else (
+            0, 0, 0
+        )
+        assert fx % 2 == 0 and fy % 2 == 0, "ANMF offsets are 2-px units"
         sub = encode_webp_lossless(gray, "literal")
         vp8l = sub[12:]  # the inner VP8L chunk (tag + len + data)
         body = (
-            (0).to_bytes(3, "little") * 2  # frame x, y (in 2px units)
+            (fx // 2).to_bytes(3, "little")
+            + (fy // 2).to_bytes(3, "little")
             + (gray.shape[1] - 1).to_bytes(3, "little")
             + (gray.shape[0] - 1).to_bytes(3, "little")
             + int(dur).to_bytes(3, "little")
-            + bytes([0])  # blend/dispose flags
+            + bytes([flags])
             + vp8l
         )
         chunks += b"ANMF" + struct.pack("<I", len(body)) + body
         if len(body) & 1:
             chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def decode_webp_anim_frames(payload: bytes):
+    """REAL frame decode for ANIMATED WebP — each ANMF frame is a
+    standalone VP8L/VP8 bitstream the existing decoders already
+    handle (pure VP8L first, ctypes libwebp for lossy), composed
+    onto the canvas per RFC 9649: frame rects at 2-px-unit offsets,
+    dispose-to-background (= this engine's WHITE paper, the shared
+    convention), and the blend bit. Returns the per-frame luma
+    snapshots of the full canvas, or None outside the envelope.
+
+    Honest envelope: REPLACE semantics ("no blend", or any frame
+    without an alpha channel — the two cases whose canvas luma is
+    exactly the frame's own luma-over-white) are composed exactly;
+    an alpha-carrying frame with ALPHA-BLEND semantics returns None
+    (blending needs the RGBA planes the luma reduction has already
+    collapsed — fail closed, never wrong pixels)."""
+    import struct
+
+    import numpy as np
+
+    from tidb_cdc_spark.functions.webp import (
+        decode_webp_lossless_pixels,
+        decode_webp_lossy_pixels,
+    )
+
+    p = payload
+    if (
+        len(p) < 30
+        or p[:4] != b"RIFF"
+        or p[8:12] != b"WEBP"
+        or p[12:16] != b"VP8X"
+        or not p[20] & 0x02
+    ):
+        return None
+    cw = 1 + int.from_bytes(p[24:27], "little")
+    ch = 1 + int.from_bytes(p[27:30], "little")
+    (vp8x_len,) = struct.unpack_from("<I", p, 16)
+    pos = 20 + vp8x_len + (vp8x_len & 1)
+    canvas = np.full((ch, cw), 255, dtype=np.int64)  # white paper
+    frames = []
+    while pos + 8 <= len(p):
+        tag = p[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", p, pos + 4)
+        if pos + 8 + clen > len(p):
+            return None
+        if tag == b"ANMF":
+            if clen < 16:
+                return None
+            body = p[pos + 8 : pos + 8 + clen]
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            flags = body[15]
+            if fx + fw > cw or fy + fh > ch:
+                return None
+            # frame data: optional ALPH chunk, then one VP8/VP8L
+            fdata = body[16:]
+            has_alpha = False
+            fpos = 0
+            stream = None
+            while fpos + 8 <= len(fdata):
+                ftag = fdata[fpos : fpos + 4]
+                (flen,) = struct.unpack_from("<I", fdata, fpos + 4)
+                if fpos + 8 + flen > len(fdata):
+                    return None
+                if ftag == b"ALPH":
+                    has_alpha = True
+                elif ftag in (b"VP8 ", b"VP8L"):
+                    stream = fdata[fpos : fpos + 8 + flen]
+                    if ftag == b"VP8L" and flen >= 5:
+                        # VP8L header: signature byte, then 14+14
+                        # dim bits; the ALPHA HINT is the next bit
+                        # (bit 4 of the 4th bitstream byte)
+                        has_alpha = has_alpha or bool(
+                            fdata[fpos + 8 + 4] & 0x10
+                        )
+                    break
+                fpos += 8 + flen + (flen & 1)
+            if stream is None:
+                return None
+            no_blend = bool(flags & 0x02)
+            if has_alpha and not no_blend:
+                return None  # alpha blending: fail closed (docstring)
+            wrapped = (
+                b"RIFF"
+                + struct.pack("<I", 4 + len(stream) + (len(stream) & 1))
+                + b"WEBP"
+                + stream
+                + (b"\x00" if len(stream) & 1 else b"")
+            )
+            luma = decode_webp_lossless_pixels(wrapped)
+            if luma is None:
+                luma = decode_webp_lossy_pixels(wrapped)
+            if luma is None or luma.shape != (fh, fw):
+                return None
+            canvas[fy : fy + fh, fx : fx + fw] = luma
+            frames.append(canvas.copy())
+            if flags & 0x01:  # dispose to background = white paper
+                canvas[fy : fy + fh, fx : fx + fw] = 255
+        pos += 8 + clen + (clen & 1)
+    return frames or None
 
 
 def decode_pixels(payload: bytes):
@@ -1610,6 +1724,15 @@ def video_frame_hashes(
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     # animated GIF: composed logical-screen snapshots
                     frames = decode_gif_frames(b)
+                elif (
+                    len(b) >= 21
+                    and b[:4] == b"RIFF"
+                    and b[8:12] == b"WEBP"
+                    and b[12:16] == b"VP8X"
+                    and b[20] & 0x02
+                ):
+                    # animated WebP: ANMF frames composed per RFC 9649
+                    frames = decode_webp_anim_frames(b)
                 else:
                     frames = decode_avi_frames(b)
                 if not frames:
@@ -1881,6 +2004,84 @@ def synth_gif_anim_media(
                             blocks.append((delta, 0, 0, 1))
                         prev = gray
                     payload = _encode_gif_anim(blocks)
+                    rows.append(
+                        (mid, "video", None, None, None, None, payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def synth_webp_anim_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    base_col: str = "base",
+    skip_col: str = "skip",
+    shift_col: str = "shift",
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Plant REAL ANIMATED WebPs carrying the shared per-frame
+    formula (:func:`synth_avi_media`'s 16-bit words) the way a real
+    muxer does: frame 0 a full-canvas VP8L keyframe, every later
+    frame the CHANGED region's bounding rect only (offsets snapped
+    to the ANMF 2-px grid), no-blend replace semantics — so the
+    composed canvas equals the planted pattern iff the rect
+    placement and the per-ANMF VP8L decode are both right.
+    ``skip=1`` plants the TRIMMED copy (keyframe becomes frame 1);
+    shift δ rides every pixel. Pure function of (B, s, δ)."""
+    import numpy as np
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(base_col).cast("long").alias("_b"),
+        F.col(skip_col).cast("int").alias("_s"),
+        F.col(shift_col).cast("int").alias("_d"),
+    )
+
+    def _cells(n: int) -> "np.ndarray":
+        bounds = [i * n // 8 for i in range(1, 8)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    xb, yb = _cells(width), _cells(height)
+    bit_idx = (yb[:, None] * 8 + xb[None, :]) % 16
+    chunk = 512
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, base, skip, d in zip(
+                    seg["media_id"], seg["_b"], seg["_s"], seg["_d"]
+                ):
+                    mid, base, skip, d = int(mid), int(base), int(skip), int(d)
+                    specs = []
+                    prev = None
+                    for f in range(skip, n_frames):
+                        v = 1 + (base * n_frames + f) % 65534
+                        gray = np.where((v >> bit_idx) & 1, 180, 60) + d
+                        if prev is None:
+                            specs.append((gray, 40))
+                        else:
+                            ys, xs = np.nonzero(gray != prev)
+                            if len(ys) == 0:
+                                specs.append((gray[:2, :2], 40, 0, 0, 2))
+                            else:
+                                y0 = int(ys.min()) & ~1
+                                x0 = int(xs.min()) & ~1
+                                y1, x1 = int(ys.max()) + 1, int(xs.max()) + 1
+                                specs.append(
+                                    (
+                                        gray[y0:y1, x0:x1],
+                                        40, x0, y0, 2,  # no-blend
+                                    )
+                                )
+                        prev = gray
+                    payload = _encode_webp_anim(specs, width, height)
                     rows.append(
                         (mid, "video", None, None, None, None, payload)
                     )

@@ -962,6 +962,92 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def animated_webp_video_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP near-dup over REAL composed frames — completing
+    the animation pair (`animated_gif_video_audit` is the GIF twin):
+    `decode_webp_anim_frames` (functions/multimodal.py) decodes each
+    ANMF's standalone VP8L bitstream with the conformance-verified
+    pure decoder and composes rects per RFC 9649 (2-px-unit offsets,
+    no-blend replace, dispose-to-white) — the planted streams are
+    keyframe + changed-region rects, so a frame hash is only right
+    if both the rect placement and the per-frame decode are. Frames
+    feed the same `video_frame_hashes` → `video_near_dup_pairs`
+    chain.
+
+    Planted-transform oracle: cluster ``pid = doc_id % 107``;
+    variants 0/1 byte-identical 8-frame animations, variant 2 a
+    TRIMMED + brightness-shifted re-encode — 7 shared composed
+    hashes. 16-bit frame words injective over (pid, frame)
+    (pid·8+7 ≤ 855 ≪ 65534; shift-invariant); all columns from id
+    arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        synth_webp_anim_media,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 107).alias("pid"),
+            (F.col("doc_id") % 107).alias("base"),
+            F.when(F.expr("doc_id div 107") % 3 == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 107") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_webp_anim_media(planted, "media_id")
+    fh = materialize(
+        video_frame_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = video_near_dup_pairs(
+        fh, min_shared_frames=4, max_frame_freq=None
+    )
+    return (
+        fh.agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_frame_rows"),
+            F.countDistinct("fhash").alias("distinct_fhash"),
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "n_frame_rows",
+            "distinct_fhash",
+            "neardup_pairs",
+        )
+    )
+
+
+_WEBP_ANIM_SQL = """
+WITH m AS (
+  SELECT doc_id % 107 AS pid,
+         CASE WHEN (doc_id // 107) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n, MIN(trimmed) AS min_tr FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT SUM(8 - trimmed) FROM m) AS BIGINT) AS n_frame_rows,
+       CAST((SELECT SUM(CASE WHEN min_tr = 0 THEN 8 ELSE 7 END) FROM c)
+            AS BIGINT) AS distinct_fhash,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
@@ -972,6 +1058,7 @@ QUERIES = {
     "multimodal_exif_orientation_audit": multimodal_exif_orientation_audit,
     "multimodal_webp_lossy_audit": multimodal_webp_lossy_audit,
     "animated_gif_video_audit": animated_gif_video_audit,
+    "animated_webp_video_audit": animated_webp_video_audit,
 }
 
 ORACLE = {
@@ -984,4 +1071,5 @@ ORACLE = {
     "multimodal_exif_orientation_audit": _EXIF_ORIENTATION_SQL,
     "multimodal_webp_lossy_audit": _WEBP_LOSSY_SQL,
     "animated_gif_video_audit": _GIF_ANIM_SQL,
+    "animated_webp_video_audit": _WEBP_ANIM_SQL,
 }
