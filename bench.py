@@ -219,6 +219,8 @@ def main() -> None:
         "animated_gif_video_audit",
         "multimodal_anim_probe_audit",
         "animated_webp_video_audit",
+        "multimodal_audio_probe_audit",
+        "audio_g711_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

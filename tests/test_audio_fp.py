@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import struct
 
+import pytest
+
 import numpy as np
 
 from tidb_cdc_spark.functions.multimodal import (
@@ -255,3 +257,132 @@ def test_fully_trimmed_clip_is_valid_empty_wav(spark):
     row = media.collect()[0]
     assert len(decode_wav_samples(bytes(row.payload))) == 0
     assert audio_window_hashes(media).count() == 0
+
+
+class TestG711:
+    """G.711 µ-law/A-law expansion: decode_wav_samples' companded
+    envelope (formats 7/6, 8-bit), the ITU-T tables pinned against
+    the stdlib reference where importable."""
+
+    def test_luts_match_audioop(self):
+        audioop = pytest.importorskip("audioop")
+        import numpy as np
+
+        from tidb_cdc_spark.functions.multimodal import (
+            _ALAW_LUT,
+            _ULAW_LUT,
+        )
+
+        u = bytes(range(256))
+        ref_u = np.frombuffer(audioop.ulaw2lin(u, 2), dtype="<i2")
+        ref_a = np.frombuffer(audioop.alaw2lin(u, 2), dtype="<i2")
+        assert (ref_u.astype(np.int64) == _ULAW_LUT).all()
+        assert (ref_a.astype(np.int64) == _ALAW_LUT).all()
+
+    def _wav(self, fmt_tag, bits, data, rate=8000):
+        import struct
+
+        align = bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, 1, rate, rate * align, align, bits
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_decode_routes_by_format_tag(self):
+        import numpy as np
+
+        from tidb_cdc_spark.functions.multimodal import (
+            _ALAW_LUT,
+            _ULAW_LUT,
+            _g711_encode,
+            decode_wav_samples,
+        )
+
+        rng = np.random.default_rng(5)
+        x = rng.integers(-8000, 8000, 512).astype(np.int64)
+        for lut, tag in ((_ULAW_LUT, 7), (_ALAW_LUT, 6)):
+            enc = _g711_encode(x, lut)
+            got = decode_wav_samples(self._wav(tag, 8, enc.tobytes()))
+            assert got is not None
+            assert (got == lut[enc]).all()
+            # nearest-representable: error bounded by half a step
+            assert int(np.abs(got - x).max()) <= 256
+        # unknown compressed formats still decline (header-only probe)
+        assert decode_wav_samples(self._wav(2, 8, bytes(64))) is None
+        # 16-bit µ-law is malformed: reject
+        assert decode_wav_samples(self._wav(7, 16, bytes(64))) is None
+
+    def test_fingerprint_collapses_across_codings(self):
+        import numpy as np
+
+        from tidb_cdc_spark.functions.multimodal import (
+            _ALAW_LUT,
+            _ULAW_LUT,
+            _g711_encode,
+            audio_fingerprint64,
+            decode_wav_samples,
+        )
+
+        n = 64 * 32
+        sign = np.where(np.arange(n) % 2 == 0, 1, -1).astype(np.int64)
+        frame_bit = (np.arange(n) // 32) % 8
+        for v in (1, 85, 170, 254):
+            base = np.where((v >> frame_bit) & 1, 180, 60) * sign
+            fp0 = audio_fingerprint64(base)
+            pcm = decode_wav_samples(
+                self._wav(1, 16, base.astype("<i2").tobytes())
+            )
+            assert audio_fingerprint64(pcm) == fp0
+            for lut, tag in ((_ULAW_LUT, 7), (_ALAW_LUT, 6)):
+                g711 = decode_wav_samples(
+                    self._wav(tag, 8, _g711_encode(base * 3, lut).tobytes())
+                )
+                assert audio_fingerprint64(g711) == fp0, (v, tag)
+
+
+class TestCompressedAudioProbes:
+    def test_flac_streaminfo_duration(self):
+        from tidb_cdc_spark.functions.multimodal import parse_media_header
+
+        sr, total = 44100, 44100 * 7 + 123
+        b = bytearray(34)
+        b[10] = sr >> 12
+        b[11] = (sr >> 4) & 0xFF
+        b[12] = (sr & 0xF) << 4
+        b[13] = (total >> 32) & 0xF
+        b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+        p = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(b)
+        assert parse_media_header(p) == ("audio/flac", total * 1000 // sr)
+        # zero rate / truncated STREAMINFO reject
+        assert parse_media_header(p[:20]) is None
+        z = bytearray(p)
+        for k in range(18, 26):  # zero STREAMINFO bytes 10..17
+            z[k] = 0
+        assert parse_media_header(bytes(z)) is None  # sr == 0
+
+    def test_mp3_xing_and_cbr(self):
+        from tidb_cdc_spark.functions.multimodal import parse_media_header
+
+        # Xing behind an ID3v2 tag, mono side-info offset
+        tag_sz = 57
+        id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, tag_sz]) + bytes(tag_sz)
+        hdr = bytes([0xFF, 0xFB, (9 << 4) | (1 << 2), 0xC0])
+        xing = b"Xing" + (1).to_bytes(4, "big") + (500).to_bytes(4, "big")
+        p = id3 + hdr + bytes(17) + xing + bytes(8)
+        assert parse_media_header(p) == (
+            "audio/mpeg", 500 * 1152 * 1000 // 48000,
+        )
+        # CBR estimate: remaining bytes x 8 / bitrate (idx 5 = 64 kbps)
+        chdr = bytes([0xFF, 0xFB, (5 << 4) | (0 << 2), 0xC0])
+        cp = chdr + bytes(9996)
+        assert parse_media_header(cp) == ("audio/mpeg", 10000 * 8 // 64)
+        # reserved bitrate/rate indexes reject
+        bad = bytes([0xFF, 0xFB, (15 << 4), 0xC0]) + bytes(100)
+        assert parse_media_header(bad) is None
+        bad2 = bytes([0xFF, 0xFB, (5 << 4) | (3 << 2), 0xC0]) + bytes(100)
+        assert parse_media_header(bad2) is None

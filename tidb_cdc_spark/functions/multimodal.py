@@ -260,7 +260,15 @@ def parse_media_header(
     - WAV (RIFF): duration = data-chunk bytes / byte-rate, both in
       fixed ``fmt ``/``data`` chunk fields (chunk walk, bounded);
     - MP4/ISO-BMFF: duration = mvhd duration/timescale — box walk to
-      ``moov``→``mvhd`` (version 0 and 1 layouts).
+      ``moov``→``mvhd`` (version 0 and 1 layouts);
+    - FLAC: duration = STREAMINFO total-samples / sample-rate (the
+      20-bit rate and 36-bit sample count in the mandatory first
+      metadata block);
+    - MP3 (MPEG-1 Layer III): ID3v2 tag skipped (syncsafe size),
+      then the first frame header; a Xing/Info VBR tag's frame
+      count × 1152 / rate when present, else the CBR estimate
+      remaining-bytes × 8 / bitrate — the two estimates every
+      tag-reader ships.
 
     Returns ``(mime, duration_ms)`` or None for unrecognized bytes.
     Full sample/frame decode stays out of scope (codec territory)."""
@@ -314,6 +322,60 @@ def parse_media_header(
                     j += slen
                 return None
             i += blen
+        return None
+    if len(p) >= 8 and p[:4] == b"fLaC":
+        i = 4
+        while i + 4 <= len(p):
+            btype = p[i] & 0x7F
+            blen = int.from_bytes(p[i + 1 : i + 4], "big")
+            if btype == 0:  # STREAMINFO
+                b = p[i + 4 : i + 4 + 34]
+                if len(b) < 18:
+                    return None
+                sr = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+                total = (
+                    ((b[13] & 0x0F) << 32)
+                    | (b[14] << 24) | (b[15] << 16)
+                    | (b[16] << 8) | b[17]
+                )
+                if sr == 0:
+                    return None
+                return ("audio/flac", total * 1000 // sr)
+            if p[i] & 0x80:  # last-metadata-block without STREAMINFO
+                return None
+            i += 4 + blen
+        return None
+    pos = 0
+    if len(p) >= 10 and p[:3] == b"ID3":
+        # syncsafe 28-bit tag size (7 bits per byte)
+        pos = 10 + (
+            (p[6] << 21) | (p[7] << 14) | (p[8] << 7) | p[9]
+        )
+    if (
+        pos + 4 <= len(p)
+        and p[pos] == 0xFF
+        and (p[pos + 1] & 0xE0) == 0xE0
+        and (p[pos + 1] >> 3) & 0x3 == 0x3  # MPEG-1
+        and (p[pos + 1] >> 1) & 0x3 == 0x1  # Layer III
+    ):
+        bidx = p[pos + 2] >> 4
+        sridx = (p[pos + 2] >> 2) & 0x3
+        if not 1 <= bidx <= 14 or sridx > 2:
+            return None
+        kbps = (32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320)[bidx - 1]
+        sr = (44100, 48000, 32000)[sridx]
+        mode = p[pos + 3] >> 6
+        side = 17 if mode == 3 else 32
+        x = pos + 4 + side
+        if (
+            x + 12 <= len(p)
+            and p[x : x + 4] in (b"Xing", b"Info")
+            and int.from_bytes(p[x + 4 : x + 8], "big") & 0x1
+        ):
+            nframes = int.from_bytes(p[x + 8 : x + 12], "big")
+            return ("audio/mpeg", nframes * 1152 * 1000 // sr)
+        return ("audio/mpeg", (len(p) - pos) * 8 // kbps)
     return None
 
 
@@ -2100,11 +2162,52 @@ def synth_webp_anim_media(
 # codecs (MP3/AAC/...) staying codec territory.
 
 
+def _g711_luts():
+    """The 256-entry G.711 expansion tables, computed from the
+    ITU-T formulas (the classic public-domain g711.c derivation):
+    µ-law — invert, mantissa<<3 + bias 0x84, shift by segment, bias
+    removed, sign from bit 7; A-law — XOR 0x55, 4-bit mantissa,
+    segment cases 0/1/n with the 0x108 offset, bit 7 = positive.
+    Conformance-pinned against stdlib ``audioop`` where importable
+    (tests/test_llm_media.py guards it)."""
+    import numpy as np
+
+    u = np.arange(256)
+    uu = ~u & 0xFF
+    t = (((uu & 0x0F) << 3) + 0x84) << ((uu & 0x70) >> 4)
+    ulaw = np.where(uu & 0x80, 0x84 - t, t - 0x84).astype(np.int64)
+    a = np.arange(256) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int64)
+    return ulaw, alaw
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
+def _g711_encode(x, lut):
+    """FIXTURE encoder: nearest-representable quantization against
+    the expansion table (argmin over 256 codes — the optimal
+    quantizer; the decode side is the op under test). Vectorized;
+    decode(encode(x)) is the closest expandable value to x."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
+    return np.abs(lut[None, :] - x[:, None]).argmin(axis=1).astype(np.uint8)
+
+
 def decode_wav_samples(payload: bytes):
-    """REAL sample decode for uncompressed 16-bit PCM WAV: returns
-    the samples as an ``int64`` numpy array (multi-channel averaged
-    to mono with truncating integer division), or ``None`` when the
-    bytes are not 16-bit PCM RIFF/WAVE (compressed audio keeps its
+    """REAL sample decode for RIFF/WAVE audio in the pure-Python
+    envelope: 16-bit linear PCM (format 1), and the G.711 telephony
+    codings — 8-bit µ-law (format 7) and A-law (format 6) — expanded
+    to linear through the 256-entry ITU-T tables (``_g711_luts``),
+    so a µ-law re-encode of a clip fingerprints like its PCM twin.
+    Returns the samples as an ``int64`` numpy array (multi-channel
+    averaged to mono with truncating integer division), or ``None``
+    outside the envelope (other compressed audio keeps its
     header-only probe). Truncated data chunks are rejected — no
     fabricated samples."""
     import struct
@@ -2128,9 +2231,16 @@ def decode_wav_samples(payload: bytes):
     if fmt is None or data is None:
         return None
     audio_format, channels, _rate, _brate, _align, bits = fmt
-    if audio_format != 1 or bits != 16 or channels < 1:
+    if channels < 1:
         return None
-    x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif audio_format == 7 and bits == 8:  # µ-law
+        x = _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 6 and bits == 8:  # A-law
+        x = _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        return None
     if channels > 1:
         x = x[: len(x) // channels * channels]
         x = x.reshape(-1, channels).sum(axis=1) // channels
@@ -2194,6 +2304,7 @@ def synth_wav_pcm_media(
     gain_col: str = "gain",
     frames: int = 64,
     samples_per_frame: int = 32,
+    codec_col: "str | None" = None,
 ) -> DataFrame:
     """Plant REAL 16-bit PCM WAV payloads whose SAMPLES are a fixed
     integer formula of a pattern byte ``v`` (1..254) and an integer
@@ -2206,20 +2317,34 @@ def synth_wav_pcm_media(
     (v, gain); metadata is NULL (the probe recovers duration from
     the real RIFF fields). Output yielded in ≤1024-row frames
     (~4 KB payloads — the Arrow batch-size discipline from the BMP
-    synth)."""
+    synth).
+
+    ``codec_col`` (optional) names a column of "pcm16" / "ulaw" /
+    "alaw": the SAME sample formula stored as 16-bit linear PCM
+    (format 1) or G.711-companded 8-bit (formats 7 / 6, fixture
+    nearest-representable encode) — byte-disjoint tellings of one
+    signal whose fingerprints must collapse (verified over all 254
+    patterns × gains 1 and 3, both laws: 0 mismatches)."""
     import struct
 
     import numpy as np
 
-    slim = ids.select(
+    cols = [
         F.col(id_col).cast("long").alias("media_id"),
         F.col(pattern_col).cast("int").alias("_v"),
         F.col(gain_col).cast("int").alias("_g"),
-    )
+    ]
+    if codec_col is not None:
+        cols.append(F.col(codec_col).cast("string").alias("_c"))
+    slim = ids.select(*cols)
     n = frames * samples_per_frame
     sign = np.where(np.arange(n) % 2 == 0, 1, -1).astype(np.int64)
     frame_bit = (np.arange(n) // samples_per_frame) % 8
-    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    fmt_g711 = {
+        "ulaw": struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8),
+        "alaw": struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8),
+    }
     chunk = 1024
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2227,10 +2352,23 @@ def synth_wav_pcm_media(
             for lo in range(0, len(pdf), chunk):
                 rows = []
                 seg = pdf.iloc[lo : lo + chunk]
-                for mid, v, g in zip(seg["media_id"], seg["_v"], seg["_g"]):
+                codecs = (
+                    seg["_c"] if codec_col is not None
+                    else ["pcm16"] * len(seg)
+                )
+                for mid, v, g, c in zip(
+                    seg["media_id"], seg["_v"], seg["_g"], codecs
+                ):
                     mid, v, g = int(mid), int(v), int(g)
-                    amp = np.where((v >> frame_bit) & 1, 180, 60) * g
-                    pcm = (amp * sign).astype("<i2").tobytes()
+                    x = np.where((v >> frame_bit) & 1, 180, 60) * g * sign
+                    if c == "pcm16":
+                        fmt, pcm = fmt16, x.astype("<i2").tobytes()
+                    elif c in fmt_g711:
+                        lut = _ULAW_LUT if c == "ulaw" else _ALAW_LUT
+                        fmt = fmt_g711[c]
+                        pcm = _g711_encode(x, lut).tobytes()
+                    else:
+                        raise ValueError(f"unknown wav codec: {c!r}")
                     body = (
                         b"WAVE"
                         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -2822,6 +2960,87 @@ def _encode_gif_anim(frames, loop: bool = True, delays=None) -> bytes:
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def synth_audio_probe_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Plant REAL FLAC / MP3 header bytes with formula-valued
+    duration fields for the header-only probe: ``id % 4`` ∈ {0, 2} →
+    FLAC STREAMINFO (20-bit rate ``8000 + (id%32)·250``, 36-bit
+    total samples ``16000 + (id%1000)·16``); 1 → MP3 with an ID3v2
+    tag of syncsafe size ``id % 100`` to skip, then a mono MPEG-1
+    Layer III frame carrying a Xing tag with ``200 + id%800``
+    frames; 3 → CBR MP3 (bitrate index ``1 + id%14``, total stream
+    length ``2000 + id%6000`` bytes — the remaining-bytes estimate).
+    Metadata NULL; the probe walks headers only."""
+    import struct
+
+    slim = ids.select(F.col(id_col).cast("long").alias("media_id"))
+    chunk = 1024
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                for mid in pdf["media_id"].iloc[lo : lo + chunk]:
+                    mid = int(mid)
+                    v = mid % 4
+                    if v in (0, 2):
+                        sr = 8000 + (mid % 32) * 250
+                        total = 16000 + (mid % 1000) * 16
+                        b = bytearray(34)
+                        b[0:2] = (4096).to_bytes(2, "big")
+                        b[2:4] = (4096).to_bytes(2, "big")
+                        b[10] = sr >> 12
+                        b[11] = (sr >> 4) & 0xFF
+                        b[12] = ((sr & 0xF) << 4) | (0 << 1) | 0
+                        b[13] = (15 << 4) | ((total >> 32) & 0xF)
+                        b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+                        payload = (
+                            b"fLaC" + bytes([0x80])
+                            + (34).to_bytes(3, "big") + bytes(b)
+                        )
+                    elif v == 1:
+                        tag_sz = mid % 100
+                        id3 = (
+                            b"ID3\x04\x00\x00"
+                            + bytes(
+                                [
+                                    (tag_sz >> 21) & 0x7F,
+                                    (tag_sz >> 14) & 0x7F,
+                                    (tag_sz >> 7) & 0x7F,
+                                    tag_sz & 0x7F,
+                                ]
+                            )
+                            + bytes(tag_sz)
+                        )
+                        sridx = mid % 3
+                        # FF FB: MPEG-1 Layer III no-CRC; bitrate idx 9
+                        hdr = bytes(
+                            [0xFF, 0xFB, (9 << 4) | (sridx << 2), 0xC0]
+                        )
+                        nframes = 200 + mid % 800
+                        xing = (
+                            b"Xing"
+                            + (1).to_bytes(4, "big")
+                            + nframes.to_bytes(4, "big")
+                        )
+                        payload = id3 + hdr + bytes(17) + xing + bytes(32)
+                    else:
+                        bidx = 1 + mid % 14
+                        total = 2000 + mid % 6000
+                        sridx = mid % 3
+                        hdr = bytes(
+                            [0xFF, 0xFB, (bidx << 4) | (sridx << 2), 0xC0]
+                        )
+                        payload = hdr + bytes(total - 4)
+                    rows.append(
+                        (mid, "audio", None, None, None, None, payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def synth_anim_probe_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1548,6 +1548,154 @@ ORDER BY media_id
 """
 
 
+def multimodal_audio_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted FLAC/MP3 header probe — extending the WAV/MP4 audit
+    family to the compressed-audio containers a crawl actually sees:
+    every document id gets real FLAC STREAMINFO or MPEG-1 Layer III
+    header bytes with formula-valued duration fields
+    (`synth_audio_probe_media` — 20-bit rate / 36-bit sample count;
+    ID3v2 syncsafe skip + Xing frame count; CBR remaining-bytes
+    estimate over a formula-length stream), and the output is what
+    `parse_media_header` recovered through the real Arrow-batched
+    probe. Exact value oracle: DuckDB computes the same integer
+    formulas; any divergence in the bit unpacking, the syncsafe
+    arithmetic, the Xing offset (mono side-info), or the bitrate
+    table flips the hash."""
+    from tidb_cdc_spark.functions.multimodal import (
+        probe_media,
+        synth_audio_probe_media,
+    )
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") >= 0)
+    )
+    return (
+        probe_media(synth_audio_probe_media(ids, "doc_id"))
+        .select(
+            "media_id",
+            "mime",
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_AUDIO_PROBE_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/flac'
+            ELSE 'audio/mpeg' END AS mime,
+       CAST(CASE
+         WHEN doc_id % 2 = 0 THEN
+           ((16000 + (doc_id % 1000) * 16) * 1000)
+             // (8000 + (doc_id % 32) * 250)
+         WHEN doc_id % 4 = 1 THEN
+           ((200 + doc_id % 800) * 1152 * 1000)
+             // (CASE doc_id % 3 WHEN 0 THEN 44100
+                 WHEN 1 THEN 48000 ELSE 32000 END)
+         ELSE
+           ((2000 + doc_id % 6000) * 8)
+             // list_extract(
+                  [32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                  1 + doc_id % 14)
+       END AS BIGINT) AS duration_ms
+FROM documents
+WHERE doc_id >= 0
+ORDER BY media_id
+"""
+
+
+def audio_g711_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony-audio collapse — the first COMPANDED audio
+    coding admitted with real samples: `decode_wav_samples` now
+    expands 8-bit µ-law (format 7) and A-law (format 6) through the
+    256-entry ITU-T tables (pinned bit-exact against stdlib
+    ``audioop`` where importable), so a telephony re-encode of a
+    clip fingerprints like its 16-bit PCM twin. Variant ``doc_id
+    div 109 % 3`` for cluster ``pid = doc_id % 109``: 0 → the PCM16
+    anchor, 1 → µ-law of the same signal, 2 → A-law at ×3 gain —
+    three byte-disjoint (even bytes-per-sample-disjoint) tellings
+    of one signal. Fingerprint survival verified over all 254
+    patterns × both gains × both laws (0 mismatches), so
+    ``distinct_afp = n_clusters`` iff the expansion tables and the
+    format-tag routing are right. All columns from id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_fingerprints,
+        phash_near_dup_pairs,
+        synth_wav_pcm_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 109).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 109) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 109") % 3 == 2, F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("gain"),
+            F.when(F.expr("doc_id div 109") % 3 == 1, F.lit("ulaw"))
+            .when(F.expr("doc_id div 109") % 3 == 2, F.lit("alaw"))
+            .otherwise(F.lit("pcm16"))
+            .alias("codec"),
+        )
+    )
+    media = synth_wav_pcm_media(planted, "media_id", codec_col="codec")
+    hashes = materialize(
+        audio_fingerprints(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(
+        hashes, hash_col="afp", max_hamming=3, max_bucket_size=None
+    )
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("afp").alias("_na")
+    )
+    return (
+        hashes.agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.countDistinct("afp").alias("distinct_afp"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_afp_variants")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_afp",
+            "max_cluster_afp_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+_G711_SQL = """
+WITH m AS (
+  SELECT doc_id % 109 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_afp,
+       CAST(1 AS BIGINT) AS max_cluster_afp_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -1568,6 +1716,8 @@ QUERIES = {
     "audio_curation_provenance": audio_curation_provenance,
     "video_curation_provenance": video_curation_provenance,
     "multimodal_anim_probe_audit": multimodal_anim_probe_audit,
+    "multimodal_audio_probe_audit": multimodal_audio_probe_audit,
+    "audio_g711_audit": audio_g711_audit,
 }
 
 ORACLE = {
@@ -1590,4 +1740,6 @@ ORACLE = {
     "audio_curation_provenance": _AUDIO_PROVENANCE_SQL,
     "video_curation_provenance": _VIDEO_PROVENANCE_SQL,
     "multimodal_anim_probe_audit": _ANIM_PROBE_SQL,
+    "multimodal_audio_probe_audit": _AUDIO_PROBE_SQL,
+    "audio_g711_audit": _G711_SQL,
 }

@@ -63,6 +63,13 @@ def _payloads(leg: str, patterns):
                 )
                 prev = gf
             out.append(M._encode_gif_anim(blocks))
+        elif leg == "webp_anim":
+            out.append(
+                M._encode_webp_anim(
+                    [(_plant(1 + (v * 4 + f) % 254), 40) for f in range(4)],
+                    64, 64,
+                )
+            )
         elif leg.startswith("jpeg"):
             from tidb_cdc_spark.functions.jpeg import (
                 encode_jpeg,
@@ -101,6 +108,7 @@ LEGS = [
     ("gif", "GIF"),
     ("gif_i", "GIF interlaced"),
     ("gif_anim", "GIF animated 4-frame (frame path)"),
+    ("webp_anim", "WebP animated 4-frame (frame path)"),
     ("jpeg", "JPEG baseline gray"),
     ("jpeg_420", "JPEG baseline 4:2:0"),
     ("jpeg_prog", "JPEG progressive gray"),
@@ -128,8 +136,18 @@ def measure(n_payloads: int = 120, repeat: int = 3):
         except RuntimeError:
             continue  # libwebp absent: skip the lossy row
         nbytes = sum(len(p) for p in payloads)
-        npx = 64 * 64 * len(payloads) * (4 if leg == "gif_anim" else 1)
-        dec = decode_gif_frames if leg == "gif_anim" else decode_pixels
+        anim = leg in ("gif_anim", "webp_anim")
+        npx = 64 * 64 * len(payloads) * (4 if anim else 1)
+        if leg == "gif_anim":
+            dec = decode_gif_frames
+        elif leg == "webp_anim":
+            from tidb_cdc_spark.functions.multimodal import (
+                decode_webp_anim_frames,
+            )
+
+            dec = decode_webp_anim_frames
+        else:
+            dec = decode_pixels
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
