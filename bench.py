@@ -221,6 +221,7 @@ def main() -> None:
         "animated_webp_video_audit",
         "multimodal_audio_probe_audit",
         "audio_g711_audit",
+        "multimodal_tiff_phash_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

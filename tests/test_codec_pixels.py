@@ -742,3 +742,106 @@ class TestAnimatedWebp:
             per.setdefault(r.media_id, []).append(r.fhash)
         assert len(per[1]) == 8 and len(per[2]) == 7
         assert per[1][1:] == per[2]  # trim-aligned, shift-invariant
+
+
+class TestTiffDecode:
+    """decode_tiff_pixels: uncompressed baseline TIFF — both byte
+    orders, multi-strip, photometric 0/1/2, 8/16-bit, RGBA, the
+    Orientation tag, and the fail-closed rejects."""
+
+    def test_envelope_roundtrips(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_tiff,
+            decode_tiff_pixels,
+        )
+
+        g = _rng().integers(0, 256, (33, 47)).astype(np.int64)
+        cases = [
+            dict(rows_per_strip=10),
+            dict(endian=">"),
+            dict(photometric=0),  # WhiteIsZero inverts back
+            dict(rgb=True),
+            dict(rgb=True, endian=">"),
+            dict(bits=16, rows_per_strip=7),
+            dict(bits=16, endian=">"),
+            dict(rgb=True, bits=16),
+            dict(rgba=True),
+        ]
+        for kw in cases:
+            got = decode_tiff_pixels(_encode_tiff(g, **kw))
+            assert got is not None and (got == g).all(), kw
+
+    def test_orientation_normalizes(self):
+        import numpy as np
+
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_tiff,
+            decode_tiff_pixels,
+        )
+
+        g = _rng().integers(0, 256, (24, 24)).astype(np.int64)
+        inv = {
+            2: lambda a: a[:, ::-1], 3: lambda a: a[::-1, ::-1],
+            4: lambda a: a[::-1, :], 5: lambda a: a.T,
+            6: lambda a: a[:, ::-1].T, 7: lambda a: a[::-1, ::-1].T,
+            8: lambda a: a.T[:, ::-1],
+        }
+        for o, f in inv.items():
+            p = _encode_tiff(np.ascontiguousarray(f(g)), orientation=o)
+            got = decode_tiff_pixels(p)
+            assert got is not None and (got == g).all(), o
+
+    def test_probe_and_boundary_route(self):
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_tiff,
+            decode_pixels,
+            parse_image_header,
+        )
+
+        g = _rng().integers(0, 256, (16, 20)).astype(np.int64)
+        p = _encode_tiff(g)
+        assert parse_image_header(p) == ("image/tiff", 20, 16)
+        assert (decode_pixels(p) == g).all()
+
+    def test_rejects_fail_closed(self):
+        import struct
+
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_tiff,
+            decode_tiff_pixels,
+        )
+
+        g = _rng().integers(0, 256, (16, 16)).astype(np.int64)
+        p = _encode_tiff(g)
+        # truncated strip: no fabricated pixels
+        assert decode_tiff_pixels(p[:-10]) is None
+        # compression tag flipped to LZW: codec territory
+        bad = bytearray(p)
+        (ifd0,) = struct.unpack_from("<I", bad, 4)
+        (n,) = struct.unpack_from("<H", bad, ifd0)
+        for i in range(n):
+            off = ifd0 + 2 + 12 * i
+            tag = struct.unpack_from("<H", bad, off)[0]
+            if tag == 259:
+                struct.pack_into("<H", bad, off + 8, 5)
+        assert decode_tiff_pixels(bytes(bad)) is None
+        assert decode_tiff_pixels(b"II*\x00" + b"\x00" * 20) is None
+        assert decode_tiff_pixels(b"garbage") is None
+
+    def test_cross_codec_hash_identity(self):
+        """A TIFF re-save of a BMP/PNG image hashes IDENTICALLY —
+        the cross-codec claim extended to the sixth format."""
+        from tidb_cdc_spark.functions.multimodal import (
+            _encode_tiff,
+            ahash64,
+            decode_pixels,
+        )
+
+        idx = np.arange(64) // 8
+        bit_idx = (idx[:, None] * 8 + idx[None, :]) % 8
+        for v in (1, 85, 254):
+            g = np.where((v >> bit_idx) & 1, 180, 60).astype(np.int64)
+            assert ahash64(decode_pixels(_encode_tiff(g))) == ahash64(g)
+            assert ahash64(
+                decode_pixels(_encode_tiff(g, rgb=True, endian=">"))
+            ) == ahash64(g)

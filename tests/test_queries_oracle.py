@@ -56,6 +56,7 @@ ROUND_ADDITIONS = [
     "animated_webp_video_audit",  # r14 NEW animated-WebP frame-path audit
     "multimodal_audio_probe_audit",  # r14 NEW FLAC/MP3 duration probe
     "audio_g711_audit",  # r14 NEW G.711 companded-audio collapse
+    "multimodal_tiff_phash_audit",  # r14 NEW baseline-TIFF pixel audit
     "video_curation_pipeline",  # r14 changed: GIF routing in frame path
     "video_curation_provenance",  # r14 changed: GIF routing in frame path
     "video_frame_cap_report",  # r14 changed: GIF routing in frame path

@@ -138,6 +138,18 @@ def parse_image_header(payload: bytes) -> "tuple[str, int, int] | None":
                 abs(int.from_bytes(p[22:26], "little", signed=True)),
             )
         return None  # unknown DIB header size
+    if len(p) >= 14 and p[:4] in (b"II*\x00", b"MM\x00*"):
+        hdr = _tiff_ifd0(p)
+        if hdr is None:
+            return None
+        end, entries = hdr
+        if 256 not in entries or 257 not in entries:
+            return None
+        w = _tiff_values(p, end, entries[256])
+        h = _tiff_values(p, end, entries[257])
+        if not w or not h:
+            return None
+        return ("image/tiff", w[0], h[0])
     if len(p) >= 30 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
         tag = p[12:16]
         if tag == b"VP8L" and p[20] == 0x2F:
@@ -1452,6 +1464,323 @@ def decode_webp_anim_frames(payload: bytes):
     return frames or None
 
 
+def _tiff_ifd0(p: bytes):
+    """(endian, {tag: (type, count, value_or_offset_bytes)}) for a
+    TIFF stream's first IFD, or None. Shared by the dims probe and
+    the pixel decoder."""
+    import struct
+
+    if len(p) < 14:
+        return None
+    if p[:4] == b"II*\x00":
+        end = "<"
+    elif p[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        return None
+    (ifd0,) = struct.unpack_from(end + "I", p, 4)
+    if ifd0 + 2 > len(p):
+        return None
+    (n,) = struct.unpack_from(end + "H", p, ifd0)
+    entries = {}
+    for i in range(n):
+        off = ifd0 + 2 + 12 * i
+        if off + 12 > len(p):
+            return None
+        tag, typ, cnt = struct.unpack_from(end + "HHI", p, off)
+        entries[tag] = (typ, cnt, off + 8)
+    return end, entries
+
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _tiff_values(p: bytes, end: str, entry):
+    """Entry values as a list of ints (BYTE/SHORT/LONG only —
+    rational tags are irrelevant to the pixel path), or None."""
+    import struct
+
+    typ, cnt, vpos = entry
+    size = _TIFF_TYPE_SIZE.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    if total <= 4:
+        base = vpos
+    else:
+        (base,) = struct.unpack_from(end + "I", p, vpos)
+    if base + total > len(p):
+        return None
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    return list(struct.unpack_from(end + str(cnt) + fmt, p, base))
+
+
+def decode_tiff_pixels(payload: bytes):
+    """REAL pixel decode for UNCOMPRESSED baseline TIFF — the last
+    common still format the perceptual chain lacked: both byte
+    orders (II/MM), multi-strip layout (StripOffsets/ByteCounts ×
+    RowsPerStrip), PhotometricInterpretation 0 (WhiteIsZero,
+    inverted) / 1 (BlackIsZero) / 2 (RGB) / 3 (palette, 16-bit
+    ColorMap reduced by its high byte like the PNG 16-bit rule),
+    bit depths 1 / 8 / 16 (16-bit reduced by high byte), 3- and
+    4-sample pixels (RGBA composited over WHITE with the shared
+    round-half-up rule), and the TIFF Orientation tag normalized
+    through the same ``apply_exif_orientation`` the JPEG path uses
+    (a tag-rotated scan must hash like its upright twin). Returns
+    the int64 BT.601 luma array, or None outside the envelope
+    (LZW/PackBits/JPEG-in-TIFF compression, tiled layout, planar
+    configuration 2, predictors — codec territory, fail closed).
+    Scale shape: one strip concatenation + vectorized numpy per
+    payload inside the Arrow pass."""
+    import numpy as np
+
+    hdr = _tiff_ifd0(payload)
+    if hdr is None:
+        return None
+    end, entries = hdr
+    p = payload
+
+    def vals(tag, default=None):
+        if tag not in entries:
+            return default
+        return _tiff_values(p, end, entries[tag])
+
+    if 322 in entries or 323 in entries:
+        return None  # tiled layout
+    comp = vals(259, [1])
+    if comp is None or comp[0] != 1:
+        return None  # compressed TIFF: codec territory
+    planar = vals(284, [1])
+    if planar is None or planar[0] != 1:
+        return None
+    if vals(317, [1])[0] != 1:
+        return None  # predictor without compression is malformed
+    w = vals(256)
+    h = vals(257)
+    offsets = vals(273)
+    counts = vals(279)
+    if not w or not h or not offsets or not counts:
+        return None
+    w, h = w[0], h[0]
+    if w <= 0 or h <= 0 or len(offsets) != len(counts):
+        return None
+    photo = vals(262, [1])[0]
+    spp = vals(277, [1])[0]
+    bits_l = vals(258, [1])
+    if bits_l is None or len(set(bits_l)) != 1:
+        return None
+    bits = bits_l[0]
+    if photo in (0, 1, 3):
+        if spp != 1 or bits not in (1, 8, 16):
+            return None
+    elif photo == 2:
+        if spp not in (3, 4) or bits not in (8, 16):
+            return None
+    else:
+        return None
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(p):
+            return None  # truncated strip: no fabricated pixels
+        data += p[o : o + c]
+    row_bytes = (w * spp * bits + 7) // 8
+    if len(data) < row_bytes * h:
+        return None
+    rows = np.frombuffer(
+        bytes(data[: row_bytes * h]), dtype=np.uint8
+    ).reshape(h, row_bytes)
+    if bits == 1:
+        expanded = np.unpackbits(rows, axis=1)[:, :w].astype(np.int64)
+        sam = expanded.reshape(h, w, 1)
+        maxv = 1
+    elif bits == 8:
+        sam = rows[:, : w * spp].reshape(h, w, spp).astype(np.int64)
+        maxv = 255
+    else:  # 16: high-byte reduction (the PNG rule)
+        pairs = rows[:, : w * spp * 2].reshape(h, w, spp, 2).astype(np.int64)
+        hi, lo = (0, 1) if end == ">" else (1, 0)
+        sam = (pairs[..., hi] << 8) | pairs[..., lo]
+        maxv = 65535
+    if photo == 3:
+        cmap = vals(320)
+        npal = 1 << bits
+        if cmap is None or len(cmap) < 3 * npal:
+            return None
+        idx = sam[:, :, 0]
+        if int(idx.max()) >= npal:
+            return None
+        pal = np.asarray(cmap[: 3 * npal], dtype=np.int64).reshape(3, npal)
+        r, g, b = (pal[0][idx] >> 8), (pal[1][idx] >> 8), (pal[2][idx] >> 8)
+        gray = (r * 299 + g * 587 + b * 114) // 1000
+    elif photo in (0, 1):
+        v = sam[:, :, 0]
+        if bits == 16:
+            v = v >> 8
+            maxv = 255
+        elif bits == 1:
+            v = v * 255
+            maxv = 255
+        gray = (maxv - v) if photo == 0 else v
+    else:
+        if bits == 16:
+            sam = sam >> 8
+        if spp == 4:
+            a = sam[:, :, 3]
+            comp_rgb = [
+                (sam[:, :, c] * a + 255 * (255 - a) + 127) // 255
+                for c in range(3)
+            ]
+        else:
+            comp_rgb = [sam[:, :, c] for c in range(3)]
+        gray = (
+            comp_rgb[0] * 299 + comp_rgb[1] * 587 + comp_rgb[2] * 114
+        ) // 1000
+    orient = vals(274, [1])[0]
+    if not 1 <= orient <= 8:
+        orient = 1
+    from tidb_cdc_spark.functions.jpeg import apply_exif_orientation
+
+    return apply_exif_orientation(gray, orient)
+
+
+def _encode_tiff(
+    gray,
+    photometric: int = 1,
+    bits: int = 8,
+    endian: str = "<",
+    rgb: bool = False,
+    rgba: bool = False,
+    orientation: int = 1,
+    rows_per_strip: "int | None" = None,
+) -> bytes:
+    """TEST/AUDIT FIXTURE: a REAL baseline TIFF of an int64 gray
+    array — both byte orders, multi-strip, photometric 0/1/2,
+    8/16-bit, optional RGBA (opaque), optional Orientation tag
+    (the stored pixels must then be the INVERSE-rotated plant, like
+    the JPEG EXIF fixture)."""
+    import struct
+
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    if rgba:
+        spp, photo = 4, 2
+        px = np.concatenate(
+            [
+                np.repeat(g[:, :, None], 3, axis=2),
+                np.full((h, w, 1), 255, dtype=np.int64),
+            ],
+            axis=2,
+        )
+    elif rgb:
+        spp, photo = 3, 2
+        px = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        spp, photo = 1, photometric
+        v = (255 - g) if photometric == 0 else g
+        px = v[:, :, None]
+    if bits == 16:
+        px = px * 257
+        dt = np.dtype(">u2" if endian == ">" else "<u2")
+        body_rows = px.astype(dt).tobytes()
+        row_bytes = w * spp * 2
+    else:
+        body_rows = px.astype(np.uint8).tobytes()
+        row_bytes = w * spp
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        nrows = min(rps, h - y0)
+        strips.append(
+            body_rows[y0 * row_bytes : (y0 + nrows) * row_bytes]
+        )
+    e = endian
+    tags = []  # (tag, type, count, value_or_None, payload_bytes)
+
+    def short(tag, v):
+        tags.append((tag, 3, 1, v, None))
+
+    def longs(tag, vs):
+        if len(vs) == 1:
+            tags.append((tag, 4, 1, vs[0], None))
+        else:
+            tags.append(
+                (tag, 4, len(vs), None,
+                 struct.pack(e + str(len(vs)) + "I", *vs))
+            )
+
+    short(256, w)
+    short(257, h)
+    short(258, bits) if spp == 1 else tags.append(
+        (258, 3, spp, None, struct.pack(e + str(spp) + "H", *([bits] * spp)))
+    )
+    short(259, 1)
+    short(262, photo)
+    if orientation != 1:
+        short(274, orientation)
+    short(277, spp)
+    short(278, rps)
+    # strip offsets/counts resolved after layout
+    header = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
+    n_entries = len(tags) + 2
+    ifd_size = 2 + 12 * n_entries + 4
+    # layout: header(8) + IFD + out-of-line tag payloads + strips
+    payload_pos = 8 + ifd_size
+    out_of_line = []
+    for t in tags:
+        if t[4] is not None:
+            out_of_line.append((t, payload_pos))
+            payload_pos += len(t[4])
+    # reserve room for offsets/counts arrays when multi-strip
+    ns = len(strips)
+    if ns > 1:
+        so_pos = payload_pos
+        payload_pos += 4 * ns
+        sc_pos = payload_pos
+        payload_pos += 4 * ns
+    strip_pos = []
+    for s in strips:
+        strip_pos.append(payload_pos)
+        payload_pos += len(s)
+    full = [*tags]
+    if ns > 1:
+        full.append((273, 4, ns, None, b""))
+        full.append((279, 4, ns, None, b""))
+    else:
+        full.append((273, 4, 1, strip_pos[0], None))
+        full.append((279, 4, 1, len(strips[0]), None))
+    full.sort(key=lambda t: t[0])
+    ifd = struct.pack(e + "H", n_entries)
+    ool_iter = {id(t): pos for t, pos in out_of_line}
+    for t in full:
+        tag, typ, cnt, val, pay = t
+        if tag == 273 and ns > 1:
+            ifd += struct.pack(e + "HHII", tag, typ, cnt, so_pos)
+        elif tag == 279 and ns > 1:
+            ifd += struct.pack(e + "HHII", tag, typ, cnt, sc_pos)
+        elif pay is not None:
+            ifd += struct.pack(e + "HHII", tag, typ, cnt, ool_iter[id(t)])
+        elif typ == 3:
+            ifd += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(
+                e + "HH", val, 0
+            )
+        else:
+            ifd += struct.pack(e + "HHII", tag, typ, cnt, val)
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    out = bytearray(header + ifd)
+    for t, pos in out_of_line:
+        assert len(out) == pos
+        out += t[4]
+    if ns > 1:
+        assert len(out) == so_pos
+        out += struct.pack(e + str(ns) + "I", *strip_pos)
+        out += struct.pack(e + str(ns) + "I", *[len(s) for s in strips])
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def decode_pixels(payload: bytes):
     """THE pixel-decode boundary for the perceptual-hash chain, kept
     to one function like ``decode_image_dims`` is for dims: the
@@ -1478,6 +1807,10 @@ def decode_pixels(payload: bytes):
     gray = decode_bmp_pixels(payload)
     if gray is not None:
         return gray
+    if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        gray = decode_tiff_pixels(payload)
+        if gray is not None:
+            return gray
     if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         gray = decode_png_pixels(payload)
         if gray is not None:
@@ -2897,7 +3230,9 @@ def _encode_gif(gray, interlaced: bool = False) -> bytes:
     )
 
 
-def _encode_gif_anim(frames, loop: bool = True, delays=None) -> bytes:
+def _encode_gif_anim(
+    frames, loop: bool = True, delays=None, screen=None
+) -> bytes:
     """TEST/AUDIT FIXTURE: encode a REAL ANIMATED GIF89a. ``frames``
     is a list of (gray, lx, ty, disposal) rendering blocks: ``gray``
     an int64 array whose -1 entries are TRANSPARENT (previous canvas
@@ -2911,14 +3246,20 @@ def _encode_gif_anim(frames, loop: bool = True, delays=None) -> bytes:
     must skip an app-extension block too. ``delays`` (centiseconds
     per block, default 4 each) feeds the GCE delay field —
     ``gif_animation_info`` recovers their ×10 ms sum. The logical
-    screen is sized to the first block (which must be at (0, 0))."""
+    screen is sized to the first block (which must be at (0, 0)),
+    or to an explicit ``screen=(w, h)`` — blocks may then be
+    SMALLER than the screen (the header-probe fixtures plant
+    formula dims with 2×2 rendering blocks)."""
     import struct
 
     import numpy as np
 
     g0, lx0, ty0, _ = frames[0]
     assert lx0 == 0 and ty0 == 0, "first frame anchors the screen"
-    sh, sw = g0.shape
+    if screen is not None:
+        sw, sh = screen
+    else:
+        sh, sw = g0.shape
     out = bytearray(
         b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0, 0, 0)
     )  # no global color table
@@ -3066,8 +3407,15 @@ def synth_anim_probe_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     mid = int(mid)
                     n = 2 + mid % 7
                     w, h = 8 + mid % 24, 8 + mid % 16
+                    # the probe walks HEADERS only, so the planted
+                    # formula dims live in the logical-screen/canvas
+                    # fields while the rendering blocks stay 2×2 —
+                    # spec-legal, and the synth cost is ∝ frame
+                    # COUNT like the probe itself (measured: the
+                    # full-size plant put a 7 s synth in front of a
+                    # 0.7 s probe at sf0.1)
                     frames = [
-                        np.full((h, w), 80 + 10 * f, dtype=np.int64)
+                        np.full((2, 2), 80 + 10 * f, dtype=np.int64)
                         for f in range(n)
                     ]
                     if mid % 2 == 0:
@@ -3075,6 +3423,7 @@ def synth_anim_probe_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         payload = _encode_gif_anim(
                             [(g, 0, 0, 1) for g in frames],
                             delays=[delay] * n,
+                            screen=(w, h),
                         )
                     else:
                         dur = 20 + mid % 500
@@ -3295,6 +3644,34 @@ def synth_codec_pixel_media(
                         payload = encode_jpeg(
                             np.ascontiguousarray(inv(gray)),
                             exif_orientation=o,
+                        )
+                    elif c == "tiff":
+                        payload = _encode_tiff(gray, rows_per_strip=16)
+                    elif c == "tiff_rgb_be":
+                        payload = _encode_tiff(gray, rgb=True, endian=">")
+                    elif c == "tiff_16":
+                        payload = _encode_tiff(
+                            gray, bits=16, rows_per_strip=8
+                        )
+                    elif c == "tiff_rgba":
+                        payload = _encode_tiff(gray, rgba=True)
+                    elif c == "tiff_wiz":
+                        payload = _encode_tiff(gray, photometric=0)
+                    elif c.startswith("tiff_o"):
+                        o = int(c[6:])
+                        inv = {
+                            1: lambda a: a,
+                            2: lambda a: a[:, ::-1],
+                            3: lambda a: a[::-1, ::-1],
+                            4: lambda a: a[::-1, :],
+                            5: lambda a: a.T,
+                            6: lambda a: a[:, ::-1].T,
+                            7: lambda a: a[::-1, ::-1].T,
+                            8: lambda a: a.T[:, ::-1],
+                        }[o]
+                        payload = _encode_tiff(
+                            np.ascontiguousarray(inv(gray)),
+                            orientation=o,
                         )
                     elif c == "webp_lossy":
                         from tidb_cdc_spark.functions.webp import (

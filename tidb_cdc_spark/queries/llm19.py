@@ -1048,6 +1048,102 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_tiff_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline-TIFF audit — the last common still format joins
+    the codec family (`functions/multimodal.py::decode_tiff_pixels`:
+    both byte orders, multi-strip, photometric 0/1/2/3, 1/8/16-bit,
+    RGBA-over-white, and the TIFF Orientation tag normalized through
+    the shared `apply_exif_orientation`). Variant ``doc_id div 97 %
+    4`` for cluster ``pid = doc_id % 97``: 0 → the BMP anchor, 1 →
+    gray little-endian multi-strip TIFF, 2 → big-endian RGB TIFF
+    with a +20 brightness shift, 3 → an Orientation-6 TIFF storing
+    the inverse-rotated pixels (the scanner-rotation trap — byte-
+    different, pixel-rotated, must normalize onto the upright
+    anchor). All legs lossless ⇒ the flat-plant aHash lemma carries
+    exactly; ``distinct_ahash = n_clusters`` iff the IFD walk, strip
+    assembly, endianness, photometric handling, and orientation
+    normalization are all right. All columns from id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synth_codec_pixel_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 97).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 97) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 97") % 4 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+            F.element_at(
+                F.array(
+                    F.lit("bmp"), F.lit("tiff"),
+                    F.lit("tiff_rgb_be"), F.lit("tiff_o6"),
+                ),
+                (F.expr("doc_id div 97") % 4 + 1).cast("int"),
+            ).alias("codec"),
+        )
+    )
+    media = synth_codec_pixel_media(planted, "media_id", width=64, height=64)
+    hashes = materialize(
+        perceptual_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3, max_bucket_size=None)
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("ahash").alias("_na"),
+        F.countDistinct("dhash").alias("_nd"),
+    )
+    scorecard = hashes.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("pid").alias("n_clusters"),
+        F.countDistinct("ahash").alias("distinct_ahash"),
+    )
+    return (
+        scorecard.crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_ahash_variants"),
+                    F.max("_nd").cast("long").alias("max_cluster_dhash_variants"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_ahash",
+            "max_cluster_ahash_variants",
+            "max_cluster_dhash_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+_TIFF_PHASH_SQL = """
+WITH m AS (
+  SELECT doc_id % 97 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_ahash,
+       CAST(1 AS BIGINT) AS max_cluster_ahash_variants,
+       CAST(1 AS BIGINT) AS max_cluster_dhash_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
@@ -1059,6 +1155,7 @@ QUERIES = {
     "multimodal_webp_lossy_audit": multimodal_webp_lossy_audit,
     "animated_gif_video_audit": animated_gif_video_audit,
     "animated_webp_video_audit": animated_webp_video_audit,
+    "multimodal_tiff_phash_audit": multimodal_tiff_phash_audit,
 }
 
 ORACLE = {
@@ -1072,4 +1169,5 @@ ORACLE = {
     "multimodal_webp_lossy_audit": _WEBP_LOSSY_SQL,
     "animated_gif_video_audit": _GIF_ANIM_SQL,
     "animated_webp_video_audit": _WEBP_ANIM_SQL,
+    "multimodal_tiff_phash_audit": _TIFF_PHASH_SQL,
 }

@@ -68,6 +68,10 @@ PICKS = {
     "multimodal_webp_lossy_audit": "lossy-VP8 WebP audit (r14): same synth -> decode/hash -> Manku-pair shape; the ctypes libwebp decode rides the Arrow stage exactly like the pure paths, 24 B hash rows shuffle",
     "animated_gif_video_audit": "animated-GIF frame path (r14): synth -> per-block LZW decode + logical-screen composition inside the Arrow pass -> 28 B frame rows; pair stage is the shared inverted-index frame-hash equi-join",
     "multimodal_anim_probe_audit": "animation header probe (r14): two Arrow-batched mapInPandas passes (synth -> header-only walk) over id-sized rows; frame bitstreams length-skipped, payloads dropped before the presentation sort",
+    "animated_webp_video_audit": "animated-WebP frame path (r14): per-ANMF VP8L decode + rect composition inside the Arrow pass -> 28 B frame rows; pair stage is the shared inverted-index frame-hash equi-join",
+    "multimodal_audio_probe_audit": "compressed-audio duration probe (r14): synth -> FLAC/MP3 header-only walk, two Arrow passes over id-sized rows, payloads never shuffle",
+    "audio_g711_audit": "G.711 companded-audio collapse (r14): synth -> LUT expansion + fingerprint Arrow passes emit 16 B rows; pair stage is the shared Manku banded equi-join",
+    "multimodal_tiff_phash_audit": "baseline-TIFF audit (r14): same synth -> decode/hash -> Manku-pair shape; IFD walk + strip assembly all numpy inside the Arrow stage, 24 B hash rows shuffle",
 }
 
 HEADER = (
