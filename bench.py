@@ -222,6 +222,7 @@ def main() -> None:
         "multimodal_audio_probe_audit",
         "audio_g711_audit",
         "multimodal_tiff_phash_audit",
+        "multimodal_mjpeg_video_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

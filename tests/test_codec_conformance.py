@@ -333,3 +333,89 @@ class TestThirdPartyEncodedStreams:
             out = decode_gif_pixels(work[f"t{h}x{w}"][2])
             assert out is not None
             assert (out == g).all(), (h, w)
+
+
+class TestMjpegStandardTablesAgainstImageIO:
+    """The K.3 constants behind ``mjpeg_ensure_dht`` refereed by an
+    independent implementation: javax.imageio's JPEG writer encodes
+    with the T.81 Annex K.3 "typical" tables, so (a) the DHT
+    segments it emits must equal our transcribed constants
+    byte-for-byte, and (b) stripping its DHT and re-injecting ours
+    must leave the stream decoding IDENTICALLY — the exact
+    transform a real MJPEG/AVI1 consumer performs."""
+
+    @staticmethod
+    def _parse_dht_tables(jpg: bytes) -> dict:
+        """(class<<4|id) → (counts tuple, symbol bytes) from every
+        DHT segment before the first SOS."""
+        import struct as _struct
+
+        out = {}
+        i = 2
+        while i + 4 <= len(jpg):
+            assert jpg[i] == 0xFF
+            m = jpg[i + 1]
+            if m == 0xDA:
+                break
+            if 0xD0 <= m <= 0xD8 or m == 0x01:
+                i += 2
+                continue
+            seglen = _struct.unpack(">H", jpg[i + 2 : i + 4])[0]
+            if m == 0xC4:
+                j = i + 4
+                end = i + 2 + seglen
+                while j < end:
+                    cls_id = jpg[j]
+                    counts = list(jpg[j + 1 : j + 17])
+                    n = sum(counts)
+                    syms = jpg[j + 17 : j + 17 + n]
+                    out[cls_id] = (counts, bytes(syms))
+                    j += 17 + n
+            i += 2 + seglen
+        return out
+
+    def test_imageio_dht_equals_our_k3_constants(self, recoder):
+        from tidb_cdc_spark.functions.jpeg import (
+            _STD_AC_CHROM,
+            _STD_AC_LUM,
+            _STD_DC_CHROM,
+            _STD_DC_LUM,
+        )
+
+        rng = _rng()
+        g = rng.integers(0, 256, (24, 31)).astype(np.int64)
+        _, jpg, _ = recoder({"k3": _bmp_bytes(g)})["k3"]
+        tables = self._parse_dht_tables(jpg)
+        expect = {
+            0x00: _STD_DC_LUM,
+            0x10: _STD_AC_LUM,
+            0x01: _STD_DC_CHROM,
+            0x11: _STD_AC_CHROM,
+        }
+        for cls_id, (counts, syms) in expect.items():
+            assert cls_id in tables, f"ImageIO wrote no table {cls_id:#x}"
+            got_counts, got_syms = tables[cls_id]
+            assert got_counts == list(counts), f"counts differ {cls_id:#x}"
+            assert got_syms == syms, f"symbols differ {cls_id:#x}"
+
+    def test_strip_then_inject_preserves_imageio_stream(self, recoder):
+        """A third-party K.3-coded stream survives the MJPEG round
+        trip: strip DHT (undecodable), inject our constants, decode
+        — pixel-identical to the untouched stream."""
+        from tidb_cdc_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+            mjpeg_ensure_dht,
+            mjpeg_strip_dht,
+        )
+
+        rng = _rng()
+        g = rng.integers(0, 256, (24, 31)).astype(np.int64)
+        _, jpg, _ = recoder({"rt": _bmp_bytes(g)})["rt"]
+        base = decode_jpeg_pixels(jpg)
+        assert base is not None
+        naked = mjpeg_strip_dht(jpg)
+        assert naked != jpg
+        assert decode_jpeg_pixels(naked) is None
+        healed = decode_jpeg_pixels(mjpeg_ensure_dht(naked))
+        assert healed is not None
+        assert np.array_equal(healed, base)

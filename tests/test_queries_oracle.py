@@ -60,7 +60,8 @@ ROUND_ADDITIONS = [
     "video_curation_pipeline",  # r14 changed: GIF routing in frame path
     "video_curation_provenance",  # r14 changed: GIF routing in frame path
     "video_frame_cap_report",  # r14 changed: GIF routing in frame path
-    "multimodal_video_audit",  # r14 changed: GIF routing in frame path
+    "multimodal_video_audit",  # r14 changed: MJPEG 00dc branch in decode
+    "multimodal_mjpeg_video_audit",  # r14 NEW MJPEG/AVI1 frame-path audit
 ]
 
 

@@ -722,6 +722,157 @@ def _huff_spec_ac():
     return counts, bytes(syms)
 
 
+# ------------------------- T.81 Annex K.3 "typical" Huffman tables
+#
+# The fixed tables MJPEG relies on: the OpenDML AVI spec ("AVI1"
+# JPEGs) lets a motion-JPEG frame OMIT its DHT segments entirely —
+# decoders must then supply these tables from T.81 Tables K.3-K.6.
+# The byte values below are pinned against an independent authority
+# in tests/test_codec_conformance.py: javax.imageio's JPEG writer
+# emits exactly these tables in its DHT segments, and the test
+# parses them out and asserts count+symbol equality (the r13
+# no-guess doctrine — a transcribed constant needs a referee).
+
+_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_STD_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]),
+)
+_STD_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]),
+)
+
+#: the four K.3 tables as one DHT segment body, (class<<4|id) order
+#: DC-lum(0,0), AC-lum(1,0), DC-chrom(0,1), AC-chrom(1,1)
+_STD_DHT_SPECS = (
+    (0x00, _STD_DC_LUM),
+    (0x10, _STD_AC_LUM),
+    (0x01, _STD_DC_CHROM),
+    (0x11, _STD_AC_CHROM),
+)
+
+
+def _std_dht_segment() -> bytes:
+    body = bytearray()
+    for cls_id, (counts, syms) in _STD_DHT_SPECS:
+        body += bytes([cls_id]) + bytes(counts) + syms
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + bytes(body)
+
+
+def mjpeg_ensure_dht(payload: bytes) -> bytes:
+    """Make a DHT-less MJPEG frame a self-contained JPEG: if the
+    stream carries no DHT segment before its first SOS, inject the
+    four T.81 Annex K.3 fixed tables (all four, ids 0 and 1, so any
+    legal table assignment in the scan header resolves) immediately
+    before the SOS, per the OpenDML "AVI1" convention. Streams that
+    already carry a DHT — or anything that is not a JPEG — are
+    returned unchanged; malformed marker structure is left for
+    :func:`decode_jpeg_pixels` to reject."""
+    p = payload
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return p
+    i = 2
+    while i + 2 <= len(p):
+        if p[i] != 0xFF:
+            return p  # not a marker stream — let the decoder reject
+        m = p[i + 1]
+        if m == 0xC4:
+            return p  # has its own DHT
+        if m == 0xDA:  # first SOS, no DHT seen → inject K.3 tables
+            return p[:i] + _std_dht_segment() + p[i:]
+        if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD8:
+            i += 2  # parameterless markers
+            continue
+        if i + 4 > len(p):
+            return p
+        i += 2 + struct.unpack(">H", p[i + 2 : i + 4])[0]
+    return p
+
+
+def mjpeg_strip_dht(payload: bytes) -> bytes:
+    """TEST/SYNTH FIXTURE — the inverse transform real MJPEG
+    encoders apply: drop every DHT segment before the first SOS,
+    producing the DHT-less "AVI1" frame form that only decodes once
+    :func:`mjpeg_ensure_dht` re-supplies the K.3 tables. Only
+    meaningful for streams actually coded WITH the K.3 tables
+    (``encode_jpeg(..., tables="standard")``)."""
+    p = payload
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return p
+    out = bytearray(p[:2])
+    i = 2
+    while i + 2 <= len(p):
+        if p[i] != 0xFF:
+            break
+        m = p[i + 1]
+        if m == 0xDA:
+            out += p[i:]
+            return bytes(out)
+        if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD8:
+            out += p[i : i + 2]
+            i += 2
+            continue
+        if i + 4 > len(p):
+            break
+        seglen = struct.unpack(">H", p[i + 2 : i + 4])[0]
+        if m != 0xC4:
+            out += p[i : i + 2 + seglen]
+        i += 2 + seglen
+    return p  # malformed — return unchanged
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -836,6 +987,7 @@ def encode_jpeg(
     cb_const: int = 0,
     cr_const: int = 0,
     exif_orientation: int = 0,
+    tables: str = "fixture",
 ) -> bytes:
     """TEST FIXTURE: encode an int64 gray array as a REAL baseline
     JFIF JPEG with quantization step 1 everywhere (so flat 8×8
@@ -848,7 +1000,13 @@ def encode_jpeg(
     the decoded RGB is an exact integer function of (gray, cb, cr)
     under the JFIF conversion — including through the replication
     upsample. ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs (exercises the decoder's restart path)."""
+    every that many MCUs (exercises the decoder's restart path).
+
+    ``tables="standard"`` codes the scan with the T.81 Annex K.3
+    typical tables instead (luma tables as id 0, chroma as id 1 —
+    the assignment every real-world encoder uses): the form MJPEG
+    fixtures need, because only a K.3-coded stream stays decodable
+    after :func:`mjpeg_strip_dht` + :func:`mjpeg_ensure_dht`."""
     g = np.asarray(gray, dtype=np.int64)
     h, w = g.shape
     if not color:
@@ -864,11 +1022,29 @@ def encode_jpeg(
     mw = (w + 8 * hmax - 1) // (8 * hmax)
     mh = (h + 8 * vmax - 1) // (8 * vmax)
     padded = _pad_replicate(g, mh * vmax * 8, mw * hmax * 8)
-    dc_counts, dc_syms = _huff_spec_dc()
-    ac_counts, ac_syms = _huff_spec_ac()
-    dc_enc = _enc_table(dc_counts, dc_syms)
-    ac_enc = _enc_table(ac_counts, ac_syms)
     ncomp = len(comps)
+    if tables == "standard":
+        # K.3: luma tables as id 0, chroma tables as id 1
+        tids = [0] + [1] * (ncomp - 1)
+        dht_specs = [
+            (0x00, _STD_DC_LUM), (0x10, _STD_AC_LUM),
+        ] + (
+            [(0x01, _STD_DC_CHROM), (0x11, _STD_AC_CHROM)]
+            if ncomp > 1
+            else []
+        )
+        dc_encs = [
+            _enc_table(*_STD_DC_LUM), _enc_table(*_STD_DC_CHROM),
+        ]
+        ac_encs = [
+            _enc_table(*_STD_AC_LUM), _enc_table(*_STD_AC_CHROM),
+        ]
+    else:
+        tids = [0] * ncomp
+        dc_spec, ac_spec = _huff_spec_dc(), _huff_spec_ac()
+        dht_specs = [(0x00, dc_spec), (0x10, ac_spec)]
+        dc_encs = [_enc_table(*dc_spec)]
+        ac_encs = [_enc_table(*ac_spec)]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF
@@ -883,16 +1059,18 @@ def encode_jpeg(
     for c, (hv, _) in enumerate(comps):
         sof += bytes([c + 1, hv, 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT: DC class 0 id 0, AC class 1 id 0
-    dht = bytes([0x00]) + bytes(dc_counts) + dc_syms
-    dht += bytes([0x10]) + bytes(ac_counts) + ac_syms
+    # DHT: one segment carrying every table the scan references
+    dht = b"".join(
+        bytes([cls_id]) + bytes(counts) + syms
+        for cls_id, (counts, syms) in dht_specs
+    )
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for c in range(ncomp):
-        sos += bytes([c + 1, 0x00])
+        sos += bytes([c + 1, tids[c] * 0x11])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
@@ -926,7 +1104,10 @@ def encode_jpeg(
                             c0 = (mx * hi + bx) * 8
                             blk = padded[r0 : r0 + 8, c0 : c0 + 8]
                             coef = _fwd_block(blk - 128)
-                        _write_block(bwr, coef, pred, ci, dc_enc, ac_enc)
+                        _write_block(
+                            bwr, coef, pred, ci,
+                            dc_encs[tids[ci]], ac_encs[tids[ci]],
+                        )
             mcu += 1
     bwr.flush()
     out += bwr.out

@@ -2039,13 +2039,26 @@ def parse_avi_header(payload: bytes):
 
 
 def decode_avi_frames(payload: bytes):
-    """REAL frame decode for uncompressed AVI: returns the list of
-    grayscale frames (``int64`` arrays, BT.601 integer luma) from the
-    ``movi`` list's ``00db`` raw-DIB chunks — bottom-up BGR rows,
-    4-byte stride, dims from the ``avih`` header — or None when the
-    container isn't AVI or carries no uncompressed frames
-    (``00dc`` compressed frames are codec territory)."""
+    """REAL frame decode for AVI: returns the list of grayscale
+    frames (``int64`` arrays, BT.601 integer luma) from the ``movi``
+    list — ``00db`` raw-DIB chunks (bottom-up BGR rows, 4-byte
+    stride, dims from the ``avih`` header) and MJPEG ``00dc`` chunks
+    (a standalone baseline JPEG per frame, recognized by its SOI
+    magic and decoded with the conformance-verified
+    :func:`~tidb_cdc_spark.functions.jpeg.decode_jpeg_pixels`;
+    DHT-less "AVI1" frames get the T.81 K.3 fixed tables injected
+    via :func:`~tidb_cdc_spark.functions.jpeg.mjpeg_ensure_dht`
+    first — the dominant real-world AVI codec). A JPEG frame that
+    fails to decode or whose SOF dims disagree with the ``avih``
+    header fails the whole container CLOSED (None → the no-pixel-
+    evidence path); non-JPEG ``00dc`` payloads stay codec
+    territory and are skipped."""
     import numpy as np
+
+    from tidb_cdc_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        mjpeg_ensure_dht,
+    )
 
     hdr = parse_avi_header(payload)
     if hdr is None:
@@ -2079,6 +2092,18 @@ def decode_avi_frames(payload: bytes):
                     )
                     b, g, r = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
                     frames.append((r * 299 + g * 587 + b * 114) // 1000)
+                elif (
+                    fid[2:4] == b"dc"
+                    and p[j + 8 : j + 10] == b"\xff\xd8"
+                ):
+                    if j + 8 + flen > len(p):
+                        return None  # truncated MJPEG frame
+                    gray = decode_jpeg_pixels(
+                        mjpeg_ensure_dht(p[j + 8 : j + 8 + flen])
+                    )
+                    if gray is None or gray.shape != (h, w):
+                        return None  # undecodable / dims disagree
+                    frames.append(gray)
                 j += 8 + flen + (flen & 1)
             break
         i += 8 + clen + (clen & 1)
@@ -2318,6 +2343,107 @@ def synth_avi_media(
                         + struct.pack("<I", nf)
                         + b"\x00" * 12
                         + struct.pack("<II", width, height)
+                        + b"\x00" * 16
+                    )
+                    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                    body = (
+                        b"AVI "
+                        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                        + b"LIST" + struct.pack("<I", len(movi)) + movi
+                    )
+                    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+                    rows.append(
+                        (mid, "video", None, None, None, None, payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def synth_mjpeg_avi_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    base_col: str = "base",
+    skip_col: str = "skip",
+    shift_col: str = "shift",
+    strip_col: str = "strip",
+    n_frames: int = 8,
+    size: int = 64,
+    us_per_frame: int = 40_000,
+) -> DataFrame:
+    """Plant REAL MJPEG AVIs — the compressed twin of
+    :func:`synth_avi_media`: same RIFF 'AVI ' container, but every
+    ``movi`` chunk is ``00dc`` carrying a standalone baseline JPEG
+    coded with the T.81 K.3 standard tables
+    (``encode_jpeg(..., tables="standard")``). Frames are 64×64 with
+    8×8-PIXEL cells ALIGNED to JPEG blocks, so every block is flat
+    and the quant-step-1 round trip is BIT-EXACT — the planted hash
+    lemma carries over unchanged from the uncompressed twin: frame
+    ``f`` of base ``B`` renders pattern word
+    ``v = 1 + (B·n_frames + f) % 65534`` (block (bx, by) bright iff
+    bit ``(by·8+bx) % 16``), so each frame's :func:`ahash64` is
+    provably v's 16 bits replicated ×4, injective in (B, f) and
+    invariant under the brightness shift δ.
+
+    ``skip=1`` plants the TRIMMED copy (first frame dropped);
+    ``strip=1`` plants the DHT-LESS "AVI1" frame form (different
+    bytes, identical pixels — decodable only through the
+    :func:`~tidb_cdc_spark.functions.jpeg.mjpeg_ensure_dht` K.3
+    injection, so a matching frame hash certifies that path).
+    Payloads are pure functions of (B, s, δ, strip); ≤512-row
+    yields (the Arrow batch-size discipline)."""
+    import struct
+
+    import numpy as np
+
+    from tidb_cdc_spark.functions.jpeg import encode_jpeg, mjpeg_strip_dht
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(base_col).cast("long").alias("_b"),
+        F.col(skip_col).cast("int").alias("_s"),
+        F.col(shift_col).cast("int").alias("_d"),
+        F.col(strip_col).cast("int").alias("_t"),
+    )
+
+    cell = np.arange(size) // 8  # 8-px cells == JPEG block grid
+    bit_idx = (cell[:, None] * 8 + cell[None, :]) % 16
+    chunk = 512
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, base, skip, d, strip in zip(
+                    seg["media_id"], seg["_b"], seg["_s"],
+                    seg["_d"], seg["_t"],
+                ):
+                    mid, base, skip, d, strip = (
+                        int(mid), int(base), int(skip), int(d), int(strip)
+                    )
+                    movi = b"movi"
+                    nf = 0
+                    for f in range(skip, n_frames):
+                        v = 1 + (base * n_frames + f) % 65534
+                        gray = np.where((v >> bit_idx) & 1, 180, 60) + d
+                        data = encode_jpeg(gray, tables="standard")
+                        if strip:
+                            data = mjpeg_strip_dht(data)
+                        movi += (
+                            b"00dc" + struct.pack("<I", len(data)) + data
+                        )
+                        if len(data) & 1:
+                            movi += b"\x00"  # RIFF word alignment
+                        nf += 1
+                    avih = (
+                        struct.pack("<I", us_per_frame)
+                        + b"\x00" * 12
+                        + struct.pack("<I", nf)
+                        + b"\x00" * 12
+                        + struct.pack("<II", size, size)
                         + b"\x00" * 16
                     )
                     hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih

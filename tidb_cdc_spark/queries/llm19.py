@@ -1144,6 +1144,104 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def multimodal_mjpeg_video_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG near-dup over REAL compressed frames — the dominant
+    real-world AVI codec joins the video frame path
+    (`functions/multimodal.py::decode_avi_frames`, ``00dc`` chunks):
+    each frame is a standalone baseline JPEG decoded with the
+    conformance-verified pure decoder, and the OpenDML "AVI1"
+    DHT-LESS frame form is decoded through the T.81 K.3 fixed-table
+    injection (`functions/jpeg.py::mjpeg_ensure_dht` — tables pinned
+    byte-for-byte against javax.imageio's writer in
+    tests/test_codec_conformance.py). Frames feed the same
+    `video_frame_hashes` → inverted-index `video_near_dup_pairs`
+    chain every other video format uses.
+
+    Planted-transform oracle: cluster ``pid = doc_id % 113``;
+    variant 0 plants DHT-carrying streams, variant 1 the DHT-less
+    AVI1 twin (different bytes, BIT-IDENTICAL pixels — flat
+    8×8-block frames at quant step 1 round-trip exactly, so a
+    matching frame hash certifies the K.3 injection), variant 2 a
+    TRIMMED (first frame dropped) + brightness-shifted DHT-less
+    copy — 7 shared frame hashes. `synth_mjpeg_avi_media`'s 16-bit
+    frame words keep every hash provably the word's replicated bits
+    (injective over (pid, frame): pid·8+7 ≤ 911 ≪ 65534;
+    shift-invariant), so all columns derive from id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        synth_mjpeg_avi_media,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 113).alias("pid"),
+            (F.col("doc_id") % 113).alias("base"),
+            F.when(F.expr("doc_id div 113") % 3 == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 113") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+            F.when(F.expr("doc_id div 113") % 3 >= 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("strip"),
+        )
+    )
+    media = synth_mjpeg_avi_media(planted, "media_id")
+    fh = materialize(
+        video_frame_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = video_near_dup_pairs(
+        fh, min_shared_frames=4, max_frame_freq=None
+    )
+    return (
+        fh.agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_frame_rows"),
+            F.countDistinct("fhash").alias("distinct_fhash"),
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "n_frame_rows",
+            "distinct_fhash",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: trimmed members carry 7 frames; a cluster's
+# distinct frame hashes are 8 iff any member is untrimmed (frame
+# words are disjoint across clusters); the DHT-less variant adds no
+# new hashes iff the K.3 injection decodes it pixel-identically
+_MJPEG_VIDEO_SQL = """
+WITH m AS (
+  SELECT doc_id % 113 AS pid,
+         CASE WHEN (doc_id // 113) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n, MIN(trimmed) AS min_tr FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT SUM(8 - trimmed) FROM m) AS BIGINT) AS n_frame_rows,
+       CAST((SELECT SUM(CASE WHEN min_tr = 0 THEN 8 ELSE 7 END) FROM c)
+            AS BIGINT) AS distinct_fhash,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_png_phash_audit": multimodal_png_phash_audit,
     "multimodal_codec_matrix_audit": multimodal_codec_matrix_audit,
@@ -1156,6 +1254,7 @@ QUERIES = {
     "animated_gif_video_audit": animated_gif_video_audit,
     "animated_webp_video_audit": animated_webp_video_audit,
     "multimodal_tiff_phash_audit": multimodal_tiff_phash_audit,
+    "multimodal_mjpeg_video_audit": multimodal_mjpeg_video_audit,
 }
 
 ORACLE = {
@@ -1170,4 +1269,5 @@ ORACLE = {
     "animated_gif_video_audit": _GIF_ANIM_SQL,
     "animated_webp_video_audit": _WEBP_ANIM_SQL,
     "multimodal_tiff_phash_audit": _TIFF_PHASH_SQL,
+    "multimodal_mjpeg_video_audit": _MJPEG_VIDEO_SQL,
 }

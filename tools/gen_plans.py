@@ -72,6 +72,7 @@ PICKS = {
     "multimodal_audio_probe_audit": "compressed-audio duration probe (r14): synth -> FLAC/MP3 header-only walk, two Arrow passes over id-sized rows, payloads never shuffle",
     "audio_g711_audit": "G.711 companded-audio collapse (r14): synth -> LUT expansion + fingerprint Arrow passes emit 16 B rows; pair stage is the shared Manku banded equi-join",
     "multimodal_tiff_phash_audit": "baseline-TIFF audit (r14): same synth -> decode/hash -> Manku-pair shape; IFD walk + strip assembly all numpy inside the Arrow stage, 24 B hash rows shuffle",
+    "multimodal_mjpeg_video_audit": "MJPEG frame path (r14): per-00dc baseline-JPEG decode (K.3 DHT injection for AVI1 frames) inside the Arrow pass -> 28 B frame rows; pair stage is the shared inverted-index frame-hash equi-join",
 }
 
 HEADER = (
