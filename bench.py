@@ -223,6 +223,7 @@ def main() -> None:
         "audio_g711_audit",
         "multimodal_tiff_phash_audit",
         "multimodal_mjpeg_video_audit",
+        "audio_adpcm_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

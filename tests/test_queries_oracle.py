@@ -62,6 +62,7 @@ ROUND_ADDITIONS = [
     "video_frame_cap_report",  # r14 changed: GIF routing in frame path
     "multimodal_video_audit",  # r14 changed: MJPEG 00dc branch in decode
     "multimodal_mjpeg_video_audit",  # r14 NEW MJPEG/AVI1 frame-path audit
+    "audio_adpcm_audit",  # r14 NEW IMA ADPCM adaptive-coding collapse
 ]
 
 

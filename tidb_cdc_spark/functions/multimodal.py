@@ -2658,17 +2658,179 @@ def _g711_encode(x, lut):
     return np.abs(lut[None, :] - x[:, None]).argmin(axis=1).astype(np.uint8)
 
 
+# IMA/DVI ADPCM (WAV format tag 0x11) — the classic 4-bit adaptive
+# differential codec game and telephony WAVs carry. The step/index
+# tables are the standard IMA ADPCM reference tables; they and the
+# shift-add difference reconstruction are conformance-pinned against
+# stdlib ``audioop.adpcm2lin`` (the same algorithm without WAV block
+# framing) over EVERY (start index × nibble) pair where importable
+# (tests/test_audio_fp.py).
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_core(nibbles, pred: int, index: int):
+    """One channel's IMA ADPCM recurrence: 4-bit codes → int16
+    samples from (predictor, step index) state. The shift-add
+    difference form (step>>3 base, +step/+step>>1/+step>>2 by
+    magnitude bits) is the reference integer implementation — the
+    one audioop uses too. Sequential by nature (the step adapts on
+    every sample); per-block Python loop, cost ∝ samples."""
+    step_t, idx_t = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    out = []
+    for nib in nibbles:
+        nib = int(nib)
+        step = step_t[index]
+        index += idx_t[nib & 7]
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        out.append(pred)
+    return out, pred, index
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int,
+                      samples_per_block: "int | None"):
+    """WAV IMA ADPCM block structure → interleaved int64 samples:
+    each ``block_align``-byte block opens with a 4-byte header per
+    channel (int16 predictor — emitted as the block's first sample —
+    uint8 step index, reserved), then 4-byte-per-channel nibble
+    groups (8 samples each, LOW nibble first) interleaved
+    channel-major. A short FINAL block is accepted if its groups are
+    whole; any other misalignment, an out-of-range step index, or a
+    truncated header returns None — no fabricated samples."""
+    import struct
+
+    import numpy as np
+
+    if channels < 1 or block_align <= 4 * channels:
+        return None
+    chunks = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4 * channels:
+            return None  # truncated header
+        preds, idxs = [], []
+        for c in range(channels):
+            pred = struct.unpack_from("<h", block, 4 * c)[0]
+            index = block[4 * c + 2]
+            if index > 88:
+                return None
+            preds.append(pred)
+            idxs.append(index)
+        body = block[4 * channels :]
+        if len(body) % (4 * channels):
+            return None  # partial nibble group
+        per_ch = [[p] for p in preds]  # header predictor = sample 0
+        for g in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                quad = body[g + 4 * c : g + 4 * (c + 1)]
+                nibs = []
+                for byte in quad:
+                    nibs.append(byte & 0x0F)  # low nibble first
+                    nibs.append(byte >> 4)
+                out, preds[c], idxs[c] = _ima_decode_core(
+                    nibs, preds[c], idxs[c]
+                )
+                per_ch[c].extend(out)
+        n = min(len(s) for s in per_ch)
+        if samples_per_block is not None:
+            n = min(n, samples_per_block)
+        arr = np.empty(n * channels, dtype=np.int64)
+        for c in range(channels):
+            arr[c::channels] = per_ch[c][:n]
+        chunks.append(arr)
+    if not chunks:
+        return None
+    return np.concatenate(chunks)
+
+
+def _ima_encode_core(samples, pred: int, index: int):
+    """FIXTURE encoder: the canonical greedy IMA quantizer — choose
+    the magnitude bits top-down against the current step, then
+    update (predictor, index) with the DECODER's own reconstruction
+    so encoder and decoder state never drift. Returns (nibbles,
+    pred, index)."""
+    step_t, idx_t = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    nibbles = []
+    for s in samples:
+        s = int(s)
+        step = step_t[index]
+        delta = s - pred
+        nib = 8 if delta < 0 else 0
+        mag = -delta if delta < 0 else delta
+        if mag >= step:
+            nib |= 4
+            mag -= step
+        if mag >= step >> 1:
+            nib |= 2
+            mag -= step >> 1
+        if mag >= step >> 2:
+            nib |= 1
+        nibbles.append(nib)
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        index += idx_t[nib & 7]
+        index = 0 if index < 0 else (88 if index > 88 else index)
+    return nibbles, pred, index
+
+
+def _ima_encode_block(samples, block_align: int) -> bytes:
+    """FIXTURE: one mono IMA block — sample 0 exact in the header
+    (predictor, start index 0), the rest quantized; nibbles packed
+    LOW-first, padded with 0-nibbles to the block size."""
+    import struct
+
+    s = [int(v) for v in samples]
+    hdr = struct.pack("<hBB", s[0], 0, 0)
+    nibbles, _, _ = _ima_encode_core(s[1:], s[0], 0)
+    want = (block_align - 4) * 2
+    nibbles = nibbles + [0] * (want - len(nibbles))
+    body = bytearray()
+    for k in range(0, len(nibbles), 2):
+        body.append(nibbles[k] | (nibbles[k + 1] << 4))
+    return hdr + bytes(body)
+
+
 def decode_wav_samples(payload: bytes):
     """REAL sample decode for RIFF/WAVE audio in the pure-Python
-    envelope: 16-bit linear PCM (format 1), and the G.711 telephony
+    envelope: 16-bit linear PCM (format 1), the G.711 telephony
     codings — 8-bit µ-law (format 7) and A-law (format 6) — expanded
     to linear through the 256-entry ITU-T tables (``_g711_luts``),
-    so a µ-law re-encode of a clip fingerprints like its PCM twin.
-    Returns the samples as an ``int64`` numpy array (multi-channel
-    averaged to mono with truncating integer division), or ``None``
-    outside the envelope (other compressed audio keeps its
-    header-only probe). Truncated data chunks are rejected — no
-    fabricated samples."""
+    and IMA/DVI ADPCM (format 0x11, the 4-bit adaptive differential
+    coding game and telephony WAVs carry) decoded through the
+    standard step/index tables with WAV block framing
+    (``_ima_adpcm_decode``) — so a companded OR ADPCM re-encode of a
+    clip fingerprints like its PCM twin. Returns the samples as an
+    ``int64`` numpy array (multi-channel averaged to mono with
+    truncating integer division), or ``None`` outside the envelope
+    (other compressed audio keeps its header-only probe). Truncated
+    data chunks are rejected — no fabricated samples."""
     import struct
 
     import numpy as np
@@ -2676,12 +2838,13 @@ def decode_wav_samples(payload: bytes):
     p = payload
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
-    i, fmt, data = 12, None, None
+    i, fmt, fmt_ext, data = 12, None, b"", None
     while i + 8 <= len(p):
         cid = p[i : i + 4]
         clen = int.from_bytes(p[i + 4 : i + 8], "little")
         if cid == b"fmt " and i + 8 + 16 <= len(p):
             fmt = struct.unpack_from("<HHIIHH", p, i + 8)
+            fmt_ext = p[i + 8 + 16 : min(i + 8 + clen, len(p))]
         elif cid == b"data":
             if i + 8 + clen > len(p):
                 return None  # truncated sample data
@@ -2698,6 +2861,15 @@ def decode_wav_samples(payload: bytes):
         x = _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
     elif audio_format == 6 and bits == 8:  # A-law
         x = _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        spb = (
+            struct.unpack_from("<H", fmt_ext, 2)[0]
+            if len(fmt_ext) >= 4
+            else None  # cbSize + wSamplesPerBlock extension absent
+        )
+        x = _ima_adpcm_decode(data, channels, _align, spb)
+        if x is None:
+            return None
     else:
         return None
     if channels > 1:
@@ -2779,11 +2951,13 @@ def synth_wav_pcm_media(
     synth).
 
     ``codec_col`` (optional) names a column of "pcm16" / "ulaw" /
-    "alaw": the SAME sample formula stored as 16-bit linear PCM
-    (format 1) or G.711-companded 8-bit (formats 7 / 6, fixture
-    nearest-representable encode) — byte-disjoint tellings of one
-    signal whose fingerprints must collapse (verified over all 254
-    patterns × gains 1 and 3, both laws: 0 mismatches)."""
+    "alaw" / "adpcm": the SAME sample formula stored as 16-bit
+    linear PCM (format 1), G.711-companded 8-bit (formats 7 / 6,
+    fixture nearest-representable encode), or IMA ADPCM 4-bit
+    (format 0x11, canonical greedy quantizer, one block per clip) —
+    byte-disjoint tellings of one signal whose fingerprints must
+    collapse (verified over all 254 patterns × gains 1 and 3: both
+    G.711 laws AND the ADPCM leg, 0 mismatches each)."""
     import struct
 
     import numpy as np
@@ -2804,6 +2978,13 @@ def synth_wav_pcm_media(
         "ulaw": struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8),
         "alaw": struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8),
     }
+    # IMA ADPCM: one block per clip (sample 0 exact in the header,
+    # the rest 4-bit quantized), fmt extension carries
+    # wSamplesPerBlock so the trailing pad nibble is truncated
+    ba_adpcm = 4 + n // 2
+    fmt_adpcm = struct.pack(
+        "<HHIIHHHH", 0x11, 1, 8000, 8000 * ba_adpcm // n, ba_adpcm, 4, 2, n
+    )
     chunk = 1024
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2826,6 +3007,9 @@ def synth_wav_pcm_media(
                         lut = _ULAW_LUT if c == "ulaw" else _ALAW_LUT
                         fmt = fmt_g711[c]
                         pcm = _g711_encode(x, lut).tobytes()
+                    elif c == "adpcm":
+                        fmt = fmt_adpcm
+                        pcm = _ima_encode_block(x, ba_adpcm)
                     else:
                         raise ValueError(f"unknown wav codec: {c!r}")
                     body = (

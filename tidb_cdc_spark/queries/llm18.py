@@ -1696,6 +1696,102 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def audio_adpcm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM collapse — the 4-bit ADAPTIVE differential coding
+    (WAV format 0x11, the game/telephony workhorse) joins the real
+    sample path: `decode_wav_samples` decodes WAV block framing
+    (per-block header predictor + step index, low-nibble-first
+    groups) through the standard IMA step/index tables
+    (`multimodal.py::_ima_adpcm_decode`), pinned one-step-exact
+    against stdlib ``audioop.adpcm2lin`` over EVERY (start index ×
+    nibble) pair and stream-exact with carried state. Unlike G.711's
+    memoryless table lookup, ADPCM is stateful and lossy-adaptive —
+    the fingerprint must survive real quantization ERROR, not just
+    re-quantization: survival verified over all 254 patterns ×
+    gains 1 and 3 (0 mismatches; the energy aHash's 3:1 frame
+    margin dominates the bounded tracking error).
+
+    Variant ``doc_id div 127 % 3`` for cluster ``pid = doc_id %
+    127``: 0 → the PCM16 anchor, 1 → IMA ADPCM of the same signal,
+    2 → IMA ADPCM at ×3 gain — byte-disjoint (4-bit vs 16-bit)
+    tellings of one signal, so ``distinct_afp = n_clusters`` iff
+    the block walk, the adaptive recurrence, and the format-tag
+    routing are all right. All columns from id arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        audio_fingerprints,
+        phash_near_dup_pairs,
+        synth_wav_pcm_media,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 127).alias("pid"),
+            (F.lit(1) + (F.col("doc_id") % 127) % 254).alias("pattern"),
+            F.when(F.expr("doc_id div 127") % 3 == 2, F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("gain"),
+            F.when(F.expr("doc_id div 127") % 3 == 0, F.lit("pcm16"))
+            .otherwise(F.lit("adpcm"))
+            .alias("codec"),
+        )
+    )
+    media = synth_wav_pcm_media(planted, "media_id", codec_col="codec")
+    hashes = materialize(
+        audio_fingerprints(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = phash_near_dup_pairs(
+        hashes, hash_col="afp", max_hamming=3, max_bucket_size=None
+    )
+    per_cluster = hashes.groupBy("pid").agg(
+        F.countDistinct("afp").alias("_na")
+    )
+    return (
+        hashes.agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.countDistinct("afp").alias("distinct_afp"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cluster.agg(
+                    F.max("_na").cast("long").alias("max_cluster_afp_variants")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "distinct_afp",
+            "max_cluster_afp_variants",
+            "neardup_pairs",
+        )
+    )
+
+
+_ADPCM_SQL = """
+WITH m AS (
+  SELECT doc_id % 127 AS pid
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS distinct_afp,
+       CAST(1 AS BIGINT) AS max_cluster_afp_variants,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 QUERIES = {
     "multimodal_probe_audit": multimodal_probe_audit,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -1718,6 +1814,7 @@ QUERIES = {
     "multimodal_anim_probe_audit": multimodal_anim_probe_audit,
     "multimodal_audio_probe_audit": multimodal_audio_probe_audit,
     "audio_g711_audit": audio_g711_audit,
+    "audio_adpcm_audit": audio_adpcm_audit,
 }
 
 ORACLE = {
@@ -1742,4 +1839,5 @@ ORACLE = {
     "multimodal_anim_probe_audit": _ANIM_PROBE_SQL,
     "multimodal_audio_probe_audit": _AUDIO_PROBE_SQL,
     "audio_g711_audit": _G711_SQL,
+    "audio_adpcm_audit": _ADPCM_SQL,
 }

@@ -73,6 +73,7 @@ PICKS = {
     "audio_g711_audit": "G.711 companded-audio collapse (r14): synth -> LUT expansion + fingerprint Arrow passes emit 16 B rows; pair stage is the shared Manku banded equi-join",
     "multimodal_tiff_phash_audit": "baseline-TIFF audit (r14): same synth -> decode/hash -> Manku-pair shape; IFD walk + strip assembly all numpy inside the Arrow stage, 24 B hash rows shuffle",
     "multimodal_mjpeg_video_audit": "MJPEG frame path (r14): per-00dc baseline-JPEG decode (K.3 DHT injection for AVI1 frames) inside the Arrow pass -> 28 B frame rows; pair stage is the shared inverted-index frame-hash equi-join",
+    "audio_adpcm_audit": "IMA ADPCM collapse (r14): per-block adaptive 4-bit decode + fingerprint Arrow passes emit 16 B rows; pair stage is the shared Manku banded equi-join",
 }
 
 HEADER = (
