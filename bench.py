@@ -224,6 +224,7 @@ def main() -> None:
         "multimodal_tiff_phash_audit",
         "multimodal_mjpeg_video_audit",
         "audio_adpcm_audit",
+        "warc_ingest_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

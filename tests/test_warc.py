@@ -1,0 +1,268 @@
+"""WARC (ISO 28500) crawl-archive ingest: the record grammar over
+all three storage layouts, HTTP response parsing with chunked /
+gzip / deflate decodings (stdlib zlib and gzip are the referees for
+every compressed layer), the fail-closed envelope, and the Spark
+record surface `warc_ingest_audit` relies on.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tidb_cdc_spark.functions.warc import (
+    _encode_warc_record,
+    _http_response_block,
+    _planted_warc_file,
+    encode_warc,
+    parse_http_response,
+    parse_warc_records,
+    synth_warc_media,
+    warc_records,
+)
+
+
+def _resp_record(uri, status, body, **kw):
+    return _encode_warc_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Target-URI", uri),
+            ("WARC-Date", "2026-01-01T00:00:00Z"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        _http_response_block(status, "text/plain", body, **kw),
+    )
+
+
+class TestRecordGrammar:
+    def test_three_layouts_parse_identically(self):
+        recs = [
+            _resp_record("https://a.test/1", 200, b"hello"),
+            _resp_record("https://a.test/2", 404, b"gone" * 20),
+        ]
+        parsed = [
+            parse_warc_records(encode_warc(recs, layout))
+            for layout in ("plain", "gzip_members", "gzip_stream")
+        ]
+        assert all(p is not None and len(p) == 2 for p in parsed)
+        for p in parsed[1:]:
+            assert [r["headers"] for r in p] == [
+                r["headers"] for r in parsed[0]
+            ]
+            assert [r["block"] for r in p] == [
+                r["block"] for r in parsed[0]
+            ]
+
+    def test_stdlib_gzip_written_archive(self):
+        """An archive gzipped by the stdlib gzip module (not our
+        encoder) walks identically — pins the member handling
+        against the reference writer."""
+        plain = encode_warc(
+            [_resp_record("https://g.test/", 200, b"zzz")], "plain"
+        )
+        assert parse_warc_records(gzip.compress(plain)) is not None
+        assert (
+            parse_warc_records(gzip.compress(plain))[0]["block"]
+            == parse_warc_records(plain)[0]["block"]
+        )
+
+    def test_header_names_case_insensitive_and_folding(self):
+        raw = (
+            b"WARC/1.1\r\n"
+            b"WARC-TYPE: metadata\r\n"
+            b"WARC-Target-URI: https://x.test/very\r\n"
+            b"\tlong/path\r\n"
+            b"CONTENT-LENGTH: 3\r\n"
+            b"\r\n"
+            b"abc\r\n\r\n"
+        )
+        recs = parse_warc_records(raw)
+        assert recs is not None and len(recs) == 1
+        h = recs[0]["headers"]
+        assert h["warc-type"] == "metadata"
+        assert h["warc-target-uri"] == "https://x.test/very long/path"
+        assert recs[0]["block"] == b"abc"
+
+    def test_fail_closed(self):
+        good = encode_warc(
+            [_resp_record("https://f.test/", 200, b"ok")], "plain"
+        )
+        assert parse_warc_records(good) is not None
+        # not a WARC at all
+        assert parse_warc_records(b"HTTP/1.1 200 X\r\n\r\n") is None
+        assert parse_warc_records(b"") is None
+        # truncated payload block / missing CRLF CRLF separator
+        assert parse_warc_records(good[:-6]) is None
+        assert parse_warc_records(good[:-4] + b"XXXX") is None
+        # corrupt gzip member
+        gz = bytearray(encode_warc([_resp_record("u", 200, b"ok")],
+                                   "gzip_members"))
+        gz[len(gz) // 2] ^= 0xFF
+        assert parse_warc_records(bytes(gz)) is None
+        # bad WARC-level Content-Length (the record's own, not the
+        # HTTP block's)
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            b"Content-Length: x\r\n\r\nabc\r\n\r\n"
+        )
+        assert parse_warc_records(bad) is None
+        missing = (
+            b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\nabc\r\n\r\n"
+        )
+        assert parse_warc_records(missing) is None
+        # one malformed record fails the whole file (no partials)
+        two = good + b"GARBAGE"
+        assert parse_warc_records(two) is None
+
+
+class TestHttpResponse:
+    def test_plain_identity(self):
+        st, h, body = parse_http_response(
+            _http_response_block(200, "text/html; charset=utf-8", b"<p>")
+        )
+        assert st == 200
+        assert h["content-type"].startswith("text/html")
+        assert body == b"<p>"
+
+    def test_chunked_decode(self):
+        block = _http_response_block(200, "text/plain", b"a" * 23,
+                                     chunked=True)
+        st, _, body = parse_http_response(block)
+        assert (st, body) == (200, b"a" * 23)
+        # chunk extensions are tolerated per RFC 9112
+        ext = block.replace(b"7\r\naaaaaaa", b"7;x=1\r\naaaaaaa", 1)
+        assert parse_http_response(ext)[2] == b"a" * 23
+        # malformed framing: metadata kept, body NULL
+        ragged = block[:-4]
+        st2, _, body2 = parse_http_response(ragged)
+        assert st2 == 200 and body2 is None
+
+    def test_gzip_and_deflate_bodies(self):
+        raw = b"payload " * 13
+        st, _, body = parse_http_response(
+            _http_response_block(200, "text/plain", raw, gzip_body=True)
+        )
+        assert (st, body) == (200, raw)
+        # zlib-wrapped deflate
+        blk = (
+            b"HTTP/1.1 200 X\r\nContent-Encoding: deflate\r\n\r\n"
+            + zlib.compress(raw)
+        )
+        assert parse_http_response(blk)[2] == raw
+        # raw deflate (the wild's other 'deflate')
+        blk = (
+            b"HTTP/1.1 200 X\r\nContent-Encoding: deflate\r\n\r\n"
+            + zlib.compressobj(6, zlib.DEFLATED, -15).compress(raw)
+            + zlib.compressobj(6, zlib.DEFLATED, -15).flush()
+        )
+        # note: need one object; rebuild properly
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        blk = (
+            b"HTTP/1.1 200 X\r\nContent-Encoding: deflate\r\n\r\n"
+            + co.compress(raw) + co.flush()
+        )
+        assert parse_http_response(blk)[2] == raw
+
+    def test_unsupported_coding_keeps_metadata(self):
+        blk = (
+            b"HTTP/1.1 200 X\r\nContent-Type: text/x\r\n"
+            b"Content-Encoding: br\r\n\r\n\x00\x01"
+        )
+        st, h, body = parse_http_response(blk)
+        assert st == 200 and h["content-type"] == "text/x"
+        assert body is None
+        # corrupt gzip body: same treatment
+        blk = (
+            b"HTTP/1.1 200 X\r\nContent-Encoding: gzip\r\n\r\nnotgzip"
+        )
+        assert parse_http_response(blk)[2] is None
+
+    def test_not_http(self):
+        assert parse_http_response(b"software: x\r\n") is None
+        assert parse_http_response(b"HTTP/1.1 nope\r\n\r\n") is None
+
+
+class TestPlantedLemmas:
+    def test_bodies_injective_in_pid_k(self):
+        seen = {}
+        for pid in range(131):
+            for k in range(1 + pid % 4):
+                unit = f"D{pid:03d}R{k}".ljust(16, "#").encode()
+                body = unit * (1 + (pid + k) % 5)
+                assert body not in seen, (pid, k, seen[body])
+                seen[body] = (pid, k)
+
+    def test_variants_carry_identical_logical_records(self):
+        for pid in (0, 7, 130):
+            decoded = []
+            for v in (0, 1, 2):
+                recs = parse_warc_records(_planted_warc_file(pid, v))
+                assert recs is not None
+                out = []
+                for r in recs:
+                    if r["headers"]["warc-type"] != "response":
+                        continue
+                    st, h, body = parse_http_response(r["block"])
+                    out.append(
+                        (st, h["content-type"].split(";")[0], body)
+                    )
+                decoded.append(out)
+            assert decoded[0] == decoded[1] == decoded[2]
+            assert len(decoded[0]) == 1 + pid % 4
+
+
+class TestSparkSurface:
+    def test_records_and_collapse(self, spark):
+        rows = [(1, 7, 0), (2, 7, 1), (3, 7, 2), (4, 9, 0)]
+        df = spark.createDataFrame(rows, "media_id long, pid int, variant int")
+        media = synth_warc_media(df, "media_id")
+        recs = warc_records(media)
+        got = recs.orderBy("media_id", "record_idx").collect()
+        # pid 7: warcinfo + 4 responses; pid 9: warcinfo + 2
+        assert len(got) == 3 * 5 + 3
+        by_media = {}
+        for r in got:
+            by_media.setdefault(r.media_id, []).append(r)
+        for mid in (1, 2, 3):
+            rs = by_media[mid]
+            assert rs[0].warc_type == "warcinfo"
+            assert rs[0].http_status is None
+            # all three storage variants collapse to identical rows
+            assert [bytes(r.body) for r in rs[1:]] == [
+                bytes(r.body) for r in by_media[1][1:]
+            ]
+            assert [(r.http_status, r.mime) for r in rs[1:]] == [
+                (r.http_status, r.mime) for r in by_media[1][1:]
+            ]
+        # exact planted lemmas, recomputed independently
+        for r in by_media[1][1:]:
+            k = r.record_idx - 1
+            assert r.http_status == (200 if (7 + k) % 4 else 404)
+            assert r.mime == ("text/html" if k % 2 == 0 else "text/plain")
+            assert r.target_uri == f"https://ex.test/007/{k}"
+            assert r.body_len == len(bytes(r.body))
+
+    def test_with_body_false_keeps_len_drops_bytes(self, spark):
+        df = spark.createDataFrame([(1, 3, 2)], "media_id long, pid int, variant int")
+        recs = warc_records(
+            synth_warc_media(df, "media_id"), with_body=False
+        ).where(F.col("warc_type") == "response").collect()
+        assert recs
+        for r in recs:
+            assert r.body is None
+            k = r.record_idx - 1
+            assert r.body_len == 16 * (1 + (3 + k) % 5)
+
+    def test_malformed_files_emit_no_rows(self, spark):
+        data = [
+            (1, bytearray(b"not a warc")),
+            (2, bytearray(_planted_warc_file(5, 0))),
+        ]
+        df = spark.createDataFrame(data, "media_id long, payload binary")
+        got = warc_records(df).collect()
+        assert {r.media_id for r in got} == {2}

@@ -43,6 +43,7 @@ from tidb_cdc_spark.queries import (
     llm17,
     llm18,
     llm19,
+    llm20,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -51,7 +52,7 @@ ORACLE: dict[str, str] = {}
 for _mod in (
     llm, llm2, llm3, llm4, llm5, llm6, llm7, llm8, llm9, llm10,
     audits, cdcq, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
-    llm18, llm19,
+    llm18, llm19, llm20,
     batch, batch2, batch3, batch4, batch5,
 ):
     QUERIES.update(_mod.QUERIES)
@@ -298,15 +299,16 @@ for _mod in (
 # audio_window_cap_report, audio/corpus/media curation provenance,
 # media/audio curation pipelines, phash_cap_report) — each keeps its
 # r13 driver row + the strict mirror in tests/test_queries_oracle.py.
-# R15 rotation queue (oldest rows after this round): the eight
+# R15 rotation queue (oldest rows after this round): the nine
 # r14-new never-gated rows first (animated_webp_video_audit,
 # multimodal_anim_probe_audit, multimodal_audio_probe_audit,
 # audio_g711_audit, multimodal_tiff_phash_audit,
-# multimodal_mjpeg_video_audit, audio_adpcm_audit — all
-# pre-verified hash-green at sf0.001+sf0.01+sf0.1 this session —
-# and events_pivot_by_type, the one r11-block row this rotation
-# could not seat: changed-code certification outranked it), then
-# the r12 block, then this round's 39 OUT rows.
+# multimodal_mjpeg_video_audit, audio_adpcm_audit,
+# warc_ingest_audit — all pre-verified hash-green at
+# sf0.001+sf0.01+sf0.1 this session — and events_pivot_by_type,
+# the one r11-block row this rotation could not seat: changed-code
+# certification outranked it), then the r12 block, then this
+# round's 39 OUT rows.
 GATE = [
     # exact dedup/ANN family anchors (kept fresh every round)
     "dedup_exact_docs",
