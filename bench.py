@@ -225,6 +225,7 @@ def main() -> None:
         "multimodal_mjpeg_video_audit",
         "audio_adpcm_audit",
         "warc_ingest_audit",
+        "corpus_html_extract",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -64,6 +64,7 @@ ROUND_ADDITIONS = [
     "multimodal_mjpeg_video_audit",  # r14 NEW MJPEG/AVI1 frame-path audit
     "audio_adpcm_audit",  # r14 NEW IMA ADPCM adaptive-coding collapse
     "warc_ingest_audit",  # r14 NEW WARC crawl-archive ingest census
+    "corpus_html_extract",  # r14 NEW JVM-side HTML->text extraction
 ]
 
 

@@ -112,10 +112,84 @@ SELECT
 """
 
 
+def corpus_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction over REAL document text — the first
+    transform after crawl ingest in a C4-style pipeline, run
+    ENTIRELY JVM-side (`functions/html.py::html_strip_tags` is a
+    regexp_replace/replace column chain inside whole-stage codegen —
+    no Python worker anywhere in this plan). Each document is
+    wrapped in a realistic page (head/script/style/comments,
+    entity-encoded headline) with built-in concat, stripped, and
+    census'd: extracted length, whitespace token count, and the md5
+    of the extracted text per document.
+
+    TRUE cross-engine oracle (the TPC-H discipline, not a planted
+    transform): every pattern in the chain is written to the
+    Java-regex ∩ RE2 common subset, so DuckDB runs the IDENTICAL
+    chain over the same parquet text and the md5s must match
+    value-for-value."""
+    from tidb_cdc_spark.functions.html import html_strip_tags
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select("doc_id", "text")
+    )
+    page = F.concat(
+        F.lit('<html><head><title>D'),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">var x = '
+              '"<p>not text</p>";</script><style>p { color: red; }'
+              '</style></head><body><!-- doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(' --><h1>Doc &quot;'),
+        F.col("doc_id").cast("string"),
+        F.lit('&quot; &amp;&nbsp;notes</h1><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    extracted = html_strip_tags(page)
+    return (
+        docs.select(
+            "doc_id",
+            F.length(extracted).cast("long").alias("extracted_len"),
+            F.size(F.split(extracted, " ")).cast("long").alias("n_tokens"),
+            F.md5(F.encode(extracted, "UTF-8")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _html_extract_sql() -> str:
+    from tidb_cdc_spark.functions.html import html_strip_tags_sql
+
+    page = (
+        "'<html><head><title>D' || CAST(doc_id AS VARCHAR) || "
+        "'</title><script type=\"text/javascript\">var x = "
+        "\"<p>not text</p>\";</script><style>p { color: red; }"
+        "</style></head><body><!-- doc ' || "
+        "CAST(doc_id AS VARCHAR) || ' --><h1>Doc &quot;' || "
+        "CAST(doc_id AS VARCHAR) || "
+        "'&quot; &amp;&nbsp;notes</h1><p>' || text || "
+        "'</p></body></html>'"
+    )
+    t = html_strip_tags_sql(page)
+    return f"""
+SELECT doc_id,
+       CAST(LENGTH({t}) AS BIGINT) AS extracted_len,
+       CAST(LEN(STR_SPLIT({t}, ' ')) AS BIGINT) AS n_tokens,
+       MD5({t}) AS text_md5
+FROM documents WHERE doc_id >= 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "warc_ingest_audit": warc_ingest_audit,
+    "corpus_html_extract": corpus_html_extract,
 }
 
 ORACLE = {
     "warc_ingest_audit": _WARC_INGEST_SQL,
+    "corpus_html_extract": _html_extract_sql(),
 }

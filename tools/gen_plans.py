@@ -75,6 +75,7 @@ PICKS = {
     "multimodal_mjpeg_video_audit": "MJPEG frame path (r14): per-00dc baseline-JPEG decode (K.3 DHT injection for AVI1 frames) inside the Arrow pass -> 28 B frame rows; pair stage is the shared inverted-index frame-hash equi-join",
     "audio_adpcm_audit": "IMA ADPCM collapse (r14): per-block adaptive 4-bit decode + fingerprint Arrow passes emit 16 B rows; pair stage is the shared Manku banded equi-join",
     "warc_ingest_audit": "WARC ingest census (r14): synth -> ISO 28500 record walk + HTTP/gzip/chunked decode in one Arrow pass; census aggregates on md5/status/len columns, bodies never shuffle past the materialize",
+    "corpus_html_extract": "HTML->text extraction (r14): regexp_replace/replace column chain — NO Python stage of any kind, extraction runs at scan speed inside codegen; true cross-engine md5 oracle",
 }
 
 HEADER = (
