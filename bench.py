@@ -226,6 +226,7 @@ def main() -> None:
         "audio_adpcm_audit",
         "warc_ingest_audit",
         "corpus_html_extract",
+        "crawl_html_pipeline",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

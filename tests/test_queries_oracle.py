@@ -65,6 +65,7 @@ ROUND_ADDITIONS = [
     "audio_adpcm_audit",  # r14 NEW IMA ADPCM adaptive-coding collapse
     "warc_ingest_audit",  # r14 NEW WARC crawl-archive ingest census
     "corpus_html_extract",  # r14 NEW JVM-side HTML->text extraction
+    "crawl_html_pipeline",  # r14 NEW WARC->HTTP->HTML end-to-end census
 ]
 
 

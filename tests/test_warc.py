@@ -266,3 +266,70 @@ class TestSparkSurface:
         df = spark.createDataFrame(data, "media_id long, payload binary")
         got = warc_records(df).collect()
         assert {r.media_id for r in got} == {2}
+
+
+class TestCrawlHtmlPipeline:
+    def test_census_matches_arithmetic_and_variants_collapse(self, spark):
+        """The end-to-end front end over hand-picked clusters: the
+        census must equal the (pid, k) formula and be IDENTICAL for
+        all three storage variants."""
+        from tidb_cdc_spark.functions.html import html_strip_tags
+        from tidb_cdc_spark.functions.warc import _planted_html_page
+
+        def census(variant):
+            rows = [(100 + i, pid, variant) for i, pid in enumerate((7, 9, 2))]
+            df = spark.createDataFrame(
+                rows, "media_id long, pid int, variant int"
+            )
+            recs = warc_records(synth_warc_media(df, "media_id",
+                                                 bodies="html"))
+            pages = recs.where(
+                (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200)
+                & (F.col("mime") == "text/html")
+            ).select(
+                html_strip_tags(F.decode(F.col("body"), "UTF-8")).alias("t")
+            )
+            got = sorted(r.t for r in pages.collect())
+            return got
+
+        want = []
+        for pid in (7, 9, 2):
+            for k in range(1 + pid % 4):
+                if k % 2 == 0 and (pid + k) % 4 != 0:
+                    reps = 1 + (pid + k) % 5
+                    want.append(
+                        f"ignored D{pid:03d}R{k} & co " + " ".join(
+                            [f"w{pid}_{k}"] * reps
+                        )
+                    )
+        got = census(0)
+        assert got == sorted(want)
+        for t in got:
+            # the oracle's token formula: 4 fixed tokens + reps
+            reps = len(t.split(" ")) - 4
+            assert 1 <= reps <= 5
+        assert census(1) == got and census(2) == got
+
+    def test_token_formula(self):
+        """4 + reps whitespace tokens after extraction (title word,
+        3-token headline, reps paragraph words) — the lemma the
+        oracle stands on, checked across the (pid, k) domain with
+        an independent regex pass."""
+        import re
+
+        from tidb_cdc_spark.functions.warc import _planted_html_page
+
+        pats = [
+            (re.compile(r"(?s)<!--.*?-->"), " "),
+            (re.compile(r"(?is)<script\b.*?</script\s*>"), " "),
+            (re.compile(r"(?is)<style\b.*?</style\s*>"), " "),
+            (re.compile(r"<[^>]*>"), " "),
+        ]
+        for pid in range(0, 137, 13):
+            for k in range(1 + pid % 4):
+                v = _planted_html_page(pid, k).decode()
+                for pat, repl in pats:
+                    v = pat.sub(repl, v)
+                v = " ".join(v.replace("&amp;", "&").split())
+                assert len(v.split(" ")) == 5 + (pid + k) % 5

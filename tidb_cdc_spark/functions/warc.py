@@ -362,7 +362,26 @@ def encode_warc(records: "list[bytes]", layout: str = "plain") -> bytes:
     raise ValueError(f"unknown layout: {layout!r}")
 
 
-def _planted_warc_file(pid: int, variant: int) -> bytes:
+def _planted_html_page(pid: int, k: int) -> bytes:
+    """The HTML body mode (`crawl_html_pipeline`): a page whose
+    EXTRACTED text is a pure function of (pid, k) — script/comment
+    decoys around a headline with an ``&amp;`` entity plus
+    ``reps = 1 + (pid+k) % 5`` word paragraphs, so
+    ``html_strip_tags`` yields ``D{pid:03d}R{k} & co`` followed by
+    reps repeated ``w{pid}_{k}`` tokens: 3 + reps whitespace
+    tokens, text injective in (pid, k)."""
+    reps = 1 + (pid + k) % 5
+    return (
+        '<html><head><title>ignored</title><script>var a="<b>x</b>";'
+        "</script></head><body><!-- decoy -->"
+        f"<h1>D{pid:03d}R{k} &amp; co</h1>"
+        + f"<p>w{pid}_{k} </p>" * reps
+        + "</body></html>"
+    ).encode()
+
+
+def _planted_warc_file(pid: int, variant: int,
+                       bodies: str = "units") -> bytes:
     """The planted-arithmetic WARC file `warc_ingest_audit` reads:
     one warcinfo record + ``K = 1 + pid % 4`` response records whose
     url / status / MIME / body are pure functions of (pid, k) — so
@@ -370,8 +389,9 @@ def _planted_warc_file(pid: int, variant: int) -> bytes:
     chunked bodies, 2 gzip-stream + gzip bodies) carry IDENTICAL
     logical records and every extracted column collapses iff the
     record walk, de-chunking, and both gzip layers decode right.
-    Body of record k: the 16-byte unit ``D{pid:03d}R{k}######``
-    repeated ``1 + (pid+k) % 5`` times."""
+    Body of record k: ``bodies="units"`` → the 16-byte unit
+    ``D{pid:03d}R{k}######`` repeated ``1 + (pid+k) % 5`` times;
+    ``bodies="html"`` → :func:`_planted_html_page`."""
     date = "2026-01-01T00:00:00Z"
     info = _encode_warc_record(
         [
@@ -384,8 +404,11 @@ def _planted_warc_file(pid: int, variant: int) -> bytes:
     )
     records = [info]
     for k in range(1 + pid % 4):
-        unit = f"D{pid:03d}R{k}".ljust(16, "#").encode()
-        body = unit * (1 + (pid + k) % 5)
+        if bodies == "html":
+            body = _planted_html_page(pid, k)
+        else:
+            unit = f"D{pid:03d}R{k}".ljust(16, "#").encode()
+            body = unit * (1 + (pid + k) % 5)
         status = 200 if (pid + k) % 4 else 404
         mime = "text/html" if k % 2 == 0 else "text/plain"
         block = _http_response_block(
@@ -417,10 +440,11 @@ def synth_warc_media(
     id_col: str = "media_id",
     pid_col: str = "pid",
     variant_col: str = "variant",
+    bodies: str = "units",
 ) -> DataFrame:
     """Plant REAL WARC files (see :func:`_planted_warc_file`) —
-    payloads are pure functions of (pid, variant); ≤512-row yields
-    (the Arrow batch-size discipline)."""
+    payloads are pure functions of (pid, variant, bodies); ≤512-row
+    yields (the Arrow batch-size discipline)."""
     from pyspark.sql import functions as F
 
     slim = ids.select(
@@ -441,7 +465,7 @@ def synth_warc_media(
             for lo in range(0, len(pdf), chunk):
                 seg = pdf.iloc[lo : lo + chunk]
                 rows = [
-                    (int(m), _planted_warc_file(int(p), int(v)))
+                    (int(m), _planted_warc_file(int(p), int(v), bodies))
                     for m, p, v in zip(seg["media_id"], seg["_p"], seg["_v"])
                 ]
                 yield pd.DataFrame(

@@ -184,12 +184,98 @@ ORDER BY doc_id
 """
 
 
+def crawl_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front end END-TO-END in one declared plan — what a
+    C4-style corpus build actually runs: WARC record walk (all three
+    storage layouts) → HTTP parse (status routing, chunked
+    de-framing, gzip bodies) → the JVM-side HTML→text column chain
+    (`html_strip_tags` over the decoded body — the only Python in
+    the plan is the Arrow record walk itself) → page census.
+
+    Planted-transform oracle: cluster ``pid = doc_id % 137``; the
+    response bodies are HTML pages (`_planted_html_page`) whose
+    EXTRACTED text carries exactly ``5 + (pid+k) % 5`` whitespace
+    tokens (the surviving title word, the 3-token headline with its
+    decoded ``&amp;``, and ``1 + (pid+k) % 5`` paragraph words) and
+    is injective in (pid, k). Pages are selected the way
+    a pipeline selects them (status 200 AND ``text/html``), so
+    every census column is id arithmetic — and collapses across the
+    three storage variants iff every stage upstream of the census
+    decodes right."""
+    from tidb_cdc_spark.functions.html import html_strip_tags
+    from tidb_cdc_spark.functions.warc import (
+        synth_warc_media,
+        warc_records,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 137).alias("pid"),
+            (F.expr("doc_id div 137") % 3).cast("int").alias("variant"),
+        )
+    )
+    recs = materialize(
+        warc_records(synth_warc_media(planted, "media_id", bodies="html"))
+    )
+    resp = recs.where(F.col("warc_type") == "response")
+    text = html_strip_tags(F.decode(F.col("body"), "UTF-8"))
+    pages = resp.where(
+        (F.col("http_status") == 200) & (F.col("mime") == "text/html")
+    ).select(text.alias("text"))
+    return (
+        resp.agg(F.count(F.lit(1)).alias("n_responses"))
+        .crossJoin(
+            F.broadcast(
+                pages.agg(
+                    F.count(F.lit(1)).alias("n_pages"),
+                    F.sum(F.size(F.split(F.col("text"), " ")))
+                    .cast("long")
+                    .alias("sum_tokens"),
+                    F.countDistinct(
+                        F.md5(F.encode(F.col("text"), "UTF-8"))
+                    ).alias("distinct_texts"),
+                )
+            )
+        )
+        .select("n_responses", "n_pages", "sum_tokens", "distinct_texts")
+    )
+
+
+# plant arithmetic: page (pid,k) selected iff k even (text/html) and
+# (pid+k)%4 != 0 (status 200); its extracted text has 5 + (pid+k)%5
+# whitespace tokens (title word + 3-token headline + reps words)
+# and is injective in (pid,k)
+_CRAWL_PIPELINE_SQL = """
+WITH m AS (
+  SELECT doc_id % 137 AS pid FROM documents WHERE doc_id >= 0
+), per AS (
+  SELECT pid, COUNT(*) AS nf FROM m GROUP BY pid
+), recs AS (
+  SELECT pid, nf, UNNEST(range(0, 1 + pid % 4)) AS k FROM per
+), sel AS (
+  SELECT * FROM recs WHERE k % 2 = 0 AND (pid + k) % 4 <> 0
+)
+SELECT
+  CAST((SELECT SUM(1 + pid % 4) FROM m) AS BIGINT) AS n_responses,
+  CAST((SELECT COALESCE(SUM(nf), 0) FROM sel) AS BIGINT) AS n_pages,
+  CAST((SELECT COALESCE(SUM(nf * (5 + (pid + k) % 5)), 0) FROM sel)
+       AS BIGINT) AS sum_tokens,
+  CAST((SELECT COUNT(*) FROM sel) AS BIGINT) AS distinct_texts
+"""
+
+
 QUERIES = {
     "warc_ingest_audit": warc_ingest_audit,
     "corpus_html_extract": corpus_html_extract,
+    "crawl_html_pipeline": crawl_html_pipeline,
 }
 
 ORACLE = {
     "warc_ingest_audit": _WARC_INGEST_SQL,
     "corpus_html_extract": _html_extract_sql(),
+    "crawl_html_pipeline": _CRAWL_PIPELINE_SQL,
 }
