@@ -70,6 +70,35 @@ def _payloads(leg: str, patterns):
                     64, 64,
                 )
             )
+        elif leg == "mjpeg_avi":
+            import struct
+
+            from tidb_cdc_spark.functions.jpeg import (
+                encode_jpeg,
+                mjpeg_strip_dht,
+            )
+
+            movi = b"movi"
+            for f in range(4):
+                gf = _plant(1 + (v * 4 + f) % 254)
+                data = mjpeg_strip_dht(
+                    encode_jpeg(gf, tables="standard")
+                )
+                movi += b"00dc" + struct.pack("<I", len(data)) + data
+                if len(data) & 1:
+                    movi += b"\x00"
+            avih = (
+                struct.pack("<I", 40_000) + b"\x00" * 12
+                + struct.pack("<I", 4) + b"\x00" * 12
+                + struct.pack("<II", 64, 64) + b"\x00" * 16
+            )
+            hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+            body = (
+                b"AVI "
+                + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                + b"LIST" + struct.pack("<I", len(movi)) + movi
+            )
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
         elif leg.startswith("jpeg"):
             from tidb_cdc_spark.functions.jpeg import (
                 encode_jpeg,
@@ -109,6 +138,7 @@ LEGS = [
     ("gif_i", "GIF interlaced"),
     ("gif_anim", "GIF animated 4-frame (frame path)"),
     ("webp_anim", "WebP animated 4-frame (frame path)"),
+    ("mjpeg_avi", "MJPEG AVI 4-frame DHT-less (frame path)"),
     ("jpeg", "JPEG baseline gray"),
     ("jpeg_420", "JPEG baseline 4:2:0"),
     ("jpeg_prog", "JPEG progressive gray"),
@@ -136,7 +166,7 @@ def measure(n_payloads: int = 120, repeat: int = 3):
         except RuntimeError:
             continue  # libwebp absent: skip the lossy row
         nbytes = sum(len(p) for p in payloads)
-        anim = leg in ("gif_anim", "webp_anim")
+        anim = leg in ("gif_anim", "webp_anim", "mjpeg_avi")
         npx = 64 * 64 * len(payloads) * (4 if anim else 1)
         if leg == "gif_anim":
             dec = decode_gif_frames
@@ -146,6 +176,12 @@ def measure(n_payloads: int = 120, repeat: int = 3):
             )
 
             dec = decode_webp_anim_frames
+        elif leg == "mjpeg_avi":
+            from tidb_cdc_spark.functions.multimodal import (
+                decode_avi_frames,
+            )
+
+            dec = decode_avi_frames
         else:
             dec = decode_pixels
         best = float("inf")
