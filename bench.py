@@ -227,6 +227,7 @@ def main() -> None:
         "warc_ingest_audit",
         "corpus_html_extract",
         "crawl_html_pipeline",
+        "animated_apng_video_audit",
     ]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}

@@ -419,3 +419,31 @@ class TestMjpegStandardTablesAgainstImageIO:
         healed = decode_jpeg_pixels(mjpeg_ensure_dht(naked))
         assert healed is not None
         assert np.array_equal(healed, base)
+
+
+class TestApngAgainstImageIO:
+    """APNG container plumbing refereed by the reference PNG
+    implementation: ImageIO ignores acTL/fcTL/fdAT (they are
+    ancillary chunks) and decodes the DEFAULT image — which must be
+    exactly our frame 0 (IDAT-participates mode) or the hidden
+    default image. Pins chunk ordering, CRCs, and the fixture's
+    stream layout against an independent decoder."""
+
+    def test_default_image_matches_reference(self, dumper):
+        from tidb_cdc_spark.functions.multimodal import _encode_apng
+
+        rng = _rng()
+        g0 = rng.integers(0, 256, (12, 17)).astype(np.int64)
+        g1 = rng.integers(0, 256, (12, 17)).astype(np.int64)
+        hidden = rng.integers(0, 256, (12, 17)).astype(np.int64)
+        visible = _encode_apng(
+            [(g0, 0, 0, 0, 0), (g1, 0, 0, 0, 0)], 17, 12
+        )
+        hidden_p = _encode_apng(
+            [(g0, 0, 0, 0, 0), (g1, 0, 0, 0, 0)], 17, 12,
+            hidden_default=hidden,
+        )
+        out = dumper({"vis.png": visible, "hid.png": hidden_p})
+        assert "vis.png" in out and "hid.png" in out
+        assert (out["vis.png"][:, :, 0].astype(np.int64) == g0).all()
+        assert (out["hid.png"][:, :, 0].astype(np.int64) == hidden).all()

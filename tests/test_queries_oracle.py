@@ -66,6 +66,7 @@ ROUND_ADDITIONS = [
     "warc_ingest_audit",  # r14 NEW WARC crawl-archive ingest census
     "corpus_html_extract",  # r14 NEW JVM-side HTML->text extraction
     "crawl_html_pipeline",  # r14 NEW WARC->HTTP->HTML end-to-end census
+    "animated_apng_video_audit",  # r14 NEW APNG frame-path audit
 ]
 
 

@@ -642,13 +642,17 @@ def probe_media(media: DataFrame) -> DataFrame:
                         pdf.at[idx, "width"] = w
                     if pd.isna(pdf.at[idx, "height"]):
                         pdf.at[idx, "height"] = h
-                    if need_dur and mime in ("image/gif", "image/webp"):
+                    if need_dur and mime in (
+                        "image/gif", "image/webp", "image/png",
+                    ):
                         # animated containers carry a real duration —
                         # header-only walk (frames length-skipped)
                         info = (
                             gif_animation_info(payload)
                             if mime == "image/gif"
                             else webp_animation_info(payload)
+                            if mime == "image/webp"
+                            else apng_animation_info(payload)
                         )
                         if info is not None and info[0] > 1:
                             pdf.at[idx, "duration_ms"] = info[1]
@@ -1464,6 +1468,168 @@ def decode_webp_anim_frames(payload: bytes):
     return frames or None
 
 
+def apng_animation_info(payload: bytes):
+    """(n_frames, duration_ms) for an ANIMATED PNG — the header-only
+    probe twin of :func:`gif_animation_info`: a chunk-length walk
+    reading ``acTL`` (frame count) and every ``fcTL``'s
+    delay_num/delay_den (den 0 → 100 per the spec), frame data
+    length-skipped, no CRC work. None for still PNGs (no ``acTL``
+    before ``IDAT``) or non-PNG bytes."""
+    import struct
+
+    p = payload
+    if len(p) < 8 or p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    n_frames = None
+    seen_idat = False
+    dur_ms = 0
+    while pos + 12 <= len(p):
+        (clen,) = struct.unpack_from(">I", p, pos)
+        ctype = p[pos + 4 : pos + 8]
+        if ctype == b"acTL" and not seen_idat and clen >= 8:
+            n_frames = struct.unpack_from(">I", p, pos + 8)[0]
+        elif ctype == b"IDAT":
+            seen_idat = True
+        elif ctype == b"fcTL" and clen >= 26:
+            num, den = struct.unpack_from(">HH", p, pos + 8 + 20)
+            dur_ms += num * 1000 // (den or 100)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if n_frames is None:
+        return None
+    return n_frames, dur_ms
+
+
+def decode_apng_frames(payload: bytes):
+    """REAL frame decode for ANIMATED PNG (APNG, PNG Third Edition)
+    — the third leg of the animation trio (GIF, WebP, APNG): each
+    frame's ``fdAT`` chunks form a complete zlib stream that the
+    conformance-verified still decoder already handles, rewrapped
+    as a standalone PNG and composed onto the canvas per the spec —
+    fcTL sub-rects at (x, y), dispose 0 none / 1 background (= this
+    engine's WHITE paper, the shared transparent convention) / 2
+    previous (revert), sequence numbers validated consecutive from
+    0, ``acTL`` frame count enforced. An ``fcTL`` before ``IDAT``
+    makes the default image frame 0 (the spec then requires it to
+    cover the full canvas — enforced); otherwise the default image
+    is hidden and contributes no frame. Returns per-frame luma
+    snapshots of the full canvas, or None outside the envelope.
+
+    Honest envelope (the animated-WebP precedent): frames whose
+    color type carries an alpha CHANNEL (4/6) — or any ``tRNS``
+    transparency — under OVER blending return None (compositing
+    needs the planes the luma reduction collapsed — fail closed,
+    never wrong pixels); OVER with fully-opaque color types equals
+    SOURCE by definition and composes exactly. Every chunk CRC is
+    verified; malformed sequence numbers, out-of-canvas rects, or
+    an undecodable frame fail the whole container closed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    p = payload
+    if len(p) < 45 or p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr_raw = None
+    plte = None
+    trns = False
+    actl = None
+    seen_idat = False
+    next_seq = 0
+    frames_meta = []  # each: [fctl_tuple, [data bytes], is_idat]
+    while pos + 12 <= len(p):
+        (clen,) = struct.unpack_from(">I", p, pos)
+        if pos + 12 + clen > len(p):
+            return None  # truncated chunk (data or CRC cut off)
+        ctype = p[pos + 4 : pos + 8]
+        data = p[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", p, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk
+        if ctype == b"IHDR":
+            ihdr_raw = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = True
+        elif ctype == b"acTL":
+            if seen_idat or clen < 8:
+                return None  # must precede IDAT
+            actl = struct.unpack_from(">II", data)
+        elif ctype == b"fcTL":
+            if clen != 26:
+                return None
+            fctl = struct.unpack(">IIIIIHHBB", data)
+            if fctl[0] != next_seq:
+                return None  # sequence gap
+            next_seq += 1
+            frames_meta.append([fctl, [], False])
+        elif ctype == b"IDAT":
+            if frames_meta and not seen_idat and not frames_meta[-1][1]:
+                # fcTL before IDAT: the default image is frame 0
+                frames_meta[-1][2] = True
+            if frames_meta and frames_meta[-1][2]:
+                frames_meta[-1][1].append(data)
+            seen_idat = True
+        elif ctype == b"fdAT":
+            if clen < 4 or not frames_meta or frames_meta[-1][2]:
+                return None
+            if struct.unpack_from(">I", data)[0] != next_seq:
+                return None  # sequence gap
+            next_seq += 1
+            frames_meta[-1][1].append(data[4:])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr_raw is None or actl is None or not seen_idat:
+        return None
+    if len(frames_meta) != actl[0] or not frames_meta:
+        return None
+    W, H = struct.unpack_from(">II", ihdr_raw)
+    color = ihdr_raw[9]
+    canvas = np.full((H, W), 255, dtype=np.int64)  # white paper
+    frames = []
+    for i, (fctl, chunks, is_idat) in enumerate(frames_meta):
+        _, fw, fh, fx, fy, _, _, dispose, blend = fctl
+        if not chunks:
+            return None  # fcTL without frame data
+        if fw <= 0 or fh <= 0 or fx + fw > W or fy + fh > H:
+            return None
+        if is_idat and (fw, fh, fx, fy) != (W, H, 0, 0):
+            return None  # spec: the IDAT frame covers the canvas
+        if blend == 1 and (color in (4, 6) or trns):
+            return None  # true alpha blending: fail closed
+        if blend > 1 or dispose > 2:
+            return None
+        mini = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(
+                b"IHDR",
+                struct.pack(">II", fw, fh) + ihdr_raw[8:],
+            )
+            + (_png_chunk(b"PLTE", plte) if plte is not None else b"")
+            + _png_chunk(b"IDAT", b"".join(chunks))
+            + _png_chunk(b"IEND", b"")
+        )
+        luma = decode_png_pixels(mini)
+        if luma is None or luma.shape != (fh, fw):
+            return None
+        if dispose == 2 and i == 0:
+            dispose = 1  # spec: first-frame dispose-previous → bg
+        prev = canvas.copy() if dispose == 2 else None
+        canvas[fy : fy + fh, fx : fx + fw] = luma
+        frames.append(canvas.copy())
+        if dispose == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 255
+        elif dispose == 2:
+            canvas = prev
+    return frames or None
+
+
 def _tiff_ifd0(p: bytes):
     """(endian, {tag: (type, count, value_or_offset_bytes)}) for a
     TIFF stream's first IFD, or None. Shared by the dims probe and
@@ -2144,6 +2310,10 @@ def video_frame_hashes(
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     # animated GIF: composed logical-screen snapshots
                     frames = decode_gif_frames(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    # animated PNG: fcTL rects composed per the spec
+                    # (a still PNG has no acTL → None → no rows)
+                    frames = decode_apng_frames(b)
                 elif (
                     len(b) >= 21
                     and b[:4] == b"RIFF"
@@ -2603,6 +2773,83 @@ def synth_webp_anim_media(
                                 )
                         prev = gray
                     payload = _encode_webp_anim(specs, width, height)
+                    rows.append(
+                        (mid, "video", None, None, None, None, payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def synth_apng_anim_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    base_col: str = "base",
+    skip_col: str = "skip",
+    shift_col: str = "shift",
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Plant REAL ANIMATED PNGs carrying the SAME per-frame formula
+    as the GIF/WebP animation synths (frame f of base B renders the
+    16-bit word ``v = 1 + (B·n_frames + f) % 65534``), DELTA-encoded
+    the way real APNG optimizers work: the first emitted frame is a
+    full keyframe (riding IDAT — the default image participates),
+    every later frame a changed-region fcTL sub-rect in fdAT chunks
+    (dispose none, blend source), so a composed frame hash is only
+    right if the fcTL rect placement, sequence validation, and the
+    per-frame zlib rewrap all are. ``skip=1`` plants the TRIMMED
+    copy (first frame dropped — byte-different stream whose keyframe
+    is frame 1; n−1 shared composed hashes). Payloads are pure
+    functions of (B, s, δ); metadata NULL; ≤512-row yields."""
+    import numpy as np
+
+    slim = ids.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(base_col).cast("long").alias("_b"),
+        F.col(skip_col).cast("int").alias("_s"),
+        F.col(shift_col).cast("int").alias("_d"),
+    )
+
+    def _cells(n: int) -> "np.ndarray":
+        bounds = [i * n // 8 for i in range(1, 8)]
+        return np.searchsorted(bounds, np.arange(n), side="right")
+
+    xb, yb = _cells(width), _cells(height)
+    bit_idx = (yb[:, None] * 8 + xb[None, :]) % 16
+    chunk = 512
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                rows = []
+                seg = pdf.iloc[lo : lo + chunk]
+                for mid, base, skip, d in zip(
+                    seg["media_id"], seg["_b"], seg["_s"], seg["_d"]
+                ):
+                    mid, base, skip, d = int(mid), int(base), int(skip), int(d)
+                    specs = []
+                    prev = None
+                    for f in range(skip, n_frames):
+                        v = 1 + (base * n_frames + f) % 65534
+                        gray = np.where((v >> bit_idx) & 1, 180, 60) + d
+                        if prev is None:
+                            specs.append((gray, 0, 0, 0, 0))
+                        else:
+                            ys, xs = np.nonzero(gray != prev)
+                            if len(ys) == 0:
+                                specs.append((gray[:1, :1], 0, 0, 0, 0))
+                            else:
+                                y0, x0 = int(ys.min()), int(xs.min())
+                                y1, x1 = int(ys.max()) + 1, int(xs.max()) + 1
+                                specs.append(
+                                    (gray[y0:y1, x0:x1], x0, y0, 0, 0)
+                                )
+                        prev = gray
+                    payload = _encode_apng(specs, width, height)
                     rows.append(
                         (mid, "video", None, None, None, None, payload)
                     )
@@ -3275,6 +3522,72 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
         + data
         + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
     )
+
+
+def _idat_payload(png: bytes) -> bytes:
+    """Concatenated IDAT payload bytes of a fixture-encoded PNG —
+    each APNG frame's complete zlib stream, ready for fdAT."""
+    import struct
+
+    out = []
+    pos = 8
+    while pos + 12 <= len(png):
+        (clen,) = struct.unpack_from(">I", png, pos)
+        if png[pos + 4 : pos + 8] == b"IDAT":
+            out.append(png[pos + 8 : pos + 8 + clen])
+        pos += 12 + clen
+    return b"".join(out)
+
+
+def _encode_apng(
+    frames,
+    width: int,
+    height: int,
+    delay_ms: int = 40,
+    hidden_default=None,
+) -> bytes:
+    """TEST/AUDIT FIXTURE: a REAL animated PNG — IHDR (8-bit gray)
+    + acTL + per-frame fcTL with the frame data as IDAT (first
+    frame, when the default image participates) or fdAT chunks,
+    sequence numbers in spec order, CRCs everywhere. ``frames`` is
+    a list of ``(gray_rect, x, y, dispose, blend)``; pass a
+    full-size gray array as ``hidden_default`` to emit a HIDDEN
+    default image (IDAT before any fcTL — every animation frame
+    then rides fdAT). Each frame's pixel stream comes from the
+    conformance-verified still encoder (:func:`_encode_png`), so
+    the decode side under test is the APNG machinery alone."""
+    import struct
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _png_chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0),
+    )
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    if hidden_default is not None:
+        out += _png_chunk(
+            b"IDAT",
+            _idat_payload(_encode_png(hidden_default, "gray")),
+        )
+    for i, (gray, x, y, dispose, blend) in enumerate(frames):
+        h, w = gray.shape
+        out += _png_chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, w, h, x, y, delay_ms, 1000,
+                dispose, blend,
+            ),
+        )
+        seq += 1
+        data = _idat_payload(_encode_png(gray, "gray", filter_seed=i))
+        if i == 0 and hidden_default is None:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
 
 
 def _encode_png(gray, mode: str, filter_seed: int = 0) -> bytes:

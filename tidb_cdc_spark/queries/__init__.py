@@ -299,14 +299,15 @@ for _mod in (
 # audio_window_cap_report, audio/corpus/media curation provenance,
 # media/audio curation pipelines, phash_cap_report) — each keeps its
 # r13 driver row + the strict mirror in tests/test_queries_oracle.py.
-# R15 rotation queue (oldest rows after this round): the eleven
+# R15 rotation queue (oldest rows after this round): the twelve
 # r14-new never-gated rows first (animated_webp_video_audit,
 # multimodal_anim_probe_audit, multimodal_audio_probe_audit,
 # audio_g711_audit, multimodal_tiff_phash_audit,
 # multimodal_mjpeg_video_audit, audio_adpcm_audit,
-# warc_ingest_audit, corpus_html_extract, crawl_html_pipeline —
-# all pre-verified hash-green at sf0.001+sf0.01+sf0.1 this session
-# (compare() tuples properly unpacked) — and events_pivot_by_type,
+# warc_ingest_audit, corpus_html_extract, crawl_html_pipeline,
+# animated_apng_video_audit — all pre-verified hash-green at
+# sf0.001+sf0.01+sf0.1 this session (compare() tuples properly
+# unpacked) — and events_pivot_by_type,
 # the one r11-block row this rotation could not seat: changed-code
 # certification outranked it), then the r12 block, then this
 # round's 39 OUT rows.

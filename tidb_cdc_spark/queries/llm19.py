@@ -1144,6 +1144,96 @@ SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
 """
 
 
+def animated_apng_video_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-PNG near-dup over REAL composed frames — completing
+    the web's animation trio (GIF and WebP are the r14 siblings):
+    `decode_apng_frames` (functions/multimodal.py) rewraps each
+    frame's fdAT zlib stream as a standalone PNG for the
+    conformance-verified still decoder and composes fcTL sub-rects
+    per the spec (sequence validation, dispose/blend ops, the
+    IDAT-participates-as-frame-0 rule) — the planted streams are
+    DELTA-encoded (keyframe + changed-region rects), so each frame
+    hash is only right if rect placement AND the per-frame rewrap
+    are. Frames feed the same `video_frame_hashes` →
+    `video_near_dup_pairs` chain.
+
+    Planted-transform oracle: cluster ``pid = doc_id % 139``;
+    variants 0/1 byte-identical 8-frame animations, variant 2 a
+    TRIMMED + brightness-shifted re-encode — 7 shared composed
+    hashes. 16-bit frame words injective over (pid, frame)
+    (pid·8+7 ≤ 1111 ≪ 65534; shift-invariant); all columns from id
+    arithmetic."""
+    from tidb_cdc_spark.functions.multimodal import (
+        synth_apng_anim_media,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+    from tidb_cdc_spark.session import materialize
+
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") >= 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 139).alias("pid"),
+            (F.col("doc_id") % 139).alias("base"),
+            F.when(F.expr("doc_id div 139") % 3 == 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("skip"),
+            F.when(F.expr("doc_id div 139") % 3 == 2, F.lit(20))
+            .otherwise(F.lit(0))
+            .alias("shift"),
+        )
+    )
+    media = synth_apng_anim_media(planted, "media_id")
+    fh = materialize(
+        video_frame_hashes(media).join(
+            planted.select("media_id", "pid"), "media_id"
+        )
+    )
+    pairs = video_near_dup_pairs(
+        fh, min_shared_frames=4, max_frame_freq=None
+    )
+    return (
+        fh.agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.countDistinct("pid").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_frame_rows"),
+            F.countDistinct("fhash").alias("distinct_fhash"),
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("neardup_pairs")))
+        )
+        .select(
+            "n_media",
+            "n_clusters",
+            "n_frame_rows",
+            "distinct_fhash",
+            "neardup_pairs",
+        )
+    )
+
+
+# plant arithmetic: trimmed members carry 7 frames; a cluster's
+# distinct composed-frame hashes are 8 iff any member is untrimmed
+# (frame words are disjoint across clusters)
+_APNG_ANIM_SQL = """
+WITH m AS (
+  SELECT doc_id % 139 AS pid,
+         CASE WHEN (doc_id // 139) % 3 = 2 THEN 1 ELSE 0 END AS trimmed
+  FROM documents WHERE doc_id >= 0
+), c AS (
+  SELECT pid, COUNT(*) AS n, MIN(trimmed) AS min_tr FROM m GROUP BY pid
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_media,
+       CAST((SELECT COUNT(DISTINCT pid) FROM m) AS BIGINT) AS n_clusters,
+       CAST((SELECT SUM(8 - trimmed) FROM m) AS BIGINT) AS n_frame_rows,
+       CAST((SELECT SUM(CASE WHEN min_tr = 0 THEN 8 ELSE 7 END) FROM c)
+            AS BIGINT) AS distinct_fhash,
+       CAST((SELECT SUM(n * (n - 1) // 2) FROM c) AS BIGINT) AS neardup_pairs
+"""
+
+
 def multimodal_mjpeg_video_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPEG near-dup over REAL compressed frames — the dominant
     real-world AVI codec joins the video frame path
@@ -1255,6 +1345,7 @@ QUERIES = {
     "animated_webp_video_audit": animated_webp_video_audit,
     "multimodal_tiff_phash_audit": multimodal_tiff_phash_audit,
     "multimodal_mjpeg_video_audit": multimodal_mjpeg_video_audit,
+    "animated_apng_video_audit": animated_apng_video_audit,
 }
 
 ORACLE = {
@@ -1270,4 +1361,5 @@ ORACLE = {
     "animated_webp_video_audit": _WEBP_ANIM_SQL,
     "multimodal_tiff_phash_audit": _TIFF_PHASH_SQL,
     "multimodal_mjpeg_video_audit": _MJPEG_VIDEO_SQL,
+    "animated_apng_video_audit": _APNG_ANIM_SQL,
 }

@@ -70,6 +70,22 @@ def _payloads(leg: str, patterns):
                     64, 64,
                 )
             )
+        elif leg == "apng_anim":
+            frames, prev = [], None
+            for f in range(4):
+                gf = _plant(1 + (v * 4 + f) % 254)
+                if prev is None:
+                    frames.append((gf, 0, 0, 0, 0))
+                else:
+                    ys, xs = np.nonzero(gf != prev)
+                    if len(ys):
+                        y0, x0 = int(ys.min()), int(xs.min())
+                        y1, x1 = int(ys.max()) + 1, int(xs.max()) + 1
+                        frames.append((gf[y0:y1, x0:x1], x0, y0, 0, 0))
+                    else:
+                        frames.append((gf[:1, :1], 0, 0, 0, 0))
+                prev = gf
+            out.append(M._encode_apng(frames, 64, 64))
         elif leg == "mjpeg_avi":
             import struct
 
@@ -138,6 +154,7 @@ LEGS = [
     ("gif_i", "GIF interlaced"),
     ("gif_anim", "GIF animated 4-frame (frame path)"),
     ("webp_anim", "WebP animated 4-frame (frame path)"),
+    ("apng_anim", "APNG animated 4-frame (frame path)"),
     ("mjpeg_avi", "MJPEG AVI 4-frame DHT-less (frame path)"),
     ("jpeg", "JPEG baseline gray"),
     ("jpeg_420", "JPEG baseline 4:2:0"),
@@ -166,10 +183,16 @@ def measure(n_payloads: int = 120, repeat: int = 3):
         except RuntimeError:
             continue  # libwebp absent: skip the lossy row
         nbytes = sum(len(p) for p in payloads)
-        anim = leg in ("gif_anim", "webp_anim", "mjpeg_avi")
+        anim = leg in ("gif_anim", "webp_anim", "mjpeg_avi", "apng_anim")
         npx = 64 * 64 * len(payloads) * (4 if anim else 1)
         if leg == "gif_anim":
             dec = decode_gif_frames
+        elif leg == "apng_anim":
+            from tidb_cdc_spark.functions.multimodal import (
+                decode_apng_frames,
+            )
+
+            dec = decode_apng_frames
         elif leg == "webp_anim":
             from tidb_cdc_spark.functions.multimodal import (
                 decode_webp_anim_frames,

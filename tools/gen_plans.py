@@ -77,6 +77,7 @@ PICKS = {
     "warc_ingest_audit": "WARC ingest census (r14): synth -> ISO 28500 record walk + HTTP/gzip/chunked decode in one Arrow pass; census aggregates on md5/status/len columns, bodies never shuffle past the materialize",
     "corpus_html_extract": "HTML->text extraction (r14): regexp_replace/replace column chain — NO Python stage of any kind, extraction runs at scan speed inside codegen; true cross-engine md5 oracle",
     "crawl_html_pipeline": "crawl front end e2e (r14): WARC walk + HTTP/gzip decode in the one Arrow pass, then the JVM html_strip_tags chain and census — the only Python stage is the record walk itself",
+    "animated_apng_video_audit": "animated-PNG frame path (r14): per-frame fdAT zlib rewrap through the still PNG decoder + fcTL rect composition inside the Arrow pass -> 28 B frame rows; pair stage is the shared inverted-index frame-hash equi-join",
 }
 
 HEADER = (
