@@ -98,9 +98,19 @@ def connected_components(
             )
         )
     )
+    # r14 (guide §1.2 "remove passes"): the identity initialization
+    # labels(id)=id makes round 1's sym⋈labels join a no-op lookup —
+    # fuse it: label₀ = min(id, min neighbor) is exactly the result
+    # of round 1's propagation, computed with ONE aggregate over sym
+    # and no join. The fixpoint (component-min labels) is unchanged —
+    # hash-min converges from ANY in-component upper bound — so this
+    # removes one full checkpoint+count round per CC call.
     labels = _truncate(
-        sym.select(F.col("src").alias("id")).distinct().withColumn(
-            "label", F.col("id")
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_nbr")).alias("label"),
         )
     )
     _ROUNDS.value = 0

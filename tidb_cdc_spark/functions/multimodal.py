@@ -87,6 +87,34 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _spread(slim: DataFrame) -> DataFrame:
+    """Fan the id-sized synth input out across the cluster BEFORE the
+    Python media chain starts (r14; guide §2.5 "input skew" / §1.2
+    "the distributed algorithm").
+
+    Every ``synth_*`` feeds a mapInPandas chain (synth → probe/decode
+    → hash) that is CPU-bound per row; the chain inherits the input's
+    partitioning, and a single-split source (the local testdata
+    parquet is one row group; production gzip/WARC inputs have the
+    same shape) serialized the whole decode on one core — measured
+    89.9 s for the MJPEG audit's uncached pass at sf0.1 vs ~4 s fanned
+    out. KEYLESS round-robin (deterministic under retries via Spark's
+    sort-before-repartition, SPARK-23207), NOT a hash repartition on
+    media_id: the audits join the hash rows back to their plant spine
+    ON media_id, and a key-matched layout would be reused straight
+    through that join into the materialized frame — pinning every
+    tiny downstream aggregate at ``n`` near-empty tasks and blocking
+    AQE's size-based coalesce (measured: cached-read consumers
+    1.4 s → 3.5 s under the keyed variant). The keyless exchange
+    costs the same ~16 B/row (no payloads exist yet), balances the
+    decode across the cluster, and lets the next shuffle boundary
+    re-size freely. ``defaultParallelism`` scales with the session's
+    core count; on a multi-split production source the extra
+    exchange is ~free relative to the decode it balances."""
+    n = slim.sparkSession.sparkContext.defaultParallelism
+    return slim.repartition(n)
+
+
 try:  # pragma: no cover — no codec libs in this container
     from PIL import Image as _PIL_Image
 except ImportError:
@@ -482,7 +510,7 @@ def synth_container_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
                 columns=[f.name for f in MEDIA_SCHEMA.fields],
             )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def synth_image_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -578,7 +606,7 @@ def synth_image_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 columns=[f.name for f in MEDIA_SCHEMA.fields],
             )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:
@@ -2529,7 +2557,7 @@ def synth_avi_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def synth_mjpeg_avi_media(
@@ -2630,7 +2658,7 @@ def synth_mjpeg_avi_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def synth_gif_anim_media(
@@ -2702,7 +2730,7 @@ def synth_gif_anim_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def synth_webp_anim_media(
@@ -2780,7 +2808,7 @@ def synth_webp_anim_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def synth_apng_anim_media(
@@ -2857,7 +2885,7 @@ def synth_apng_anim_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 # ------------------------------------------------ real sample path
@@ -3272,7 +3300,7 @@ def synth_wav_pcm_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def phash_near_dup_pairs(
@@ -3502,7 +3530,7 @@ def synth_bmp_pixel_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 # ------------------------------------ compressed-codec pixel plants
@@ -4004,7 +4032,7 @@ def synth_audio_probe_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def synth_anim_probe_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -4060,7 +4088,7 @@ def synth_anim_probe_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 #: the six codec legs of `multimodal_codec_matrix_audit`; each maps
@@ -4319,7 +4347,7 @@ def synth_codec_pixel_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 # --------------------------------------- trim-robust audio near-dup
@@ -4517,7 +4545,7 @@ def synth_wav_windowed_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 # ------------------------------------------- DCT perceptual hash
@@ -4716,4 +4744,4 @@ def synth_bmp_block16_media(
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return slim.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _spread(slim).mapInPandas(synth, schema=MEDIA_SCHEMA)

@@ -472,4 +472,8 @@ def synth_warc_media(
                     rows, columns=["media_id", "payload"]
                 )
 
-    return slim.mapInPandas(synth, schema=out_schema)
+    # fan the id-sized input out before the Python chain starts —
+    # same single-split rationale as multimodal._spread (guide §2.5)
+    from tidb_cdc_spark.functions.multimodal import _spread
+
+    return _spread(slim).mapInPandas(synth, schema=out_schema)

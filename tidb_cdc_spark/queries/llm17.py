@@ -59,7 +59,15 @@ def _repr_docs(d: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     but star pairs are linear per bucket, and a cap here would
     silently skip collapsing exactly the >cap-member families this
     pipeline exists to collapse, handing the quadratic blowup back
-    to the winnow stage (review catch)."""
+    to the winnow stage (review catch).
+
+    r14 note: an anti-join formulation (docs LEFT ANTI the CC rows
+    with id ≠ cluster_id) produces the IDENTICAL survivor set with
+    one join fewer, but measured consistently SLOWER here (8.6 s vs
+    6.8–7.4 s interleaved at sf0.1) — the inner join against the
+    slim representative-id frame lets AQE broadcast the small side
+    and reuse the fan-out layout cleanly, so the original shape is
+    kept deliberately."""
     reps = _collapse_reps(d, max_bucket_size)
     return d.join(
         reps.filter(F.col("is_representative")).select("doc_id"), "doc_id"

@@ -38,6 +38,36 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- r14 (guide §2.2): coalesce post-shuffle partitions by
+        # SIZE (advisoryPartitionSizeInBytes), not down to the core
+        # count. parallelismFirst=true (the Spark default) pins every
+        # tiny reduce stage at defaultParallelism near-empty tasks;
+        # Spark's own config reference recommends false on busy
+        # clusters. Scale-adaptive by construction: the coalesce
+        # target is bytes, so a 100 TB shuffle still fans out to
+        # thousands of partitions while a KB-sized one collapses to 1.
+        # Env-overridable for A/B runs, not hard-coded to local mode.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        # --- r14 (guide §5): let AQE re-plan the subplans that fill
+        # the persisted frames materialize() creates — without this a
+        # cached frame keeps the static shuffle.partitions layout and
+        # every downstream consumer (MLlib fit iterations included)
+        # inherits its near-empty task fan-out.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_AQE_CACHED_PLAN", "true"),
+        )
+        # --- r14 (guide §3.1): allow shuffled-hash join where its
+        # size conditions hold — no sort of either side; sort-merge
+        # remains the planner's fallback whenever the build side
+        # might not fit a partition's memory.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # --- scan sizing: keep input splits ~128 MB so executor
         # memory holds a partition comfortably at any SF ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -124,10 +154,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
 
 #: How multiply-consumed subplans (self-join inputs, synthesized CDC
 #: sources) are materialized. Modes:
-#:   "persist"    (default) — ``persist(StorageLevel.DISK_ONLY)``:
+#:   "persist"    (default) — ``persist(StorageLevel.MEMORY_AND_DISK)``:
 #:                keeps full lineage, so a lost executor/block is
 #:                recomputed from source — the fault-tolerant choice
-#:                for a 1000-executor 100 TB run.
+#:                for a 1000-executor 100 TB run. r14 (guide §5):
+#:                MEMORY_AND_DISK instead of DISK_ONLY — the SQL
+#:                cache stores compressed columnar batches either
+#:                way, but DISK_ONLY forced a write+read round-trip
+#:                per consumer even when the batches fit storage
+#:                memory; MEMORY_AND_DISK degrades to exactly the
+#:                old behavior under memory pressure (blocks spill
+#:                to disk, nothing is lost or recomputed).
 #:   "checkpoint" — ``localCheckpoint(eager=False)``: truncates
 #:                lineage (smaller re-plans) but blocks live only in
 #:                the block manager; an executor loss KILLS the job.
@@ -145,7 +182,8 @@ def materialize(df):
         return df.localCheckpoint(eager=False)
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.DISK_ONLY)
+    level = os.environ.get("SPARK_GRAFT_MATERIALIZE_LEVEL", "MEMORY_AND_DISK")
+    return df.persist(getattr(StorageLevel, level))
 
 
 def fan_out(df, spark: SparkSession, partitions: int | None = None):
