@@ -49,6 +49,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -653,23 +654,33 @@ def probe_media(media: DataFrame) -> DataFrame:
                 | pdf["height"].isna()
                 | pdf["duration_ms"].isna()
             ) & pdf["payload"].notna()
-            for idx in pdf.index[need_any]:
-                need_mime = (
-                    pdf.at[idx, "mime"] is None
-                    or pd.isna(pdf.at[idx, "mime"])
-                )
-                need_dur = pd.isna(pdf.at[idx, "duration_ms"])
-                raw = pdf.at[idx, "payload"]
-                payload = bytes(raw)
+            if not need_any.any():
+                yield pdf
+                continue
+            # r14 (guide §4.2): the loop works on plain Python lists
+            # with ONE bulk write-back per column — per-row pandas
+            # ``.at`` reads/writes were ~half the pass's CPU on a
+            # fully-null-metadata corpus (the crawl-ingest shape).
+            mimes = pdf["mime"].tolist()
+            widths = pdf["width"].tolist()
+            heights = pdf["height"].tolist()
+            durs = pdf["duration_ms"].tolist()
+            pays = pdf["payload"].tolist()
+            isna = pd.isna
+
+            for i in np.nonzero(need_any.to_numpy())[0]:
+                need_mime = mimes[i] is None or isna(mimes[i])
+                need_dur = isna(durs[i])
+                payload = bytes(pays[i])
                 img = parse_image_header(payload)
                 if img is not None:
                     mime, w, h = img
                     if need_mime:
-                        pdf.at[idx, "mime"] = mime
-                    if pd.isna(pdf.at[idx, "width"]):
-                        pdf.at[idx, "width"] = w
-                    if pd.isna(pdf.at[idx, "height"]):
-                        pdf.at[idx, "height"] = h
+                        mimes[i] = mime
+                    if isna(widths[i]):
+                        widths[i] = w
+                    if isna(heights[i]):
+                        heights[i] = h
                     if need_dur and mime in (
                         "image/gif", "image/webp", "image/png",
                     ):
@@ -683,27 +694,31 @@ def probe_media(media: DataFrame) -> DataFrame:
                             else apng_animation_info(payload)
                         )
                         if info is not None and info[0] > 1:
-                            pdf.at[idx, "duration_ms"] = info[1]
+                            durs[i] = info[1]
                     continue
                 avi = parse_avi_header(payload)
                 if avi is not None:
                     mime, w, h, dur = avi
                     if need_mime:
-                        pdf.at[idx, "mime"] = mime
-                    if pd.isna(pdf.at[idx, "width"]):
-                        pdf.at[idx, "width"] = w
-                    if pd.isna(pdf.at[idx, "height"]):
-                        pdf.at[idx, "height"] = h
+                        mimes[i] = mime
+                    if isna(widths[i]):
+                        widths[i] = w
+                    if isna(heights[i]):
+                        heights[i] = h
                     if need_dur:
-                        pdf.at[idx, "duration_ms"] = dur
+                        durs[i] = dur
                     continue
                 av = parse_media_header(payload)
                 if av is not None:
                     mime, dur = av
                     if need_mime:
-                        pdf.at[idx, "mime"] = mime
+                        mimes[i] = mime
                     if need_dur:
-                        pdf.at[idx, "duration_ms"] = dur
+                        durs[i] = dur
+            pdf["mime"] = pd.Series(mimes, index=pdf.index, dtype=object)
+            pdf["width"] = pd.Series(widths, index=pdf.index)
+            pdf["height"] = pd.Series(heights, index=pdf.index)
+            pdf["duration_ms"] = pd.Series(durs, index=pdf.index)
             yield pdf
 
     return media.mapInPandas(probe, schema=media.schema)

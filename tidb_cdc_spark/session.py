@@ -68,6 +68,20 @@ def get_spark(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
         )
+        # --- r14 (guide §3.1): preferSortMergeJoin=false alone only
+        # affects the STATIC planner (whose size estimates rarely
+        # qualify); this is the runtime half — AQE rewrites a
+        # sort-merge join to shuffled-hash when every post-shuffle
+        # partition is under the threshold (64 MB, matching the AQE
+        # advisory partition size per the config reference's
+        # guidance). Bounded per-partition build memory at any scale;
+        # oversized partitions keep sort-merge. Measured 10-25% on
+        # the SMJ-heavy queries (q21, SCD2, pagerank, keep-best)
+        # interleaved on=off-warm.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "67108864"),
+        )
         # --- scan sizing: keep input splits ~128 MB so executor
         # memory holds a partition comfortably at any SF ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
