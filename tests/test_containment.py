@@ -125,3 +125,56 @@ def test_plan_stays_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_xxh64_key_mode_row_identical_to_md5(spark):
+    """r15 (guide §2.3): the xxh64 shingle keying used by the
+    rows-only composed pipeline (``dedup_containment_repr``) must
+    produce IDENTICAL rows to the md5 keying — every output column
+    depends only on shingle-set identity, never on key values. The
+    probe corpus exercises every branch: full windows, n<k whole-doc
+    shingles, the empty/whitespace sentinel, exact dups, a subset
+    pair, and a viral shingle under a tight cap."""
+    boiler = "v1 v2 v3 v4 v5"
+    quote = " ".join(f"q{i}" for i in range(10))
+    host = " ".join(f"h{i}" for i in range(40)) + " " + quote
+    rows = [
+        (1, quote),
+        (2, host),
+        (3, "tiny doc"),
+        (4, "tiny doc"),
+        (5, ""),
+        (6, " \t\n "),
+        (7, f"a1 a2 a3 a4 a5 a6 {boiler}"),
+        (8, f"b1 b2 b3 b4 b5 b6 {boiler}"),
+        (9, f"c1 c2 c3 c4 c5 c6 {boiler}"),
+        (10, None),
+    ]
+    for kw in (
+        dict(min_containment=0.1, max_doc_freq=2),
+        dict(min_containment=0.9),
+        dict(min_containment=0.0, max_doc_freq=None),
+    ):
+        md5_rows = sorted(
+            map(tuple, _pairs(spark, rows, **kw).values())
+        )
+        xxh_rows = sorted(
+            map(tuple, _pairs(spark, rows, shingle_key="xxh64", **kw).values())
+        )
+        assert md5_rows == xxh_rows
+
+
+def test_xxh64_key_mode_on_real_corpus(spark):
+    """The two keyings also agree row-for-row on the sf0.001
+    documents corpus (real text: mixed lengths, duplicates)."""
+    from tests.conftest import SF_SMOKE
+    from tidb_cdc_spark.session import read_table
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    a = sorted(
+        map(tuple, ngram_containment_pairs(d).collect())
+    )
+    b = sorted(
+        map(tuple, ngram_containment_pairs(d, shingle_key="xxh64").collect())
+    )
+    assert a == b and len(a) > 0

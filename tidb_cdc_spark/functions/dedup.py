@@ -593,12 +593,18 @@ def simhash_pairs_from_sigs(
     l = keyed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_table", "_key")
     r = keyed.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "_table", "_key")
     hamming = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+    # r15 (guide §2.3 "shuffle fewer bytes"): the Hamming test runs
+    # BEFORE the pair-dedup exchange — hamming is a pure function of
+    # the pair (every duplicate candidate row carries the same
+    # signatures), so filtering first drops whole duplicate groups
+    # and the dropDuplicates shuffle carries only TRUE pairs instead
+    # of every accidental table collision. Output identical.
     return (
         l.join(r, ["_table", "_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -690,6 +696,7 @@ def ngram_containment_pairs(
     shingle_k: int = 5,
     min_containment: float = 0.9,
     max_doc_freq: int | None = 1000,
+    shingle_key: str = "md5",
 ) -> DataFrame:
     """EXACT n-gram CONTAINMENT (Broder 1997's asymmetric resemblance
     companion): for each candidate pair, C(A→B) = |A∩B| / |A| over
@@ -707,15 +714,30 @@ def ngram_containment_pairs(
     empty-string sentinel — two empty docs pair at containment 1.0
     here just as they pair in the minhash/simhash/Jaccard ops).
 
-    Cross-engine exactness: shingles key on their md5 HEX string
-    (not xxhash64, which DuckDB cannot reproduce) — this is the
-    fuzzy-dedup family's one RAW pair op with a full value-level
+    Cross-engine exactness: by default shingles key on their md5 HEX
+    string (not xxhash64, which DuckDB cannot reproduce) — this is
+    the fuzzy-dedup family's one RAW pair op with a full value-level
     oracle instead of a planted-copy audit. ``max_doc_freq`` is the
     same viral-shingle guard as ``ngram_jaccard_pairs`` (set sizes
     counted AFTER pruning, so the surviving-set containment stays
     exact); the inverted-index join shuffles (id, 32-byte md5) rows
     only — at 100 TB the same plan with the join key narrowed to 16
     bytes of the digest is the standard trade.
+
+    ``shingle_key`` (r15, guide §2.3 "narrower types" / "shuffle
+    fewer bytes"): every OUTPUT column of this op depends only on
+    shingle-set IDENTITY (distinct counts, intersections, the df cap)
+    — never on the key's VALUE — so any injective keying of the
+    shingle token sequence yields identical rows. ``"xxh64"`` keys on
+    the rolled 8-byte xxhash64 (``shingle_hash_rows``): the shingle
+    STRING is never built, the dedup/cap/index-join shuffles carry an
+    8-byte long instead of a 32-byte hex string, and the whole
+    pipeline stays codegen. Collision risk is the same 64-bit
+    argument every xxhash64 dedup op here already makes. Reserved
+    for ROWS-ONLY declared paths (``dedup_containment_repr``); the
+    value-oracled queries keep ``"md5"``, whose computation the
+    DuckDB oracle mirrors operation-for-operation (row-identity of
+    the two modes is pinned in tests/test_containment.py).
 
     Quadratic-output caveat (inherent to ALL raw pair ops here, same
     as ``minhash_lsh_pairs`` and winnow — measured on the 100×
@@ -727,11 +749,20 @@ def ngram_containment_pairs(
     the survivors — cross-family subset relations are preserved."""
     from pyspark.sql import Window
 
-    dist = (
-        shingle_string_rows(df, id_col, text_col, k=shingle_k)
-        .select("_id", F.md5("_sh").alias("_g"))
-        .dropDuplicates(["_id", "_g"])
-    )
+    if shingle_key == "xxh64":
+        dist = shingle_hash_rows(
+            df, id_col, text_col, k=shingle_k, hash_alias="_g"
+        ).dropDuplicates(["_id", "_g"])
+    elif shingle_key == "md5":
+        dist = (
+            shingle_string_rows(df, id_col, text_col, k=shingle_k)
+            .select("_id", F.md5("_sh").alias("_g"))
+            .dropDuplicates(["_id", "_g"])
+        )
+    else:
+        raise ValueError(
+            f"shingle_key={shingle_key!r}: expected 'md5' or 'xxh64'"
+        )
     if max_doc_freq is not None:
         viral = (
             dist.groupBy("_g")

@@ -111,8 +111,19 @@ def _spread(slim: DataFrame) -> DataFrame:
     decode across the cluster, and lets the next shuffle boundary
     re-size freely. ``defaultParallelism`` scales with the session's
     core count; on a multi-split production source the extra
-    exchange is ~free relative to the decode it balances."""
+    exchange is ~free relative to the decode it balances.
+
+    r15 (advice): the target is ``max(defaultParallelism, existing
+    split count)`` — a bare ``repartition(defaultParallelism)`` would
+    COLLAPSE a production source that already has more partitions
+    than cores, capping decode parallelism at exactly n with no
+    straggler slack. Reading the split count plans the (id-sized)
+    input subtree once; no job runs."""
     n = slim.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = max(n, slim.rdd.getNumPartitions())
+    except Exception:
+        pass  # planning hiccup — fall back to the core-count target
     return slim.repartition(n)
 
 
@@ -716,9 +727,23 @@ def probe_media(media: DataFrame) -> DataFrame:
                     if need_dur:
                         durs[i] = dur
             pdf["mime"] = pd.Series(mimes, index=pdf.index, dtype=object)
-            pdf["width"] = pd.Series(widths, index=pdf.index)
-            pdf["height"] = pd.Series(heights, index=pdf.index)
-            pdf["duration_ms"] = pd.Series(durs, index=pdf.index)
+            # r15 (advice): nullable-Int write-back — a plain Series
+            # with any null turns filled integers into float64, which
+            # is silently lossy above 2^53 and discards the column
+            # dtype; pandas' masked Int32/Int64 arrays keep exact
+            # integer semantics and Arrow maps them straight onto the
+            # declared IntegerType/LongType output schema. NaN floats
+            # from the Arrow->pandas input conversion round-trip to
+            # pd.NA losslessly (they are integral or missing).
+            pdf["width"] = pd.array(
+                [None if isna(v) else int(v) for v in widths], dtype="Int32"
+            )
+            pdf["height"] = pd.array(
+                [None if isna(v) else int(v) for v in heights], dtype="Int32"
+            )
+            pdf["duration_ms"] = pd.array(
+                [None if isna(v) else int(v) for v in durs], dtype="Int64"
+            )
             yield pdf
 
     return media.mapInPandas(probe, schema=media.schema)

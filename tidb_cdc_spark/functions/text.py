@@ -167,15 +167,29 @@ def shingle_hash_rows(
     already partitioned by it), then explode/window/aggregate all
     pipeline within the partition. Window state is one row — no
     spill risk regardless of document count per partition.
+
+    r15 (guide §2.3 "narrower types"/"project before the exchange"):
+    each token is hashed to its 8-byte xxhash64 in the projection
+    BELOW the window's hash-exchange, so the exchange carries
+    (id, pos, long) instead of (id, pos, token STRING) — the window
+    expressions then roll the already-hashed longs. Values are
+    unchanged (the rolled hash always was xxhash64 over per-token
+    xxhash64s); only where the per-token hash is computed moves.
     """
     from pyspark.sql import Window
 
-    tok = df.select(
-        F.col(id_col).alias(id_alias),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
-    ).filter(F.col("_t") != "")
+    tok = (
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "_pos", "_t"
+            ),
+        )
+        .filter(F.col("_t") != "")
+        .select(id_alias, "_pos", F.xxhash64(F.col("_t")).alias("_h0"))
+    )
     w = Window.partitionBy(id_alias).orderBy("_pos")
-    h0 = F.xxhash64(F.col("_t"))
+    h0 = F.col("_h0")
     leads = [F.lead(h0, j).over(w) for j in range(1, k)]
     rolled = tok.select(
         id_alias,

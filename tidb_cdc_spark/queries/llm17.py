@@ -544,8 +544,15 @@ def dedup_containment_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic-corpus tests carry the non-vacuous evidence."""
     from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
 
+    # r15 (guide §2.3): this composed pipeline is ROWS-ONLY (the
+    # oracle twin is ``containment_repr_audit``), and containment
+    # output depends only on shingle-set identity — so it rides the
+    # 8-byte xxhash64 shingle keys instead of 32-byte md5 hex
+    # strings. The value-oracled ``dedup_containment_pairs`` keeps
+    # md5 (the documented DuckDB-mirroring contract). Row-identity
+    # of the two keyings is pinned in tests/test_containment.py.
     return ngram_containment_pairs(
-        _repr_docs(_docs(spark, sf_dir))
+        _repr_docs(_docs(spark, sf_dir)), shingle_key="xxh64"
     ).orderBy("id_a", "id_b")
 
 
@@ -587,8 +594,9 @@ def containment_repr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # composed-pipeline booleans over the full corpus + exact copies
+    # (same xxh64 shingle keying as the declared pipeline it audits)
     off, rep_docs, copies = _collapse_audit_parts(spark, sf_dir)
-    cont = ngram_containment_pairs(rep_docs)
+    cont = ngram_containment_pairs(rep_docs, shingle_key="xxh64")
     composed = _exclusion_flag(
         copies, _pair_ids(cont), off, "excluded_from_containment"
     )

@@ -197,7 +197,20 @@ def materialize(df):
     from pyspark.storagelevel import StorageLevel
 
     level = os.environ.get("SPARK_GRAFT_MATERIALIZE_LEVEL", "MEMORY_AND_DISK")
-    return df.persist(getattr(StorageLevel, level))
+    # r15 (advice): a typo'd env value used to surface as a bare
+    # AttributeError deep inside every query build — validate here
+    # and name the variable and the accepted values instead.
+    sl = getattr(StorageLevel, level, None)
+    if not isinstance(sl, StorageLevel):
+        valid = sorted(
+            k for k, v in vars(StorageLevel).items()
+            if isinstance(v, StorageLevel)
+        )
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE_LEVEL={level!r} is not a "
+            f"pyspark StorageLevel; use one of {valid}"
+        )
+    return df.persist(sl)
 
 
 def fan_out(df, spark: SparkSession, partitions: int | None = None):
