@@ -56,6 +56,7 @@ TEXTS = [
 ]
 
 
+@pytest.mark.slow  # r15 tiered gate: reference-merge-sequence battery
 class TestBpeTrain:
     def test_merge_sequence_matches_reference_exactly(self, spark):
         docs = spark.createDataFrame(

@@ -2,6 +2,7 @@
 idempotence under replay, last-write-wins tie-breaks — the contract
 the reference never tests (SURVEY §5)."""
 
+import pytest
 import json
 import random
 
@@ -211,6 +212,7 @@ class TestScd2History:
             map(tuple, hist.collect())
         )
 
+    @pytest.mark.slow  # r15 tiered gate
     def test_split_merge_fold_equals_one_shot(self, spark):
         """merge_scd2_split contract: head ∪ (all emitted closed
         rows) after a fold equals scd2_history over the whole log —

@@ -6,6 +6,7 @@ verdict's open item #4 (the raw op's 100× caveat said "collapse
 families first"; this pins that the collapse keeps the pairs the op
 exists to find)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tidb_cdc_spark.functions.dedup import ngram_containment_pairs
@@ -83,6 +84,7 @@ def test_family_pairs_removed_cross_family_subset_kept(spark):
     assert jac < 0.5
 
 
+@pytest.mark.slow  # r15 tiered gate
 def test_pair_output_linear_not_quadratic_in_family_size(spark):
     """Pair-row counts, the unit the 100× curve measured: raw output
     grows quadratically with family size; composed output is flat."""

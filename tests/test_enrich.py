@@ -6,6 +6,9 @@ import os
 
 import pytest
 
+# r15 tiered gate: streaming admission-sink e2e battery (~6 min); the Connector/sink families keep default-tier coverage in test_streaming/test_stream_join/test_kafka_e2e
+pytestmark = pytest.mark.slow
+
 from tidb_cdc_spark.streaming.enrich import (
     enrich_stream,
     ingest_new_documents,

@@ -369,6 +369,7 @@ class TestMultimodal:
         assert by_id[2] == 3 and by_id[5] == 6 and by_id[8] == 9
 
 
+@pytest.mark.slow  # r15 tiered gate: clustered-recall battery
 class TestIvf:
     def test_ivf_knn_high_recall_on_clustered_data(self, spark):
         import random
@@ -429,6 +430,7 @@ class TestIvf:
             assert len(glob.glob(f"{d}/*.parquet")) == 1
 
 
+@pytest.mark.slow  # r15 tiered gate: PQ/ADC recall battery
 class TestProductQuantization:
     def _clustered(self, spark, dim=32, n_clusters=10, per=12, sigma=0.05):
         import random
@@ -547,6 +549,7 @@ class TestProductQuantization:
         assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
 
 
+@pytest.mark.slow  # r15 tiered gate: band-store e2e battery
 class TestNearDupIngest:
     def test_band_store_screens_incoming_batch(self, spark):
         from tidb_cdc_spark.functions.dedup import (

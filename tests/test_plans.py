@@ -3,6 +3,7 @@ pushdown, shuffle counts, payload pruning) asserted explicitly —
 correctness at sf0.01 plus these properties is the 100 TB design
 contract."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tidb_cdc_spark.plans import (
@@ -655,6 +656,9 @@ class TestR10CompositionPlans:
 
 
 class TestGlobalPlanInvariants:
+    # r15 tiered gate: whole-registry plan sweep (~2 min alone);
+    # per-family plan pins above stay in the default tier
+    @pytest.mark.slow
     def test_no_rowwise_python_or_cartesian_anywhere(self, spark):
         """Blanket guard over the ENTIRE declared registry: no query
         may plan a row-at-a-time Python eval (BatchEvalPython) or a

@@ -20,6 +20,11 @@ def _all_names():
     return sorted(ORACLE)
 
 
+# r15 tiered gate: the full 186-entry value-mirror battery is the
+# SLOW tier — the driver value-compares its gate sample itself, and
+# the default tier still executes every declared query below
+# (test_every_query_runs).
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _all_names())
 def test_query_matches_oracle(spark, con, name):
     from tidb_cdc_spark.queries import ORACLE, QUERIES
@@ -75,6 +80,7 @@ def con_large():
     return duck_con(SF_LARGE)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ROUND_ADDITIONS)
 def test_round_additions_sf_independent(spark, con_large, name):
     from tidb_cdc_spark.queries import ORACLE, QUERIES

@@ -618,6 +618,7 @@ class TestScd2SplitHistorySink:
             seq_col=F.col("_s"),
         )
 
+    @pytest.mark.slow  # r15 tiered gate
     def test_equals_monolithic_sink_batch_by_batch(self, spark, tmp_path):
         from tidb_cdc_spark.streaming import (
             Scd2HistorySink,

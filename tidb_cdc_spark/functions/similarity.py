@@ -170,6 +170,12 @@ def knn_ivf(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
+    # r15 note: do NOT materialize `c` here — measured (sf0.01) that
+    # persisting changes the cached frame's partition layout, and
+    # MLlib KMeans' seeded kmeans|| init is partition-sensitive, so
+    # the centroids (hence cells, hence top-k) CHANGE. The duplicate
+    # source scan (fit + transform) is the price of bit-stable
+    # centroids; the source is a column-pruned parquet scan.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_fv", array_to_vector(F.col("_cv")))
@@ -380,10 +386,18 @@ def knn_lsh(
     cands = cd.join(F.broadcast(qd), "_tag").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # r15 (guide §2.3): score BEFORE the pair-dedup exchange — the
+    # cosine is a pure function of the pair (every multi-table
+    # duplicate row carries the same two vectors, so the same exact
+    # double), and computing it map-side means the dropDuplicates
+    # shuffle carries (query, neighbor, score) ≈ 24 B/row instead of
+    # both dim-sized vectors (~1 KB/row at dim=64). The extra cost is
+    # one codegen'd dot product per duplicate collision row — noise
+    # next to the bytes saved.
     scored = (
-        cands.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+        cands.withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
         .select("query_id", "neighbor_id", "score")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return topk_per_group(
         scored,

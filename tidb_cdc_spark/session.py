@@ -60,13 +60,19 @@ def get_spark(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             os.environ.get("SPARK_GRAFT_AQE_CACHED_PLAN", "true"),
         )
-        # --- r14 (guide §3.1): allow shuffled-hash join where its
-        # size conditions hold — no sort of either side; sort-merge
-        # remains the planner's fallback whenever the build side
-        # might not fit a partition's memory.
+        # --- r15 (guide §3.1, VERDICT #6/ADVICE): static planner
+        # keeps Spark's sort-merge preference (the default). r14 had
+        # shipped preferSortMergeJoin=false, but the static choice
+        # rides SIZE ESTIMATES — a bad estimate plus skew builds an
+        # unbounded hash map on an executor at 100 TB, and the
+        # rotated 3-arm A/B (tools/shj_ab_r15.py: static-SHJ 7.03 s
+        # vs runtime-only 6.30 s vs both-off 6.40 s over the 6
+        # SMJ-heavy queries, min-of-6 interleaved) shows the static
+        # half carries no measurable win over the bounded AQE
+        # runtime rewrite below. Env-overridable for A/B.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         # --- r14 (guide §3.1): preferSortMergeJoin=false alone only
         # affects the STATIC planner (whose size estimates rarely

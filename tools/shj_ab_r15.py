@@ -54,9 +54,14 @@ def main() -> None:
     results: dict[str, dict[str, list[float]]] = {
         q: {a: [] for a in ARMS} for q in QUERIES
     }
+    arm_names = list(ARMS)
     for rep in range(reps):
+        # rotate arm order per rep — a fixed order hands the first
+        # arm every fresh-codegen/first-touch penalty
+        order = arm_names[rep % len(arm_names):] + arm_names[: rep % len(arm_names)]
         for q in QUERIES:
-            for arm, (prefer_smj, thresh) in ARMS.items():
+            for arm in order:
+                prefer_smj, thresh = ARMS[arm]
                 spark.conf.set("spark.sql.join.preferSortMergeJoin", prefer_smj)
                 spark.conf.set(
                     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
